@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    _root_.graft.queries.ReferenceQueries)
+    _root_.graft.queries.ReferenceQueries,
+    _root_.graft.queries.RelationalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,462 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Relational operator surface inherited from Spark SQL, exercised over the
+  * TPC-H-shaped fixture tables (SURVEY.md §7.2 step 2): grouped aggregation,
+  * every join strategy, rollup/cube, ranking/analytic windows, sorts/top-k,
+  * set operations, and subquery shapes. The reference itself has none of
+  * these (SURVEY.md §2.7) — they are what its external Cassandra consumers
+  * would run, re-expressed engine-side.
+  *
+  * Oracle-parity discipline (driver hash-compares values exactly):
+  *   - never SUM a double: cast to DECIMAL first — exact in both engines and
+  *     independent of partial-aggregation order (Spark sums doubles in
+  *     arbitrary partition order; last-ulp drift would fail the hash).
+  *   - averages = exact decimal sum cast to double, divided by a count: one
+  *     IEEE division on identical operands is bit-exact cross-engine.
+  *   - every top-k ordering carries a unique tie-break key.
+  *
+  * Scale notes (100 TB): dimension joins (region/nation/customer/supplier/
+  * part) are explicitly `broadcast()` — at production scale these stay
+  * O(MB–GB) while lineitem/orders/events grow; fact-fact joins shuffle on
+  * the join key and rely on AQE for skew. Windows partition by bounded keys
+  * (customer, segment), never globally except final top-k LIMITs, which
+  * Spark executes as a per-partition TakeOrdered + driver merge of k rows.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // Exact money arithmetic: double -> decimal before aggregation.
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- grouped aggregation -------------------------------------------
+    // TPC-H Q1 shape: multi-measure hash aggregate; map-side partial agg
+    // then one shuffle on the (low-cardinality) group key.
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount"))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"))
+    }),
+
+    "agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+             count(lit(1)).as("n"),
+             grouping_id().as("gid"))
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+             count(lit(1)).as("n"),
+             grouping_id().as("gid"))
+    }),
+
+    // Manual pivot via conditional aggregation (engine-portable form).
+    "agg_pivot_manual" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy(col("user_id").mod(100).as("cohort"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+          count(lit(1)).as("total"))
+    }),
+
+    // ---- joins ----------------------------------------------------------
+    // Dim-chain broadcast: region ⋈ nation ⋈ customer with both dims
+    // broadcast — no shuffle of the fact side at any scale.
+    "join_broadcast_dims" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+             sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+    }),
+
+    // TPC-H Q3 shape: fact-fact shuffle join + broadcast dim filter + top-k.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum((dec(col("l_extendedprice")) *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,6)")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: five-way join, dims broadcast, one fact-fact shuffle.
+    "q5_local_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    }),
+
+    // Left semi: orders having at least one big lineitem. At scale a
+    // shuffle-hash semi join on l_orderkey; semi stops at first match and
+    // never duplicates the left side.
+    "join_semi" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+    }),
+
+    // Left anti: customers with no orders.
+    "join_anti" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs_no_orders"))
+    }),
+
+    // Left outer join preserving unmatched left rows.
+    "join_outer" -> ((s, dir) => {
+      val li45 = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_big"))
+      t(s, dir, "orders")
+        .join(li45, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(coalesce(col("n_big"), lit(0))).as("n_big_items"))
+    }),
+
+    // ---- windows --------------------------------------------------------
+    // Top-3 orders per market segment by price: rank + unique tie-break.
+    "window_rank_topn" -> ((s, dir) => {
+      val joined = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      joined
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+          col("o_totalprice").as("price"))
+    }),
+
+    // lag/lead: per-customer inter-order gap in days.
+    "window_lag_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("gap_days",
+          datediff(to_date(col("o_orderdate")), to_date(col("prev_date"))))
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"), col("gap_days"))
+    }),
+
+    // Running total per customer (rows-unbounded-preceding scan).
+    "window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("run_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("run_spend"))
+    }),
+
+    // ntile quartiles over account balance (global window but tiny table;
+    // at scale: per-partition quantile sketch instead — see docs).
+    "window_ntile" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n"),
+             min(col("c_acctbal")).as("min_bal"),
+             max(col("c_acctbal")).as("max_bal"))
+        .orderBy("quartile")
+    }),
+
+    "window_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("first_key", first(col("o_orderkey")).over(w))
+        .withColumn("last_key", last(col("o_orderkey")).over(w))
+        .groupBy("o_custkey", "first_key", "last_key")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- sorts / top-k --------------------------------------------------
+    // Global top-10: TakeOrderedAndProject — k rows per partition to the
+    // driver, never a full sort at any scale.
+    "sort_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price"))
+    }),
+
+    // ---- set operations -------------------------------------------------
+    "set_union" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      custNations.union(suppNations).distinct().orderBy("nk")
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      a.intersect(b).orderBy("nk")
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      a.except(b).orderBy("nk")
+    }),
+
+    // ---- subqueries -----------------------------------------------------
+    // Scalar subquery: orders above the global average price. The average
+    // is an exact decimal sum / count (cross-join of a 1-row aggregate —
+    // broadcast, no shuffle).
+    "subquery_scalar" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val avgP = ord.agg(
+        (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      ord.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_above_avg"))
+    }),
+
+    // IN-subquery shape: lineitems of parts in a brand (semi join).
+    "subquery_in" -> ((s, dir) => {
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select("p_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n,
+        |  GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "agg_pivot_manual" ->
+      """SELECT user_id % 100 AS cohort,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+        |  COUNT(*) AS total
+        |FROM events GROUP BY user_id % 100""".stripMargin,
+
+    "join_broadcast_dims" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "join_semi" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_custs_no_orders
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "join_outer" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  SUM(COALESCE(n_big, 0)) AS n_big_items
+        |FROM orders
+        |LEFT OUTER JOIN (
+        |  SELECT l_orderkey, COUNT(*) AS n_big FROM lineitem
+        |  WHERE l_quantity >= 45 GROUP BY l_orderkey
+        |) b ON o_orderkey = b.l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "window_rank_topn" ->
+      """SELECT c_mktsegment, rn, o_orderkey, price FROM (
+        |  SELECT c_mktsegment,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn,
+        |    o_orderkey, o_totalprice AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rn <= 3""".stripMargin,
+
+    "window_lag_gap" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  CAST(datediff('day',
+        |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+        |FROM orders""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        |FROM orders""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT quartile, COUNT(*) AS n,
+        |  MIN(c_acctbal) AS min_bal,
+        |  MAX(c_acctbal) AS max_bal
+        |FROM (SELECT c_acctbal,
+        |        CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |      FROM customer)
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "window_first_last" ->
+      """SELECT o_custkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_key,
+        |  COUNT(*) OVER w AS n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1""".stripMargin,
+
+    "sort_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice AS price
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 10""".stripMargin,
+
+    "set_union" ->
+      """SELECT DISTINCT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey AS nk FROM supplier
+        |) ORDER BY nk""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+    "subquery_scalar" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above_avg
+        |FROM orders,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |          / COUNT(*) AS avg_price FROM orders) a
+        |WHERE o_totalprice > a.avg_price
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "subquery_in" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+        |GROUP BY l_returnflag""".stripMargin
+  )
+}
