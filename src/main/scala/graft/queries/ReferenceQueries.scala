@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.CumVol
+import graft.ops.{AsofJoin, CumVol, LwwDedup}
 
 /** Batch analogs of the reference pipeline's operators over the `events`
   * fixture table (FIXTURES.md §B.1 mapping: user_id -> symbol, ts -> time,
@@ -32,6 +32,98 @@ object ReferenceQueries extends QueryPack {
           col("event_type"),
           col("volume"),
           col("cumbuy"), col("cumsell"), col("cumdelta"))
+    }),
+
+    // F3+F4+R3: book branch batch analog (main.rs:95-104) — project events
+    // into book shape, synthesize the reference's raw order_type vocabulary,
+    // then strip the BOOK_TYPE_ prefix globally (Rust str::replace is
+    // global, main.rs:62-64 — so is Spark regexp_replace; DuckDB needs the
+    // 'g' flag).
+    "book_normalize" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(
+          col("user_id").cast("string").as("symbol"),
+          col("value").as("price"),
+          unix_micros(col("ts")).as("time_us"),
+          floor(col("value")).cast("int").as("volume"),
+          regexp_replace(
+            concat(lit("BOOK_TYPE_"), upper(col("event_type"))),
+            "BOOK_TYPE_", "").as("order_type"))
+    }),
+
+    // F1: strict-schema JSON payload parse (serde analog, main.rs:107) over
+    // the events.props JSON column.
+    "json_parse_props" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+    }),
+
+    // A3: last-writer-wins dedup by primary key (Cassandra-upsert semantics,
+    // main.rs:87,145) — PK (user_id, ts), highest event_id wins.
+    "lww_dedup" -> ((s, dir) => {
+      LwwDedup(Tables(s, dir, "events"),
+          Seq(col("user_id"), col("ts")), Seq(col("event_id")))
+        .select(col("user_id"), unix_micros(col("ts")).as("time_us"),
+          col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // R1: frame-type demux — route each message to BOOK/TICK, silently drop
+    // the rest (main.rs:75-76,106,167 catch-all).
+    "route_counts" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("frame_type",
+          when(col("event_type").isin("purchase", "click"), "TICK")
+            .when(col("event_type") === "view", "BOOK")
+            .otherwise("DROP"))
+        .filter(col("frame_type") =!= "DROP")
+        .groupBy("frame_type")
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_symbols"))
+    }),
+
+    // As-of join ([[AsofJoin]]): each trade (purchase) enriched with the
+    // prevailing quote (latest view at or before the trade, per user).
+    "asof_quote_trade" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val quotes = LwwDedup(
+          e.filter(col("event_type") === "view"),
+          Seq(col("user_id"), col("ts")), Seq(col("event_id")))
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("q_us"), col("value").as("qprice"))
+      val trades = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("tprice"))
+      AsofJoin(trades, quotes, "user_id", "ts", Seq("q_us", "qprice"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("tprice"),
+          col("q_us"), col("qprice"))
+    }),
+
+    // Range join with an equi-key: lineitems shipped within 30 days of
+    // their order date. The equality on orderkey keeps this a hash join
+    // with a residual range predicate — never a cross product.
+    "range_join_ship_window" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").as("l")
+        .join(Tables(s, dir, "orders").as("o"),
+          expr("""l_orderkey = o_orderkey
+                  AND l_shipdate >= o_orderdate
+                  AND l_shipdate <= o_orderdate + INTERVAL 30 DAYS"""))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+               .as("sum_qty"))
+    }),
+
+    // F2 analog: array explode with position (the BOOK JSON-array flatten,
+    // main.rs:77,95) over the embeddings vector column.
+    "array_explode" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .filter(col("pos") < 4)
+        .select(col("vec_id"), col("pos"), col("val"))
     })
   )
 
@@ -52,6 +144,68 @@ object ReferenceQueries extends QueryPack {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
          |             ORDER BY ts, event_id
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "book_normalize" ->
+      """SELECT CAST(user_id AS VARCHAR) AS symbol,
+        |  value AS price,
+        |  epoch_us(ts) AS time_us,
+        |  CAST(floor(value) AS INT) AS volume,
+        |  regexp_replace('BOOK_TYPE_' || upper(event_type), 'BOOK_TYPE_', '', 'g') AS order_type
+        |FROM events""".stripMargin,
+
+    "json_parse_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(floor(value) AS BIGINT)) AS sum_floor_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "lww_dedup" ->
+      """SELECT user_id, epoch_us(ts) AS time_us, event_id, event_type, value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                   ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "route_counts" ->
+      """SELECT CASE WHEN event_type IN ('purchase','click') THEN 'TICK'
+        |            WHEN event_type = 'view' THEN 'BOOK' END AS frame_type,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_symbols
+        |FROM events
+        |WHERE event_type IN ('purchase','click','view')
+        |GROUP BY 1""".stripMargin,
+
+    "asof_quote_trade" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS q_us, value AS qprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |trades AS (
+        |  SELECT user_id, ts, event_id, value AS tprice
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT t.user_id, t.event_id, epoch_us(t.ts) AS t_us, t.tprice,
+        |       q.q_us, q.qprice
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
+
+    "range_join_ship_window" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "array_explode" ->
+      """SELECT vec_id, pos, val FROM (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |    unnest(embedding) AS val
+        |  FROM embeddings)
+        |WHERE pos < 4""".stripMargin
   )
 }
