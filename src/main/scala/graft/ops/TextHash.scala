@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-hashing building blocks for the dedup / fingerprint family.
+  *
+  * Every hash bottoms out in md5 — the one hash with identical output in
+  * Spark, DuckDB, and every other engine — truncated to 60 bits (15 hex
+  * chars < 2^63, so BIGINT-safe in both). All downstream mixing is integer
+  * arithmetic mod the Mersenne prime 2^31−1, with coefficients small enough
+  * that products stay < 2^62: deterministic, overflow-free, and
+  * oracle-checkable cross-engine. (An engine-private hash like xxhash64
+  * would be faster but unverifiable against an external oracle; swap in
+  * production if no cross-engine parity is needed.)
+  *
+  * All builders are pure Column expressions (whole-stage-codegen'd
+  * higher-order functions) — tokenize/shingle/hash run scan-side with NO
+  * shuffle; only the downstream bucket-join shuffles.
+  */
+object TextHash {
+
+  val P31 = 2147483647L // 2^31 − 1
+
+  /** 60-bit md5-based hash of a string column, already reduced mod P31.
+    * DuckDB mirror: `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647`.
+    */
+  def h31(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P31
+
+  /** SQL-string form of [[h31]] for use inside `expr(...)` fragments. */
+  def h31(s: String): String =
+    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT) % ${P31}L"
+
+  /** Whitespace tokens (single-space split — matches DuckDB string_split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Orderful k-word shingles from a token array column.
+    * DuckDB mirror: `[w[i] || ' ' || ... for i in range(1, len(w)-(k-2))]`.
+    * Short docs (< k tokens) yield an empty array — Spark's
+    * `sequence(1, 0)` DESCENDS, so the guard is mandatory, not cosmetic.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** Token array -> array of P31-reduced 60-bit hashes. */
+  def hashAll(arr: Column): Column = transform(arr, s => h31(s))
+
+  /** Rolling polynomial fingerprint over a hashed-token array:
+    * fold(xs, 0, (acc, x) -> (acc*31 + x) mod P31). Order-sensitive by
+    * design (document fingerprint, not a bag hash).
+    * DuckDB mirror: `list_reduce(list_prepend(0, xs), (acc, x) -> ...)`.
+    */
+  def rollingFingerprint(xs: Column): Column =
+    aggregate(xs, lit(0L), (acc, x) => (acc * 31 + x) % P31)
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.ops.{JaccardPairs, MinHashLSH, SimHash, TextHash, VectorOps}
+
+/** Training-data deduplication operators over the `documents` /
+  * `embeddings` fixtures: exact hash dedup, MinHash+LSH banding, SimHash
+  * sketches, exact n-gram Jaccard via inverted index, and
+  * embedding-cosine near-dup via sign-LSH buckets. Each has a DuckDB
+  * oracle built on the same md5-based 60-bit hash arithmetic
+  * ([[graft.ops.TextHash]]), so results hash-match cross-engine.
+  */
+object DedupQueries extends QueryPack {
+
+  private val P = TextHash.P31
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on content; winner = min doc_id (the
+    // deterministic survivor policy), plus the cluster size.
+    "dedup_exact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+             count(lit(1)).as("n_copies"),
+             expr(TextHash.h31("text")).as("h"))
+        .select("doc_id", "n_copies", "h")
+    }),
+
+    // MinHash + banded LSH candidate pairs (3-word shingles, 16 perms,
+    // 4 bands of 4).
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      MinHashLSH.candidatePairs(
+        Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // SimHash sketch per document (16-bit) + collision-cluster size.
+    "dedup_simhash" -> ((s, dir) => {
+      val hx = Tables(s, dir, "documents")
+        .withColumn("_xs", TextHash.hashAll(TextHash.tokens(col("text"))))
+        .select(col("doc_id"), SimHash.simhash(col("_xs")).as("simhash"))
+      val clusters = hx.groupBy("simhash").agg(count(lit(1)).as("cluster_n"))
+      hx.join(clusters, Seq("simhash")).select("doc_id", "simhash", "cluster_n")
+    }),
+
+    // Exact word-bigram Jaccard >= 0.6 via inverted-index join with
+    // stop-gram cut (df > 50 dropped).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      JaccardPairs(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Embedding near-dup: sign-LSH bucket (8 hyperplanes) then exact
+    // cosine >= 0.5 within bucket.
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.signBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("bucket"))
+      val b = e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos",
+          VectorOps.dot(col("ea"), col("eb")) /
+            (VectorOps.norm(col("ea")) * VectorOps.norm(col("eb"))))
+        .filter(col("cos") >= 0.5)
+        .select("vec_a", "vec_b", "cos")
+    })
+  )
+
+  // ---- shared DuckDB SQL fragments ------------------------------------
+  private val h31duck = s"CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P"
+  private def h31duckOf(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) % $P"
+  private val dotAB =
+    "list_reduce([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in range(1, len(ea)+1)], (acc, x) -> acc + x)"
+  private def normOf(v: String) =
+    s"sqrt(list_reduce([CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE) for i in range(1, len($v)+1)], (acc, x) -> acc + x))"
+  private def bucketOf(v: String) = (0 until 8).map { j =>
+    s"CASE WHEN list_reduce([CAST($v[i] AS DOUBLE) * CAST((i * ${j + 3}) % 5 - 2 AS DOUBLE) for i in range(1, len($v)+1)], (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END"
+  }.mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+         |  ${h31duckOf("text")} AS h
+         |FROM documents GROUP BY text""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS sh
+         |       FROM tok WHERE len(w) >= 3),
+         |hx AS (SELECT doc_id, list_transform(sh, s -> $h31duck) AS xs FROM sh),
+         |mh AS (SELECT doc_id, j,
+         |         list_min(list_transform(xs, x -> ((2*j+1)*x + j*7919) % $P)) AS mh
+         |       FROM hx, (SELECT unnest(range(0, 16)) AS j) js),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+         |          FROM mh GROUP BY doc_id, j // 4)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |         list_transform(string_split(text, ' '), s -> $h31duck) AS xs
+         |       FROM documents),
+         |sh AS (SELECT doc_id, ${(0 until 16).map(i =>
+             s"CASE WHEN 2 * len(list_filter(xs, x -> (x >> $i) & 1 = 1)) > len(xs) THEN ${1L << i} ELSE 0 END")
+             .mkString(" + ")} AS simhash
+         |       FROM hx),
+         |cl AS (SELECT simhash, count(*) AS cluster_n FROM sh GROUP BY simhash)
+         |SELECT doc_id, sh.simhash, cluster_n FROM sh JOIN cl ON sh.simhash = cl.simhash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT DISTINCT doc_id AS doc, gram FROM (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |  FROM tok WHERE len(w) >= 2)),
+        |kept AS (SELECT doc, gram FROM (
+        |  SELECT doc, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams)
+        |  WHERE df <= 50),
+        |sizes AS (SELECT doc, count(*) AS n FROM kept GROUP BY doc),
+        |common AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+        |           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc < b.doc
+        |           GROUP BY a.doc, b.doc)
+        |SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+        |  CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc = doc_a
+        |JOIN sizes sb ON sb.doc = doc_b
+        |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.6""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH d AS (SELECT vec_id, embedding,
+         |  ${bucketOf("embedding")} AS bucket
+         |FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  $dotAB / (${normOf("ea")} * ${normOf("eb")}) AS cos
+         |FROM (SELECT vec_id, embedding AS ea, bucket FROM d) a
+         |JOIN (SELECT vec_id, embedding AS eb, bucket FROM d) b
+         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $dotAB / (${normOf("ea")} * ${normOf("eb")}) >= 0.5""".stripMargin
+  )
+}
