@@ -8,7 +8,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     _root_.graft.queries.ReferenceQueries,
     _root_.graft.queries.RelationalQueries,
-    _root_.graft.queries.DedupQueries)
+    _root_.graft.queries.DedupQueries,
+    _root_.graft.queries.TextQueries,
+    _root_.graft.queries.SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

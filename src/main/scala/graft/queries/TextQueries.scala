@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.ops.{TextHash, TextStats}
+
+/** Text-analysis operators over `documents`: token counting (whitespace +
+  * BPE-ish regex), language identification (stopword-profile argmax),
+  * composite quality scoring, and rolling-hash document fingerprints.
+  * Every query is a single scan-side projection (no shuffle except the
+  * one grouped rollup) with an exact DuckDB oracle.
+  */
+object TextQueries extends QueryPack {
+
+  private val P = TextHash.P31
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Whitespace + BPE-ish token counts per document.
+    "text_token_counts" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextStats.nTokens(col("text")).cast("long").as("n_ws"),
+        TextStats.nBpeTokens(col("text")).cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("len"))
+    }),
+
+    // Language-ID: stopword-profile scores + argmax prediction, plus a
+    // per-language corpus rollup against the fixture's labels.
+    "text_langid" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("label"),
+        TextStats.langId(toks).as("pred"),
+        TextStats.profileScore(toks, TextStats.LangProfiles.head._2)
+          .cast("long").as("s_en"))
+    }),
+
+    // Composite quality score with its component signals.
+    "text_quality" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (TextStats.totalTokenChars(toks).cast("double") /
+          size(toks).cast("double")).as("avg_token_len"),
+        TextStats.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Order-sensitive rolling-hash fingerprint + duplicate-cluster size.
+    "text_fingerprint" -> ((s, dir) => {
+      val fp = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextHash.rollingFingerprint(
+          TextHash.hashAll(TextHash.tokens(col("text")))).as("fp"))
+      val clusters = fp.groupBy("fp").agg(count(lit(1)).as("n_dups"))
+      fp.join(clusters, Seq("fp")).select("doc_id", "fp", "n_dups")
+    })
+  )
+
+  // ---- DuckDB mirrors --------------------------------------------------
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def score(lang: String) = {
+    val prof = TextStats.LangProfiles.find(_._1 == lang).get._2
+    s"len(list_filter(w, t -> list_contains(${inList(prof)}, t)))"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_ws,
+         |  len(regexp_extract_all(text, '${TextStats.BpeTokenRe}')) AS n_bpe,
+         |  len(text) AS len
+         |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |             FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  ${TextStats.LangProfiles.map { case (l, _) => s"${score(l)} AS s_$l" }.mkString(", ")}
+         |  FROM tok)
+         |SELECT doc_id, lang AS label,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         |    WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+         |    ELSE 'und' END AS pred,
+         |  s_en
+         |FROM sc""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w
+         |             FROM documents),
+         |m AS (SELECT doc_id, text, w,
+         |        CAST(len(w) AS DOUBLE) AS n,
+         |        CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) AS tot,
+         |        CAST(${score("en")} AS DOUBLE) AS nstop,
+         |        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+         |          / CAST(len(text) AS DOUBLE) AS symratio
+         |      FROM tok)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  tot / n AS avg_token_len,
+         |  greatest(0, 1 - abs(tot / n - 4.5) / 4.5) * 0.5
+         |    + least(nstop / n * 2, 1) * 0.3
+         |    + greatest(0, 1 - symratio * 5) * 0.2 AS quality
+         |FROM m""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH fp AS (SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '),
+         |        s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P)),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS fp
+         |  FROM documents),
+         |cl AS (SELECT fp, count(*) AS n_dups FROM fp GROUP BY fp)
+         |SELECT doc_id, fp.fp, n_dups FROM fp JOIN cl USING (fp)""".stripMargin
+  )
+}
