@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Schemas.{EnrichedTick, Tick}
+
+/** A1+A2 streaming form: per-symbol running (cumbuy, cumsell, cumdelta)
+  * with daily session reset, emitted on every input row.
+  *
+  * Reference: state /root/reference/src/main.rs:207-208, update
+  * main.rs:122-128, daily reset main.rs:112-118, cumdelta main.rs:130.
+  * Implemented with `groupByKey(symbol).flatMapGroupsWithState` — durable
+  * checkpointed state, one entry per symbol, partitioned across executors
+  * (the upgrade over the reference's in-process HashMap, which is
+  * single-threaded and lost on crash). State is O(#symbols) — three longs
+  * per key — so even millions of symbols fit one state store partition.
+  *
+  * Semantics decisions (SURVEY §1.4, documented divergences):
+  *  - Day boundary is per-symbol (the reference's global
+  *    `last_processed_date` resets only the arriving symbol on rollover —
+  *    we implement the evident intent: per-(symbol, UTC day) sessions).
+  *  - Within a micro-batch, rows are processed in event-time order
+  *    (stable-sorted by `time`); the reference uses arrival order
+  *    (main.rs:219-230), which is identical when the feed is in order.
+  *  - A late row from a *previous* day accumulates into the current-day
+  *    counters without reset — byte-compatible with the reference's
+  *    monotone-day check (`tick_date > last_date`, main.rs:115).
+  */
+object CumVolProcessor {
+
+  /** Keyed state: the symbol's current UTC day ordinal and session sums. */
+  case class CumState(day: Long, cumbuy: Long, cumsell: Long)
+
+  def update(
+      symbol: String,
+      rows: Iterator[Tick],
+      state: GroupState[CumState]): Iterator[EnrichedTick] = {
+    var st = state.getOption.getOrElse(CumState(Long.MinValue, 0L, 0L))
+    val out = rows.toSeq.sortBy(_.time).map { t =>
+      val day = Math.floorDiv(t.time, 86400L) // F5, main.rs:109-110
+      if (day > st.day && st.day != Long.MinValue)
+        st = CumState(day, 0L, 0L) // A2 daily reset, main.rs:112-118
+      else if (st.day == Long.MinValue)
+        st = CumState(day, 0L, 0L) // first-ever row seeds state, main.rs:122
+      // R4 conditional contribution, main.rs:124-128: non-B/S rows pass
+      // through with unchanged counters, they are NOT dropped.
+      st = t.tradeType match {
+        case "B" => st.copy(cumbuy = st.cumbuy + t.volume)
+        case "S" => st.copy(cumsell = st.cumsell + t.volume)
+        case _   => st
+      }
+      EnrichedTick(t.symbol, t.bid, t.price, t.ask, t.time, t.volume,
+        t.tradeType, st.cumbuy, st.cumsell, st.cumbuy - st.cumsell)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming (or batch) enrichment: Dataset[Tick] → Dataset[EnrichedTick].
+    * One shuffle on symbol; state store holds three longs per symbol.
+    */
+  def enrich(ticks: Dataset[Tick]): Dataset[EnrichedTick] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[CumState, EnrichedTick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

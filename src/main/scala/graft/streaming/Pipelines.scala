@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+import graft.model.Schemas
+
+/** End-to-end assemblies of the reference's three pipelines (SURVEY §3):
+  * envelope demux → type routing → parse → normalize/enrich. Pure
+  * DataFrame transforms — the same code runs over a `readStream` source
+  * (production), a `MemoryStream` (tests), or a batch DataFrame (oracle).
+  *
+  * Reference: demux main.rs:220-222, routing main.rs:75-76/106, book parse
+  * + normalize main.rs:77-104, tick parse main.rs:107, mode gating
+  * start.sh:3-14 (the reference *triplicates* the code per mode; here a
+  * pipeline is just which transforms you compose — R2 for free).
+  */
+object Pipelines {
+
+  /** R1 routing: envelopes with frameType BOOK. Unknown types drop here
+    * for free (the reference's silent `_ => ()` arm, main.rs:167).
+    */
+  def bookEnvelopes(env: DataFrame): DataFrame =
+    env.filter(col("frameType") === "BOOK")
+
+  def tickEnvelopes(env: DataFrame): DataFrame =
+    env.filter(col("frameType") === "TICK")
+
+  /** F2+F3+F4: BOOK JSON-array payload → one row per ladder level, with
+    * the serde rename (`type`→orderType) and `BOOK_TYPE_` prefix strip
+    * (global replace — Rust `str::replace` semantics, main.rs:62-64).
+    * Parse failures yield a null struct → routed to `_corrupt` = true
+    * (K5 upgrade: dead-letter, not silent drop).
+    */
+  def parseBooks(env: DataFrame): DataFrame =
+    bookEnvelopes(env)
+      .withColumn("_levels",
+        from_json(col("payload"), ArrayType(Schemas.bookJsonSchema)))
+      .withColumn("_corrupt", col("_levels").isNull)
+      .select(col("topic"), col("_corrupt"),
+        explode_outer(col("_levels")).as("l"))
+      .select(col("topic"), col("_corrupt"),
+        col("l.symbol").as("symbol"), col("l.price").as("price"),
+        col("l.time").as("time"), col("l.volume").as("volume"),
+        regexp_replace(col("l.type"), "BOOK_TYPE_", "").as("orderType"))
+
+  /** F1+F3: TICK single-object payload → typed rows; corrupt → flagged. */
+  def parseTicks(env: DataFrame): DataFrame =
+    tickEnvelopes(env)
+      .withColumn("_t", from_json(col("payload"), Schemas.tickJsonSchema))
+      // PERMISSIVE from_json yields a struct of nulls (not a null struct)
+      // on malformed input; a real tick always carries its symbol.
+      .withColumn("_corrupt",
+        col("_t").isNull || col("_t.symbol").isNull)
+      .select(col("topic"), col("_corrupt"),
+        col("_t.symbol").as("symbol"), col("_t.bid").as("bid"),
+        col("_t.price").as("price"), col("_t.ask").as("ask"),
+        col("_t.time").as("time"), col("_t.volume").as("volume"),
+        col("_t.type").as("tradeType"))
+
+  /** Full tick branch: parse → drop corrupt (to dead-letter elsewhere) →
+    * stateful enrichment (A1+A2+F6).
+    */
+  def tickPipeline(env: DataFrame): Dataset[Schemas.EnrichedTick] = {
+    import env.sparkSession.implicits._
+    val ticks = parseTicks(env)
+      .filter(!col("_corrupt"))
+      .select("symbol", "bid", "price", "ask", "time", "volume", "tradeType")
+      .as[Schemas.Tick]
+    CumVolProcessor.enrich(ticks)
+  }
+}
