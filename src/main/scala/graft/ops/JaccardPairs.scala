@@ -3,19 +3,23 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Exact n-gram Jaccard similarity via an inverted-index join.
+/** Exact n-gram Jaccard similarity via an inverted index.
   *
-  * Shape: distinct (doc, gram) posting list → drop grams with document
-  * frequency > `maxDf` (stop-grams: they generate quadratic candidate
-  * blow-up while carrying no discriminative signal — the standard
-  * scale-out trick) → self-join postings on gram → per-pair common-gram
-  * count → Jaccard = common / (|A| + |B| − common) over the FILTERED gram
-  * sets (both sides of the ratio see the same df cut, so the metric is
+  * Shape: distinct (doc, gram) postings → group postings BY GRAM into a
+  * sorted doc-id list, dropping grams with document frequency > `maxDf`
+  * (stop-grams: quadratic candidate blow-up, no discriminative signal —
+  * the standard scale-out cut) → expand each surviving gram's doc list to
+  * C(n,2) pairs scan-side ([[ArrayPairs]]) → per-pair common-gram count →
+  * Jaccard = common / (|A| + |B| − common) over the FILTERED gram sets
+  * (both sides of the ratio see the same df cut, so the metric is
   * internally consistent).
   *
-  * Cost: one shuffle on gram for the join (skew-bounded by maxDf — no
-  * gram contributes more than maxDf² pairs), one shuffle on the pair key
-  * for the count. Never materializes the full doc×doc matrix.
+  * Cost: the corpus is tokenized/hashed ONCE; one shuffle on gram builds
+  * the index; pair expansion is bounded by maxDf² per gram (skew-proof by
+  * construction); one shuffle on the pair key counts common grams. No
+  * posting-list self-join (which would re-derive the postings pipeline per
+  * side), no window function, and the full doc×doc matrix is never
+  * materialized.
   */
 object JaccardPairs {
 
@@ -30,16 +34,14 @@ object JaccardPairs {
       .withColumn("_toks", TextHash.tokens(col(textCol)))
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextHash.shingles(col("_toks"), gramK))).as("gram"))
-    val kept = postings
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-    val sizes = kept.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val common = kept.select(col("doc").as("doc_a"), col("gram"))
-      .join(kept.select(col("doc").as("doc_b"), col("gram")), Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val byGram = postings.groupBy("gram")
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+    val sizes = byGram.select(explode(col("docs")).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("n"))
+    val common = byGram
+      .select(explode(ArrayPairs.of(col("docs"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))

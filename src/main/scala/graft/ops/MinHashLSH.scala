@@ -26,7 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** @return candidate pairs (doc_a, doc_b), doc_a < doc_b, distinct. */
+  /** Candidate pairs (doc_a, doc_b), doc_a < doc_b, distinct.
+    *
+    * NOT a bucket self-join: a self-join would re-run the whole signature
+    * pipeline (md5 over every shingle, 16 permutation minima) once per
+    * side. Instead the corpus is scanned ONCE, shuffled once on
+    * (band, sig), and each bucket's sorted id list is expanded to its
+    * C(n,2) pairs with array combinatorics — work stays quadratic only in
+    * true-near-dup bucket size (the LSH guarantee), and the expensive
+    * hashing happens exactly once per document.
+    */
   def candidatePairs(
       docs: DataFrame,
       idCol: String,
@@ -35,11 +44,11 @@ object MinHashLSH {
       perms: Int = 16,
       bands: Int = 4): DataFrame = {
     val sigs = signatures(docs, idCol, textCol, shingleK, perms, bands)
-    val a = sigs.select(col(idCol).as("doc_a"), col("band"), col("sig"))
-    val b = sigs.select(col(idCol).as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    sigs.groupBy("band", "sig")
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(ArrayPairs.of(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
