@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{MediaFeatures, MediaRecord, StubCodec}
+
+/** Multimodal plumbing: binary-column schema, partition-wise batch decode,
+  * frame-sample generator, and the mapPartitions ≡ column-expression
+  * equivalence that anchors the SQL oracle to the typed path.
+  */
+class MultimodalSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRecord(1L, "video/mp4", "hello world, many frames here".getBytes, 4, 3, 3),
+    MediaRecord(2L, "image/png", "just pixels".getBytes, 2, 2, 1))
+
+  test("decodeFeatures: schema, batch shape, deterministic stub features") {
+    val out = Multimodal.decodeFeatures(media.toDS()).collect()
+      .sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(out.forall(_.feature.length === StubCodec.FeatureDim))
+    assert(out(0).n_bytes === media(0).bytes.length.toLong)
+    // determinism: same payload, same feature
+    assert(out(0).feature.toSeq ===
+      StubCodec.feature(media(0).bytes).toSeq)
+  }
+
+  test("sampleFrames: one row per frame, deterministic byte slices") {
+    val frames = Multimodal.sampleFrames(media.toDS().toDF(), frameBytes = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        new String(r.getAs[Array[Byte]](2))))
+      .sortBy(r => (r._1, r._2))
+    assert(frames.map(f => (f._1, f._2)).toSeq ===
+      Seq((1L, 0), (1L, 1), (1L, 2))) // only the video row, n_frames rows
+    assert(frames(0)._3 === "hello wo")
+    assert(frames(1)._3 === "rld, man")
+  }
+
+  test("mapPartitions decode equals the column-expression oracle form") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", 16L),
+      (2L, "delta epsilon", 13L)).toDF("doc_id", "text", "n_chars")
+    val m = Multimodal.fromDocuments(docs)
+    val typed = m.select(col("media_id"), col("mime"), col("bytes"),
+        col("width"), col("height"), col("n_frames"))
+      .as[MediaRecord]
+    val viaPartitions = Multimodal.decodeFeatures(typed)
+      .collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    val hex = md5(col("bytes"))
+    val viaColumns = m.select(col("media_id"),
+        array((0 until StubCodec.FeatureDim).map(i =>
+          (conv(substring(hex, 2 * i + 1, 2), 16, 10).cast("double") / 255d)
+            .cast("float")): _*).as("feature"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[collection.Seq[Float]](1).toSeq).toMap
+    assert(viaPartitions.keySet === viaColumns.keySet)
+    viaPartitions.foreach { case (id, f) =>
+      f.zip(viaColumns(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6f, s"media $id feature mismatch")
+      }
+    }
+  }
+
+  test("resize stub: truncates or zero-pads to w*h, deterministic") {
+    val r = StubCodec.resize("abcdef".getBytes, 2, 2)
+    assert(r.length === 4 && new String(r) === "abcd")
+    val p = StubCodec.resize("ab".getBytes, 2, 2)
+    assert(p.length === 4 && p(2) === 0 && p(3) === 0)
+  }
+}
