@@ -11,7 +11,8 @@ object SparkEntry {
     _root_.graft.queries.DedupQueries,
     _root_.graft.queries.TextQueries,
     _root_.graft.queries.SimilarityQueries,
-    _root_.graft.queries.MultimodalQueries)
+    _root_.graft.queries.MultimodalQueries,
+    _root_.graft.queries.FunctionQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

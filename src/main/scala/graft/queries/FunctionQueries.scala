@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Scalar-function and SQL-surface coverage: string functions, date/time
+  * functions, conditional/null handling, GROUPING SETS, and the analytic
+  * window functions not exercised elsewhere. Each is a one-pass projection
+  * or a single-shuffle aggregate — inherited Catalyst operators surfaced
+  * and oracle-pinned (SURVEY §2.7: the engine exposes these, the reference
+  * merely lacks them).
+  */
+object FunctionQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // String function suite over part names.
+    "func_strings" -> ((s, dir) => {
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 1, 5).as("pre"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        lpad(col("p_brand"), 12, "#").as("pad"),
+        reverse(col("p_type")).as("rev"),
+        when(col("p_name").like("%gold%"), 1L).otherwise(0L).as("has_gold"))
+    }),
+
+    // Date/time function suite over order dates.
+    "func_dates" -> ((s, dir) => {
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        last_day(col("o_orderdate")).as("mend"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"))
+    }),
+
+    // Conditional / null-handling suite over customer balances.
+    "func_conditional" -> ((s, dir) => {
+      Tables(s, dir, "customer").select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+          lit("(redacted)")).as("seg"),
+        least(col("c_acctbal"), lit(5000d)).as("capped"),
+        greatest(col("c_acctbal"), lit(0d)).as("floored"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 1000, "low")
+          .otherwise("normal").as("band"),
+        abs(col("c_acctbal")).as("mag"),
+        round(col("c_acctbal") / 100d, 1).as("hundreds"))
+    }),
+
+    // GROUPING SETS (SQL surface; DataFrame API exposes only rollup/cube).
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+          |  COUNT(*) AS n
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), ())""".stripMargin)
+    }),
+
+    // Value-based analytic windows (cume_dist / percent_rank are
+    // tie-stable: equal inputs get equal outputs, so the result set is
+    // deterministic without a unique orderBy key).
+    "window_dist_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(
+          col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "func_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  lower(p_brand) AS lo,
+        |  len(p_name) AS len,
+        |  substr(p_name, 1, 5) AS pre,
+        |  concat_ws('|', p_brand, p_type) AS cat,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        |  lpad(p_brand, 12, '#') AS pad,
+        |  reverse(p_type) AS rev,
+        |  CASE WHEN p_name LIKE '%gold%' THEN 1 ELSE 0 END AS has_gold
+        |FROM part""".stripMargin,
+
+    "func_dates" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  quarter(o_orderdate) AS qtr,
+        |  date_trunc('month', o_orderdate) AS mstart,
+        |  last_day(CAST(o_orderdate AS DATE)) AS mend,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS days_since
+        |FROM orders""".stripMargin,
+
+    "func_conditional" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg,
+        |  least(c_acctbal, 5000) AS capped,
+        |  greatest(c_acctbal, 0) AS floored,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 1000 THEN 'low'
+        |       ELSE 'normal' END AS band,
+        |  abs(c_acctbal) AS mag,
+        |  round(c_acctbal / 100, 1) AS hundreds
+        |FROM customer""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
+
+    "window_dist_rank" ->
+      """SELECT l_orderkey, l_returnflag, l_extendedprice,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM lineitem
+        |WHERE l_linenumber = 1
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice)"""
+        .stripMargin
+  )
+}
