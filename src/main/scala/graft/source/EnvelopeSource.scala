@@ -1,0 +1,210 @@
+package graft.source
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.Schemas
+
+/** DataSource V2 envelope source — the production form of the reference's
+  * ZeroMQ SUB socket (S1–S3, /root/reference/src/main.rs:186-222).
+  *
+  * Offline (no ZMQ transport jar), the wire is abstracted to a spool
+  * DIRECTORY of JSON-lines files: a feed adapter appends immutable
+  * `*.jsonl` files (one `{"topic","frameType","payload"}` object per
+  * line); this source tails the directory as a micro-batch stream.
+  * Offsets are counts over the lexicographically-sorted file list, so a
+  * batch is an immutable file range — replayable, checkpoint-friendly,
+  * exactly-once on retry (the delivery upgrade over the reference's
+  * at-most-once SUB socket, SURVEY §2.6).
+  *
+  * The reference's topic-prefix subscription (S2, `set_subscribe`,
+  * main.rs:204-206) becomes the `topicPrefix` option, applied INSIDE the
+  * partition reader — rows that don't match never reach the engine, the
+  * same place ZMQ drops them (transport-side pushdown).
+  *
+  * One input partition per file: parallelism scales with spool files,
+  * and a slow reader never blocks other partitions (vs the reference's
+  * fully serialized recv loop, main.rs:219-230).
+  *
+  * Usage: `spark.readStream.format(classOf[EnvelopeSourceProvider].getName)
+  * .option("path", dir).option("topicPrefix", "eurusd").load()` (same for
+  * batch `spark.read`).
+  */
+class EnvelopeSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.envelopeSchema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EnvelopeTable(
+      properties.get("path"),
+      // option keys arrive case-insensitively (often lowercased)
+      Option(properties.get("topicPrefix"))
+        .orElse(Option(properties.get("topicprefix"))).getOrElse(""))
+}
+
+private[source] class EnvelopeTable(dir: String, topicPrefix: String)
+    extends Table with SupportsRead {
+  require(dir != null, "envelope source requires a 'path' option")
+  override def name(): String = s"envelopes($dir)"
+  override def schema(): StructType = Schemas.envelopeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new EnvelopeScan(dir, topicPrefix)
+}
+
+private[source] object EnvelopeSpool {
+  /** Immutable-once-present spool contract: sorted file list. */
+  def files(dir: String): Seq[Path] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".jsonl")).sortBy(_.toString)
+  }
+}
+
+private[source] class EnvelopeScan(dir: String, topicPrefix: String)
+    extends Scan {
+  override def readSchema(): StructType = Schemas.envelopeSchema
+  override def description(): String =
+    s"EnvelopeScan(dir=$dir, topicPrefix=$topicPrefix)"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      EnvelopeSpool.files(dir).map(f =>
+        EnvelopeFilePartition(f.toString, topicPrefix): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      EnvelopeReaderFactory
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EnvelopeMicroBatchStream(dir, topicPrefix)
+}
+
+/** Offset = how many files of the sorted spool have been consumed. */
+private[source] case class FileCountOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+private[source] class EnvelopeMicroBatchStream(dir: String, topicPrefix: String)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = FileCountOffset(0)
+  override def latestOffset(): Offset =
+    FileCountOffset(EnvelopeSpool.files(dir).size)
+  override def deserializeOffset(json: String): Offset =
+    FileCountOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[FileCountOffset].n,
+      end.asInstanceOf[FileCountOffset].n)
+    EnvelopeSpool.files(dir).slice(s, e).map(f =>
+      EnvelopeFilePartition(f.toString, topicPrefix): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    EnvelopeReaderFactory
+}
+
+private[source] case class EnvelopeFilePartition(
+    file: String, topicPrefix: String) extends InputPartition
+
+private[source] object EnvelopeReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EnvelopeFilePartition]
+    new EnvelopeFileReader(p.file, p.topicPrefix)
+  }
+}
+
+/** Streams one spool file; demuxes the 3 logical frames from each JSON
+  * line (S3) and applies the topic-prefix subscription filter (S2).
+  * Malformed lines become rows with null payload — the dead-letter branch
+  * downstream decides (K5 upgrade over the reference's silent drop).
+  */
+private[source] class EnvelopeFileReader(file: String, topicPrefix: String)
+    extends PartitionReader[InternalRow] {
+  private val lines = Files.newBufferedReader(
+    Paths.get(file), StandardCharsets.UTF_8)
+  private var row: InternalRow = _
+
+  // Minimal single-object JSON frame demux (topic/frameType/payload of the
+  // envelope are flat strings; payload may itself be arbitrary JSON, kept
+  // verbatim for from_json downstream).
+  private def parse(line: String): InternalRow = {
+    def field(name: String): Option[String] = {
+      val m = ("\"" + name + "\"\\s*:\\s*").r.findFirstMatchIn(line)
+      m.flatMap { mm =>
+        val rest = line.substring(mm.end)
+        if (rest.startsWith("\"")) {
+          val sb = new StringBuilder
+          var i = 1
+          var done = false
+          while (i < rest.length && !done) {
+            rest.charAt(i) match {
+              case '\\' => sb.append(rest.charAt(i + 1)); i += 2
+              case '"'  => done = true
+              case c    => sb.append(c); i += 1
+            }
+          }
+          if (done) Some(sb.toString) else None
+        } else { // non-string payload: capture balanced JSON value
+          var depth = 0; var i = 0; var end = -1
+          var inStr = false
+          while (i < rest.length && end < 0) {
+            rest.charAt(i) match {
+              case '\\' if inStr => i += 1
+              case '"' => inStr = !inStr
+              case '[' | '{' if !inStr => depth += 1
+              case ']' | '}' if !inStr =>
+                depth -= 1; if (depth == 0) end = i
+              case ',' if !inStr && depth == 0 => end = i - 1
+              case _ => ()
+            }
+            i += 1
+          }
+          Some(rest.substring(0, if (end < 0) rest.length else end + 1).trim)
+        }
+      }
+    }
+    val topic = field("topic")
+    val frameType = field("frameType")
+    val payload = field("payload")
+    if (topic.isEmpty) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(topic.get),
+      frameType.map(UTF8String.fromString).orNull,
+      payload.map(UTF8String.fromString).orNull))
+  }
+
+  override def next(): Boolean = {
+    var line = lines.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val r = parse(line)
+        // S2: transport-side prefix subscription — non-matching topics
+        // never enter the engine.
+        if (r != null &&
+            r.getUTF8String(0).toString.startsWith(topicPrefix)) {
+          row = r
+          return true
+        }
+      }
+      line = lines.readLine()
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+}
