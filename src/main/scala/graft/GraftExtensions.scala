@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductF
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` (or call
+  * [[GraftExtensions.register]] on an existing session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProductF].getName, null, name, usage, "")
+
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "graft_dot(a, b) - double-precision dot product of two float arrays"),
+      (args: Seq[Expression]) => DotProductF(args(0), args(1))))
+
+  /** Idempotent registration on a live session (for sessions not started
+    * with spark.sql.extensions).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    injections.foreach { case (id, inf, builder) =>
+      if (!reg.functionExists(id))
+        reg.registerFunction(id, inf, builder)
+    }
+  }
+}

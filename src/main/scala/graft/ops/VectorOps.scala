@@ -20,8 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** dot(a, b) in double precision, sequential index-order fold. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) in double precision, sequential index-order fold —
+    * dispatched to the native codegen'd [[graft.functions.DotProductF]]
+    * (bit-identical result; see its Scaladoc for why it exists).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.DotProductF(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Reference HOF form of [[dot]] (kept for the equivalence test and as
+    * the portable fallback).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d), (acc, v) => acc + v)
