@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductF
+import graft.functions.{DotProductF, Hash60F}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Activate with
@@ -28,7 +28,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "graft_dot(a, b) - double-precision dot product of two float arrays"),
-      (args: Seq[Expression]) => DotProductF(args(0), args(1))))
+      (args: Seq[Expression]) => DotProductF(args(0), args(1))),
+    (FunctionIdentifier("graft_hash60"),
+      info("graft_hash60",
+        "graft_hash60(s) - 60-bit md5-prefix hash mod 2^31-1"),
+      (args: Seq[Expression]) => Hash60F(args(0))))
 
   /** Idempotent registration on a live session (for sessions not started
     * with spark.sql.extensions).

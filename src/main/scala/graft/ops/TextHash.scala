@@ -24,8 +24,17 @@ object TextHash {
 
   /** 60-bit md5-based hash of a string column, already reduced mod P31.
     * DuckDB mirror: `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647`.
+    * Dispatched to the native [[graft.functions.Hash60F]] (bit-identical
+    * by construction; see its Scaladoc) — the hex-string round-trip form
+    * below ([[h31Hof]]) is kept as the portable reference.
     */
-  def h31(s: Column): Column =
+  def h31(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.Hash60F(Bridge.expression(s)))
+  }
+
+  /** Built-in-functions form of [[h31]] (equivalence anchor in tests). */
+  def h31Hof(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P31
 
   /** SQL-string form of [[h31]] for use inside `expr(...)` fragments. */
