@@ -41,10 +41,15 @@ object CumVol {
       .partitionBy(key, day)
       .orderBy(time, tiebreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cumbuy",
-        sum(when(side === buyMark, volume).otherwise(lit(0))).over(w).cast("long"))
-      .withColumn("cumsell",
-        sum(when(side === sellMark, volume).otherwise(lit(0))).over(w).cast("long"))
+    // Both running sums in ONE select: chained withColumn would extract
+    // the to_date(time) partition key into a fresh attribute per call,
+    // defeating window merging and doubling the shuffle (verified by
+    // PlanAuditSuite — this form plans exactly one Exchange + Window).
+    df.select(col("*"),
+        sum(when(side === buyMark, volume).otherwise(lit(0)))
+          .over(w).cast("long").as("cumbuy"),
+        sum(when(side === sellMark, volume).otherwise(lit(0)))
+          .over(w).cast("long").as("cumsell"))
       .withColumn("cumdelta", col("cumbuy") - col("cumsell")) // F6, main.rs:130
   }
 }

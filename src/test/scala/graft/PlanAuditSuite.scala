@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Physical-plan regression tests: every scale claim made in the operator
+  * Scaladocs is asserted against the actual executed plan at fixture
+  * scale — filter/column pushdown reaches the parquet scan, small dims
+  * broadcast, top-k never materializes a full sort, scan-side pipelines
+  * stay shuffle-free, and the shuffle count of the keyed operators is
+  * exactly the declared number. If a refactor regresses a plan shape
+  * that matters at 100 TB, this suite fails even though results stay
+  * correct.
+  */
+class PlanAuditSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force execution so AQE finalizes its plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Full traversal: unlike SparkPlan.foreach, descends into the plans
+    * wrapped by AQE query-stage leaves.
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case q: QueryStageExec => p +: flatten(q.plan)
+    case _ => p +: p.children.flatMap(flatten)
+  }
+
+  private def countShuffles(p: SparkPlan): Int =
+    flatten(p).count(_.isInstanceOf[ShuffleExchangeLike])
+
+  test("q1_pricing_summary: column pruning reaches the parquet scan") {
+    val scans = flatten(executed(q("q1_pricing_summary")))
+      .filter(_.nodeName.contains("Scan")).map(_.toString)
+    assert(scans.nonEmpty)
+    // 7 needed columns out of 11 — the scan must not read the full schema
+    assert(scans.exists(s => s.contains("ReadSchema") &&
+      !s.contains("l_partkey") && !s.contains("l_suppkey")),
+      s"scan should prune unused lineitem columns:\n${scans.mkString}")
+  }
+
+  test("q3_shipping_priority: predicate pushdown reaches the scans") {
+    val scans = flatten(executed(q("q3_shipping_priority")))
+      .filter(_.nodeName.contains("Scan")).map(_.toString)
+    assert(scans.exists(_.contains("PushedFilters: [IsNotNull")),
+      s"expected pushed filters:\n${scans.mkString("\n")}")
+  }
+
+  test("join_broadcast_dims: dims broadcast, fact side never shuffled") {
+    val p = executed(q("join_broadcast_dims"))
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      "dim joins must not degrade to sort-merge")
+  }
+
+  test("ann_brute_topk: query set broadcast (corpus streams past it once)") {
+    val s = executed(q("ann_brute_topk")).toString
+    assert(s.contains("Broadcast"), s"expected broadcast of queries:\n$s")
+  }
+
+  test("sort_topk: top-k uses TakeOrderedAndProject, not a global sort") {
+    val s = executed(q("sort_topk")).toString
+    assert(s.contains("TakeOrderedAndProject"), s"plan was:\n$s")
+  }
+
+  test("scan-side text pipelines are shuffle-free") {
+    for (name <- Seq("text_token_counts", "text_quality", "media_metadata")) {
+      val n = countShuffles(executed(q(name)))
+      assert(n === 0, s"$name should be a pure projection, has $n shuffles")
+    }
+  }
+
+  test("tick_cumvol: exactly one shuffle (the (symbol, day) window)") {
+    assert(countShuffles(executed(q("tick_cumvol"))) === 1)
+  }
+
+  test("dedup_exact: exactly one shuffle (the groupBy on content)") {
+    assert(countShuffles(executed(q("dedup_exact"))) === 1)
+  }
+
+  test("minhash: signature pipeline scans corpus once (single stage chain)") {
+    // one shuffle into (band,sig) buckets + one for the final distinct —
+    // crucially NOT 2x signature computation (no self-join of the
+    // expensive pipeline)
+    val p = executed(q("dedup_minhash_pairs"))
+    val scans = flatten(p).filter(_.nodeName.contains("Scan parquet"))
+    assert(scans.size === 1,
+      s"documents must be scanned exactly once, got ${scans.size}")
+  }
+}
