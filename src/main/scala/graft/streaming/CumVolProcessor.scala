@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.model.Schemas.{EnrichedTick, Tick}
@@ -66,5 +67,50 @@ object CumVolProcessor {
       .groupByKey(_.symbol)
       .flatMapGroupsWithState[CumState, EnrichedTick](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Tick with its event-time column (watermark anchor). */
+  case class TickWm(
+      symbol: String, bid: Double, price: Double, ask: Double,
+      time: Long, volume: Int, tradeType: String, ts: java.sql.Timestamp)
+
+  /** Watermarked variant with event-time state TTL: a symbol whose session
+    * day has passed the watermark has its state REMOVED — at cluster
+    * scale the state store holds only symbols still inside their live
+    * day (+ allowed lateness), not every key ever seen (SURVEY §2.6
+    * watermark row; the reference has no such concept and its HashMap
+    * grows forever, main.rs:207).
+    *
+    * Semantics note: after expiry, a very-late tick re-seeds state from
+    * zero on its own (stale) day — it can no longer pollute a newer
+    * day's counters, which is strictly closer to the intended
+    * per-(symbol, day) sessions than the reference's behavior
+    * (SURVEY §1.4.4).
+    */
+  def enrichWithWatermark(
+      ticks: DataFrame, delay: String): Dataset[EnrichedTick] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .withColumn("ts", timestamp_seconds(col("time")))
+      .withWatermark("ts", delay)
+      .as[TickWm]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[CumState, EnrichedTick](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (symbol, rows, state) =>
+          if (state.hasTimedOut) { // session day fully past the watermark
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = update(symbol,
+              rows.map(t => Tick(t.symbol, t.bid, t.price, t.ask, t.time,
+                t.volume, t.tradeType)), state)
+            // expire once the watermark passes the session day's end
+            val dayEndMs = (state.get.day + 1) * 86400L * 1000L
+            state.setTimeoutTimestamp(
+              math.max(dayEndMs, state.getCurrentWatermarkMs() + 1))
+            out
+          }
+      }
   }
 }
