@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model.Schemas.Tick
+import graft.ops.{CumVol, LwwDedup}
+import graft.streaming.CumVolProcessor
+
+/** Property-based invariants (SURVEY §5.2.3). The stateful update function
+  * is pure, so most properties run without a Spark job; the
+  * streaming≡batch equivalence and LWW permutation properties execute
+  * real plans on shrunk inputs.
+  */
+class GraftPropsSuite extends SparkSpec {
+
+  /** Raw-ScalaCheck driver (no scalatestplus bridge offline): sample the
+    * generator under `n` fixed seeds — deterministic, reproducible runs.
+    */
+  private def forAllSeeded[T](gen: Gen[T], n: Int = 20)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+  import spark.implicits._
+
+  private val t0 = 1687176000L
+
+  private val tickGen: Gen[Tick] = for {
+    sym <- Gen.oneOf("A", "B", "C")
+    dt <- Gen.choose(0L, 3L * 86400)
+    vol <- Gen.choose(0, 100)
+    typ <- Gen.oneOf("B", "S", "X", "")
+  } yield Tick(sym, 1.0, 1.1, 1.2, t0 + dt, vol, typ)
+
+  private val ticksGen: Gen[List[Tick]] =
+    Gen.listOfN(60, tickGen).map(_.sortBy(_.time))
+
+  test("property: cumdelta == cumbuy - cumsell for any input sequence") {
+    forAllSeeded(ticksGen) { ticks =>
+      val state = new TestGroupState(None: Option[CumVolProcessor.CumState])
+      ticks.groupBy(_.symbol).foreach { case (sym, ts) =>
+        val st = new TestGroupState(None: Option[CumVolProcessor.CumState])
+        CumVolProcessor.update(sym, ts.iterator, st).foreach { e =>
+          assert(e.cumdelta === e.cumbuy - e.cumsell)
+          assert(e.cumbuy >= 0 && e.cumsell >= 0)
+        }
+      }
+      val _ = state
+    }
+  }
+
+  test("property: per-key outputs are running (monotone within a day)") {
+    forAllSeeded(ticksGen) { ticks =>
+      ticks.groupBy(_.symbol).foreach { case (sym, ts) =>
+        val st = new TestGroupState(None: Option[CumVolProcessor.CumState])
+        val out = CumVolProcessor.update(sym, ts.iterator, st).toSeq
+        out.groupBy(e => Math.floorDiv(e.time, 86400L)).foreach {
+          case (_, dayRows) =>
+            val sorted = dayRows.sortBy(_.time)
+            sorted.sliding(2).foreach {
+              case Seq(a, b) =>
+                assert(b.cumbuy >= a.cumbuy && b.cumsell >= a.cumsell)
+              case _ => ()
+            }
+        }
+      }
+    }
+  }
+
+  test("property: streaming-semantics update == batch window form (sampled)") {
+    forAllSeeded(ticksGen, n = 5) { ticks => if (ticks.nonEmpty) {
+        // pure streaming path
+        val streamed = ticks.groupBy(_.symbol).toSeq.flatMap { case (sym, ts) =>
+          val st = new TestGroupState(None: Option[CumVolProcessor.CumState])
+          // stable in-batch order: time then original index (matches the
+          // batch window's (time, tiebreak) ordering)
+          val ordered = ts.zipWithIndex.sortBy { case (t, i) => (t.time, i) }
+          CumVolProcessor.update(sym, ordered.map(_._1).iterator, st)
+        }.map(e => (e.symbol, e.time, e.cumbuy, e.cumsell))
+          .sortBy(r => (r._1, r._2, r._3, r._4))
+        // batch window path — tiebreak on a unique per-row id in input order
+        val df = ticks.zipWithIndex
+          .map { case (t, i) => (t.symbol, t.time, t.volume, t.tradeType, i) }
+          .toDF("symbol", "time", "volume", "tradeType", "rid")
+        val batch = CumVol(df, col("symbol"), timestamp_seconds(col("time")),
+            col("rid"), col("tradeType"), col("volume"))
+          .select("symbol", "time", "cumbuy", "cumsell")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq.sortBy(r => (r._1, r._2, r._3, r._4))
+        assert(streamed === batch)
+      }
+    }
+  }
+
+  test("property: LWW dedup keeps exactly one row per key, any order") {
+    val rowsGen = Gen.listOfN(40, for {
+      k <- Gen.choose(0, 8)
+      v <- Gen.choose(0, 5)
+    } yield (s"K$k", v.toLong))
+    forAllSeeded(rowsGen, n = 5) { rows => if (rows.nonEmpty) {
+        val out = LwwDedup(rows.toDF("k", "ver"),
+            Seq(col("k")), Seq(col("ver")))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val expected = rows.groupBy(_._1).view
+          .mapValues(_.map(_._2).max).toMap
+        assert(out.length === expected.size)
+        out.foreach { case (k, v) => assert(v === expected(k)) }
+      }
+    }
+  }
+}
+
+/** Minimal in-memory GroupState for exercising the pure update function
+  * without a streaming query.
+  */
+class TestGroupState[S](private var value: Option[S])
+    extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var removed = false
+  override def exists: Boolean = value.isDefined && !removed
+  override def get: S = value.get
+  override def getOption: Option[S] = if (removed) None else value
+  override def update(newValue: S): Unit = { value = Some(newValue); removed = false }
+  override def remove(): Unit = { removed = true; value = None }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
