@@ -65,6 +65,38 @@ object SimilarityQueries extends QueryPack {
         .select("q_id", "n_id", "cos", "rnk")
     }),
 
+    // IVF (inverted-file) ANN: deterministic coarse centroids (every
+    // 101st vector), one broadcast argmax pass assigns each vector to
+    // its nearest cell, queries probe ONLY their own cell (nProbe=1).
+    // The 100 TB path when even LSH bucket joins are too wide: the
+    // index build is one corpus scan x small centroid set, and query
+    // cost scales with cell occupancy (~corpus/centroids).
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", VectorOps.cosine(col("embedding"), col("cv")))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("cell"))
+      val c = assigned.select(col("vec_id").as("n_id"),
+        col("embedding").as("nv"), col("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select("q_id", "n_id", "cos", "rnk")
+    }),
+
     "knn_label_vote" -> ((s, dir) => {
       val votes = topk(scored(s, dir))
         .groupBy(col("q_id"), col("label"))
@@ -78,10 +110,11 @@ object SimilarityQueries extends QueryPack {
   )
 
   // ---- DuckDB mirrors --------------------------------------------------
-  private val cosAB =
-    "list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST(qv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE) for i in range(1, len(qv)+1)]), (acc, x) -> acc + x)" +
-      " / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv)+1)]), (acc, x) -> acc + x))" +
-      " * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST(nv[i] AS DOUBLE) * CAST(nv[i] AS DOUBLE) for i in range(1, len(nv)+1)]), (acc, x) -> acc + x)))"
+  private def dotOf(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)]), (acc, x) -> acc + x)"
+  private def cosOf(a: String, b: String) =
+    s"${dotOf(a, b)} / (sqrt(${dotOf(a, a)}) * sqrt(${dotOf(b, b)}))"
+  private val cosAB = cosOf("qv", "nv")
 
   private def bucketOf(v: String) = (0 until 8).map { j =>
     s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($v[i] AS DOUBLE) * CAST((i * ${j + 3}) % 5 - 2 AS DOUBLE) for i in range(1, len($v)+1)]), (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END"
@@ -113,6 +146,29 @@ object SimilarityQueries extends QueryPack {
          |  FROM (SELECT vec_id, embedding AS qv, bucket FROM e WHERE vec_id < 50) q
          |  JOIN (SELECT vec_id, embedding AS nv, bucket FROM e) c
          |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= $K""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 101 = 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE r = 1),
+         |sc AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosAB AS cos
+         |  FROM (SELECT vec_id, embedding AS qv, cell FROM assign
+         |        WHERE vec_id < 20) q
+         |  JOIN (SELECT vec_id, embedding AS nv, cell FROM assign) c
+         |    ON q.cell = c.cell AND q.vec_id <> c.vec_id)
          |SELECT q_id, n_id, cos, rnk FROM (
          |  SELECT q_id, n_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -49,15 +49,19 @@ class EnvelopeSourceProvider extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // option keys arrive case-insensitively (often lowercased)
+    def opt(k: String) = Option(properties.get(k))
+      .orElse(Option(properties.get(k.toLowerCase)))
     new EnvelopeTable(
       properties.get("path"),
-      // option keys arrive case-insensitively (often lowercased)
-      Option(properties.get("topicPrefix"))
-        .orElse(Option(properties.get("topicprefix"))).getOrElse(""))
+      opt("topicPrefix").getOrElse(""),
+      opt("maxFilesPerTrigger").map(_.toInt))
+  }
 }
 
-private[source] class EnvelopeTable(dir: String, topicPrefix: String)
+private[source] class EnvelopeTable(
+    dir: String, topicPrefix: String, maxFilesPerTrigger: Option[Int])
     extends Table with SupportsRead {
   require(dir != null, "envelope source requires a 'path' option")
   override def name(): String = s"envelopes($dir)"
@@ -65,7 +69,7 @@ private[source] class EnvelopeTable(dir: String, topicPrefix: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new EnvelopeScan(dir, topicPrefix)
+    () => new EnvelopeScan(dir, topicPrefix, maxFilesPerTrigger)
 }
 
 private[source] object EnvelopeSpool {
@@ -78,7 +82,9 @@ private[source] object EnvelopeSpool {
   }
 }
 
-private[source] class EnvelopeScan(dir: String, topicPrefix: String)
+private[source] class EnvelopeScan(
+    dir: String, topicPrefix: String,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan {
   override def readSchema(): StructType = Schemas.envelopeSchema
   override def description(): String =
@@ -91,7 +97,7 @@ private[source] class EnvelopeScan(dir: String, topicPrefix: String)
       EnvelopeReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EnvelopeMicroBatchStream(dir, topicPrefix)
+    new EnvelopeMicroBatchStream(dir, topicPrefix, maxFilesPerTrigger)
 }
 
 /** Offset = how many files of the sorted spool have been consumed. */
@@ -99,11 +105,29 @@ private[source] case class FileCountOffset(n: Int) extends Offset {
   override def json(): String = n.toString
 }
 
-private[source] class EnvelopeMicroBatchStream(dir: String, topicPrefix: String)
-    extends MicroBatchStream {
+/** Admission control (backpressure): `maxFilesPerTrigger` caps how much
+  * spool each micro-batch admits — the rate-limiting the reference lacks
+  * entirely (its ZMQ HWM silently DROPS under pressure, SURVEY §2.6;
+  * here excess input just waits in the spool for the next trigger).
+  */
+private[source] class EnvelopeMicroBatchStream(
+    dir: String, topicPrefix: String, maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = FileCountOffset(0)
   override def latestOffset(): Offset =
     FileCountOffset(EnvelopeSpool.files(dir).size)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[FileCountOffset].n
+    val total = EnvelopeSpool.files(dir).size
+    limit match {
+      case mf: ReadMaxFiles => FileCountOffset(
+        math.min(total, start + mf.maxFiles()))
+      case _ => FileCountOffset(total)
+    }
+  }
   override def deserializeOffset(json: String): Offset =
     FileCountOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()

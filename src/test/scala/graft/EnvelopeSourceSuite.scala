@@ -70,4 +70,24 @@ class EnvelopeSourceSuite extends SparkSpec {
       assert(out === Seq((t0, 3L, 0L), (t0 + 1, 3L, 5L)))
     } finally q.stop()
   }
+
+  test("maxFilesPerTrigger admission control paces micro-batches") {
+    val dir = Files.createTempDirectory("spool4")
+    (0 until 4).foreach(i =>
+      write(dir, f"$i%03d.jsonl", tickLine("feed", "EURUSD", t0 + i, 1, "B")))
+    val stream = spark.readStream.format(fmt)
+      .option("path", dir.toString)
+      .option("maxFilesPerTrigger", "1").load()
+    val q = stream.writeStream.format("memory").queryName("paced_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // all 4 rows arrive, but across 4 single-file batches
+      assert(spark.table("paced_out").count() === 4)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 4,
+        s"expected 4 paced batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows === 1))
+    } finally q.stop()
+  }
 }
