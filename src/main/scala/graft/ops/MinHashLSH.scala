@@ -52,7 +52,11 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** One row per (doc, band): the band's concatenated minhash signature. */
+  /** One row per (doc, band): the band's concatenated minhash signature.
+    * The permutation minima + band formatting run in the native
+    * single-pass kernel [[graft.functions.MinHashBandsF]]; `posexplode`
+    * turns its array<string> into (band, sig) rows.
+    */
   def signatures(
       docs: DataFrame,
       idCol: String,
@@ -61,23 +65,14 @@ object MinHashLSH {
       perms: Int,
       bands: Int): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
-    val r = perms / bands
-    val withXs = docs
-      .withColumn("_toks", TextHash.tokens(col(textCol)))
-      .withColumn("_sh", TextHash.shingles(col("_toks"), shingleK))
-      .filter(size(col("_sh")) > 0)
-      .withColumn("_xs", TextHash.hashAll(col("_sh")))
-    val mhCols = (0 until perms).map { j =>
-      expr(s"array_min(transform(_xs, x -> ((${2 * j + 1} * x + ${j} * 7919) % ${TextHash.P31}L)))")
-        .as(s"_mh$j")
-    }
-    val withMh = withXs.select((col(idCol) +: mhCols): _*)
-    val bandStructs = (0 until bands).map { bnd =>
-      val sig = concat_ws(",", (0 until r).map(i => col(s"_mh${bnd * r + i}")): _*)
-      struct(lit(bnd).cast("int").as("band"), sig.as("sig"))
-    }
-    withMh
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bandsCol = Bridge.column(graft.functions.MinHashBandsF(
+      Bridge.expression(TextHash.hashAll(
+        TextHash.shingles(TextHash.tokens(col(textCol)), shingleK))),
+      perms, bands))
+    docs
+      .filter(size(TextHash.tokens(col(textCol))) >= shingleK)
+      .select(col(idCol),
+        posexplode(bandsCol).as(Seq("band", "sig")))
   }
 }
