@@ -22,6 +22,12 @@ object SimHash {
     * DuckDB mirror.
     */
   def simhash(xs: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.SimHashF(Bridge.expression(xs), bits))
+  }
+
+  /** Built-in-functions form of [[simhash]] (equivalence anchor). */
+  def simhashHof(xs: Column, bits: Int = 16): Column = {
     val terms = (0 until bits).map { i =>
       when(size(filter(xs, x => shiftright(x, i).bitwiseAND(lit(1L)) === 1L)) * 2
              > size(xs),

@@ -63,6 +63,12 @@ object TextHash {
     * design (document fingerprint, not a bag hash).
     * DuckDB mirror: `list_reduce(list_prepend(0, xs), (acc, x) -> ...)`.
     */
-  def rollingFingerprint(xs: Column): Column =
+  def rollingFingerprint(xs: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.RollingFpF(Bridge.expression(xs)))
+  }
+
+  /** HOF form of [[rollingFingerprint]] (equivalence anchor). */
+  def rollingFingerprintHof(xs: Column): Column =
     aggregate(xs, lit(0L), (acc, x) => (acc * 31 + x) % P31)
 }
