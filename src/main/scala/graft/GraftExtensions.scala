@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, Hash60F}
+import graft.functions.{DotProductF, Hash60F, RollingFpF, SimHashF}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Activate with
@@ -32,7 +32,15 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hash60"),
       info("graft_hash60",
         "graft_hash60(s) - 60-bit md5-prefix hash mod 2^31-1"),
-      (args: Seq[Expression]) => Hash60F(args(0))))
+      (args: Seq[Expression]) => Hash60F(args(0))),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(xs) - 16-bit simhash sketch of a hashed-token array"),
+      (args: Seq[Expression]) => SimHashF(args(0), 16)),
+    (FunctionIdentifier("graft_rolling_fp"),
+      info("graft_rolling_fp",
+        "graft_rolling_fp(xs) - rolling polynomial fingerprint mod 2^31-1"),
+      (args: Seq[Expression]) => RollingFpF(args(0))))
 
   /** Idempotent registration on a live session (for sessions not started
     * with spark.sql.extensions).

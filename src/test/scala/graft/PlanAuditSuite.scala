@@ -90,6 +90,14 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(executed(q("dedup_exact"))) === 1)
   }
 
+  test("window_first_last: one shuffle total (window merge + partitioning reuse)") {
+    // first() and last() share a window spec on attribute keys → one
+    // Window node; and the downstream groupBy's keys are a superset of
+    // the window partition key, so the agg REUSES the same partitioning
+    // instead of re-shuffling
+    assert(countShuffles(executed(q("window_first_last"))) === 1)
+  }
+
   test("minhash: signature pipeline scans corpus once (single stage chain)") {
     // one shuffle into (band,sig) buckets + one for the final distinct —
     // crucially NOT 2x signature computation (no self-join of the
