@@ -67,8 +67,7 @@ object MinHashLSH {
     require(perms % bands == 0, "perms must divide into bands")
     import org.apache.spark.sql.graftbridge.Bridge
     val bandsCol = Bridge.column(graft.functions.MinHashBandsF(
-      Bridge.expression(TextHash.hashAll(
-        TextHash.shingles(TextHash.tokens(col(textCol)), shingleK))),
+      Bridge.expression(TextHash.shingleHashes(col(textCol), shingleK)),
       perms, bands))
     docs
       .filter(size(TextHash.tokens(col(textCol))) >= shingleK)

@@ -58,6 +58,15 @@ object TextHash {
   /** Token array -> array of P31-reduced 60-bit hashes. */
   def hashAll(arr: Column): Column = transform(arr, s => h31(s))
 
+  /** Fused text -> hashed-k-shingle array (single byte-pass kernel;
+    * bit-identical to `hashAll(shingles(tokens(text), k))`). k=1 hashes
+    * the tokens themselves.
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.ShingleHash60F(Bridge.expression(text), k))
+  }
+
   /** Rolling polynomial fingerprint over a hashed-token array:
     * fold(xs, 0, (acc, x) -> (acc*31 + x) mod P31). Order-sensitive by
     * design (document fingerprint, not a bag hash).

@@ -49,6 +49,12 @@ object VectorOps {
     * DuckDB mirror uses the same comprehension arithmetic.
     */
   def signBucket(v: Column, nBits: Int = 8): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.SignBucketF(Bridge.expression(v), nBits))
+  }
+
+  /** HOF form of [[signBucket]] (equivalence anchor). */
+  def signBucketHof(v: Column, nBits: Int = 8): Column = {
     val terms = (0 until nBits).map { j =>
       val d = aggregate(
         zip_with(v, sequence(lit(1), size(v)),

@@ -40,7 +40,7 @@ object DedupQueries extends QueryPack {
     // SimHash sketch per document (16-bit) + collision-cluster size.
     "dedup_simhash" -> ((s, dir) => {
       val hx = Tables(s, dir, "documents")
-        .withColumn("_xs", TextHash.hashAll(TextHash.tokens(col("text"))))
+        .withColumn("_xs", TextHash.shingleHashes(col("text"), 1))
         .select(col("doc_id"), SimHash.simhash(col("_xs")).as("simhash"))
       val clusters = hx.groupBy("simhash").agg(count(lit(1)).as("cluster_n"))
       hx.join(clusters, Seq("simhash")).select("doc_id", "simhash", "cluster_n")

@@ -54,7 +54,7 @@ object TextQueries extends QueryPack {
       val fp = Tables(s, dir, "documents").select(
         col("doc_id"),
         TextHash.rollingFingerprint(
-          TextHash.hashAll(TextHash.tokens(col("text")))).as("fp"))
+          TextHash.shingleHashes(col("text"), 1)).as("fp"))
       val clusters = fp.groupBy("fp").agg(count(lit(1)).as("n_dups"))
       fp.join(clusters, Seq("fp")).select("doc_id", "fp", "n_dups")
     })
