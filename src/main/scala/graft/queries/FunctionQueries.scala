@@ -73,6 +73,25 @@ object FunctionQueries extends QueryPack {
           |                        (l_returnflag), ())""".stripMargin)
     }),
 
+    // Exact interpolated percentiles (both engines: linear interpolation
+    // on the sorted set — continuous quantile).
+    "agg_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("median(l_quantity)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          expr("percentile(l_discount, 0.25)").as("p25_disc"))
+    }),
+
+    // Histogram / binning over event values (exact integer bins).
+    "agg_histogram" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(floor(col("value") / 100d).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).as("mass"))
+    }),
+
     // Value-based analytic windows (cume_dist / percent_rank are
     // tie-stable: equal inputs get equal outputs, so the result set is
     // deterministic without a unique orderBy key).
@@ -133,6 +152,18 @@ object FunctionQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |  quantile_cont(l_discount, 0.25) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 100) AS BIGINT) AS bin,
+        |  count(*) AS n, sum(value) AS mass
+        |FROM events GROUP BY 1""".stripMargin,
 
     "window_dist_rank" ->
       """SELECT l_orderkey, l_returnflag, l_extendedprice,

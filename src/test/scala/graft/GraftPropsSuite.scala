@@ -109,6 +109,41 @@ class GraftPropsSuite extends SparkSpec {
       }
     }
   }
+  test("property: as-of join equals the naive per-row latest-quote scan") {
+    import graft.ops.AsofJoin
+    val quotesGen = Gen.listOfN(25, for {
+      sym <- Gen.oneOf("A", "B")
+      t <- Gen.choose(0L, 50L)
+      mid <- Gen.choose(1, 999)
+    } yield (sym, t, mid.toDouble))
+    val tradesGen = Gen.listOfN(25, for {
+      sym <- Gen.oneOf("A", "B", "C")
+      t <- Gen.choose(0L, 60L)
+      qty <- Gen.choose(1, 9)
+    } yield (sym, t, qty))
+    forAllSeeded(Gen.zip(quotesGen, tradesGen), n = 5) { case (qs0, ts0) =>
+      // right side must be unique per (key, time): LWW-pick max mid
+      val qs = qs0.groupBy(q => (q._1, q._2)).view
+        .mapValues(_.map(_._3).max).toSeq
+        .map { case ((s, t), m) => (s, t, m) }
+      // trades unique per (key, time) so rows are comparable as sets
+      val ts = ts0.groupBy(t => (t._1, t._2)).view
+        .mapValues(_.head._3).toSeq.map { case ((s, t), q) => (s, t, q) }
+      val out = AsofJoin(
+          ts.toDF("symbol", "time", "qty"),
+          qs.toDF("symbol", "time", "mid"),
+          "symbol", "time", Seq("mid"))
+        .select("symbol", "time", "qty", "mid")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      val expected = ts.map { case (s, t, q) =>
+        val prior = qs.filter(x => x._1 == s && x._2 <= t)
+        (s, t, q, if (prior.isEmpty) None
+                  else Some(prior.maxBy(_._2)._3))
+      }.toSet
+      assert(out === expected)
+    }
+  }
 }
 
 /** Minimal in-memory GroupState for exercising the pure update function
