@@ -34,9 +34,15 @@ object JaccardPairs {
       .withColumn("_toks", TextHash.tokens(col(textCol)))
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextHash.shingles(col("_toks"), gramK))).as("gram"))
+    // Two consumers (sizes + pairs) read the df-filtered index; without a
+    // materialization point Spark would re-run the tokenize/shuffle/
+    // collect pipeline per consumer. localCheckpoint pins the index once
+    // (at cluster scale: checkpoint to reliable storage / a temp table —
+    // the inverted index IS the thing a production dedup job persists).
     val byGram = postings.groupBy("gram")
       .agg(sort_array(collect_set(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
+      .localCheckpoint()
     val sizes = byGram.select(explode(col("docs")).as("doc"))
       .groupBy("doc").agg(count(lit(1)).as("n"))
     val common = byGram
