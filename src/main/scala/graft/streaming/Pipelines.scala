@@ -70,4 +70,51 @@ object Pipelines {
       .as[Schemas.Tick]
     CumVolProcessor.enrich(ticks)
   }
+
+  /** R2 mode gating (the reference compiles three binaries from
+    * triplicated code and picks one via APP_MODE, start.sh:3-14; here a
+    * mode is just which streaming queries start). Returns the started
+    * queries: per topic-agnostic branch, `{topic}_tick` / `{topic}_book`
+    * LWW tables under `sinkRoot`, plus a `_deadletter` table collecting
+    * corrupt payloads with their topic and kind (K5: quarantined and
+    * queryable, never silently dropped, never fatal).
+    */
+  def start(
+      env: DataFrame,
+      mode: String, // "full" | "tick" | "book"
+      sinkRoot: String,
+      checkpointRoot: String): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    import graft.sink.LwwSink
+    require(Seq("full", "tick", "book").contains(mode), s"bad mode $mode")
+    val wantTick = mode == "full" || mode == "tick"
+    val wantBook = mode == "full" || mode == "book"
+    val queries = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
+    if (wantTick) {
+      queries += tickPipeline(env).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$checkpointRoot/tick")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "tick",
+            Seq("symbol", "time", "price"))
+        }.start()
+      queries += parseTicks(env).filter(col("_corrupt"))
+        .select(col("topic"), lit("TICK").as("kind"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$checkpointRoot/tick_dl")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.write.mode("append").parquet(s"$sinkRoot/_deadletter")
+        }.start()
+    }
+    if (wantBook) {
+      queries += parseBooks(env).filter(!col("_corrupt"))
+        .select("symbol", "price", "time", "volume", "orderType")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$checkpointRoot/book")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "book",
+            Seq("symbol", "time", "price"))
+        }.start()
+    }
+    queries.toSeq
+  }
 }

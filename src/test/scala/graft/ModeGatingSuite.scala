@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.sink.LwwSink
+import graft.source.EnvelopeSourceProvider
+import graft.streaming.Pipelines
+
+/** R2 mode gating + K5 dead-letter: one assembly function starts the
+  * reference's full/tick/book deployment shapes; corrupt payloads land in
+  * a queryable quarantine table instead of being silently dropped.
+  */
+class ModeGatingSuite extends SparkSpec {
+
+  private val fmt = classOf[EnvelopeSourceProvider].getName
+  private val t0 = 1687176000L
+
+  private def spoolWith(lines: String*): Path = {
+    val dir = Files.createTempDirectory("mode_spool")
+    Files.write(dir.resolve("000.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private val tickLine =
+    s"""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": $t0, "volume": 3, "type": "B"}}"""
+  private val corruptTick =
+    """{"topic": "feed", "frameType": "TICK", "payload": "garbage"}"""
+  private val bookLine =
+    s"""{"topic": "feed", "frameType": "BOOK", "payload": [{"symbol": "EURUSD", "price": 1.08, "time": $t0, "volume": 9, "type": "BOOK_TYPE_BUY"}]}"""
+
+  test("mode=full starts both branches; dead letter captures corrupt rows") {
+    val spool = spoolWith(tickLine, corruptTick, bookLine)
+    val sink = Files.createTempDirectory("mode_sink").toString
+    val ckpt = Files.createTempDirectory("mode_ckpt").toString
+    val env = spark.readStream.format(fmt)
+      .option("path", spool.toString).load()
+    val qs = Pipelines.start(env, "full", sink, ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      assert(LwwSink.read(spark, sink, "feed", "tick").count() === 1)
+      assert(LwwSink.read(spark, sink, "feed", "book").count() === 1)
+      assert(spark.read.parquet(s"$sink/_deadletter").count() === 1)
+    } finally qs.foreach(_.stop())
+  }
+
+  test("mode=book starts only the book branch") {
+    val spool = spoolWith(tickLine, bookLine)
+    val sink = Files.createTempDirectory("mode_sink2").toString
+    val ckpt = Files.createTempDirectory("mode_ckpt2").toString
+    val env = spark.readStream.format(fmt)
+      .option("path", spool.toString).load()
+    val qs = Pipelines.start(env, "book", sink, ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      assert(qs.length === 1)
+      assert(LwwSink.read(spark, sink, "feed", "book").count() === 1)
+      assert(!Files.exists(java.nio.file.Paths.get(
+        LwwSink.tablePath(sink, "feed", "tick"))))
+    } finally qs.foreach(_.stop())
+  }
+}
