@@ -12,7 +12,8 @@ object SparkEntry {
     _root_.graft.queries.TextQueries,
     _root_.graft.queries.SimilarityQueries,
     _root_.graft.queries.MultimodalQueries,
-    _root_.graft.queries.FunctionQueries)
+    _root_.graft.queries.FunctionQueries,
+    _root_.graft.queries.TemporalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Time-windowed aggregation shapes (the batch analogs of the streaming
+  * forms) and a correlated subquery: tumbling windows, session windows
+  * (gap-merge semantics, mirrored in the oracle as gaps-and-islands SQL),
+  * and per-group correlated filtering (Catalyst decorrelation). The
+  * reference has exactly one implicit tumbling day window (SURVEY §2.6);
+  * these expose the general surface.
+  */
+object TemporalQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour event-time windows.
+    "agg_tumbling_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value")).cast("long")).as("sum_floor"))
+        .select(col("w.start").as("h_start"), col("event_type"),
+          col("n"), col("sum_floor"))
+    }),
+
+    // Session windows with a 30-minute gap, per user: a new session
+    // starts when the gap to the previous event is >= the timeout
+    // (Spark merges [ts, ts+gap) intervals that overlap strictly).
+    "agg_session_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("s_start"),
+          col("w.end").as("s_end"), col("n_events"))
+    }),
+
+    // Correlated scalar subquery: orders priced above their own
+    // customer's average (exact decimal arithmetic via the
+    // price*count > sum form, so no float-summation-order hazards).
+    "subquery_correlated" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("ords_corr")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n_above_own_avg
+          |FROM ords_corr o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+          |      (SELECT COUNT(*) FROM ords_corr i
+          |       WHERE i.o_custkey = o.o_custkey) >
+          |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FROM ords_corr i WHERE i.o_custkey = o.o_custkey)
+          |GROUP BY o_orderstatus""".stripMargin)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "agg_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS h_start, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "agg_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "subquery_correlated" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_above_own_avg
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders i
+        |       WHERE i.o_custkey = o.o_custkey) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_orderstatus""".stripMargin
+  )
+}
