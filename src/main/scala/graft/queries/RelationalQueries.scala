@@ -63,6 +63,26 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Typed-Aggregator UDAF surface: bounded-buffer top-k per group
+    // (map-side partial top-k; k candidates per partition reach the
+    // shuffle, never a per-group global sort).
+    "agg_topk_udaf" -> ((s, dir) => {
+      import s.implicits._
+      val topk = new graft.ops.TopKAggregator(3)
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(v => (v._2, v._3))
+        .agg(topk.toColumn.name("topk"))
+        .flatMap { case (status, hits) =>
+          hits.zipWithIndex.map { case ((price, key), i) =>
+            (status, (i + 1).toLong, price, key)
+          }
+        }
+        .toDF("o_orderstatus", "rnk", "price", "o_orderkey")
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -303,6 +323,15 @@ object RelationalQueries extends QueryPack {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_topk_udaf" ->
+      """SELECT o_orderstatus, CAST(rnk AS BIGINT) AS rnk,
+        |  o_totalprice AS price, o_orderkey
+        |FROM (SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderstatus
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
 
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
