@@ -51,6 +51,28 @@ object ReferenceQueries extends QueryPack {
             "BOOK_TYPE_", "").as("order_type"))
     }),
 
+    // The read pattern the reference's Cassandra layout exists to serve
+    // (PK (symbol, time DESC, price), main.rs:87-88): latest state per
+    // (symbol, price) level, then the top-N levels per symbol — i.e.
+    // "current top of book". Engine-side: LWW dedup + ranking window.
+    "book_depth_topn" -> ((s, dir) => {
+      val levels = Tables(s, dir, "events").select(
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("price"),
+        unix_micros(col("ts")).as("time_us"),
+        col("event_id"),
+        floor(col("value")).cast("int").as("volume"))
+      val latest = LwwDedup(levels,
+        Seq(col("symbol"), col("price")),
+        Seq(col("time_us"), col("event_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol"))
+        .orderBy(col("price").desc)
+      latest.withColumn("depth_rank", row_number().over(w).cast("long"))
+        .filter(col("depth_rank") <= 5)
+        .select("symbol", "depth_rank", "price", "time_us", "volume")
+    }),
+
     // F1: strict-schema JSON payload parse (serde analog, main.rs:107) over
     // the events.props JSON column.
     "json_parse_props" -> ((s, dir) => {
@@ -145,6 +167,23 @@ object ReferenceQueries extends QueryPack {
          |WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
          |             ORDER BY ts, event_id
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "book_depth_topn" ->
+      """WITH latest AS (
+        |  SELECT symbol, price, time_us, volume FROM (
+        |    SELECT CAST(user_id AS VARCHAR) AS symbol, value AS price,
+        |      epoch_us(ts) AS time_us,
+        |      CAST(floor(value) AS INT) AS volume,
+        |      row_number() OVER (PARTITION BY user_id, value
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT symbol, depth_rank, price, time_us, volume FROM (
+        |  SELECT symbol, price, time_us, volume,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY price DESC)
+        |      AS depth_rank
+        |  FROM latest)
+        |WHERE depth_rank <= 5""".stripMargin,
 
     "book_normalize" ->
       """SELECT CAST(user_id AS VARCHAR) AS symbol,
