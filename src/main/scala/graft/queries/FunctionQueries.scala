@@ -84,12 +84,14 @@ object FunctionQueries extends QueryPack {
           expr("percentile(l_discount, 0.25)").as("p25_disc"))
     }),
 
-    // Histogram / binning over event values (exact integer bins).
+    // Histogram / binning over event values (exact integer bins; the mass
+    // sums through decimal so the result is independent of partial-sum
+    // order — a raw double sum would be associativity-hazarded).
     "agg_histogram" -> ((s, dir) => {
       Tables(s, dir, "events")
         .groupBy(floor(col("value") / 100d).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value")).as("mass"))
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("mass"))
     }),
 
     // Value-based analytic windows (cume_dist / percent_rank are
@@ -162,7 +164,9 @@ object FunctionQueries extends QueryPack {
 
     "agg_histogram" ->
       """SELECT CAST(floor(value / 100) AS BIGINT) AS bin,
-        |  count(*) AS n, sum(value) AS mass
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |    AS mass
         |FROM events GROUP BY 1""".stripMargin,
 
     "window_dist_rank" ->

@@ -51,6 +51,23 @@ object ReferenceQueries extends QueryPack {
             "BOOK_TYPE_", "").as("order_type"))
     }),
 
+    // THE query shape the reference's entire storage design serves
+    // (SURVEY §0: per-symbol time-range scans in reverse time order,
+    // pre-materialized by PK (symbol, time DESC, price), main.rs:87-88):
+    // one symbol, a time window, newest first, bounded. At scale this is
+    // a partition-pruned scan + per-key sorted read, no shuffle of
+    // anything but the ranked tail.
+    "symbol_timerange_scan" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("user_id") === 7 &&
+          col("ts") >= lit("2024-01-01").cast("timestamp"))
+        .select(col("user_id").cast("string").as("symbol"),
+          unix_micros(col("ts")).as("time_us"),
+          col("event_id"), col("value"))
+        .orderBy(col("time_us").desc, col("event_id").desc)
+        .limit(100)
+    }),
+
     // The read pattern the reference's Cassandra layout exists to serve
     // (PK (symbol, time DESC, price), main.rs:87-88): latest state per
     // (symbol, price) level, then the top-N levels per symbol — i.e.
@@ -167,6 +184,13 @@ object ReferenceQueries extends QueryPack {
          |WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
          |             ORDER BY ts, event_id
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "symbol_timerange_scan" ->
+      """SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS time_us,
+        |  event_id, value
+        |FROM events
+        |WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-01'
+        |ORDER BY time_us DESC, event_id DESC LIMIT 100""".stripMargin,
 
     "book_depth_topn" ->
       """WITH latest AS (
