@@ -26,6 +26,18 @@ object TemporalQueries extends QueryPack {
           col("n"), col("sum_floor"))
     }),
 
+    // Sliding 1-hour windows every 30 minutes: each event lands in two
+    // overlapping windows (Spark's window() generator). The oracle
+    // reconstructs the same membership by exploding each event to its
+    // two candidate window starts.
+    "agg_sliding_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value")).cast("long")).as("sum_floor"))
+        .select(col("w.start").as("w_start"), col("n"), col("sum_floor"))
+    }),
+
     // Session windows with a 30-minute gap, per user: a new session
     // starts when the gap to the previous event is >= the timeout
     // (Spark merges [ts, ts+gap) intervals that overlap strictly).
@@ -61,6 +73,22 @@ object TemporalQueries extends QueryPack {
         |  count(*) AS n,
         |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "agg_sliding_window" ->
+      """WITH cand AS (
+        |  SELECT value,
+        |    unnest([TIMESTAMP '1970-01-01'
+        |              + CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND,
+        |            TIMESTAMP '1970-01-01'
+        |              + CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)
+        |                * INTERVAL 1 SECOND]) AS w_start,
+        |    ts
+        |  FROM events)
+        |SELECT w_start, count(*) AS n,
+        |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor
+        |FROM cand
+        |WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+        |GROUP BY w_start""".stripMargin,
 
     "agg_session_window" ->
       """WITH marked AS (
