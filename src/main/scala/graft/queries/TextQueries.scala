@@ -49,6 +49,22 @@ object TextQueries extends QueryPack {
         TextStats.qualityScore(col("text")).as("quality"))
     }),
 
+    // The GraftExtensions SQL surface end-to-end: the registered native
+    // functions driven from plain spark.sql text (what a SQL-only user
+    // of the engine writes).
+    "sql_native_functions" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      Tables(s, dir, "documents").createOrReplaceTempView("docs_sqlfn")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_hash60(text) AS h,
+          |  graft_rolling_fp(
+          |    transform(split(text, ' '), t -> graft_hash60(t))) AS fp,
+          |  graft_simhash(
+          |    transform(split(text, ' '), t -> graft_hash60(t))) AS sketch
+          |FROM docs_sqlfn""".stripMargin)
+    }),
+
     // Order-sensitive rolling-hash fingerprint + duplicate-cluster size.
     "text_fingerprint" -> ((s, dir) => {
       val fp = Tables(s, dir, "documents").select(
@@ -109,6 +125,20 @@ object TextQueries extends QueryPack {
          |    + least(nstop / n * 2, 1) * 0.3
          |    + greatest(0, 1 - symratio * 5) * 0.2 AS quality
          |FROM m""".stripMargin,
+
+    "sql_native_functions" ->
+      s"""WITH hx AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % $P AS h,
+         |  list_transform(string_split(text, ' '),
+         |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P) AS xs
+         |  FROM documents)
+         |SELECT doc_id, h,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS fp,
+         |  ${(0 until 16).map(i =>
+             s"CASE WHEN 2 * len(list_filter(xs, x -> (x >> $i) & 1 = 1)) > len(xs) THEN ${1L << i} ELSE 0 END")
+             .mkString(" + ")} AS sketch
+         |FROM hx""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH fp AS (SELECT doc_id,
