@@ -61,6 +61,22 @@ object FunctionQueries extends QueryPack {
         round(col("c_acctbal") / 100d, 1).as("hundreds"))
     }),
 
+    // Array/collection function suite over token arrays.
+    "func_arrays" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        element_at(array_sort(toks), 1).as("first_sorted"),
+        element_at(toks, -1).as("last_tok"),
+        array_contains(toks, "the").as("has_the"),
+        size(array_intersect(toks,
+          typedLit(Seq("the", "a", "of")))).cast("long").as("n_stop_kinds"),
+        concat_ws("-", slice(toks, 1, 3)).as("head3"),
+        size(flatten(array(toks, toks))).cast("long").as("n_doubled"))
+    }),
+
     // GROUPING SETS (SQL surface; DataFrame API exposes only rollup/cube).
     "agg_grouping_sets" -> ((s, dir) => {
       Tables(s, dir, "lineitem").createOrReplaceTempView("li_gs")
@@ -146,6 +162,20 @@ object FunctionQueries extends QueryPack {
         |  abs(c_acctbal) AS mag,
         |  round(c_acctbal / 100, 1) AS hundreds
         |FROM customer""".stripMargin,
+
+    "func_arrays" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  list_sort(string_split(text, ' '))[1] AS first_sorted,
+        |  string_split(text, ' ')[-1] AS last_tok,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  len(list_intersect(string_split(text, ' '),
+        |      ['the', 'a', 'of'])) AS n_stop_kinds,
+        |  array_to_string(string_split(text, ' ')[1:3], '-') AS head3,
+        |  len(flatten([string_split(text, ' '), string_split(text, ' ')]))
+        |    AS n_doubled
+        |FROM documents""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
