@@ -27,6 +27,19 @@ object SamplingQueries extends QueryPack {
           min(col("doc_id")).as("first_doc"))
     }),
 
+    // Balanced per-class subset: exactly n documents per language,
+    // selected by deterministic hash order (not "first n in file order",
+    // which is storage-layout-dependent). The class-rebalancing shape.
+    "sample_balanced" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(TextHash.h31(col("text")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("pick", row_number().over(w).cast("long"))
+        .filter(col("pick") <= 30)
+        .select("lang", "pick", "doc_id")
+    }),
+
     // 80/10/10 train/valid/test split keyed on the document id — membership
     // is a pure function of the key, so a document can never leak across
     // splits between runs.
@@ -50,6 +63,14 @@ object SamplingQueries extends QueryPack {
          |FROM documents
          |WHERE ${h("text")} % 100 < 10
          |GROUP BY lang""".stripMargin,
+
+    "sample_balanced" ->
+      s"""SELECT lang, pick, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h("text")}, doc_id) AS pick
+         |  FROM documents)
+         |WHERE pick <= 30""".stripMargin,
 
     "split_train_test" ->
       s"""SELECT CASE WHEN slot < 80 THEN 'train'
