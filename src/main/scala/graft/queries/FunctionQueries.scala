@@ -47,18 +47,28 @@ object FunctionQueries extends QueryPack {
     }),
 
     // Conditional / null-handling suite over customer balances.
+    // "hundreds" = acctbal/100 rounded half-away-from-zero to 1 decimal,
+    // computed over exact integer cents: Spark's round() on DOUBLE rounds
+    // the exact BigDecimal image (HALF_UP) while DuckDB rounds the decimal
+    // image of the double, so ties diverge — integer arithmetic is the only
+    // representation both engines agree on bit-for-bit. round() itself is
+    // still exercised (cents recovery is a round-to-0-places).
     "func_conditional" -> ((s, dir) => {
-      Tables(s, dir, "customer").select(
-        col("c_custkey"),
-        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
-          lit("(redacted)")).as("seg"),
-        least(col("c_acctbal"), lit(5000d)).as("capped"),
-        greatest(col("c_acctbal"), lit(0d)).as("floored"),
-        when(col("c_acctbal") < 0, "overdrawn")
-          .when(col("c_acctbal") < 1000, "low")
-          .otherwise("normal").as("band"),
-        abs(col("c_acctbal")).as("mag"),
-        round(col("c_acctbal") / 100d, 1).as("hundreds"))
+      Tables(s, dir, "customer")
+        .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+        .select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("(redacted)")).as("seg"),
+          least(col("c_acctbal"), lit(5000d)).as("capped"),
+          greatest(col("c_acctbal"), lit(0d)).as("floored"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low")
+            .otherwise("normal").as("band"),
+          abs(col("c_acctbal")).as("mag"),
+          (when(col("cents") >= 0, expr("(cents + 500) DIV 1000"))
+            .otherwise(expr("-((-cents + 500) DIV 1000)"))
+            .cast("double") / 10d).as("hundreds"))
     }),
 
     // Array/collection function suite over token arrays.
@@ -152,7 +162,9 @@ object FunctionQueries extends QueryPack {
         |FROM orders""".stripMargin,
 
     "func_conditional" ->
-      """SELECT c_custkey,
+      """WITH c AS (SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer)
+        |SELECT c_custkey,
         |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg,
         |  least(c_acctbal, 5000) AS capped,
         |  greatest(c_acctbal, 0) AS floored,
@@ -160,8 +172,10 @@ object FunctionQueries extends QueryPack {
         |       WHEN c_acctbal < 1000 THEN 'low'
         |       ELSE 'normal' END AS band,
         |  abs(c_acctbal) AS mag,
-        |  round(c_acctbal / 100, 1) AS hundreds
-        |FROM customer""".stripMargin,
+        |  CAST(CASE WHEN cents >= 0 THEN (cents + 500) // 1000
+        |            ELSE -((-cents + 500) // 1000) END AS DOUBLE) / 10
+        |    AS hundreds
+        |FROM c""".stripMargin,
 
     "func_arrays" ->
       """SELECT doc_id,

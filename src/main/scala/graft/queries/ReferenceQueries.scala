@@ -220,7 +220,7 @@ object ReferenceQueries extends QueryPack {
     "json_parse_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  COUNT(*) AS n,
-        |  SUM(CAST(floor(value) AS BIGINT)) AS sum_floor_value
+        |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
         |FROM events GROUP BY 1""".stripMargin,
 
     "lww_dedup" ->

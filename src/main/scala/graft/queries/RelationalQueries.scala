@@ -349,9 +349,9 @@ object RelationalQueries extends QueryPack {
 
     "agg_pivot_manual" ->
       """SELECT user_id % 100 AS cohort,
-        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
         |  COUNT(*) AS total
         |FROM events GROUP BY user_id % 100""".stripMargin,
 
@@ -401,7 +401,7 @@ object RelationalQueries extends QueryPack {
 
     "join_outer" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-        |  SUM(COALESCE(n_big, 0)) AS n_big_items
+        |  CAST(SUM(COALESCE(n_big, 0)) AS BIGINT) AS n_big_items
         |FROM orders
         |LEFT OUTER JOIN (
         |  SELECT l_orderkey, COUNT(*) AS n_big FROM lineitem

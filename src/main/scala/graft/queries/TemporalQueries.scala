@@ -71,7 +71,7 @@ object TemporalQueries extends QueryPack {
     "agg_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS h_start, event_type,
         |  count(*) AS n,
-        |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "agg_sliding_window" ->
@@ -85,7 +85,7 @@ object TemporalQueries extends QueryPack {
         |    ts
         |  FROM events)
         |SELECT w_start, count(*) AS n,
-        |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor
         |FROM cand
         |WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
         |GROUP BY w_start""".stripMargin,
