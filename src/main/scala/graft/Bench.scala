@@ -27,10 +27,34 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def render(rs: Iterable[(String, Double)], total: Double): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = render(results, total)
+    // Round 1 post-mortem: the driver parses the bench JSON out of the
+    // LAST 2000 chars of the (sbt-wrapped) stdout stream, and the
+    // full-precision 65-query line is longer than that — head truncated,
+    // "parsed": null. Two channels now: full precision to a file, and a
+    // final stdout line rounded to ms and capped at 1800 chars (slowest
+    // queries kept if the cap ever binds) so head+tail always survive.
+    val outFile = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    val rounded = results.toSeq.map { case (k, v) => k -> ms(v) }
+    val byCost = rounded.sortBy(-_._2)
+    val keep = Iterator.range(byCost.size, 0, -1)
+      .find(n => render(byCost.take(n), ms(total)).length <= 1800)
+      .getOrElse(1)
+    val keptNames = byCost.take(keep).map(_._1).toSet
+    println(render(rounded.filter(r => keptNames(r._1)), ms(total)))
     spark.stop()
   }
 }
