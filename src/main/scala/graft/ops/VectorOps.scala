@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * order). Everything here is a scan-side projection — codegen'd, no
   * shuffle, no UDF.
   *
-  * Scale path for similarity search: [[signBucket]] assigns each vector to
-  * a random-hyperplane LSH bucket (integer hyperplanes, deterministic);
-  * candidate generation joins on the bucket id, so comparisons scale with
-  * bucket occupancy instead of corpus size. Brute-force top-k stays the
-  * exactness baseline.
+  * Scale path for similarity search: [[signBands]] assigns each vector
+  * `nBands` random-hyperplane LSH bucket ids (`bitsPerBand` sign bits
+  * each; integer hyperplanes, deterministic). Candidate generation joins
+  * on (band, bucket) and ORs across bands: per-band occupancy is
+  * ~corpus/2^bits (join width bounded) while multi-band recall is
+  * 1−(1−s^bits)^bands — the banding trade MinHash uses for text, applied
+  * to the embedding space. Brute-force top-k stays the exactness
+  * baseline.
   */
 object VectorOps {
 
@@ -42,26 +45,60 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane LSH bucket id (`nBits` sign bits). Hyperplane j has
-    * integer components h_j[i] = ((i·(j+3)) mod 5) − 2 ∈ [−2, 2] —
-    * deterministic, representable exactly in double, cross-engine
+  /** Banded random-hyperplane LSH bucket ids: `array<int>` of `nBands`
+    * buckets, `bitsPerBand` sign bits each. Hyperplane components are a
+    * deterministic multiply-shift mix of (index, plane) in [−3, 3]
+    * (see [[graft.functions.SignBandsHelper.component]]) — exact int64
+    * arithmetic, representable exactly in double, cross-engine
     * reproducible. A strict `> 0` sign keeps ties stable.
-    * DuckDB mirror uses the same comprehension arithmetic.
     */
-  def signBucket(v: Column, nBits: Int = 8): Column = {
+  def signBands(v: Column, nBands: Int = 8, bitsPerBand: Int = 16): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(graft.functions.SignBucketF(Bridge.expression(v), nBits))
+    Bridge.column(graft.functions.SignBandsF(
+      Bridge.expression(v), nBands, bitsPerBand))
   }
 
-  /** HOF form of [[signBucket]] (equivalence anchor). */
-  def signBucketHof(v: Column, nBits: Int = 8): Column = {
-    val terms = (0 until nBits).map { j =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(1), size(v)),
-          (x, i) => x.cast("double") * ((i * (j + 3)) % 5 - 2).cast("double")),
-        lit(0d), (acc, x) => acc + x)
-      when(d > 0d, lit(1 << j)).otherwise(lit(0))
+  /** HOF form of [[signBands]] (equivalence anchor, portable fallback). */
+  def signBandsHof(v: Column, nBands: Int = 8, bitsPerBand: Int = 16): Column = {
+    val bands = (0 until nBands).map { b =>
+      val terms = (0 until bitsPerBand).map { k =>
+        val j = b * bitsPerBand + k
+        val d = aggregate(
+          zip_with(v, sequence(lit(1), size(v)),
+            (x, i) => x.cast("double") *
+              ((shiftright((i.cast("long") * 31 + j) * 2654435761L, 16)
+                % 65536 % 7 - 3)).cast("double")),
+          lit(0d), (acc, x) => acc + x)
+        when(d > 0d, lit(1 << k)).otherwise(lit(0))
+      }
+      terms.reduce(_ + _)
     }
-    terms.reduce(_ + _)
+    array(bands: _*)
+  }
+
+  /** DuckDB mirror of [[signBands]] over a table with an `embedding`
+    * column: CTE text defining `bits` (per-plane sign, left fold in index
+    * order — the exact double sequence the native kernel performs) and
+    * `bands` (bucket int per band). Kept next to the kernel so the two
+    * stay in lockstep. `//` on positive int64 matches `>> 16`; every
+    * intermediate is exact.
+    */
+  def signBandsDuckCte(table: String = "embeddings",
+                       nBands: Int = 8, bitsPerBand: Int = 16): String = {
+    val planes = nBands * bitsPerBand
+    s"""bits AS (
+       |  SELECT vec_id, j,
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [CAST(embedding[i] AS DOUBLE) *
+       |       CAST((((i * 31 + j) * 2654435761) // 65536) % 65536 % 7 - 3
+       |            AS DOUBLE)
+       |       for i in range(1, len(embedding)+1)]),
+       |      (acc, x) -> acc + x) > 0
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM $table, (SELECT unnest(range(0, $planes)) AS j) js),
+       |bands AS (
+       |  SELECT vec_id, CAST(j // $bitsPerBand AS INT) AS band,
+       |    CAST(sum(bit << (j % $bitsPerBand)) AS INT) AS bucket
+       |  FROM bits GROUP BY vec_id, j // $bitsPerBand)""".stripMargin
   }
 }

@@ -52,22 +52,36 @@ object DedupQueries extends QueryPack {
       JaccardPairs(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
-    // Embedding near-dup: sign-LSH bucket (8 hyperplanes) then exact
-    // cosine >= 0.5 within bucket.
+    // Embedding near-dup: banded sign-LSH (8 bands × 16 hyperplane bits)
+    // then exact cosine over the DISTINCT candidate pairs. The band
+    // explode carries only (vec_id, band, bucket) — ids, not vectors —
+    // so the shuffle is narrow; per-band buckets number 2^16, bounding
+    // within-bucket join width to ~corpus/65536, and the OR across 8
+    // bands buys the recall a single wide bucket can't (1−(1−s^16)^8).
+    // Vectors re-attach by id only for the surviving candidates. 16-bit
+    // bands surface genuinely-near pairs (s→1); the synthetic corpus's
+    // closest pairs sit at cos≈0.5 (59°), so the emit threshold is
+    // parameterized at 0.3 here — production near-dup dedup runs ≥0.9,
+    // where per-band recall is s^16 ≈ 0.9^16 ≈ 19% and 8-band OR ≈ 81%.
     "dedup_embedding_cosine" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorOps.signBucket(col("embedding")).as("bucket"))
-      val a = e.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("bucket"))
-      val b = e.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b"))
+      val bands = e
+        .select(col("vec_id"), posexplode(VectorOps.signBands(col("embedding"))))
+        .toDF("vec_id", "band", "bucket")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      val va = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val vb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
         .withColumn("cos",
           VectorOps.dot(col("ea"), col("eb")) /
             (VectorOps.norm(col("ea")) * VectorOps.norm(col("eb"))))
-        .filter(col("cos") >= 0.5)
+        .filter(col("cos") >= 0.3)
         .select("vec_a", "vec_b", "cos")
     })
   )
@@ -80,9 +94,6 @@ object DedupQueries extends QueryPack {
     "list_reduce([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in range(1, len(ea)+1)], (acc, x) -> acc + x)"
   private def normOf(v: String) =
     s"sqrt(list_reduce([CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE) for i in range(1, len($v)+1)], (acc, x) -> acc + x))"
-  private def bucketOf(v: String) = (0 until 8).map { j =>
-    s"CASE WHEN list_reduce([CAST($v[i] AS DOUBLE) * CAST((i * ${j + 3}) % 5 - 2 AS DOUBLE) for i in range(1, len($v)+1)], (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END"
-  }.mkString(" + ")
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -137,14 +148,19 @@ object DedupQueries extends QueryPack {
         |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.6""".stripMargin,
 
     "dedup_embedding_cosine" ->
-      s"""WITH d AS (SELECT vec_id, embedding,
-         |  ${bucketOf("embedding")} AS bucket
-         |FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH ${VectorOps.signBandsDuckCte()},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b,
          |  $dotAB / (${normOf("ea")} * ${normOf("eb")}) AS cos
-         |FROM (SELECT vec_id, embedding AS ea, bucket FROM d) a
-         |JOIN (SELECT vec_id, embedding AS eb, bucket FROM d) b
-         |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE $dotAB / (${normOf("ea")} * ${normOf("eb")}) >= 0.5""".stripMargin
+         |FROM cand
+         |JOIN (SELECT vec_id, embedding AS ea FROM embeddings) a
+         |  ON a.vec_id = vec_a
+         |JOIN (SELECT vec_id, embedding AS eb FROM embeddings) b
+         |  ON b.vec_id = vec_b
+         |WHERE $dotAB / (${normOf("ea")} * ${normOf("eb")}) >= 0.3""".stripMargin
   )
 }

@@ -15,9 +15,10 @@ import graft.ops.VectorOps
   *    stream the corpus past it: ONE pass, no corpus shuffle, the shuffle
   *    is only the |Q|·|corpus| scored rows → top-k window on q_id. The
   *    correct plan whenever |Q| is broadcast-able, at any corpus size.
-  *  - `ann_lsh_topk`: sign-LSH bucketed — corpus shuffled once on an
-  *    8-bit hyperplane bucket; comparisons scale with bucket occupancy,
-  *    not corpus size (the 100 TB path; recall < 1 by design).
+  *  - `ann_lsh_topk`: banded sign-LSH (8 bands × 16 bits, OR across
+  *    bands) — comparisons scale with per-band bucket occupancy
+  *    (~corpus/2^16), not corpus size (the 100 TB path; recall < 1 by
+  *    design but amplified across bands).
   *  - `knn_label_vote`: downstream consumer shape — majority label of the
   *    exact top-k (deterministic vote: count desc, label asc).
   */
@@ -47,18 +48,29 @@ object SimilarityQueries extends QueryPack {
     "ann_brute_topk" -> ((s, dir) =>
       topk(scored(s, dir)).select("q_id", "n_id", "cos", "rnk")),
 
+    // Banded sign-LSH probe (8 bands × 16 bits): candidates are corpus
+    // vectors sharing ANY band bucket with the query — the band explode
+    // ships only (id, band, bucket), candidate pairs are deduped as ids,
+    // and vectors re-attach by id for the exact-cosine rerank. Per-band
+    // occupancy ~corpus/2^16 keeps the probe join narrow at 100 TB;
+    // 8-band OR keeps recall (1−(1−s^16)^8) where one 16-bit bucket
+    // alone would miss most true neighbors.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-        .withColumn("bucket", VectorOps.signBucket(col("embedding")))
-      val q = e.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("bucket"))
-      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-        col("bucket"))
+      val bands = e
+        .select(col("vec_id"), posexplode(VectorOps.signBands(col("embedding"))))
+        .toDF("vec_id", "band", "bucket")
+      val qb = bands.filter(col("vec_id") < 50).toDF("q_id", "band", "bucket")
+      val cand = bands.join(broadcast(qb), Seq("band", "bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"))
+        .distinct()
+      val qv = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val nv = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
-      c.join(broadcast(q), Seq("bucket"))
-        .filter(col("q_id") =!= col("n_id"))
+      cand.join(nv, Seq("n_id")).join(broadcast(qv), Seq("q_id"))
         .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= K)
@@ -116,9 +128,6 @@ object SimilarityQueries extends QueryPack {
     s"${dotOf(a, b)} / (sqrt(${dotOf(a, a)}) * sqrt(${dotOf(b, b)}))"
   private val cosAB = cosOf("qv", "nv")
 
-  private def bucketOf(v: String) = (0 until 8).map { j =>
-    s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($v[i] AS DOUBLE) * CAST((i * ${j + 3}) % 5 - 2 AS DOUBLE) for i in range(1, len($v)+1)]), (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END"
-  }.mkString(" + ")
 
   private val bruteTopkCte =
     s"""sc AS (
@@ -138,14 +147,20 @@ object SimilarityQueries extends QueryPack {
          |SELECT q_id, n_id, cos, rnk FROM tk WHERE rnk <= $K""".stripMargin,
 
     "ann_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${bucketOf("embedding")} AS bucket
-         |           FROM embeddings),
+      s"""WITH ${VectorOps.signBandsDuckCte()},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM (SELECT * FROM bands WHERE vec_id < 50) q
+         |  JOIN bands c
+         |    ON q.band = c.band AND q.bucket = c.bucket
+         |   AND q.vec_id <> c.vec_id),
          |sc AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |    $cosAB AS cos
-         |  FROM (SELECT vec_id, embedding AS qv, bucket FROM e WHERE vec_id < 50) q
-         |  JOIN (SELECT vec_id, embedding AS nv, bucket FROM e) c
-         |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+         |  SELECT q_id, n_id, $cosAB AS cos
+         |  FROM cand
+         |  JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+         |    ON q.vec_id = q_id
+         |  JOIN (SELECT vec_id, embedding AS nv FROM embeddings) c
+         |    ON c.vec_id = n_id)
          |SELECT q_id, n_id, cos, rnk FROM (
          |  SELECT q_id, n_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk

@@ -98,6 +98,37 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(executed(q("window_first_last"))) === 1)
   }
 
+  test("dedup_embedding_cosine: band explode ships ids only, vectors stay out") {
+    // The (band, bucket) candidate join must carry only (vec_id, band,
+    // bucket) — if the 64-float embedding rides through the explode +
+    // shuffle, the shuffle width is 64x the design and the plan is wrong
+    // at any scale.
+    val p = executed(q("dedup_embedding_cosine"))
+    // At fixture scale AQE may broadcast the band side instead of
+    // shuffling it; either way the exchange payload is what matters.
+    val exchanges = flatten(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.child.output.map(_.name)
+    }
+    val bandSides = exchanges.filter(_.contains("band"))
+    assert(bandSides.nonEmpty, s"expected an exchange keyed on band/bucket: $exchanges")
+    assert(bandSides.forall(cols => !cols.exists(_.startsWith("embedding"))),
+      s"embedding column must not ride the band exchange: $exchanges")
+  }
+
+  test("ann_lsh_topk: band probe broadcasts query bands, corpus unexploded by vectors") {
+    val p = executed(q("ann_lsh_topk"))
+    val s = p.toString
+    assert(s.contains("Broadcast"), s"query band set should broadcast:\n$s")
+    val exchanges = flatten(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.forall(cols =>
+      !(cols.contains("band") && cols.exists(_.startsWith("embedding")))),
+      s"band-keyed exchanges must not carry embeddings: $exchanges")
+  }
+
   test("minhash: signature pipeline scans corpus once (single stage chain)") {
     // one shuffle into (band,sig) buckets + one for the final distinct —
     // crucially NOT 2x signature computation (no self-join of the

@@ -24,24 +24,45 @@ class VectorOpsSuite extends SparkSpec {
     assert(math.abs(out(2).getDouble(2) - math.sqrt(0.5)) < 1e-12)
   }
 
-  test("signBucket is deterministic and within [0, 2^nBits)") {
+  test("signBands is deterministic, sized nBands, buckets within 2^bits") {
     val vecs = (0 until 50).map(i =>
       Tuple1((0 until 8).map(j => math.sin(i * 8 + j).toFloat)))
       .toDF("v")
-    val b1 = vecs.select(VectorOps.signBucket(col("v")).as("b"))
-      .collect().map(_.getInt(0))
-    val b2 = vecs.select(VectorOps.signBucket(col("v")).as("b"))
-      .collect().map(_.getInt(0))
-    assert(b1.toSeq === b2.toSeq)
-    assert(b1.forall(b => b >= 0 && b < 256))
-    assert(b1.distinct.length > 1, "buckets should spread across vectors")
+    def run() = vecs.select(VectorOps.signBands(col("v")).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    val (b1, b2) = (run(), run())
+    assert(b1.map(_.toList).toSeq === b2.map(_.toList).toSeq)
+    assert(b1.forall(_.length === 8))
+    assert(b1.flatten.forall(b => b >= 0 && b < 65536))
+    assert(b1.map(_.head).distinct.length > 1,
+      "buckets should spread across vectors")
   }
 
-  test("identical vectors share a bucket (LSH correctness precondition)") {
+  test("signBands native matches HOF reference bit-for-bit") {
+    val vecs = (0 until 40).map(i =>
+      Tuple1((0 until 16).map(j => (math.sin(i * 16 + j) * 3).toFloat)))
+      .toDF("v")
+    val diff = vecs.select(
+      VectorOps.signBands(col("v"), 4, 8).as("nat"),
+      VectorOps.signBandsHof(col("v"), 4, 8).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+    assert(diff.count() === 0L)
+  }
+
+  test("identical vectors share all band buckets (LSH precondition)") {
     val v = Seq(0.3f, -0.7f, 0.2f, 0.9f)
     val b = Seq(Tuple1(v), Tuple1(v)).toDF("v")
-      .select(VectorOps.signBucket(col("v")).as("b"))
-      .collect().map(_.getInt(0))
-    assert(b(0) === b(1))
+      .select(VectorOps.signBands(col("v")).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    assert(b(0).toList === b(1).toList)
+  }
+
+  test("hyperplane family has genuinely distinct planes (no j-period)") {
+    // The retired (i·(j+3)) mod 5 family repeated every 5 planes; the
+    // multiply-shift family must not. Compare component vectors pairwise
+    // over a 64-dim index range for the first 128 planes.
+    val comps = (0 until 128).map(j =>
+      (1 to 64).map(i => graft.functions.SignBandsHelper.component(i, j)))
+    assert(comps.distinct.length === 128)
   }
 }
