@@ -226,12 +226,14 @@ object RelationalQueries extends QueryPack {
         .select(col("o_custkey"), col("o_orderkey"), col("run_spend"))
     }),
 
-    // ntile quartiles over account balance (global window but tiny table;
-    // at scale: per-partition quantile sketch instead — see docs).
+    // ntile quartiles over account balance. Exact ntile semantics but no
+    // single-partition window: GlobalRank range-partitions + sorts in
+    // parallel (Spark's own ORDER BY machinery), assigns row numbers from
+    // per-partition offsets, and derives the tile scan-side.
     "window_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
-        .withColumn("quartile", ntile(4).over(w))
+      graft.ops.GlobalRank.withNtile(
+          t(s, dir, "customer"), "quartile", 4,
+          Seq(col("c_acctbal"), col("c_custkey")))
         .groupBy("quartile")
         .agg(count(lit(1)).as("n"),
              min(col("c_acctbal")).as("min_bal"),

@@ -129,6 +129,19 @@ class PlanAuditSuite extends SparkSpec {
       s"band-keyed exchanges must not carry embeddings: $exchanges")
   }
 
+  test("window_ntile: no single-partition stage (global sort is range-parallel)") {
+    val p = executed(q("window_ntile"))
+    val single = flatten(p).collect {
+      case s: ShuffleExchangeLike
+          if s.outputPartitioning.numPartitions == 1 => s
+    }
+    assert(single.isEmpty,
+      s"ntile must not funnel rows through one partition:\n$p")
+    // and no un-partitioned Window node anywhere
+    val windows = flatten(p).filter(_.nodeName == "Window")
+    assert(windows.isEmpty, s"expected no window operator, got:\n$windows")
+  }
+
   test("minhash: signature pipeline scans corpus once (single stage chain)") {
     // one shuffle into (band,sig) buckets + one for the final distinct —
     // crucially NOT 2x signature computation (no self-join of the
