@@ -53,6 +53,45 @@ class WatermarkExpirySuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TWS/RocksDB path: event-time timer clears state past the session day") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(String, Double, Double, Double, Long, Int, String)]
+      val ticks = input.toDF()
+        .toDF("symbol", "bid", "price", "ask", "time", "volume", "tradeType")
+      val q = graft.streaming.CumVolStatefulProcessor
+        .enrichWithWatermark(ticks, "1 hour")
+        .writeStream.format("memory").queryName("wm_tws_out")
+        .outputMode("append").start()
+      def stateRows: Long = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+      try {
+        input.addData(tick("A", t0, 10, "B"))
+        q.processAllAvailable()
+        assert(stateRows === 1L) // A live
+        // advance the watermark two days past A's session day via B;
+        // the follow-up batch fires A's event-time timer
+        input.addData(tick("B", t0 + 2 * 86400, 1, "B"))
+        q.processAllAvailable()
+        assert(stateRows === 1L,
+          "A's session day is past the watermark; its state must be removed")
+        // very late tick for A, below the watermark: dropped pre-operator
+        input.addData(tick("A", t0 + 1, 7, "B"))
+        q.processAllAvailable()
+        val aRows = spark.table("wm_tws_out")
+          .filter(col("symbol") === "A")
+          .select("time", "cumbuy")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        assert(aRows === Seq((t0, 10L)), "late row must be dropped, not applied")
+        assert(stateRows === 1L, "dropped late row must not re-create state")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("without expiry, state would have accumulated (control)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(String, Double, Double, Double, Long, Int, String)]
