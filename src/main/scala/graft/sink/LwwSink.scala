@@ -45,6 +45,7 @@ object LwwSink {
       keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val path = tablePath(rootDir, topic, kind)
+    recover(rootDir, topic, kind) // restore `._old` before merging reads it
     val tagged = batch.withColumn("_batch_id", lit(batchId))
     val merged =
       if (Files.exists(Paths.get(path)))
@@ -54,10 +55,33 @@ object LwwSink {
       .sortWithinPartitions(col("symbol"), col("time").desc, col("price"))
     val tmp = path + "._tmp"
     deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // Swap with no unrecoverable window: the previous table is renamed
+    // ASIDE (not deleted) before the new one moves in, so a crash at any
+    // point leaves either the old table, or the old table at `._old`
+    // (restored on the next upsert), or the new table — never nothing.
+    // Delete-then-move had a window where the whole history existed only
+    // as `._tmp`, and a restart would rebuild the table from the single
+    // replayed batch.
     val tmpP = Paths.get(tmp)
     val dst = Paths.get(path)
-    if (Files.exists(dst)) deleteRecursively(dst)
+    val old = Paths.get(path + "._old")
+    if (Files.exists(old)) deleteRecursively(old) // stale leftover only
+    if (Files.exists(dst))
+      Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmpP, dst, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) deleteRecursively(old)
+  }
+
+  /** Crash recovery: if a previous upsert died between `dst -> ._old`
+    * and `._tmp -> dst`, the table content survives at `._old`; restore
+    * it before reading or merging. Called by [[upsertBatch]] (inline)
+    * and available to readers that open a table directly after a crash.
+    */
+  def recover(rootDir: String, topic: String, kind: String): Unit = {
+    val dst = Paths.get(tablePath(rootDir, topic, kind))
+    val old = Paths.get(tablePath(rootDir, topic, kind) + "._old")
+    if (Files.exists(old) && !Files.exists(dst))
+      Files.move(old, dst, StandardCopyOption.ATOMIC_MOVE)
   }
 
   def read(spark: SparkSession, rootDir: String, topic: String,

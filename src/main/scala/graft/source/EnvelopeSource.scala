@@ -25,10 +25,12 @@ import graft.model.Schemas
   * DIRECTORY of JSON-lines files: a feed adapter appends immutable
   * `*.jsonl` files (one `{"topic","frameType","payload"}` object per
   * line); this source tails the directory as a micro-batch stream.
-  * Offsets are counts over the lexicographically-sorted file list, so a
-  * batch is an immutable file range — replayable, checkpoint-friendly,
-  * exactly-once on retry (the delivery upgrade over the reference's
-  * at-most-once SUB socket, SURVEY §2.6).
+  * Offsets carry the high-watermark file NAME over the name-sorted file
+  * list, so a batch is an immutable (name-range) file set — replayable,
+  * checkpoint-friendly, exactly-once on retry (the delivery upgrade over
+  * the reference's at-most-once SUB socket, SURVEY §2.6). Writers must
+  * use monotonically increasing names; a violation leaves the late file
+  * ignored rather than shifting consumed ranges.
   *
   * The reference's topic-prefix subscription (S2, `set_subscribe`,
   * main.rs:204-206) becomes the `topicPrefix` option, applied INSIDE the
@@ -73,13 +75,23 @@ private[source] class EnvelopeTable(
 }
 
 private[source] object EnvelopeSpool {
-  /** Immutable-once-present spool contract: sorted file list. */
+  /** Immutable-once-present spool contract: file list sorted by NAME.
+    * Names must arrive in monotone sort order (writers use
+    * monotonically increasing names — sequence numbers / timestamps);
+    * a file sorting at or below the consumed high-watermark name is
+    * ignored, never silently shifted into an already-consumed range.
+    */
   def files(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
     else Files.list(p).iterator().asScala.toSeq
-      .filter(_.toString.endsWith(".jsonl")).sortBy(_.toString)
+      .filter(_.toString.endsWith(".jsonl"))
+      .sortBy(_.getFileName.toString)
   }
+
+  /** Files strictly after the high-watermark name ("" = everything). */
+  def filesAfter(dir: String, watermark: String): Seq[Path] =
+    files(dir).filter(_.getFileName.toString > watermark)
 }
 
 private[source] class EnvelopeScan(
@@ -100,9 +112,15 @@ private[source] class EnvelopeScan(
     new EnvelopeMicroBatchStream(dir, topicPrefix, maxFilesPerTrigger)
 }
 
-/** Offset = how many files of the sorted spool have been consumed. */
-private[source] case class FileCountOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+/** Offset = the high-watermark spool file NAME ("" before any file is
+  * consumed). A positional count over a re-sorted listing would silently
+  * shift every consumed index if a new file ever sorted below an
+  * already-consumed one (double-reads + gaps); anchoring the offset to
+  * the name itself makes a sort-order violation inert — the late file is
+  * ignored — instead of corrupting the replay contract.
+  */
+private[source] case class FileNameOffset(lastFile: String) extends Offset {
+  override def json(): String = lastFile
 }
 
 /** Admission control (backpressure): `maxFilesPerTrigger` caps how much
@@ -113,30 +131,34 @@ private[source] case class FileCountOffset(n: Int) extends Offset {
 private[source] class EnvelopeMicroBatchStream(
     dir: String, topicPrefix: String, maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
-  override def initialOffset(): Offset = FileCountOffset(0)
+  override def initialOffset(): Offset = FileNameOffset("")
   override def latestOffset(): Offset =
-    FileCountOffset(EnvelopeSpool.files(dir).size)
+    FileNameOffset(EnvelopeSpool.files(dir).lastOption
+      .map(_.getFileName.toString).getOrElse(""))
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
-    val start = startOffset.asInstanceOf[FileCountOffset].n
-    val total = EnvelopeSpool.files(dir).size
-    limit match {
-      case mf: ReadMaxFiles => FileCountOffset(
-        math.min(total, start + mf.maxFiles()))
-      case _ => FileCountOffset(total)
+    val start = startOffset.asInstanceOf[FileNameOffset].lastFile
+    val pending = EnvelopeSpool.filesAfter(dir, start)
+    val admitted = limit match {
+      case mf: ReadMaxFiles => pending.take(mf.maxFiles())
+      case _ => pending
     }
+    admitted.lastOption
+      .map(f => FileNameOffset(f.getFileName.toString))
+      .getOrElse(FileNameOffset(start))
   }
-  override def deserializeOffset(json: String): Offset =
-    FileCountOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = FileNameOffset(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[FileCountOffset].n,
-      end.asInstanceOf[FileCountOffset].n)
-    EnvelopeSpool.files(dir).slice(s, e).map(f =>
-      EnvelopeFilePartition(f.toString, topicPrefix): InputPartition).toArray
+    val s = start.asInstanceOf[FileNameOffset].lastFile
+    val e = end.asInstanceOf[FileNameOffset].lastFile
+    EnvelopeSpool.filesAfter(dir, s)
+      .filter(_.getFileName.toString <= e)
+      .map(f =>
+        EnvelopeFilePartition(f.toString, topicPrefix): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     EnvelopeReaderFactory
@@ -172,17 +194,43 @@ private[source] class EnvelopeFileReader(file: String, topicPrefix: String)
       m.flatMap { mm =>
         val rest = line.substring(mm.end)
         if (rest.startsWith("\"")) {
+          // JSON string decode: bounds-checked escapes (a lone trailing
+          // backslash is a parse failure -> null row, never a thrown
+          // exception) and spec-correct escape values, so payloads are
+          // byte-faithful for from_json downstream.
           val sb = new StringBuilder
           var i = 1
           var done = false
-          while (i < rest.length && !done) {
+          var bad = false
+          while (i < rest.length && !done && !bad) {
             rest.charAt(i) match {
-              case '\\' => sb.append(rest.charAt(i + 1)); i += 2
+              case '\\' =>
+                if (i + 1 >= rest.length) bad = true
+                else {
+                  rest.charAt(i + 1) match {
+                    case '"'  => sb.append('"');  i += 2
+                    case '\\' => sb.append('\\'); i += 2
+                    case '/'  => sb.append('/');  i += 2
+                    case 'n'  => sb.append('\n'); i += 2
+                    case 't'  => sb.append('\t'); i += 2
+                    case 'r'  => sb.append('\r'); i += 2
+                    case 'b'  => sb.append('\b'); i += 2
+                    case 'f'  => sb.append('\f'); i += 2
+                    case 'u' =>
+                      if (i + 5 >= rest.length) bad = true
+                      else try {
+                        sb.append(Integer.parseInt(
+                          rest.substring(i + 2, i + 6), 16).toChar)
+                        i += 6
+                      } catch { case _: NumberFormatException => bad = true }
+                    case _ => bad = true // invalid escape per JSON spec
+                  }
+                }
               case '"'  => done = true
               case c    => sb.append(c); i += 1
             }
           }
-          if (done) Some(sb.toString) else None
+          if (done && !bad) Some(sb.toString) else None
         } else { // non-string payload: capture balanced JSON value
           var depth = 0; var i = 0; var end = -1
           var inStr = false

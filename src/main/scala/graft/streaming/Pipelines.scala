@@ -38,9 +38,11 @@ object Pipelines {
       .withColumn("_levels",
         from_json(col("payload"), ArrayType(Schemas.bookJsonSchema)))
       .withColumn("_corrupt", col("_levels").isNull)
-      .select(col("topic"), col("_corrupt"),
+      // `payload` rides along so the dead-letter branch can quarantine
+      // the raw bytes, not just the fact that something was corrupt
+      .select(col("topic"), col("payload"), col("_corrupt"),
         explode_outer(col("_levels")).as("l"))
-      .select(col("topic"), col("_corrupt"),
+      .select(col("topic"), col("payload"), col("_corrupt"),
         col("l.symbol").as("symbol"), col("l.price").as("price"),
         col("l.time").as("time"), col("l.volume").as("volume"),
         regexp_replace(col("l.type"), "BOOK_TYPE_", "").as("orderType"))
@@ -53,7 +55,7 @@ object Pipelines {
       // on malformed input; a real tick always carries its symbol.
       .withColumn("_corrupt",
         col("_t").isNull || col("_t.symbol").isNull)
-      .select(col("topic"), col("_corrupt"),
+      .select(col("topic"), col("payload"), col("_corrupt"),
         col("_t.symbol").as("symbol"), col("_t.bid").as("bid"),
         col("_t.price").as("price"), col("_t.ask").as("ask"),
         col("_t.time").as("time"), col("_t.volume").as("volume"),
@@ -97,12 +99,17 @@ object Pipelines {
           LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "tick",
             Seq("symbol", "time", "price"))
         }.start()
+      // Hive-style kind=… subdirectories: the tick and book dead-letter
+      // queries run concurrently, and two jobs appending to ONE parquet
+      // dir race on the shared _temporary committer dir; per-kind dirs
+      // isolate them and read back as a partitioned table with a `kind`
+      // column.
       queries += parseTicks(env).filter(col("_corrupt"))
-        .select(col("topic"), lit("TICK").as("kind"))
+        .select(col("topic"), col("payload"))
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$checkpointRoot/tick_dl")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          batch.write.mode("append").parquet(s"$sinkRoot/_deadletter")
+          batch.write.mode("append").parquet(s"$sinkRoot/_deadletter/kind=TICK")
         }.start()
     }
     if (wantBook) {
@@ -113,6 +120,17 @@ object Pipelines {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "book",
             Seq("symbol", "time", "price"))
+        }.start()
+      // corrupt BOOK envelopes quarantine like corrupt TICKs do — the
+      // parse emits one exploded null row per corrupt envelope
+      // (explode_outer on a null array), so distinct-per-payload here
+      // is exactly one dead-letter row per bad envelope
+      queries += parseBooks(env).filter(col("_corrupt"))
+        .select(col("topic"), col("payload"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$checkpointRoot/book_dl")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.write.mode("append").parquet(s"$sinkRoot/_deadletter/kind=BOOK")
         }.start()
     }
     queries.toSeq

@@ -71,6 +71,47 @@ class EnvelopeSourceSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JSON escapes decode per spec; lone trailing backslash dead-letters") {
+    val dir = Files.createTempDirectory("spool_esc")
+    write(dir, "000.jsonl",
+      // payload is a JSON-escaped STRING containing JSON + escapes
+      """{"topic": "t1", "frameType": "TICK", "payload": "{\"a\":\t1}\nx"}""",
+      // lone trailing backslash inside the topic string: malformed,
+      // must become a dropped/null row — never a thrown task failure
+      "{\"topic\": \"bad\\")
+    val df = spark.read.format(fmt).option("path", dir.toString).load()
+    val rows = df.collect()
+    assert(rows.length === 1, "malformed line must not become a row or throw")
+    assert(rows(0).getString(2) === "{\"a\":\t1}\nx",
+      "escapes must decode to their spec values (\\t tab, \\n newline)")
+  }
+
+  test("offsets anchor to file names: a late low-sorting file is inert") {
+    val dir = Files.createTempDirectory("spool_late")
+    write(dir, "100.jsonl", tickLine("feed", "EURUSD", t0, 3, "B"))
+    write(dir, "200.jsonl", tickLine("feed", "EURUSD", t0 + 1, 5, "B"))
+    val stream = spark.readStream.format(fmt)
+      .option("path", dir.toString).load()
+    val q = stream.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("late_out").count() === 2)
+      // a writer violates the monotone-name contract: the file sorts
+      // BELOW the consumed watermark. With positional offsets this
+      // would shift every index (double-reads + gaps); with name
+      // offsets it is simply ignored.
+      write(dir, "050.jsonl", tickLine("feed", "EURUSD", t0 + 2, 7, "B"))
+      write(dir, "300.jsonl", tickLine("feed", "EURUSD", t0 + 3, 9, "B"))
+      q.processAllAvailable()
+      val vols = spark.table("late_out")
+        .select("payload").collect().map(_.getString(0))
+      assert(vols.length === 3, s"late low file ignored, new file read: got ${vols.length}")
+      assert(!vols.exists(_.contains("\"volume\": 7")), "050.jsonl must be inert")
+      assert(vols.exists(_.contains("\"volume\": 9")), "300.jsonl must be consumed")
+    } finally q.stop()
+  }
+
   test("maxFilesPerTrigger admission control paces micro-batches") {
     val dir = Files.createTempDirectory("spool4")
     (0 until 4).foreach(i =>

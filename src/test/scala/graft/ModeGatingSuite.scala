@@ -26,11 +26,13 @@ class ModeGatingSuite extends SparkSpec {
     s"""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": $t0, "volume": 3, "type": "B"}}"""
   private val corruptTick =
     """{"topic": "feed", "frameType": "TICK", "payload": "garbage"}"""
+  private val corruptBook =
+    """{"topic": "feed", "frameType": "BOOK", "payload": "not an array"}"""
   private val bookLine =
     s"""{"topic": "feed", "frameType": "BOOK", "payload": [{"symbol": "EURUSD", "price": 1.08, "time": $t0, "volume": 9, "type": "BOOK_TYPE_BUY"}]}"""
 
   test("mode=full starts both branches; dead letter captures corrupt rows") {
-    val spool = spoolWith(tickLine, corruptTick, bookLine)
+    val spool = spoolWith(tickLine, corruptTick, bookLine, corruptBook)
     val sink = Files.createTempDirectory("mode_sink").toString
     val ckpt = Files.createTempDirectory("mode_ckpt").toString
     val env = spark.readStream.format(fmt)
@@ -40,7 +42,11 @@ class ModeGatingSuite extends SparkSpec {
       qs.foreach(_.processAllAvailable())
       assert(LwwSink.read(spark, sink, "feed", "tick").count() === 1)
       assert(LwwSink.read(spark, sink, "feed", "book").count() === 1)
-      assert(spark.read.parquet(s"$sink/_deadletter").count() === 1)
+      val dl = spark.read.parquet(s"$sink/_deadletter")
+      val rows = dl.select("kind", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      assert(rows === Seq(("BOOK", "not an array"), ("TICK", "garbage")),
+        "both kinds quarantine WITH their raw payloads")
     } finally qs.foreach(_.stop())
   }
 
@@ -53,7 +59,7 @@ class ModeGatingSuite extends SparkSpec {
     val qs = Pipelines.start(env, "book", sink, ckpt)
     try {
       qs.foreach(_.processAllAvailable())
-      assert(qs.length === 1)
+      assert(qs.length === 2) // book upsert + book dead-letter
       assert(LwwSink.read(spark, sink, "feed", "book").count() === 1)
       assert(!Files.exists(java.nio.file.Paths.get(
         LwwSink.tablePath(sink, "feed", "tick"))))
