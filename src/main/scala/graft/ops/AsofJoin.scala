@@ -36,25 +36,34 @@ object AsofJoin {
       time: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The payload rides in ONE struct that is non-null for every right
+    // row (even when all its fields are null), so last(ignoreNulls) over
+    // the running window always lands on the MATCHED right row. Carrying
+    // each column separately would skip a matched row's genuinely-NULL
+    // field and attach an older right row's value instead — diverging
+    // from DuckDB ASOF JOIN semantics.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
     val tagged =
       left.withColumn("_is_left", lit(1))
         .select((Seq(col(key), col(time), col("_is_left")) ++
-          leftCols.filterNot(c => c == key || c == time).map(col) ++
-          payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+          leftCols.filterNot(c => c == key || c == time).map(col) :+
+          lit(null).cast(payloadType).as("_p")): _*)
       .unionByName(
         right.withColumn("_is_left", lit(0))
           .select((Seq(col(key), col(time), col("_is_left")) ++
             leftCols.filterNot(c => c == key || c == time)
-              .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            payload.map(col)): _*))
+              .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+            struct(payload.map(col): _*).as("_p")): _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("_is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(tagged) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = tagged
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
     // The matched right timestamp rides along as payload if the caller
     // aliased it in; `time` itself stays the left row's time.
-    carried.filter(col("_is_left") === 1).drop("_is_left")
+    carried.filter(col("_is_left") === 1)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(s"_p.$c").as(c))): _*)
   }
 }

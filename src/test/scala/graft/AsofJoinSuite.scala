@@ -37,6 +37,23 @@ class AsofJoinSuite extends SparkSpec {
       ("GBPUSD", 160L, Some(2.10))))
   }
 
+  test("a matched row's genuinely-NULL payload field survives (no stale carry)") {
+    // quote at t=200 has a NULL mid; a trade at t=250 must attach that
+    // NULL, not the older t=100 row's 1.10 (DuckDB ASOF JOIN semantics)
+    val q = Seq(
+      ("EURUSD", 100L, Some(1.10), "a"),
+      ("EURUSD", 200L, None, "b"))
+      .toDF("symbol", "time", "quote_mid", "src")
+    val t = Seq(("EURUSD", 250L, 1)).toDF("symbol", "time", "qty")
+    val out = AsofJoin(t, q, "symbol", "time", Seq("quote_mid", "src"))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("quote_mid")),
+      "matched row's NULL field must not be replaced by an older value")
+    assert(out(0).getString(out(0).fieldIndex("src")) === "b",
+      "the rest of the matched row's payload must come from the same row")
+  }
+
   test("left cardinality preserved") {
     assert(AsofJoin(trades, quotes, "symbol", "time", Seq("quote_mid")).count()
       === trades.count())
