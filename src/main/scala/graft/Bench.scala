@@ -22,7 +22,12 @@ object Bench {
       SparkEntry.queries.get("q1_pricing_summary")
         .foreach(fn => fn(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // `stream_*` entries orchestrate a whole streaming run (spool write,
+    // micro-batch drain, sink swap) — correctness-gated in Verify, but
+    // not a query-latency measurement; timing them here would swamp the
+    // per-query numbers with harness setup.
+    val results = SparkEntry.queries.filterNot(_._1.startsWith("stream_"))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,95 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.ops.LwwDedup
+import graft.sink.LwwSink
+import graft.streaming.Pipelines
+
+/** The whole streaming path under the DuckDB oracle: spool (JSONL
+  * envelopes derived from the `events` fixture) → [[graft.source
+  * .EnvelopeSourceProvider]] micro-batch source → [[Pipelines]] book
+  * branch (demux → parse → normalize) → [[LwwSink]] keyed upsert →
+  * batch read-back. This is the reference's full dataflow
+  * (/root/reference/src/main.rs:186-229: SUB socket → route → parse →
+  * Cassandra insert) exercised end to end, with the sink's OUTPUT — not
+  * an intermediate transform — as the oracle-checked result.
+  *
+  * Determinism: envelopes are pre-deduped so the sink PK (symbol, time,
+  * price) is unique; the LWW outcome is then independent of file→batch
+  * grouping and row arrival order, which is what makes a streaming run
+  * oracle-checkable at all.
+  */
+object StreamE2EQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_e2e_sink" -> ((s, dir) => run(s, dir)))
+
+  private def run(s: SparkSession, dir: String): DataFrame = {
+    // 1. Feed-adapter analog: events → one single-level BOOK envelope
+    //    each, PK-unique per (symbol, time-second, price) so LWW output
+    //    is order-independent (see scaladoc). `time` is epoch SECONDS —
+    //    the reference's ingest unit (Schemas scaladoc, main.rs:109).
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s"), col("value")),
+      Seq(col("event_id")))
+    val lines = base.select(to_json(struct(
+      lit("feed").as("topic"),
+      lit("BOOK").as("frameType"),
+      array(struct(
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("price"),
+        col("time_s").as("time"),
+        floor(col("value")).cast("int").as("volume"),
+        concat(lit("BOOK_TYPE_"), upper(col("event_type"))).as("type")))
+        .as("payload"))).as("value"))
+
+    // 2. Spool: monotone-named immutable .jsonl files (the source's
+    //    writer contract), written distributed then renamed into place.
+    val work = Files.createTempDirectory("graft_e2e")
+    val staging = work.resolve("staging")
+    val spool = work.resolve("spool")
+    Files.createDirectories(spool)
+    lines.repartition(4).write.mode(SaveMode.Overwrite)
+      .text(staging.toString)
+    val parts: Seq[Path] = Files.list(staging).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, spool.resolve(f"$i%04d.jsonl"))
+    }
+
+    // 3. Stream spool → book pipeline → LWW sink; drain; read back.
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool.toString).load()
+    val sinkRoot = work.resolve("sink").toString
+    val qs = Pipelines.start(env, "book", sinkRoot,
+      work.resolve("ckpt").toString)
+    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    LwwSink.read(s, sinkRoot, "feed", "book")
+      .select(col("symbol"), col("price"), col("time").as("time_s"),
+        col("volume"), col("orderType").as("order_type"))
+  }
+
+  def oracles: Map[String, String] = Map(
+    "stream_e2e_sink" ->
+      """SELECT CAST(user_id AS VARCHAR) AS symbol,
+        |  value AS price,
+        |  epoch_us(ts) // 1000000 AS time_s,
+        |  CAST(floor(value) AS INT) AS volume,
+        |  upper(event_type) AS order_type
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, epoch_us(ts) // 1000000, value
+        |        ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin)
+}
