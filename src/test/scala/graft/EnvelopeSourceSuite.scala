@@ -71,6 +71,54 @@ class EnvelopeSourceSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ZMQ-shaped adapter: socket -> multipart frames -> spool -> source") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.source.{MultipartFrames, SpoolTransportAdapter}
+    val dir = Files.createTempDirectory("spool_zmq")
+    val server = new java.net.ServerSocket(0)
+    def frames(t: String, ft: String, p: String) =
+      Seq(t, ft, p).map(_.getBytes(UTF_8))
+    val feeder = new Thread(() => {
+      val s = server.accept()
+      val out = new java.io.DataOutputStream(s.getOutputStream)
+      MultipartFrames.writeMessage(out, frames("feed.eur", "TICK",
+        s"""{"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": $t0, "volume": 3, "type": "B"}"""))
+      // SUB prefix filter: wrong topic never reaches the spool
+      MultipartFrames.writeMessage(out, frames("other.gbp", "TICK",
+        s"""{"symbol": "GBPUSD", "bid": 2.0, "price": 2.1, "ask": 2.2, "time": $t0, "volume": 4, "type": "B"}"""))
+      // malformed: 2 frames, not the 3-frame envelope -> counted drop
+      MultipartFrames.writeMessage(out,
+        Seq("feed.x".getBytes(UTF_8), "TICK".getBytes(UTF_8)))
+      MultipartFrames.writeMessage(out, frames("feed.eur", "BOOK",
+        s"""[{"symbol": "EURUSD", "price": 1.08, "time": $t0, "volume": 9, "type": "BOOK_TYPE_BUY"}]"""))
+      s.close()
+    })
+    feeder.start()
+    val sock = new java.net.Socket("localhost", server.getLocalPort)
+    val adapter = new SpoolTransportAdapter(
+      sock.getInputStream, dir.toString, topicPrefix = "feed",
+      messagesPerFile = 1)
+    val written = try adapter.run() finally { sock.close(); server.close() }
+    feeder.join()
+    assert(written === 2, "prefix-matched 3-frame messages spool")
+    assert(adapter.dropped === 1, "non-3-frame message is a counted drop")
+    // sealed files are monotone-named -> valid source offsets
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(dir).iterator().asScala.toSeq
+      .map(_.getFileName.toString).sorted
+    assert(names === Seq("0000000000.jsonl", "0000000001.jsonl"),
+      "adapter seals monotone-named immutable files, no tmp leftovers")
+    // and the DSv2 source + pipeline parse what the wire carried
+    val df = spark.read.format(fmt).option("path", dir.toString).load()
+    assert(df.count() === 2)
+    val tick = Pipelines.parseTicks(df)
+    assert(tick.filter("NOT _corrupt AND symbol = 'EURUSD' AND volume = 3")
+      .count() === 1)
+    val book = Pipelines.parseBooks(df)
+    assert(book.filter("NOT _corrupt AND orderType = 'BUY' AND volume = 9")
+      .count() === 1)
+  }
+
   test("JSON escapes decode per spec; lone trailing backslash dead-letters") {
     val dir = Files.createTempDirectory("spool_esc")
     write(dir, "000.jsonl",
