@@ -23,17 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object JaccardPairs {
 
+  /** @param hashedKeys index grams by their 60-bit shingle hash (the
+    *   [[TextHash.shingleHashes]] fused kernel) instead of the gram
+    *   STRING: one byte-pass over the text, an 8-byte fixed-width
+    *   shuffle key instead of a variable-length string, and identical
+    *   results unless two distinct grams collide in a 2^61-ish space
+    *   (probability ~|grams|²/2^62 — vanishing at any realistic corpus;
+    *   the string-keyed form stays available as the exactness anchor
+    *   and the suite asserts equality on real text).
+    */
   def apply(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       gramK: Int = 2,
       maxDf: Int = 50,
-      minJaccard: Double = 0.6): DataFrame = {
+      minJaccard: Double = 0.6,
+      hashedKeys: Boolean = true): DataFrame = {
+    val gramArr =
+      if (hashedKeys) TextHash.shingleHashes(col(textCol), gramK)
+      else TextHash.shingles(TextHash.tokens(col(textCol)), gramK)
     val postings = docs
-      .withColumn("_toks", TextHash.tokens(col(textCol)))
       .select(col(idCol).as("doc"),
-        explode(array_distinct(TextHash.shingles(col("_toks"), gramK))).as("gram"))
+        explode(array_distinct(gramArr)).as("gram"))
     // Two consumers (sizes + pairs) read the df-filtered index; without a
     // materialization point Spark would re-run the tokenize/shuffle/
     // collect pipeline per consumer. localCheckpoint pins the index once

@@ -39,6 +39,22 @@ class LwwDedupSuite extends SparkSpec {
     assert(winners(scala.util.Random.shuffle(rows.toList)) === expected)
   }
 
+  test("argmax-aggregate form ≡ ranking-window form (multi-column version)") {
+    val rows = for {
+      k <- 0 until 7; t <- 0 until 4; e <- 0 until 3
+    } yield (s"K$k", (t * 7 + e * 3) % 5L, (e * 5 + t) % 4L, s"p-$k-$t-$e")
+    // version tuple (v1, v2) made unique per key by construction? No —
+    // dedupe collisions so the deterministic-winner contract holds
+    val uniq = rows.groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq
+    val df = uniq.toDF("k", "v1", "v2", "p")
+    val agg = LwwDedup.argmax(df, Seq(col("k")), Seq(col("v1"), col("v2")))
+      .collect().map(r => (r.getString(0), r.getString(3))).sortBy(_._1).toSeq
+    val win = LwwDedup(df, Seq(col("k")), Seq(col("v1"), col("v2")))
+      .collect().map(r => (r.getString(0), r.getString(3))).sortBy(_._1).toSeq
+    assert(agg === win,
+      "max_by(payload, struct(v1,v2)) must elect ORDER BY v1 DESC, v2 DESC winners")
+  }
+
   test("idempotent under re-delivery (replayed batch is a no-op)") {
     val df = Seq(("A", 1L, "x"), ("A", 2L, "y")).toDF("k", "ver", "p")
     val once = LwwDedup(df, Seq(col("k")), Seq(col("ver")))
