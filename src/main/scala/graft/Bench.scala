@@ -26,11 +26,19 @@ object Bench {
     // micro-batch drain, sink swap) — correctness-gated in Verify, but
     // not a query-latency measurement; timing them here would swamp the
     // per-query numbers with harness setup.
+    // Two executions per query, best kept: run 1 pays one-off costs that
+    // are not query latency (janino codegen compile, JIT warm-up of the
+    // generated classes); run 2 measures the steady state a long-running
+    // cluster job actually sees. Min-of-2 also damps host noise, which
+    // at sf0.1 is the same order as the per-query times.
     val results = SparkEntry.queries.filterNot(_._1.startsWith("stream_"))
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> Seq(once(), once()).min
     }
     def render(rs: Iterable[(String, Double)], total: Double): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
