@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{JaccardPairs, MinHashLSH, SimHash, TextHash, VectorOps}
+import graft.ops.{ConnectedComponents, JaccardPairs, MinHashLSH, SimHash, TextHash, VectorOps}
 
 /** Training-data deduplication operators over the `documents` /
   * `embeddings` fixtures: exact hash dedup, MinHash+LSH banding, SimHash
@@ -35,6 +35,24 @@ object DedupQueries extends QueryPack {
     "dedup_minhash_pairs" -> ((s, dir) => {
       MinHashLSH.candidatePairs(
         Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Pairs → clusters → survivors: connected components over the
+    // MinHash candidate pairs ([[ConnectedComponents]], hash-to-min +
+    // pointer jumping), canonical survivor = min doc_id per component,
+    // singletons surviving by definition. This is the step a production
+    // dedup pipeline deletes against.
+    "dedup_cluster_survivors" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")
+      val comp = ConnectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster"),
+          (col("doc_id") === coalesce(col("component"), col("doc_id")))
+            .as("is_survivor"))
     }),
 
     // SimHash sketch per document (16-bit) + collision-cluster size.
@@ -95,6 +113,26 @@ object DedupQueries extends QueryPack {
   private def normOf(v: String) =
     s"sqrt(list_reduce([CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE) for i in range(1, len($v)+1)], (acc, x) -> acc + x))"
 
+  /** MinHash→banded-LSH candidate pairs as a reusable WITH body ending
+    * in a `pairs(doc_a, doc_b)` CTE (shared by the pairs oracle and the
+    * component-closure oracle).
+    */
+  private val minhashPairsWith =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS sh
+       |       FROM tok WHERE len(w) >= 3),
+       |hx AS (SELECT doc_id, list_transform(sh, s -> $h31duck) AS xs FROM sh),
+       |mh AS (SELECT doc_id, j,
+       |         list_min(list_transform(xs, x -> ((2*j+1)*x + j*7919) % $P)) AS mh
+       |       FROM hx, (SELECT unnest(range(0, 16)) AS j) js),
+       |bands AS (SELECT doc_id, j // 4 AS band,
+       |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+       |          FROM mh GROUP BY doc_id, j // 4),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
@@ -102,20 +140,25 @@ object DedupQueries extends QueryPack {
          |FROM documents GROUP BY text""".stripMargin,
 
     "dedup_minhash_pairs" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |sh AS (SELECT doc_id,
-         |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS sh
-         |       FROM tok WHERE len(w) >= 3),
-         |hx AS (SELECT doc_id, list_transform(sh, s -> $h31duck) AS xs FROM sh),
-         |mh AS (SELECT doc_id, j,
-         |         list_min(list_transform(xs, x -> ((2*j+1)*x + j*7919) % $P)) AS mh
-         |       FROM hx, (SELECT unnest(range(0, 16)) AS j) js),
-         |bands AS (SELECT doc_id, j // 4 AS band,
-         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
-         |          FROM mh GROUP BY doc_id, j // 4)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+      s"""WITH $minhashPairsWith
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    // Transitive closure of the pair graph (exact at oracle scale), min
+    // reachable id per node = the component the Spark side computes in
+    // O(log n) rounds.
+    "dedup_cluster_survivors" ->
+      s"""WITH RECURSIVE $minhashPairsWith,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS node, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS cluster,
+         |  d.doc_id = coalesce(c.component, d.doc_id) AS is_survivor
+         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH hx AS (SELECT doc_id,
