@@ -158,6 +158,27 @@ object RelationalQueries extends QueryPack {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // Fact ⋈ fact with NO runtime exchange: both sides pre-bucketed on
+    // the join key ([[graft.ops.Bucketing]]), so the scan itself
+    // satisfies the join's required distribution — the 100 TB answer to
+    // a join run every day on the same key. The shuffle is paid once at
+    // write time; PlanAuditSuite asserts the join runs exchange-free.
+    "join_bucketed_colocated" -> ((s, dir) => {
+      import graft.ops.Bucketing
+      val tag = math.abs(dir.hashCode).toString
+      val li = Bucketing.ensureBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        s"graft_bkt_li_$tag", "l_orderkey", 8)
+      val ord = Bucketing.ensureBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        s"graft_bkt_ord_$tag", "o_orderkey", 8)
+      s.table(li).join(s.table(ord),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
     // Left semi: orders having at least one big lineitem. At scale a
     // shuffle-hash semi join on l_orderkey; semi stops at first match and
     // never duplicates the left side.
@@ -386,6 +407,12 @@ object RelationalQueries extends QueryPack {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "join_semi" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

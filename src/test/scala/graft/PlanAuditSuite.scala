@@ -142,6 +142,22 @@ class PlanAuditSuite extends SparkSpec {
     assert(windows.isEmpty, s"expected no window operator, got:\n$windows")
   }
 
+  test("join_bucketed_colocated: the fact-fact join itself is exchange-free") {
+    // Disable broadcast so the planner can't sidestep the point (at
+    // fixture scale orders would broadcast; at 100 TB it can't).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = executed(q("join_bucketed_colocated"))
+      val s = p.toString
+      assert(s.contains("SortMergeJoin"), s"expected a sort-merge join:\n$s")
+      // exactly ONE exchange in the whole plan: the groupBy after the
+      // join. Neither join input may shuffle — the bucketed scans
+      // already satisfy the join's required distribution.
+      assert(countShuffles(p) === 1,
+        s"bucketed join must not re-shuffle its inputs:\n$s")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("minhash: signature pipeline scans corpus once (single stage chain)") {
     // one shuffle into (band,sig) buckets + one for the final distinct —
     // crucially NOT 2x signature computation (no self-join of the
