@@ -65,6 +65,35 @@ object TextQueries extends QueryPack {
           |FROM docs_sqlfn""".stripMargin)
     }),
 
+    // Corpus vocabulary, top-k by frequency: the classic wide wordcount.
+    // One shuffle (token groupBy with map-side partial counts); the
+    // top-k is TakeOrdered (per-partition heap + driver merge of k),
+    // never a global sort. Deterministic tie-break on the token itself.
+    "text_vocab_topk" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(100)
+    }),
+
+    // Repetition ratio (Gopher-style quality rule): share of bigrams
+    // that are repeats of an earlier bigram in the same doc. Scan-side
+    // only — the shingle array never leaves the projection.
+    "text_repetition" -> ((s, dir) => {
+      val grams = TextHash.shingles(TextHash.tokens(col("text")), 2)
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(grams).cast("long").as("n_bigrams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"),
+        when(size(grams) > 0,
+          lit(1.0) - size(array_distinct(grams)).cast("double") /
+            size(grams).cast("double"))
+          .otherwise(0.0).as("rep_ratio"))
+    }),
+
     // Order-sensitive rolling-hash fingerprint + duplicate-cluster size.
     "text_fingerprint" -> ((s, dir) => {
       val fp = Tables(s, dir, "documents").select(
@@ -139,6 +168,30 @@ object TextQueries extends QueryPack {
              s"CASE WHEN 2 * len(list_filter(xs, x -> (x >> $i) & 1 = 1)) > len(xs) THEN ${1L << i} ELSE 0 END")
              .mkString(" + ")} AS sketch
          |FROM hx""".stripMargin,
+
+    "text_vocab_topk" ->
+      """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 100""".stripMargin,
+
+    "text_repetition" ->
+      """WITH g AS (SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 2
+        |      THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |      ELSE [] END AS grams
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+        |        FROM documents))
+        |SELECT doc_id,
+        |  len(grams) AS n_bigrams,
+        |  len(list_distinct(grams)) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |           / CAST(len(grams) AS DOUBLE)
+        |    ELSE 0.0 END AS rep_ratio
+        |FROM g""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH fp AS (SELECT doc_id,
