@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.Schemas
+import graft.streaming.StreamJoins
+
+/** Watermarked stream-stream interval join: per-symbol matching within
+  * the lag window, cross-symbol and out-of-window exclusion, and state
+  * bounded by the watermark + range condition (append mode accepts the
+  * join — Spark rejects unbounded stream-stream joins there).
+  */
+class StreamJoinSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1687176000L
+
+  test("ticks match same-symbol book rows within the lag window only") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ticks = MemoryStream[Schemas.Tick]
+    val books = MemoryStream[Schemas.BookLevel]
+    val joined = StreamJoins.tickWithRecentBook(
+      ticks.toDF(), books.toDF(), lagSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      books.addData(
+        Schemas.BookLevel("EURUSD", 1.08, t0 - 10, 9, "BUY"),   // in window
+        Schemas.BookLevel("EURUSD", 1.07, t0 - 90, 8, "SELL"),  // too old
+        Schemas.BookLevel("GBPUSD", 2.08, t0 - 5, 7, "BUY"))    // other symbol
+      ticks.addData(
+        Schemas.Tick("EURUSD", 1.0, 1.1, 1.2, t0, 3, "B"))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select("symbol", "tick_time", "book_time", "book_price", "orderType")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4)))
+      assert(out.toSeq === Seq(("EURUSD", t0, t0 - 10, 1.08, "BUY")),
+        "exactly the in-window same-symbol book row joins")
+    } finally q.stop()
+  }
+
+  test("a tick matches multiple in-window book rows (interval, not as-of)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ticks = MemoryStream[Schemas.Tick]
+    val books = MemoryStream[Schemas.BookLevel]
+    val q = StreamJoins.tickWithRecentBook(
+        ticks.toDF(), books.toDF(), lagSeconds = 60)
+      .writeStream.format("memory").queryName("ssj_multi")
+      .outputMode("append").start()
+    try {
+      books.addData(
+        Schemas.BookLevel("EURUSD", 1.08, t0 - 10, 9, "BUY"),
+        Schemas.BookLevel("EURUSD", 1.09, t0 - 20, 5, "SELL"))
+      ticks.addData(Schemas.Tick("EURUSD", 1.0, 1.1, 1.2, t0, 3, "B"))
+      q.processAllAvailable()
+      val prices = spark.table("ssj_multi")
+        .select("book_price").collect().map(_.getDouble(0)).sorted
+      assert(prices.toSeq === Seq(1.08, 1.09))
+      // the join runs with state-eviction bounds on both sides: the
+      // planner only admits append-mode stream-stream joins whose
+      // buffers it can prove bounded (watermark + closed time range)
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+}
