@@ -1,6 +1,8 @@
 package graft.sink
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,28 +15,51 @@ import graft.ops.LwwDedup
   * `(time DESC, price)` pre-sorts per-symbol reads (main.rs:88).
   *
   * Offline emulation (no Cassandra connector jar): a parquet table per
-  * `{topic}_{kind}`, maintained by `foreachBatch` merge —
-  * union(existing, batch tagged with the micro-batch id) → [[LwwDedup]]
-  * on the PK with (batchId) as the version → atomic directory swap.
-  * Idempotent under micro-batch re-delivery: a replayed batch re-elects
-  * the same winners (exactly-once per key, vs the reference's
-  * at-most-once — SURVEY §2.6).
+  * `{topic}_{kind}`, hash-bucketed into `kb=N` partition directories on
+  * the leading PK column (per-symbol locality — the same axis the
+  * reference's partition key uses). `foreachBatch` merge touches ONLY
+  * the buckets the batch's keys hash into: read those buckets, union
+  * the batch tagged with its micro-batch id, [[LwwDedup]] on the PK
+  * with (batchId) as the version, rewrite those buckets via per-bucket
+  * atomic swap. Work per micro-batch is O(data in affected buckets),
+  * not O(table) — a narrow batch (few hot symbols) leaves the rest of
+  * the table untouched. Idempotent under micro-batch re-delivery: a
+  * replayed batch re-elects the same winners (exactly-once per key, vs
+  * the reference's at-most-once — SURVEY §2.6).
   *
-  * Scale note: read-union-rewrite is the *emulation's* cost, not the
-  * design's — on a cluster this `foreachBatch` body becomes a real
-  * keyed upsert (Cassandra writes or a MERGE INTO on a table format with
-  * row-level merge); the dataflow upstream is unchanged. Layout matches
-  * the read pattern the reference's PK serves: partition by symbol,
-  * sort `time DESC, price` within partitions.
+  * Crash-safety, per bucket: the current bucket dir is renamed ASIDE
+  * (to an underscore-prefixed name parquet readers ignore) before the
+  * new one moves in, and [[recover]] restores any aside dir whose swap
+  * never completed — at every instant each bucket is recoverable. A
+  * crash mid-upsert can leave SOME buckets merged and others not; the
+  * checkpointed micro-batch replays and the LWW merge converges all of
+  * them (the idempotence the swap scheme is designed around).
+  *
+  * Scale note: per-bucket rewrite is the *emulation's* granularity —
+  * on a cluster this `foreachBatch` body becomes a real keyed upsert
+  * (Cassandra writes or MERGE INTO on a table format with row-level
+  * merge); the dataflow upstream is unchanged. Layout matches the read
+  * pattern the reference's PK serves: bucketed by symbol, sorted
+  * `time DESC, price` within files.
   */
 object LwwSink {
+
+  /** Bucket-dir fan-out. At 16, a narrow batch rewrites ≤1/16 of a
+    * uniformly keyed table; raise for bigger tables (the layout is the
+    * knob, the merge code is bucket-count-agnostic).
+    */
+  val NumBuckets = 16
 
   def tablePath(rootDir: String, topic: String, kind: String): String =
     s"$rootDir/${topic}_$kind"
 
+  private def bucketDir(table: String, n: Int) = Paths.get(s"$table/kb=$n")
+  private def asideDir(table: String, n: Int) = Paths.get(s"$table/_old_kb=$n")
+
   /** Merge one micro-batch into the emulated table. `keys` is the PK;
     * `batchId` is the version (later batch wins; within a batch,
-    * [[LwwDedup]]'s deterministic tiebreak applies).
+    * [[LwwDedup]]'s deterministic tiebreak applies). Buckets hash on
+    * `keys.head` (the partition-key analog).
     */
   def upsertBatch(
       batch: DataFrame,
@@ -44,52 +69,72 @@ object LwwSink {
       kind: String,
       keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    val path = tablePath(rootDir, topic, kind)
-    recover(rootDir, topic, kind) // restore `._old` before merging reads it
-    val tagged = batch.withColumn("_batch_id", lit(batchId))
+    val table = tablePath(rootDir, topic, kind)
+    recover(rootDir, topic, kind) // restore aside buckets before reading
+    val tagged = batch
+      .withColumn("_batch_id", lit(batchId))
+      .withColumn("kb", pmod(hash(col(keys.head)), lit(NumBuckets)))
+    // the affected-bucket set is metadata (≤ NumBuckets ints), not data
+    val affected = tagged.select("kb").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return
+    val existingDirs = affected.map(bucketDir(table, _))
+      .filter(Files.exists(_)).map(_.toString)
     val merged =
-      if (Files.exists(Paths.get(path)))
-        spark.read.parquet(path).unionByName(tagged)
+      if (existingDirs.nonEmpty)
+        spark.read.option("basePath", table).parquet(existingDirs: _*)
+          .unionByName(tagged)
       else tagged
     val deduped = LwwDedup(merged, keys.map(col), Seq(col("_batch_id")))
       .sortWithinPartitions(col("symbol"), col("time").desc, col("price"))
-    val tmp = path + "._tmp"
-    deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // Swap with no unrecoverable window: the previous table is renamed
-    // ASIDE (not deleted) before the new one moves in, so a crash at any
-    // point leaves either the old table, or the old table at `._old`
-    // (restored on the next upsert), or the new table — never nothing.
-    // Delete-then-move had a window where the whole history existed only
-    // as `._tmp`, and a restart would rebuild the table from the single
-    // replayed batch.
-    val tmpP = Paths.get(tmp)
-    val dst = Paths.get(path)
-    val old = Paths.get(path + "._old")
-    if (Files.exists(old)) deleteRecursively(old) // stale leftover only
-    if (Files.exists(dst))
-      Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmpP, dst, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) deleteRecursively(old)
+    // stage under an underscore name inside the table dir (same volume,
+    // invisible to readers), then swap each bucket aside-first
+    val tmp = s"$table/_tmp_b$batchId"
+    deduped.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(tmp)
+    affected.foreach { n =>
+      val dst = bucketDir(table, n)
+      val staged = Paths.get(s"$tmp/kb=$n")
+      val aside = asideDir(table, n)
+      // LWW merge of a non-empty batch bucket is never empty, so staged
+      // always exists for an affected bucket; the guard keeps the old
+      // data in place rather than swapping in nothing if that invariant
+      // ever broke.
+      if (Files.exists(staged)) {
+        if (Files.exists(aside)) deleteRecursively(aside) // stale leftover
+        if (Files.exists(dst))
+          Files.move(dst, aside, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(staged, dst, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(aside)) deleteRecursively(aside)
+      }
+    }
+    deleteRecursively(Paths.get(tmp))
   }
 
-  /** Crash recovery: if a previous upsert died between `dst -> ._old`
-    * and `._tmp -> dst`, the table content survives at `._old`; restore
-    * it before reading or merging. Called by [[upsertBatch]] (inline)
-    * and available to readers that open a table directly after a crash.
+  /** Crash recovery: any bucket whose swap died between `dst → aside`
+    * and `staged → dst` survives at its aside name; restore it before
+    * reading or merging. Called by [[upsertBatch]] and [[read]].
     */
   def recover(rootDir: String, topic: String, kind: String): Unit = {
-    val dst = Paths.get(tablePath(rootDir, topic, kind))
-    val old = Paths.get(tablePath(rootDir, topic, kind) + "._old")
-    if (Files.exists(old) && !Files.exists(dst))
-      Files.move(old, dst, StandardCopyOption.ATOMIC_MOVE)
+    val table = Paths.get(tablePath(rootDir, topic, kind))
+    if (!Files.isDirectory(table)) return
+    Files.list(table).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("_old_kb="))
+      .foreach { aside =>
+        val n = aside.getFileName.toString.stripPrefix("_old_kb=")
+        val dst = table.resolve(s"kb=$n")
+        if (!Files.exists(dst))
+          Files.move(aside, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
   }
 
   def read(spark: SparkSession, rootDir: String, topic: String,
-      kind: String): DataFrame =
-    spark.read.parquet(tablePath(rootDir, topic, kind)).drop("_batch_id")
+      kind: String): DataFrame = {
+    recover(rootDir, topic, kind)
+    spark.read.parquet(tablePath(rootDir, topic, kind))
+      .drop("_batch_id").drop("kb")
+  }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
     Files.walk(p).iterator().asScala.toSeq.reverse
       .foreach(Files.deleteIfExists(_))
   }
