@@ -109,6 +109,40 @@ object SimilarityQueries extends QueryPack {
         .select("q_id", "n_id", "cos", "rnk")
     }),
 
+    // IVF with multi-probe (nProbe=2): queries search their TWO nearest
+    // cells instead of one. The recall upgrade over nProbe=1 costs one
+    // more broadcast-joined cell per query — candidate volume doubles,
+    // the index build is unchanged (one ranked corpus × centroid pass
+    // feeds both the r=1 assignment and the r≤2 probe set). Each corpus
+    // vector lives in exactly one cell, so the two probes can't yield
+    // duplicate candidates and no dedup shuffle is needed.
+    "ann_ivf_multiprobe" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val ranked = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", VectorOps.cosine(col("embedding"), col("cv")))
+        .withColumn("r", row_number().over(wAssign))
+      val assigned = ranked.filter(col("r") === 1)
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+          col("cent_id").as("cell"))
+      val probes = ranked.filter(col("vec_id") < 20 && col("r") <= 2)
+        .select(col("vec_id").as("q_id"), col("cent_id").as("cell"))
+      val qv = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select("q_id", "n_id", "cos", "rnk")
+    }),
+
     "knn_label_vote" -> ((s, dir) => {
       val votes = topk(scored(s, dir))
         .groupBy(col("q_id"), col("label"))
@@ -184,6 +218,33 @@ object SimilarityQueries extends QueryPack {
          |        WHERE vec_id < 20) q
          |  JOIN (SELECT vec_id, embedding AS nv, cell FROM assign) c
          |    ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= $K""".stripMargin,
+
+    "ann_ivf_multiprobe" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 101 = 0),
+         |ranked AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cent_id) AS r
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id AS n_id, embedding AS nv, cent_id AS cell
+         |  FROM ranked WHERE r = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cent_id AS cell
+         |  FROM ranked WHERE r <= 2 AND vec_id < 20),
+         |sc AS (
+         |  SELECT p.q_id, a.n_id, $cosAB AS cos
+         |  FROM assign a JOIN probes p ON a.cell = p.cell
+         |   AND p.q_id <> a.n_id
+         |  JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+         |    ON q.vec_id = p.q_id)
          |SELECT q_id, n_id, cos, rnk FROM (
          |  SELECT q_id, n_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk

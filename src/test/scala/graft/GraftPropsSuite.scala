@@ -109,6 +109,34 @@ class GraftPropsSuite extends SparkSpec {
       }
     }
   }
+  test("property: connected components equal union-find ground truth") {
+    import graft.ops.ConnectedComponents
+    val edgesGen = Gen.listOfN(30, for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (a, b))
+    forAllSeeded(edgesGen, n = 5) { edges => if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(n => n -> find(n)).toMap
+          .map { case (n, r) =>
+            // canonical rep = min node in the component
+            n -> parent.keys.filter(m => find(m) == r).min
+          }
+        val got = ConnectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected)
+      }
+    }
+  }
+
   test("property: as-of join equals the naive per-row latest-quote scan") {
     import graft.ops.AsofJoin
     val quotesGen = Gen.listOfN(25, for {

@@ -158,6 +158,11 @@ class PlanAuditSuite extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("text_vocab_topk: top-k is TakeOrdered over the agg, not a global sort") {
+    val p = executed(q("text_vocab_topk"))
+    assert(p.toString.contains("TakeOrderedAndProject"), s"plan was:\n$p")
+  }
+
   test("minhash: signature pipeline scans corpus once (single stage chain)") {
     // one shuffle into (band,sig) buckets + one for the final distinct —
     // crucially NOT 2x signature computation (no self-join of the
