@@ -79,7 +79,14 @@ object ReferenceQueries extends QueryPack {
         unix_micros(col("ts")).as("time_us"),
         col("event_id"),
         floor(col("value")).cast("int").as("volume"))
-      val latest = LwwDedup(levels,
+      // ONE shuffle serves both windows: hash-clustering by symbol alone
+      // satisfies the LWW window's ClusteredDistribution(symbol, price)
+      // (partition keys ⊆ clustering keys) AND the rank window's
+      // (symbol) — without this, Spark plans two exchanges. The final
+      // window needs per-symbol clustering anyway, so this exposes no
+      // skew the query didn't already have. Pinned by PlanAuditSuite.
+      val bySymbol = levels.repartition(col("symbol"))
+      val latest = LwwDedup(bySymbol,
         Seq(col("symbol"), col("price")),
         Seq(col("time_us"), col("event_id")))
       val w = org.apache.spark.sql.expressions.Window

@@ -158,6 +158,10 @@ class PlanAuditSuite extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("book_depth_topn: one shuffle serves both windows (symbol prefix reuse)") {
+    assert(countShuffles(executed(q("book_depth_topn"))) === 1)
+  }
+
   test("text_vocab_topk: top-k is TakeOrdered over the agg, not a global sort") {
     val p = executed(q("text_vocab_topk"))
     assert(p.toString.contains("TakeOrderedAndProject"), s"plan was:\n$p")
