@@ -113,13 +113,26 @@ object Pipelines {
         }.start()
     }
     if (wantBook) {
+      // K3 dynamic per-topic tables: the reference CREATEs `{topic}_book`
+      // per message (main.rs:80-92); here each micro-batch upserts into
+      // one table per topic it contains. The distinct-topic list is
+      // metadata (bounded by the subscription), not data. The TICK
+      // branch stays single-table: its keyed state is per-symbol like
+      // the reference, which runs one topic prefix per process
+      // (start.sh:3-14) — topic fan-out there is deployment-level.
       queries += parseBooks(env).filter(!col("_corrupt"))
-        .select("symbol", "price", "time", "volume", "orderType")
+        .select("topic", "symbol", "price", "time", "volume", "orderType")
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$checkpointRoot/book")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "book",
-            Seq("symbol", "time", "price"))
+          val b = batch.toDF()
+          val topics = b.select("topic").distinct()
+            .collect().map(_.getString(0)).sorted
+          topics.foreach { t =>
+            LwwSink.upsertBatch(
+              b.filter(col("topic") === t).drop("topic"),
+              id, sinkRoot, t, "book", Seq("symbol", "time", "price"))
+          }
         }.start()
       // corrupt BOOK envelopes quarantine like corrupt TICKs do — the
       // parse emits one exploded null row per corrupt envelope

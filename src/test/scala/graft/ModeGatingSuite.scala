@@ -65,4 +65,24 @@ class ModeGatingSuite extends SparkSpec {
         LwwSink.tablePath(sink, "feed", "tick"))))
     } finally qs.foreach(_.stop())
   }
+
+  test("K3 dynamic tables: each topic gets its own {topic}_book table") {
+    def bookLineFor(topic: String, sym: String) =
+      s"""{"topic": "$topic", "frameType": "BOOK", "payload": [{"symbol": "$sym", "price": 1.08, "time": $t0, "volume": 9, "type": "BOOK_TYPE_BUY"}]}"""
+    val spool = spoolWith(
+      bookLineFor("eurusd", "EURUSD"),
+      bookLineFor("gbpusd", "GBPUSD"),
+      bookLineFor("eurusd", "EURJPY"))
+    val sink = Files.createTempDirectory("mode_sink3").toString
+    val ckpt = Files.createTempDirectory("mode_ckpt3").toString
+    val env = spark.readStream.format(fmt)
+      .option("path", spool.toString).load()
+    val qs = Pipelines.start(env, "book", sink, ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      assert(LwwSink.read(spark, sink, "eurusd", "book").count() === 2)
+      assert(LwwSink.read(spark, sink, "gbpusd", "book")
+        .collect().map(_.getString(0)).toSeq === Seq("GBPUSD"))
+    } finally qs.foreach(_.stop())
+  }
 }
