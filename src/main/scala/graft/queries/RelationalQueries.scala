@@ -179,6 +179,23 @@ object RelationalQueries extends QueryPack {
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
+    // Skew-breaking salted join ([[graft.ops.SaltedJoin]]): the hot-key
+    // escape hatch when the dim side is too big to broadcast and AQE's
+    // adaptive skew split isn't available (static planning, streaming
+    // micro-batches). Result multiset identical to the plain join —
+    // which is exactly what the oracle checks.
+    "join_salted_skew" -> ((s, dir) => {
+      import graft.ops.SaltedJoin
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      SaltedJoin(fact, dim, "k", saltBy = col("l_quantity"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
     // Left semi: orders having at least one big lineitem. At scale a
     // shuffle-hash semi join on l_orderkey; semi stops at first match and
     // never duplicates the left side.
@@ -409,6 +426,14 @@ object RelationalQueries extends QueryPack {
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "join_bucketed_colocated" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // identical relational content to the bucketed variant by design:
+    // salting must not change the join's result multiset
+    "join_salted_skew" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -40,6 +40,35 @@ class StreamJoinSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: ticks enrich from a broadcast dimension") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dim = Seq(("EURUSD", "FX", 5), ("GBPUSD", "FX", 5))
+      .toDF("symbol", "asset_class", "digits")
+    val ticks = MemoryStream[Schemas.Tick]
+    // static side broadcast: every micro-batch joins map-side, the
+    // stream never shuffles and no state store is involved
+    val q = ticks.toDF()
+      .join(broadcast(dim), Seq("symbol"), "left")
+      .writeStream.format("memory").queryName("ss_static")
+      .outputMode("append").start()
+    try {
+      ticks.addData(
+        Schemas.Tick("EURUSD", 1.0, 1.1, 1.2, t0, 3, "B"),
+        Schemas.Tick("XAUUSD", 1.0, 2000.0, 1.2, t0, 1, "B")) // no dim row
+      q.processAllAvailable()
+      val out = spark.table("ss_static")
+        .select("symbol", "asset_class")
+        .collect().map(r => (r.getString(0), Option(r.getString(1))))
+        .sortBy(_._1)
+      assert(out.toSeq === Seq(
+        ("EURUSD", Some("FX")),
+        ("XAUUSD", None)), "left join keeps unmatched stream rows")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not allocate a state store")
+    } finally q.stop()
+  }
+
   test("a tick matches multiple in-window book rows (interval, not as-of)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ticks = MemoryStream[Schemas.Tick]
