@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sink.LwwSink
+
+/** End-to-end streaming ingest throughput: spool of tick envelopes →
+  * DSv2 envelope source (multiple micro-batches via admission control) →
+  * parse → keyed cumulative state → LWW sink, wall-clocked from stream
+  * start to drain. This is the number to put against BASELINE.md's
+  * reference throughput bound (~10³–10⁴ rows/s: fully serialized recv
+  * loop with one awaited CQL round-trip per row,
+  * /root/reference/src/main.rs:219-230, 95-104).
+  *
+  * Output: one JSON line to stdout and (full precision) to a file —
+  * `{"metric":"stream_rows_per_sec","value":…,"rows":…,"sec":…}`.
+  * Env: SPARK_GRAFT_STREAM_ROWS (default 200000), SPARK_GRAFT_CPUS.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Deterministic tick envelopes: 100 symbols, increasing times, B/S
+    // alternating — the reference's input shape at volume.
+    val work = Files.createTempDirectory("graft_sbench")
+    def genSpool(n: Int, name: String, files: Int): String = {
+      val staging = work.resolve(s"${name}_staging")
+      val spool = work.resolve(name)
+      Files.createDirectories(spool)
+      val t0 = 1687176000L
+      spark.range(n).select(concat(
+        lit("""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "SYM"""),
+        (col("id") % 100).cast("string"),
+        lit("""", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": """),
+        (lit(t0) + (col("id") / 100).cast("long")).cast("string"),
+        lit(""", "volume": """), (col("id") % 50 + 1).cast("string"),
+        lit(""", "type": """"),
+        when(col("id") % 2 === 0, "B").otherwise("S"),
+        lit(""""}}""")).as("value"))
+        .repartition(files)
+        .write.mode(SaveMode.Overwrite).text(staging.toString)
+      import scala.jdk.CollectionConverters._
+      Files.list(staging).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, spool.resolve(f"$i%04d.jsonl"))
+        }
+      spool.toString
+    }
+
+    // JVM warm-up pass (codegen, parquet reader, state store) on a small
+    // spool so the measured run times the pipeline, not class loading.
+    runOnce(spark, genSpool(5000, "warm_spool", 2),
+      work.resolve("warm").toString, Some(1))
+
+    val spool = genSpool(nRows, "spool", 10)
+    val start = System.nanoTime()
+    val rows = runOnce(spark, spool, work.resolve("run").toString, Some(3))
+    val sec = (System.nanoTime() - start) / 1e9
+    val eps = rows / sec
+    val json =
+      f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus}"""
+    val outFile = args.headOption.getOrElse("stream_bench.json")
+    try Files.writeString(Paths.get(outFile), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
+    spark.stop()
+  }
+
+  /** Drain the whole spool through the tick pipeline into a fresh sink;
+    * returns rows landed. maxFilesPerTrigger forces multiple
+    * micro-batches so cross-batch state and per-batch sink merges are
+    * exercised (a single giant batch would flatter the number).
+    */
+  private def runOnce(spark: SparkSession, spool: String, root: String,
+      maxFiles: Option[Int]): Long = {
+    val env = spark.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .options(maxFiles.map(m => Map("maxFilesPerTrigger" -> m.toString))
+        .getOrElse(Map.empty))
+      .load()
+    val qs = graft.streaming.Pipelines.start(env, "tick",
+      s"$root/sink", s"$root/ckpt")
+    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    LwwSink.read(spark, s"$root/sink", "feed", "tick").count()
+  }
+}
