@@ -34,4 +34,31 @@ object SaltedJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Partial (skew-aware) salting — the form you actually run at scale:
+    * replicating the WHOLE dim side `salts`× taxes every key to fix a
+    * few, so first find the hot keys (one narrow count-by-key over the
+    * fact side — map-side partial agg, the key column only), then salt
+    * ONLY rows of hot keys and join the cold majority normally. The hot
+    * set is broadcast (skew means few distinct hot keys by definition);
+    * result multiset identical to the plain join, asserted by the
+    * suite and the `join_salted_skew` oracle.
+    */
+  def skewAware(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltBy: Column,
+      hotKeyThreshold: Long,
+      salts: Int = 16): DataFrame = {
+    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= hotKeyThreshold)
+      .select(col(key))
+    val factHot = fact.join(broadcast(hot), Seq(key), "left_semi")
+    val factCold = fact.join(broadcast(hot), Seq(key), "left_anti")
+    val dimHot = dim.join(broadcast(hot), Seq(key), "left_semi")
+    val dimCold = dim.join(broadcast(hot), Seq(key), "left_anti")
+    apply(factHot, dimHot, key, saltBy, salts)
+      .unionByName(factCold.join(dimCold, Seq(key)))
+  }
 }

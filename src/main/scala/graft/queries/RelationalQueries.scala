@@ -179,18 +179,21 @@ object RelationalQueries extends QueryPack {
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
-    // Skew-breaking salted join ([[graft.ops.SaltedJoin]]): the hot-key
-    // escape hatch when the dim side is too big to broadcast and AQE's
-    // adaptive skew split isn't available (static planning, streaming
-    // micro-batches). Result multiset identical to the plain join —
-    // which is exactly what the oracle checks.
+    // Skew-breaking salted join ([[graft.ops.SaltedJoin.skewAware]]):
+    // the hot-key escape hatch when the dim side is too big to
+    // broadcast and AQE's adaptive skew split isn't available (static
+    // planning, streaming micro-batches). Only rows of detected-hot
+    // keys are salted; the cold majority joins normally. Result
+    // multiset identical to the plain join — which is exactly what the
+    // oracle checks.
     "join_salted_skew" -> ((s, dir) => {
       import graft.ops.SaltedJoin
       val fact = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("k"), col("l_quantity"))
       val dim = t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_orderpriority"))
-      SaltedJoin(fact, dim, "k", saltBy = col("l_quantity"), salts = 8)
+      SaltedJoin.skewAware(fact, dim, "k", saltBy = col("l_quantity"),
+          hotKeyThreshold = 5L, salts = 8)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
