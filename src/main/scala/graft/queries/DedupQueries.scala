@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{ConnectedComponents, JaccardPairs, MinHashLSH, SimHash, TextHash, VectorOps}
+import graft.ops.{ConnectedComponents, JaccardPairs, MinHashLSH, SimHash, TextHash, TextStats, VectorOps}
 
 /** Training-data deduplication operators over the `documents` /
   * `embeddings` fixtures: exact hash dedup, MinHash+LSH banding, SimHash
@@ -53,6 +53,31 @@ object DedupQueries extends QueryPack {
           coalesce(col("component"), col("doc_id")).as("cluster"),
           (col("doc_id") === coalesce(col("component"), col("doc_id")))
             .as("is_survivor"))
+    }),
+
+    // The LLM-corpus curation workload the individual operators exist
+    // for, composed end to end: language-ID + quality score + near-dup
+    // cluster election in ONE pass over `documents`, emitting the
+    // keep/drop decision per doc (keep = English, above the quality
+    // bar, and its cluster's canonical survivor). Each piece is the
+    // already-oracle-checked operator; this query pins that they
+    // COMPOSE — the plan stays two scan-side projections + the pair
+    // graph + one left join, no operator forces a re-scan.
+    "corpus_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")
+      val comp = ConnectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      val toks = TextHash.tokens(col("text"))
+      docs.select(col("doc_id"),
+          TextStats.langId(toks).as("pred"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pred"), col("quality"),
+          coalesce(col("component"), col("doc_id")).as("cluster"))
+        .withColumn("keep",
+          col("pred") === "en" && col("quality") >= 0.5 &&
+            col("doc_id") === col("cluster"))
     }),
 
     // SimHash sketch per document (16-bit) + collision-cluster size.
@@ -142,6 +167,57 @@ object DedupQueries extends QueryPack {
     "dedup_minhash_pairs" ->
       s"""WITH $minhashPairsWith
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    // Mirrors of the text_langid / text_quality formulas (TextQueries)
+    // + the component closure, joined into the keep decision.
+    "corpus_curation" -> {
+      def sc(lang: String) = {
+        val prof = TextStats.LangProfiles.find(_._1 == lang).get._2
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(w, t -> list_contains($prof, t)))"
+      }
+      val langs = TextStats.LangProfiles.map(_._1)
+      val cases = langs.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+          .mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString("\n        |    ", "\n        |    ", "")
+      s"""WITH RECURSIVE $minhashPairsWith,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS node, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u),
+         |tokc AS (SELECT doc_id, text, string_split(text, ' ') AS w
+         |         FROM documents),
+         |scc AS (SELECT doc_id,
+         |  ${langs.map(l => s"${sc(l)} AS s_$l").mkString(", ")}
+         |  FROM tokc),
+         |lang AS (SELECT doc_id, CASE$cases
+         |    ELSE 'und' END AS pred FROM scc),
+         |mq AS (SELECT doc_id,
+         |        CAST(len(w) AS DOUBLE) AS n,
+         |        CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) AS tot,
+         |        CAST(${sc("en")} AS DOUBLE) AS nstop,
+         |        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+         |          / CAST(len(text) AS DOUBLE) AS symratio
+         |      FROM tokc),
+         |qual AS (SELECT doc_id,
+         |  greatest(0, 1 - abs(tot / n - 4.5) / 4.5) * 0.5
+         |    + least(nstop / n * 2, 1) * 0.3
+         |    + greatest(0, 1 - symratio * 5) * 0.2 AS quality
+         |  FROM mq)
+         |SELECT t.doc_id, pred, quality,
+         |  coalesce(c.component, t.doc_id) AS cluster,
+         |  pred = 'en' AND quality >= 0.5
+         |    AND t.doc_id = coalesce(c.component, t.doc_id) AS keep
+         |FROM tokc t
+         |JOIN lang USING (doc_id)
+         |JOIN qual USING (doc_id)
+         |LEFT JOIN comp c ON c.node = t.doc_id""".stripMargin
+    },
 
     // Transitive closure of the pair graph (exact at oracle scale), min
     // reachable id per node = the component the Spark side computes in
