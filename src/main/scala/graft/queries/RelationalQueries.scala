@@ -63,6 +63,22 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Grouped argmax ("best row per group") as an AGGREGATE, not a
+    // ranking window: max_by with a composite version makes the winner
+    // deterministic under price ties, and partial aggregation reduces
+    // each task to one candidate per group before the exchange — the
+    // same asymptotics as LwwDedup.argmax.
+    "agg_argmax" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey").cast("double")))
+            .as("best_orderkey"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n"))
+    }),
+
     // Typed-Aggregator UDAF surface: bounded-buffer top-k per group
     // (map-side partial top-k; k candidates per partition reach the
     // shuffle, never a per-group global sort).
@@ -366,6 +382,18 @@ object RelationalQueries extends QueryPack {
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // DuckDB arg_max has no composite-key form; the deterministic
+    // equivalent is the rank-1 row under (price DESC, orderkey DESC)
+    "agg_argmax" ->
+      """SELECT o_orderpriority, best_orderkey, max_price, n FROM (
+        |  SELECT o_orderpriority, o_orderkey AS best_orderkey,
+        |    max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS max_price,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin,
 
     "agg_topk_udaf" ->
       """SELECT o_orderstatus, CAST(rnk AS BIGINT) AS rnk,
