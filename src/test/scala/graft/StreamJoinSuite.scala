@@ -69,6 +69,41 @@ class StreamJoinSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: gap-based sessions close at the watermark") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ticks = MemoryStream[Schemas.Tick]
+    // per-symbol sessions with a 30s inactivity gap; append mode only
+    // emits a session once the watermark passes its close — bounded
+    // state, the streaming form of the batch agg_session_window query
+    val q = ticks.toDF()
+      .withColumn("ts", timestamp_seconds(col("time")))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(col("symbol"), session_window(col("ts"), "30 seconds"))
+      .agg(sum(col("volume")).as("vol"), count(lit(1)).as("n"))
+      .select(col("symbol"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        col("vol"), col("n"))
+      .writeStream.format("memory").queryName("ss_sess")
+      .outputMode("append").start()
+    try {
+      // session 1: two ticks 20s apart (same session, gap < 30s)
+      ticks.addData(
+        Schemas.Tick("EURUSD", 1.0, 1.1, 1.2, t0, 3, "B"),
+        Schemas.Tick("EURUSD", 1.0, 1.1, 1.2, t0 + 20, 5, "B"))
+      q.processAllAvailable()
+      // 2min later: new session, and its arrival advances the watermark
+      // past session 1's close so session 1 is emitted
+      ticks.addData(Schemas.Tick("EURUSD", 1.0, 1.1, 1.2, t0 + 120, 7, "S"))
+      q.processAllAvailable()
+      val out = spark.table("ss_sess")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(out.toSeq === Seq(("EURUSD", t0, 8L, 2L)),
+        "the closed session merges both ticks; the open one stays buffered")
+    } finally q.stop()
+  }
+
   test("a tick matches multiple in-window book rows (interval, not as-of)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ticks = MemoryStream[Schemas.Tick]
