@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ConnectedComponents, CumVol, MinHashLSH, VectorOps}
+
+/** Weak-scaling probe: the three heaviest pipelines at 1× and 10×
+  * sf0.1, built by unioning id-shifted copies (key cardinality grows
+  * 10×, per-key volume stays constant — the shape a 10× corpus
+  * actually has). A pipeline whose plan is scale-correct shows
+  * time(10×)/time(1×) ≈ 10 (linear, parallelism-limited) — quadratic
+  * candidate blow-ups or driver bottlenecks show up as ratios ≫ 10.
+  *
+  * This is evidence, not a gate: the driver's bench runs sf0.1; this
+  * main exists so "would this hold at 100×?" has a measured answer on
+  * the axis that matters (keys/rows), documented in docs/NOTES.md.
+  * Output: one JSON line (stdout + optional file arg).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def scaled(table: String, idCol: String, copies: Int): DataFrame = {
+      val df = Tables(spark, dir, table)
+      (0 until copies)
+        .map(i => df.withColumn(idCol, col(idCol) + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+    }
+    def time(f: => Long): (Double, Long) = {
+      val s = System.nanoTime(); val rows = f
+      ((System.nanoTime() - s) / 1e9, rows)
+    }
+
+    def cumvol(c: Int): Long =
+      CumVol(scaled("events", "user_id", c), col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          floor(col("value")).cast("int"),
+          buyMark = "purchase", sellMark = "click")
+        .count()
+
+    def textDedup(c: Int): Long = {
+      val pairs = MinHashLSH.candidatePairs(
+        scaled("documents", "doc_id", c), "doc_id", "text")
+      ConnectedComponents(pairs, "doc_a", "doc_b").count()
+    }
+
+    def embedDedup(c: Int): Long = {
+      val e = scaled("embeddings", "vec_id", c)
+      val bands = e
+        .select(col("vec_id"), posexplode(VectorOps.signBands(col("embedding"))))
+        .toDF("vec_id", "band", "bucket")
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    }
+
+    val probes = Seq[(String, Int => Long)](
+      ("cumvol", cumvol), ("text_dedup_cc", textDedup),
+      ("embed_lsh", embedDedup))
+    // warm-up at 1x (codegen/JIT), then measure 1x and 10x
+    probes.foreach { case (_, f) => f(1) }
+    val results = probes.map { case (name, f) =>
+      val (t1, r1) = time(f(1))
+      val (t10, r10) = time(f(10))
+      (name, t1, r1, t10, r10, t10 / t1)
+    }
+    val json = results.map { case (n, t1, r1, t10, r10, ratio) =>
+      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f}"""
+    }.mkString("{\"metric\":\"weak_scaling\",", ",", "}")
+    args.headOption.foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")
+      catch { case _: Throwable => () }
+    }
+    println(json)
+    spark.stop()
+  }
+}
