@@ -17,6 +17,33 @@ object FunctionQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Map-type surface: construct a map per row, explode its entries.
+    // Row order is irrelevant (the harness sorts); entry KEY order is
+    // pinned by construction order on both engines.
+    "func_maps" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+          explode(map(
+            lit("qty"), col("l_quantity"),
+            lit("disc"), col("l_discount"))).as(Seq("k", "v")))
+    }),
+
+    // Pure-SQL entry point: the engine as a SQL-only user drives it —
+    // temp view + spark.sql text (TPC-H Q6 shape), Catalyst does the
+    // rest. Decimal-cast before SUM per the oracle-parity discipline.
+    "sql_tpch_q6" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q6")
+      s.sql(
+        """SELECT
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |           * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+          |    AS revenue,
+          |  COUNT(*) AS n
+          |FROM lineitem_q6
+          |WHERE l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    }),
+
     // String function suite over part names.
     "func_strings" -> ((s, dir) => {
       Tables(s, dir, "part").select(
@@ -136,6 +163,24 @@ object FunctionQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "func_maps" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  u.entry.key AS k, u.entry.value AS v
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        unnest(map_entries(
+        |          MAP {'qty': l_quantity, 'disc': l_discount})) AS entry
+        |      FROM lineitem) u""".stripMargin,
+
+    "sql_tpch_q6" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                 * CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     "func_strings" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up,
