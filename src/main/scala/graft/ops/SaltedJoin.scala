@@ -51,9 +51,13 @@ object SaltedJoin {
       saltBy: Column,
       hotKeyThreshold: Long,
       salts: Int = 16): DataFrame = {
+    // pinned: four consumers (two semi, two anti) would each re-run
+    // the count aggregation otherwise; the hot set is tiny by the
+    // definition of skew
     val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= hotKeyThreshold)
       .select(col(key))
+      .localCheckpoint()
     val factHot = fact.join(broadcast(hot), Seq(key), "left_semi")
     val factCold = fact.join(broadcast(hot), Seq(key), "left_anti")
     val dimHot = dim.join(broadcast(hot), Seq(key), "left_semi")
