@@ -55,17 +55,9 @@ object ScaleProbe {
       ConnectedComponents(pairs, "doc_a", "doc_b").count()
     }
 
-    def embedDedup(c: Int): Long = {
-      val e = scaled("embeddings", "vec_id", c)
-      val bands = e
-        .select(col("vec_id"), posexplode(VectorOps.signBands(col("embedding"))))
-        .toDF("vec_id", "band", "bucket")
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
-    }
+    def embedDedup(c: Int): Long =
+      VectorOps.signBandCandidatePairs(
+        scaled("embeddings", "vec_id", c), "vec_id", "embedding").count()
 
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),

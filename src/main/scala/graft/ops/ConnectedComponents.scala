@@ -85,8 +85,15 @@ object ConnectedComponents {
         .head().getLong(0)
       converged = nextSum == sum
       sum = nextSum
+      // release the superseded round's blocks (next is already
+      // materialized, so dropping its input is safe) — without this a
+      // long session accumulates every round of every invocation in
+      // executor storage
+      val prev = labels
       labels = next
+      prev.unpersist()
     }
+    edges.unpersist() // the result depends only on the final labels
     labels.select(col("node"), col("label").as("component"))
   }
 }

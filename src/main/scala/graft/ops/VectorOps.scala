@@ -58,6 +58,30 @@ object VectorOps {
       Bridge.expression(v), nBands, bitsPerBand))
   }
 
+  /** Banded-LSH candidate pairs over a vector table: explode each row's
+    * band buckets, self-join on (band, bucket), dedup to distinct
+    * (a, b) id pairs with a < b. The exchange carries only (id, band,
+    * bucket) — vectors never ride the shuffle — and per-band occupancy
+    * ~corpus/2^bitsPerBand bounds the join width. One shared
+    * implementation: the dedup query, the ANN probe's corpus side, and
+    * the scale probe must all measure the SAME plan.
+    */
+  def signBandCandidatePairs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String): org.apache.spark.sql.DataFrame = {
+    val bands = df
+      .select(col(idCol), posexplode(signBands(col(vecCol))))
+      .toDF("vec_id", "band", "bucket")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   /** HOF form of [[signBands]] (equivalence anchor, portable fallback). */
   def signBandsHof(v: Column, nBands: Int = 8, bitsPerBand: Int = 16): Column = {
     val bands = (0 until nBands).map { b =>

@@ -108,16 +108,7 @@ object DedupQueries extends QueryPack {
     // where per-band recall is s^16 ≈ 0.9^16 ≈ 19% and 8-band OR ≈ 81%.
     "dedup_embedding_cosine" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val bands = e
-        .select(col("vec_id"), posexplode(VectorOps.signBands(col("embedding"))))
-        .toDF("vec_id", "band", "bucket")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+      val cand = VectorOps.signBandCandidatePairs(e, "vec_id", "embedding")
       val va = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val vb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))

@@ -45,14 +45,33 @@ import graft.ops.LwwDedup
   */
 object LwwSink {
 
-  /** Bucket-dir fan-out. At 16, a narrow batch rewrites ≤1/16 of a
-    * uniformly keyed table; raise for bigger tables (the layout is the
-    * knob, the merge code is bucket-count-agnostic).
+  /** Bucket-dir fan-out for NEW tables. Raise for bigger tables — each
+    * table pins the count it was created with in a `_nbuckets` marker,
+    * so existing layouts keep merging correctly after a change (a key
+    * must hash into the same bucket for the anti-join upsert to see its
+    * previous version; mixing counts within one table would silently
+    * duplicate PKs).
     */
   val NumBuckets = 16
 
+  /** Wire-supplied name components (the topic arrives from the feed,
+    * main.rs:220) are percent-encoded before touching the filesystem:
+    * a topic like `../../x` or one with path-illegal bytes must neither
+    * escape the sink root nor poison-pill the micro-batch into a
+    * checkpoint crash loop. Bijective, so distinct topics never collide
+    * on disk ('%' itself is encoded).
+    */
+  private[sink] def safeSeg(s: String): String =
+    s.map {
+      case c if c.isLetterOrDigit || c == '-' || c == '.' => c.toString
+      case c => f"%%${c.toInt}%02X"
+    }.mkString match {
+      case "" => "%EMPTY"
+      case enc => enc
+    }
+
   def tablePath(rootDir: String, topic: String, kind: String): String =
-    s"$rootDir/${topic}_$kind"
+    s"$rootDir/${safeSeg(topic)}_${safeSeg(kind)}"
 
   private def bucketDir(table: String, n: Int) = Paths.get(s"$table/kb=$n")
   private def asideDir(table: String, n: Int) = Paths.get(s"$table/_old_kb=$n")
@@ -72,9 +91,10 @@ object LwwSink {
     val spark = batch.sparkSession
     val table = tablePath(rootDir, topic, kind)
     recover(rootDir, topic, kind) // restore aside buckets before reading
+    val nb = bucketCount(table)
     val tagged = batch
       .withColumn("_batch_id", lit(batchId))
-      .withColumn("kb", pmod(hash(col(keys.head)), lit(NumBuckets)))
+      .withColumn("kb", pmod(hash(col(keys.head)), lit(nb)))
     // Upsert = LWW within the batch (a window over BATCH rows only — the
     // micro-batch is small by admission control), then existing rows
     // survive unless their PK is in the batch: a broadcast anti-join,
@@ -113,6 +133,25 @@ object LwwSink {
       deduped.write.mode(SaveMode.Overwrite).partitionBy("kb").parquet(tmp)
       swapBuckets(table, tmp, affected)
     } finally winners.unpersist()
+  }
+
+  /** The bucket count a table was CREATED with (pinned in a
+    * `_nbuckets` marker the parquet reader ignores); [[NumBuckets]]
+    * only seeds new tables. Without the pin, raising NumBuckets would
+    * rehash keys into buckets the anti-join never reads, silently
+    * duplicating PKs.
+    */
+  private def bucketCount(table: String): Int = {
+    val marker = Paths.get(s"$table/_nbuckets")
+    if (Files.exists(marker))
+      new String(Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else {
+      Files.createDirectories(Paths.get(table))
+      Files.write(marker, NumBuckets.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      NumBuckets
+    }
   }
 
   private def swapBuckets(table: String, tmp: String, affected: Seq[Int]): Unit = {

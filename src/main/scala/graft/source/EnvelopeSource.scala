@@ -118,6 +118,15 @@ private[source] class EnvelopeScan(
   * already-consumed one (double-reads + gaps); anchoring the offset to
   * the name itself makes a sort-order violation inert — the late file is
   * ignored — instead of corrupting the replay contract.
+  *
+  * Precise replay semantics: a batch is re-planned from the name range
+  * (start, end], so a contract-violating file that lands INSIDE a
+  * not-yet-committed range after the original run would be included on
+  * replay (and one at/below a committed watermark is never read, with
+  * no error). Exact replay therefore rests on the writer contract —
+  * monotone names, immutable once present — which
+  * [[SpoolTransportAdapter]] enforces by resuming its sequence past
+  * existing files.
   */
 private[source] case class FileNameOffset(lastFile: String) extends Offset {
   override def json(): String = lastFile
@@ -216,13 +225,19 @@ private[source] class EnvelopeFileReader(file: String, topicPrefix: String)
                     case 'r'  => sb.append('\r'); i += 2
                     case 'b'  => sb.append('\b'); i += 2
                     case 'f'  => sb.append('\f'); i += 2
+
                     case 'u' =>
-                      if (i + 5 >= rest.length) bad = true
-                      else try {
+                      // exactly 4 hex digits per the JSON spec —
+                      // Integer.parseInt alone would accept "-1AB"
+                      // and decode garbage instead of dead-lettering
+                      if (i + 5 >= rest.length ||
+                          !rest.substring(i + 2, i + 6).forall(c =>
+                            Character.digit(c, 16) >= 0)) bad = true
+                      else {
                         sb.append(Integer.parseInt(
                           rest.substring(i + 2, i + 6), 16).toChar)
                         i += 6
-                      } catch { case _: NumberFormatException => bad = true }
+                      }
                     case _ => bad = true // invalid escape per JSON spec
                   }
                 }

@@ -91,7 +91,20 @@ class SpoolTransportAdapter(
   def run(): Long = {
     val data = new DataInputStream(in)
     var written = 0L
-    var fileSeq = 0L
+    // Resume AFTER any already-sealed file: a restart that reset the
+    // sequence to 0 would ATOMIC_MOVE over sealed files — destroying
+    // their rows — and the replacement would sort at/below the
+    // consumed watermark and never be read. Monotone continuation is
+    // the writer half of the source's offset contract.
+    var fileSeq: Long = {
+      import scala.jdk.CollectionConverters._
+      val existing = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".jsonl"))
+        .flatMap(n => n.stripSuffix(".jsonl").toLongOption)
+        .toSeq
+      if (existing.isEmpty) 0L else existing.max + 1L
+    }
     var lines = Vector.empty[String]
     def seal(): Unit = if (lines.nonEmpty) {
       val tmp = dir.resolve(f".$fileSeq%010d.tmp")

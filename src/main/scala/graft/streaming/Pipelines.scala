@@ -37,11 +37,15 @@ object Pipelines {
     bookEnvelopes(env)
       .withColumn("_levels",
         from_json(col("payload"), ArrayType(Schemas.bookJsonSchema)))
-      .withColumn("_corrupt", col("_levels").isNull)
       // `payload` rides along so the dead-letter branch can quarantine
       // the raw bytes, not just the fact that something was corrupt
-      .select(col("topic"), col("payload"), col("_corrupt"),
+      .select(col("topic"), col("payload"),
         explode_outer(col("_levels")).as("l"))
+      // corrupt AFTER the explode: a null ARRAY and an empty array both
+      // explode_outer to one null `l` row, and a level missing its
+      // symbol would otherwise reach the sink as an all-null-PK row
+      // that the keyed upsert can never replace (null-unsafe keys)
+      .withColumn("_corrupt", col("l").isNull || col("l.symbol").isNull)
       .select(col("topic"), col("payload"), col("_corrupt"),
         col("l.symbol").as("symbol"), col("l.price").as("price"),
         col("l.time").as("time"), col("l.volume").as("volume"),
@@ -134,10 +138,10 @@ object Pipelines {
               id, sinkRoot, t, "book", Seq("symbol", "time", "price"))
           }
         }.start()
-      // corrupt BOOK envelopes quarantine like corrupt TICKs do — the
-      // parse emits one exploded null row per corrupt envelope
-      // (explode_outer on a null array), so distinct-per-payload here
-      // is exactly one dead-letter row per bad envelope
+      // corrupt BOOK envelopes quarantine like corrupt TICKs do — one
+      // dead-letter row per corrupt unit: a null/empty/unparseable
+      // payload explodes to one null row; a parseable array contributes
+      // one row per level that lacks its PK symbol
       queries += parseBooks(env).filter(col("_corrupt"))
         .select(col("topic"), col("payload"))
         .writeStream.outputMode("append")

@@ -119,6 +119,38 @@ class EnvelopeSourceSuite extends SparkSpec {
       .count() === 1)
   }
 
+  test("adapter restart resumes the file sequence past sealed files") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.source.{MultipartFrames, SpoolTransportAdapter}
+    def pumpOne(dir: Path, vol: Int): Unit = {
+      val server = new java.net.ServerSocket(0)
+      val feeder = new Thread(() => {
+        val s = server.accept()
+        val out = new java.io.DataOutputStream(s.getOutputStream)
+        MultipartFrames.writeMessage(out, Seq("feed", "TICK",
+          s"""{"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": $t0, "volume": $vol, "type": "B"}""")
+          .map(_.getBytes(UTF_8)))
+        s.close()
+      })
+      feeder.start()
+      val sock = new java.net.Socket("localhost", server.getLocalPort)
+      try new SpoolTransportAdapter(sock.getInputStream, dir.toString,
+        messagesPerFile = 1).run()
+      finally { sock.close(); server.close() }
+      feeder.join()
+    }
+    val dir = Files.createTempDirectory("spool_resume")
+    pumpOne(dir, 3) // seals 0000000000.jsonl
+    pumpOne(dir, 5) // restart: must seal 0000000001.jsonl, not overwrite
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(dir).iterator().asScala.toSeq
+      .map(_.getFileName.toString).sorted
+    assert(names === Seq("0000000000.jsonl", "0000000001.jsonl"),
+      "a restarted pump must never rename over a sealed file")
+    val df = spark.read.format(fmt).option("path", dir.toString).load()
+    assert(df.count() === 2, "both pumps' rows survive")
+  }
+
   test("JSON escapes decode per spec; lone trailing backslash dead-letters") {
     val dir = Files.createTempDirectory("spool_esc")
     write(dir, "000.jsonl",

@@ -66,6 +66,49 @@ class ModeGatingSuite extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("empty book array and symbol-less level dead-letter, never reach the sink") {
+    val emptyArray =
+      """{"topic": "feed", "frameType": "BOOK", "payload": []}"""
+    val noSymbol =
+      s"""{"topic": "feed", "frameType": "BOOK", "payload": [{"price": 1.08, "time": $t0, "volume": 9, "type": "BOOK_TYPE_BUY"}, {"symbol": "EURUSD", "price": 1.09, "time": $t0, "volume": 2, "type": "BOOK_TYPE_BUY"}]}"""
+    val spool = spoolWith(bookLine, emptyArray, noSymbol)
+    val sink = Files.createTempDirectory("mode_sink4").toString
+    val ckpt = Files.createTempDirectory("mode_ckpt4").toString
+    val env = spark.readStream.format(fmt)
+      .option("path", spool.toString).load()
+    val qs = Pipelines.start(env, "book", sink, ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      // only levels carrying their PK land: bookLine's + noSymbol's 2nd
+      val rows = LwwSink.read(spark, sink, "feed", "book")
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(rows.forall(_._1 != null), "no null-PK rows in the sink")
+      assert(rows.length === 2)
+      // the empty array and the PK-less level each quarantine
+      assert(spark.read.parquet(s"$sink/_deadletter").count() === 2)
+    } finally qs.foreach(_.stop())
+  }
+
+  test("hostile topic cannot escape the sink root or kill the batch") {
+    val evil =
+      s"""{"topic": "../../evil", "frameType": "BOOK", "payload": [{"symbol": "EURUSD", "price": 1.08, "time": $t0, "volume": 9, "type": "BOOK_TYPE_BUY"}]}"""
+    val spool = spoolWith(evil)
+    val sink = Files.createTempDirectory("mode_sink5").toString
+    val ckpt = Files.createTempDirectory("mode_ckpt5").toString
+    val env = spark.readStream.format(fmt)
+      .option("path", spool.toString).load()
+    val qs = Pipelines.start(env, "book", sink, ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      // the row lands, percent-encoded INSIDE the sink root
+      assert(LwwSink.read(spark, sink, "../../evil", "book").count() === 1)
+      val table = java.nio.file.Paths.get(
+        LwwSink.tablePath(sink, "../../evil", "book")).normalize()
+      assert(table.startsWith(java.nio.file.Paths.get(sink)),
+        s"table must stay under the sink root: $table")
+    } finally qs.foreach(_.stop())
+  }
+
   test("K3 dynamic tables: each topic gets its own {topic}_book table") {
     def bookLineFor(topic: String, sym: String) =
       s"""{"topic": "$topic", "frameType": "BOOK", "payload": [{"symbol": "$sym", "price": 1.08, "time": $t0, "volume": 9, "type": "BOOK_TYPE_BUY"}]}"""
