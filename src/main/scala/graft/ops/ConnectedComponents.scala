@@ -50,9 +50,13 @@ object ConnectedComponents {
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize in ONE pass over the pairs: a union of forward +
+    // reversed branches would run the (often expensive) upstream pair
+    // pipeline twice before the checkpoint pins it
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint() // read every round; never recompute the pairs
     var labels = edges.select(col("src").as("node"))
       .distinct()
