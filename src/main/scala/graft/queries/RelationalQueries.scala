@@ -339,6 +339,21 @@ object RelationalQueries extends QueryPack {
       a.except(b).orderBy("nk")
     }),
 
+    // Multiset (ALL) variants: bag semantics preserve multiplicity —
+    // EXCEPT ALL keeps max(0, count_a - count_b) copies per value.
+    // Summarized by value so the oracle row set is deterministic.
+    "set_except_all" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      a.exceptAll(b).groupBy("nk").agg(count(lit(1)).as("n"))
+    }),
+
+    "set_intersect_all" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      a.intersectAll(b).groupBy("nk").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- subqueries -----------------------------------------------------
     // Scalar subquery: orders above the global average price. The average
     // is an exact decimal sum / count (cross-join of a 1-row aggregate —
@@ -557,6 +572,18 @@ object RelationalQueries extends QueryPack {
     "set_except" ->
       """SELECT c_nationkey AS nk FROM customer
         |EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nk""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nk""".stripMargin,
 
     "subquery_scalar" ->
       """SELECT o_orderstatus, COUNT(*) AS n_above_avg
