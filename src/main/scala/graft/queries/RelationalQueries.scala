@@ -126,6 +126,34 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("total"))
     }),
 
+    // Native pivot API with PINNED values: `pivot(col, values)` avoids
+    // the extra distinct-values job AND makes the output schema static
+    // — the form you run at scale (unpinned pivot = a driver collect of
+    // the key domain first).
+    "agg_pivot_native" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id").mod(100).as("cohort"))
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)).as("n"))
+        .na.fill(0L, Seq("click", "purchase", "view"))
+    }),
+
+    // RANGE frame: per-customer 30-day trailing order-value sum —
+    // value-based frame bounds (all peers within the range), not
+    // row-counted ones; ordered on epoch-day so both engines frame on
+    // identical integers.
+    "window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("trail30",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("d"),
+          col("trail30"))
+    }),
+
     // ---- joins ----------------------------------------------------------
     // Dim-chain broadcast: region ⋈ nation ⋈ customer with both dims
     // broadcast — no shuffle of the fact side at any scale.
@@ -572,6 +600,25 @@ object RelationalQueries extends QueryPack {
     "set_except" ->
       """SELECT c_nationkey AS nk FROM customer
         |EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+
+    "agg_pivot_native" ->
+      """SELECT user_id % 100 AS cohort,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, d,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS trail30
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+        |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS s
+        |  FROM orders)""".stripMargin,
 
     "set_except_all" ->
       """SELECT nk, COUNT(*) AS n FROM (
