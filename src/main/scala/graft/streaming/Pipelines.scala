@@ -66,11 +66,18 @@ object Pipelines {
         col("_t.type").as("tradeType"))
 
   /** Full tick branch: parse → drop corrupt (to dead-letter elsewhere) →
-    * stateful enrichment (A1+A2+F6).
+    * stateful enrichment (A1+A2+F6). The parse stage is `observe`d:
+    * per-micro-batch row/corrupt counts surface in every
+    * `StreamingQueryProgress.observedMetrics` — the monitoring signal
+    * the reference's log-line-per-error (main.rs:224-229) cannot
+    * aggregate.
     */
   def tickPipeline(env: DataFrame): Dataset[Schemas.EnrichedTick] = {
     import env.sparkSession.implicits._
     val ticks = parseTicks(env)
+      .observe("graft_ticks",
+        count(lit(1)).as("rows"),
+        count(when(col("_corrupt"), lit(1))).as("corrupt"))
       .filter(!col("_corrupt"))
       .select("symbol", "bid", "price", "ask", "time", "volume", "tradeType")
       .as[Schemas.Tick]
@@ -124,19 +131,28 @@ object Pipelines {
       // branch stays single-table: its keyed state is per-symbol like
       // the reference, which runs one topic prefix per process
       // (start.sh:3-14) — topic fan-out there is deployment-level.
-      queries += parseBooks(env).filter(!col("_corrupt"))
+      queries += parseBooks(env)
+        .observe("graft_books",
+          count(lit(1)).as("rows"),
+          count(when(col("_corrupt"), lit(1))).as("corrupt"))
+        .filter(!col("_corrupt"))
         .select("topic", "symbol", "price", "time", "volume", "orderType")
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$checkpointRoot/book")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val b = batch.toDF()
-          val topics = b.select("topic").distinct()
-            .collect().map(_.getString(0)).sorted
-          topics.foreach { t =>
-            LwwSink.upsertBatch(
-              b.filter(col("topic") === t).drop("topic"),
-              id, sinkRoot, t, "book", Seq("symbol", "time", "price"))
-          }
+          // pin the batch: the topic scan and each per-topic upsert are
+          // separate actions — unpinned they would re-parse the whole
+          // micro-batch per topic (and re-fire the observe metrics)
+          val b = batch.toDF().persist()
+          try {
+            val topics = b.select("topic").distinct()
+              .collect().map(_.getString(0)).sorted
+            topics.foreach { t =>
+              LwwSink.upsertBatch(
+                b.filter(col("topic") === t).drop("topic"),
+                id, sinkRoot, t, "book", Seq("symbol", "time", "price"))
+            }
+          } finally b.unpersist()
         }.start()
       // corrupt BOOK envelopes quarantine like corrupt TICKs do — one
       // dead-letter row per corrupt unit: a null/empty/unparseable

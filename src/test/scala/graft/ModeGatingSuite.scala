@@ -66,6 +66,27 @@ class ModeGatingSuite extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("observed metrics report per-batch row and corrupt counts") {
+    val spool = spoolWith(tickLine, corruptTick, bookLine, corruptBook)
+    val sink = Files.createTempDirectory("mode_sink6").toString
+    val ckpt = Files.createTempDirectory("mode_ckpt6").toString
+    val env = spark.readStream.format(fmt)
+      .option("path", spool.toString).load()
+    val qs = Pipelines.start(env, "full", sink, ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      def totals(name: String): (Long, Long) = {
+        val rows = qs.flatMap(_.recentProgress)
+          .flatMap(p => Option(p.observedMetrics.get(name)))
+        (rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum)
+      }
+      assert(totals("graft_ticks") === ((2L, 1L)),
+        "tick branch saw 2 envelopes, 1 corrupt")
+      assert(totals("graft_books") === ((2L, 1L)),
+        "book branch saw 2 envelopes (1 level + 1 corrupt)")
+    } finally qs.foreach(_.stop())
+  }
+
   test("empty book array and symbol-less level dead-letter, never reach the sink") {
     val emptyArray =
       """{"topic": "feed", "frameType": "BOOK", "payload": []}"""
