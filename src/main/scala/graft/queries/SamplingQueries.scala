@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.TextHash
+import graft.ops.{TextHash, TextStats}
 
 /** Deterministic sampling and dataset splitting — the reproducibility
   * primitives of a training-data pipeline. `df.sample()` is RNG-based:
@@ -40,6 +40,38 @@ object SamplingQueries extends QueryPack {
         .select("lang", "pick", "doc_id")
     }),
 
+    // Sequence packing: assign each doc to a fixed-capacity context
+    // window (4096 tokens) by the running token count — contiguous
+    // packing per language shard in stable doc_id order, pack id =
+    // tokens-before-this-doc DIV capacity. One window shuffle on the
+    // shard key; the training-batch assembly shape (docs may straddle
+    // a boundary; the loader that consumes pack_id splits them).
+    "pack_sequences" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir, "documents")
+        .withColumn("n_tok", size(TextHash.tokens(col("text"))).cast("long"))
+        .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("lang"), col("doc_id"), col("n_tok"),
+          expr("cum_before div 4096").as("pack_id"))
+    }),
+
+    // Quality-weighted deterministic sampling: keep-probability equals
+    // the row's quality score, realized as a hash threshold — still a
+    // pure function of content, reproducible anywhere, no RNG state.
+    "sample_weighted" -> ((s, dir) => {
+      val u = pmod(TextHash.h31(col("text")), lit(1000000))
+        .cast("double") / lit(1000000d)
+      Tables(s, dir, "documents")
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+        .filter(u < col("quality"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+    }),
+
     // 80/10/10 train/valid/test split keyed on the document id — membership
     // is a pure function of the key, so a document can never leak across
     // splits between runs.
@@ -71,6 +103,41 @@ object SamplingQueries extends QueryPack {
          |      ORDER BY ${h("text")}, doc_id) AS pick
          |  FROM documents)
          |WHERE pick <= 30""".stripMargin,
+
+    "pack_sequences" ->
+      """SELECT lang, doc_id, n_tok, cum_before // 4096 AS pack_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(SUM(len(string_split(text, ' '))) OVER (
+        |        PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - CAST(len(string_split(text, ' ')) AS BIGINT) AS cum_before
+        |  FROM documents)""".stripMargin,
+
+    // quality formula mirrored from text_quality (TextQueries)
+    "sample_weighted" -> {
+      val prof = graft.ops.TextStats.LangProfiles.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val enScore = s"len(list_filter(w, t -> list_contains($prof, t)))"
+      s"""WITH tok AS (SELECT doc_id, lang, text,
+         |               string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id, lang, text,
+         |        CAST(len(w) AS DOUBLE) AS n,
+         |        CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) AS tot,
+         |        CAST($enScore AS DOUBLE) AS nstop,
+         |        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+         |          / CAST(len(text) AS DOUBLE) AS symratio
+         |      FROM tok),
+         |q AS (SELECT doc_id, lang,
+         |        greatest(0, 1 - abs(tot / n - 4.5) / 4.5) * 0.5
+         |          + least(nstop / n * 2, 1) * 0.3
+         |          + greatest(0, 1 - symratio * 5) * 0.2 AS quality,
+         |        CAST(${h("text")} % 1000000 AS DOUBLE) / 1000000 AS u
+         |      FROM m)
+         |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc
+         |FROM q WHERE u < quality
+         |GROUP BY lang""".stripMargin
+    },
 
     "split_train_test" ->
       s"""SELECT CASE WHEN slot < 80 THEN 'train'
