@@ -167,6 +167,29 @@ class PlanAuditSuite extends SparkSpec {
     assert(p.toString.contains("TakeOrderedAndProject"), s"plan was:\n$p")
   }
 
+  test("pack_sequences: one shuffle (the per-shard packing window)") {
+    assert(countShuffles(executed(q("pack_sequences"))) === 1)
+  }
+
+  test("window_range_frame: one shuffle (the per-customer frame window)") {
+    assert(countShuffles(executed(q("window_range_frame"))) === 1)
+  }
+
+  test("sample_weighted: the filter stays scan-side (no pre-filter shuffle)") {
+    // quality + hash threshold are pure projections; the only exchange
+    // is the final per-language rollup
+    assert(countShuffles(executed(q("sample_weighted"))) === 1)
+  }
+
+  test("agg_pivot_native: two-phase pivot plan, no distinct-domain job") {
+    // Spark plans pivot as agg-by-(cohort, key) then pivot_first by
+    // cohort — exactly two exchanges, both with map-side partial
+    // aggregation. The point of PINNING the values: an unpinned pivot
+    // would additionally run a driver-side distinct collect of the key
+    // domain before planning.
+    assert(countShuffles(executed(q("agg_pivot_native"))) === 2)
+  }
+
   test("minhash: signature pipeline scans corpus once (single stage chain)") {
     // one shuffle into (band,sig) buckets + one for the final distinct —
     // crucially NOT 2x signature computation (no self-join of the
