@@ -29,7 +29,50 @@ import graft.streaming.Pipelines
 object StreamE2EQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_e2e_sink" -> ((s, dir) => run(s, dir)))
+    "stream_e2e_sink" -> ((s, dir) => run(s, dir)),
+    "stream_e2e_cumvol" -> ((s, dir) => runCumvol(s, dir)))
+
+  /** The STATEFUL path end to end: TICK envelopes → envelope source →
+    * parse → keyed cumulative state (A1+A2: per-(symbol, UTC-day)
+    * running buy/sell totals) → LWW sink → read-back, against a DuckDB
+    * window-function oracle. Determinism: one tick per (symbol,
+    * second) (pre-dedup) + the processor's stable time sort makes the
+    * running totals independent of arrival order, so the stateful
+    * enrichment itself — not just the parse — is oracle-checked.
+    */
+  private def runCumvol(s: SparkSession, dir: String): DataFrame = {
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+    val lines = base.select(to_json(struct(
+      lit("feed").as("topic"),
+      lit("TICK").as("frameType"),
+      struct(
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("bid"),
+        col("value").as("price"),
+        col("value").as("ask"),
+        col("time_s").as("time"),
+        floor(col("value")).cast("int").as("volume"),
+        when(col("event_type") === "purchase", "B").otherwise("S")
+          .as("type")).as("payload"))).as("value"))
+    val work = Files.createTempDirectory("graft_e2e_cv")
+    val spool = spoolFrom(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).load()
+    val sinkRoot = work.resolve("sink").toString
+    val qs = Pipelines.start(env, "tick", sinkRoot,
+      work.resolve("ckpt").toString)
+    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    LwwSink.read(s, sinkRoot, "feed", "tick")
+      .select(col("symbol"), col("time").as("time_s"), col("volume"),
+        col("tradeType").as("trade_type"),
+        col("cumbuy"), col("cumsell"), col("cumdelta"))
+  }
 
   private def run(s: SparkSession, dir: String): DataFrame = {
     // 1. Feed-adapter analog: events → one single-level BOOK envelope
@@ -55,6 +98,23 @@ object StreamE2EQueries extends QueryPack {
     // 2. Spool: monotone-named immutable .jsonl files (the source's
     //    writer contract), written distributed then renamed into place.
     val work = Files.createTempDirectory("graft_e2e")
+    val spool = spoolFrom(lines, work)
+
+    // 3. Stream spool → book pipeline → LWW sink; drain; read back.
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).load()
+    val sinkRoot = work.resolve("sink").toString
+    val qs = Pipelines.start(env, "book", sinkRoot,
+      work.resolve("ckpt").toString)
+    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    LwwSink.read(s, sinkRoot, "feed", "book")
+      .select(col("symbol"), col("price"), col("time").as("time_s"),
+        col("volume"), col("orderType").as("order_type"))
+  }
+
+  /** Distributed text write + monotone rename into a fresh spool dir. */
+  private def spoolFrom(lines: DataFrame, work: Path): String = {
     val staging = work.resolve("staging")
     val spool = work.resolve("spool")
     Files.createDirectories(spool)
@@ -66,21 +126,34 @@ object StreamE2EQueries extends QueryPack {
     parts.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, spool.resolve(f"$i%04d.jsonl"))
     }
-
-    // 3. Stream spool → book pipeline → LWW sink; drain; read back.
-    val env = s.readStream
-      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
-      .option("path", spool.toString).load()
-    val sinkRoot = work.resolve("sink").toString
-    val qs = Pipelines.start(env, "book", sinkRoot,
-      work.resolve("ckpt").toString)
-    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
-    LwwSink.read(s, sinkRoot, "feed", "book")
-      .select(col("symbol"), col("price"), col("time").as("time_s"),
-        col("volume"), col("orderType").as("order_type"))
+    spool.toString
   }
 
+  private val cumvolSide = (m: String) =>
+    s"CAST(SUM(CASE WHEN typ = '$m' THEN CAST(floor(value) AS INT) ELSE 0 END) OVER w AS BIGINT)"
+
   def oracles: Map[String, String] = Map(
+    "stream_e2e_cumvol" ->
+      s"""WITH base AS (
+         |  SELECT * FROM (
+         |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+         |      CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END AS typ,
+         |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_type IN ('purchase', 'click'))
+         |  WHERE rn = 1)
+         |SELECT CAST(user_id AS VARCHAR) AS symbol,
+         |  sec AS time_s,
+         |  CAST(floor(value) AS INT) AS volume,
+         |  typ AS trade_type,
+         |  ${cumvolSide("B")} AS cumbuy,
+         |  ${cumvolSide("S")} AS cumsell,
+         |  ${cumvolSide("B")} - ${cumvolSide("S")} AS cumdelta
+         |FROM base
+         |WINDOW w AS (PARTITION BY user_id, sec // 86400
+         |             ORDER BY sec
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "stream_e2e_sink" ->
       """SELECT CAST(user_id AS VARCHAR) AS symbol,
         |  value AS price,
