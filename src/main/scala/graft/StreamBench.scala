@@ -29,6 +29,11 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // production state backend: the pipeline selects its
+      // transformWithState processor when RocksDB is the provider, so
+      // the measured path is the one a cluster runs
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -81,7 +81,15 @@ object Pipelines {
       .filter(!col("_corrupt"))
       .select("symbol", "bid", "price", "ask", "time", "volume", "tradeType")
       .as[Schemas.Tick]
-    CumVolProcessor.enrich(ticks)
+    // Same semantics, two state backends (equivalence is suite-tested):
+    // transformWithState REQUIRES the RocksDB provider, so sessions
+    // configured for it (production, StreamBench) get the TWS processor
+    // and everything else falls back to flatMapGroupsWithState.
+    val useTws = env.sparkSession.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB"))
+    if (useTws) CumVolStatefulProcessor.enrich(ticks)
+    else CumVolProcessor.enrich(ticks)
   }
 
   /** R2 mode gating (the reference compiles three binaries from

@@ -66,6 +66,31 @@ class ModeGatingSuite extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("RocksDB session runs the whole tick pipeline on transformWithState") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val spool = spoolWith(
+        s"""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": $t0, "volume": 3, "type": "B"}}""",
+        s"""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "EURUSD", "bid": 1.0, "price": 1.2, "ask": 1.2, "time": ${t0 + 1}, "volume": 5, "type": "S"}}""")
+      val sink = Files.createTempDirectory("mode_sink7").toString
+      val ckpt = Files.createTempDirectory("mode_ckpt7").toString
+      val env = spark.readStream.format(fmt)
+        .option("path", spool.toString).load()
+      val qs = Pipelines.start(env, "tick", sink, ckpt)
+      try {
+        qs.foreach(_.processAllAvailable())
+        val out = LwwSink.read(spark, sink, "feed", "tick")
+          .select("time", "cumbuy", "cumsell", "cumdelta")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1)
+        assert(out === Seq((t0, 3L, 0L, 3L), (t0 + 1, 3L, 5L, -2L)),
+          "TWS-backed enrichment must produce the golden cumvol rows")
+      } finally qs.foreach(_.stop())
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("observed metrics report per-batch row and corrupt counts") {
     val spool = spoolWith(tickLine, corruptTick, bookLine, corruptBook)
     val sink = Files.createTempDirectory("mode_sink6").toString
