@@ -29,23 +29,22 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // production state backend: the pipeline selects its
-      // transformWithState processor when RocksDB is the provider, so
-      // the measured path is the one a cluster runs
+      // production state backend: RocksDB provider + the explicit graft
+      // opt-in for the transformWithState processor, so the measured
+      // path is the one a cluster runs
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.graft.cumvol.tws", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Deterministic tick envelopes: 100 symbols, increasing times, B/S
     // alternating — the reference's input shape at volume.
     val work = Files.createTempDirectory("graft_sbench")
+    graft.source.SpoolWriter.deleteAtExit(work)
     def genSpool(n: Int, name: String, files: Int): String = {
-      val staging = work.resolve(s"${name}_staging")
-      val spool = work.resolve(name)
-      Files.createDirectories(spool)
       val t0 = 1687176000L
-      spark.range(n).select(concat(
+      val lines = spark.range(n).select(concat(
         lit("""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "SYM"""),
         (col("id") % 100).cast("string"),
         lit("""", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": """),
@@ -54,16 +53,9 @@ object StreamBench {
         lit(""", "type": """"),
         when(col("id") % 2 === 0, "B").otherwise("S"),
         lit(""""}}""")).as("value"))
-        .repartition(files)
-        .write.mode(SaveMode.Overwrite).text(staging.toString)
-      import scala.jdk.CollectionConverters._
-      Files.list(staging).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .sortBy(_.getFileName.toString)
-        .zipWithIndex.foreach { case (p, i) =>
-          Files.move(p, spool.resolve(f"$i%04d.jsonl"))
-        }
-      spool.toString
+      val sub = work.resolve(name)
+      Files.createDirectories(sub)
+      graft.source.SpoolWriter.write(lines, sub, Some(files))
     }
 
     // JVM warm-up pass (codegen, parquet reader, state store) on a small

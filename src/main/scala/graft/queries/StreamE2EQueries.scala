@@ -35,10 +35,16 @@ object StreamE2EQueries extends QueryPack {
   /** The STATEFUL path end to end: TICK envelopes → envelope source →
     * parse → keyed cumulative state (A1+A2: per-(symbol, UTC-day)
     * running buy/sell totals) → LWW sink → read-back, against a DuckDB
-    * window-function oracle. Determinism: one tick per (symbol,
-    * second) (pre-dedup) + the processor's stable time sort makes the
-    * running totals independent of arrival order, so the stateful
-    * enrichment itself — not just the parse — is oracle-checked.
+    * window-function oracle. Determinism rests on THREE legs, each
+    * load-bearing: one tick per (symbol, second) (pre-dedup); a
+    * symbol's envelopes all in ONE spool file in time order (hash
+    * partition by symbol + sort within partitions, preserved through
+    * the narrow to_json projection and `repartitionTo = None`), so any
+    * admission pacing keeps a symbol's rows inside a single
+    * micro-batch; and the processor's stable per-batch time sort.
+    * Without the file-locality leg, a maxFilesPerTrigger setting could
+    * split a symbol across batches and the per-batch sort could not
+    * order rows across the batch boundary.
     */
   private def runCumvol(s: SparkSession, dir: String): DataFrame = {
     val base = LwwDedup(
@@ -47,6 +53,8 @@ object StreamE2EQueries extends QueryPack {
         .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
       Seq(col("user_id"), col("time_s")),
       Seq(col("event_id")))
+      .repartition(4, col("user_id"))
+      .sortWithinPartitions(col("time_s"))
     val lines = base.select(to_json(struct(
       lit("feed").as("topic"),
       lit("TICK").as("frameType"),
@@ -60,7 +68,9 @@ object StreamE2EQueries extends QueryPack {
         when(col("event_type") === "purchase", "B").otherwise("S")
           .as("type")).as("payload"))).as("value"))
     val work = Files.createTempDirectory("graft_e2e_cv")
-    val spool = spoolFrom(lines, work)
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None) // preserve per-symbol file locality
     val env = s.readStream
       .format(classOf[graft.source.EnvelopeSourceProvider].getName)
       .option("path", spool).load()
@@ -98,7 +108,8 @@ object StreamE2EQueries extends QueryPack {
     // 2. Spool: monotone-named immutable .jsonl files (the source's
     //    writer contract), written distributed then renamed into place.
     val work = Files.createTempDirectory("graft_e2e")
-    val spool = spoolFrom(lines, work)
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
 
     // 3. Stream spool → book pipeline → LWW sink; drain; read back.
     val env = s.readStream
@@ -111,22 +122,6 @@ object StreamE2EQueries extends QueryPack {
     LwwSink.read(s, sinkRoot, "feed", "book")
       .select(col("symbol"), col("price"), col("time").as("time_s"),
         col("volume"), col("orderType").as("order_type"))
-  }
-
-  /** Distributed text write + monotone rename into a fresh spool dir. */
-  private def spoolFrom(lines: DataFrame, work: Path): String = {
-    val staging = work.resolve("staging")
-    val spool = work.resolve("spool")
-    Files.createDirectories(spool)
-    lines.repartition(4).write.mode(SaveMode.Overwrite)
-      .text(staging.toString)
-    val parts: Seq[Path] = Files.list(staging).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .sortBy(_.getFileName.toString)
-    parts.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, spool.resolve(f"$i%04d.jsonl"))
-    }
-    spool.toString
   }
 
   private val cumvolSide = (m: String) =>

@@ -1,0 +1,50 @@
+package graft.source
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** The one implementation of the spool WRITER contract (monotone-named,
+  * immutable-once-present `.jsonl` files — see [[EnvelopeSourceProvider]]):
+  * distributed text write to a staging dir, then rename the sorted part
+  * files into `NNNN.jsonl` sequence names. Shared by the e2e oracle
+  * queries and StreamBench so the contract lives in exactly one place.
+  *
+  * Ordering note: one part file = one spool file = indivisible
+  * micro-batch member. A caller that needs per-key ordering under ANY
+  * admission pacing pre-partitions `lines` by the key and sorts within
+  * partitions (each key's rows then live in one file, in order) and
+  * passes `repartitionTo = None` to preserve that layout.
+  */
+object SpoolWriter {
+
+  def write(lines: DataFrame, work: Path,
+      repartitionTo: Option[Int] = Some(4)): String = {
+    val staging = work.resolve("staging")
+    val spool = work.resolve("spool")
+    Files.createDirectories(spool)
+    repartitionTo.map(lines.repartition(_)).getOrElse(lines)
+      .write.mode(SaveMode.Overwrite).text(staging.toString)
+    Files.list(staging).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+      .zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, spool.resolve(f"$i%04d.jsonl"))
+      }
+    spool.toString
+  }
+
+  /** Best-effort removal of a work tree at JVM exit — e2e runs write a
+    * spool + sink + checkpoint per invocation; without this a
+    * long-lived host accumulates full dataset copies in tmp. (Deletion
+    * must wait for exit: the query result is a LAZY read over the sink
+    * parquet.)
+    */
+  def deleteAtExit(work: Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try Files.walk(work).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+      catch { case _: Throwable => () }))
+}

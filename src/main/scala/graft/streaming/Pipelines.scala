@@ -81,15 +81,23 @@ object Pipelines {
       .filter(!col("_corrupt"))
       .select("symbol", "bid", "price", "ask", "time", "volume", "tradeType")
       .as[Schemas.Tick]
-    // Same semantics, two state backends (equivalence is suite-tested):
-    // transformWithState REQUIRES the RocksDB provider, so sessions
-    // configured for it (production, StreamBench) get the TWS processor
-    // and everything else falls back to flatMapGroupsWithState.
+    // Same semantics, two state backends (equivalence is suite-tested),
+    // chosen by an EXPLICIT graft conf — never inferred from the state
+    // store provider, which is a tuning knob fully compatible with
+    // either operator: inferring would silently swap the stateful
+    // operator under an existing checkpoint (state-format mismatch →
+    // unrecoverable restart) when ops changes the provider.
     val useTws = env.sparkSession.conf
-      .getOption("spark.sql.streaming.stateStore.providerClass")
-      .exists(_.contains("RocksDB"))
-    if (useTws) CumVolStatefulProcessor.enrich(ticks)
-    else CumVolProcessor.enrich(ticks)
+      .getOption("spark.graft.cumvol.tws").exists(_.toBoolean)
+    if (useTws) {
+      val provider = env.sparkSession.conf
+        .getOption("spark.sql.streaming.stateStore.providerClass")
+        .getOrElse("")
+      require(provider ==
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        s"spark.graft.cumvol.tws requires the RocksDB state store provider, got '$provider'")
+      CumVolStatefulProcessor.enrich(ticks)
+    } else CumVolProcessor.enrich(ticks)
   }
 
   /** R2 mode gating (the reference compiles three binaries from

@@ -69,6 +69,7 @@ class ModeGatingSuite extends SparkSpec {
   test("RocksDB session runs the whole tick pipeline on transformWithState") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.graft.cumvol.tws", "true")
     try {
       val spool = spoolWith(
         s"""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": $t0, "volume": 3, "type": "B"}}""",
@@ -80,6 +81,15 @@ class ModeGatingSuite extends SparkSpec {
       val qs = Pipelines.start(env, "tick", sink, ckpt)
       try {
         qs.foreach(_.processAllAvailable())
+        // both backends produce these rows — assert the gating actually
+        // selected the TWS operator, or a dead gate stays green
+        val plans = qs.map { q =>
+          val out = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(out))(q.explain())
+          out.toString
+        }
+        assert(plans.exists(_.contains("TransformWithState")),
+          s"expected a TransformWithState operator in:\n${plans.mkString}")
         val out = LwwSink.read(spark, sink, "feed", "tick")
           .select("time", "cumbuy", "cumsell", "cumdelta")
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -87,8 +97,10 @@ class ModeGatingSuite extends SparkSpec {
         assert(out === Seq((t0, 3L, 0L, 3L), (t0 + 1, 3L, 5L, -2L)),
           "TWS-backed enrichment must produce the golden cumvol rows")
       } finally qs.foreach(_.stop())
-    } finally
+    } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.graft.cumvol.tws")
+    }
   }
 
   test("observed metrics report per-batch row and corrupt counts") {
