@@ -21,7 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[DotProductF].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[DotProductF].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
 
   val injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(

@@ -110,7 +110,7 @@ object LwwSink {
     try {
       // the affected-bucket set is metadata (≤ NumBuckets ints), not data
       val affected = winners.select("kb").distinct()
-        .collect().map(_.getInt(0)).sorted
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
       if (affected.isEmpty) return
       val existingDirs = affected.map(bucketDir(table, _))
         .filter(Files.exists(_)).map(_.toString)
