@@ -33,6 +33,15 @@ class ConnectedComponentsSuite extends SparkSpec {
     assert(out === Seq((2L, 2L), (5L, 2L), (9L, 2L)))
   }
 
+  test("non-convergence inside the round cap throws, never returns wrong labels") {
+    // a 9-node path needs ~3 rounds with pointer jumping; cap at 1
+    val edges = (0L until 8L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      comp(edges, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("empty pair set yields empty components") {
     val empty = Seq.empty[(Long, Long)]
     assert(comp(empty).isEmpty)
