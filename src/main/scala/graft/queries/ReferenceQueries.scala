@@ -97,6 +97,25 @@ object ReferenceQueries extends QueryPack {
         .select("symbol", "depth_rank", "price", "time_us", "volume")
     }),
 
+    // Directory-level partition pruning ([[graft.ops.DayPartitioned]]):
+    // a week's scan over a day-partitioned layout lists 7 directories
+    // and never touches the rest — the time-axis pruning the
+    // reference's Cassandra layout cannot do at all. PlanAuditSuite
+    // asserts the day predicate lands in PartitionFilters (pruning),
+    // not merely PushedFilters (row-group skipping).
+    "scan_partition_pruned" -> ((s, dir) => {
+      import graft.ops.DayPartitioned
+      val path = DayPartitioned.ensure(Tables(s, dir, "events"),
+        s"events_${math.abs(dir.hashCode)}", "ts")
+      s.read.parquet(path)
+        .filter(col("day") >= lit("2024-01-08").cast("date") &&
+          col("day") <= lit("2024-01-14").cast("date"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+    }),
+
     // F1: strict-schema JSON payload parse (serde analog, main.rs:107) over
     // the events.props JSON column.
     "json_parse_props" -> ((s, dir) => {
@@ -223,6 +242,14 @@ object ReferenceQueries extends QueryPack {
         |  CAST(floor(value) AS INT) AS volume,
         |  regexp_replace('BOOK_TYPE_' || upper(event_type), 'BOOK_TYPE_', '', 'g') AS order_type
         |FROM events""".stripMargin,
+
+    "scan_partition_pruned" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1""".stripMargin,
 
     "json_parse_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,

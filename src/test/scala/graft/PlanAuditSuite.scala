@@ -167,6 +167,16 @@ class PlanAuditSuite extends SparkSpec {
     assert(p.toString.contains("TakeOrderedAndProject"), s"plan was:\n$p")
   }
 
+  test("scan_partition_pruned: the day predicate prunes DIRECTORIES, not just row groups") {
+    val scans = flatten(executed(q("scan_partition_pruned")))
+      .filter(_.nodeName.contains("Scan")).map(_.toString)
+    assert(scans.exists(s =>
+      s.contains("PartitionFilters: [") &&
+        s.replaceAll("(?s).*PartitionFilters: \\[", "").takeWhile(_ != ']')
+          .contains("day")),
+      s"expected a day partition filter at the scan:\n${scans.mkString}")
+  }
+
   test("pack_sequences: one shuffle (the per-shard packing window)") {
     assert(countShuffles(executed(q("pack_sequences"))) === 1)
   }
