@@ -39,7 +39,9 @@ object Bucketing {
       buckets: Int): String = {
     val s = df.sparkSession
     created.getOrElseUpdate((s, name), {
-      val path = Files.createTempDirectory(s"graft_bkt_$name").toString
+      val dir = Files.createTempDirectory(s"graft_bkt_$name")
+      graft.source.SpoolWriter.deleteAtExit(dir)
+      val path = dir.toString
       s.sql(s"DROP TABLE IF EXISTS $name")
       df.write.format("parquet").mode(SaveMode.Overwrite)
         .bucketBy(buckets, key).sortBy(key)

@@ -30,11 +30,12 @@ object DayPartitioned {
   def ensure(df: DataFrame, name: String, tsCol: String): String = {
     val s = df.sparkSession
     created.getOrElseUpdate((s, name), {
-      val path = Files.createTempDirectory(s"graft_day_$name").toString
+      val dir = Files.createTempDirectory(s"graft_day_$name")
+      graft.source.SpoolWriter.deleteAtExit(dir)
       df.withColumn("day", to_date(col(tsCol)))
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("day").parquet(path)
-      path
+        .partitionBy("day").parquet(dir.toString)
+      dir.toString
     })
   }
 }
