@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness driver scrapes the bench JSON from the tail of sbt's
+// stdout with a line-based parse; the default LoggedOutput strategy
+// prefixes every forked-child stdout line with "[info] ", which breaks
+// it (BENCH_r01/r02 both show "parsed": null). StdoutOutput passes the
+// child's stdout through verbatim, and showSuccess drops the trailing
+// "[success] Total time" line, so the JSON is the final raw line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which lintUnused
+// can't see; exclude it so the startup warning doesn't pollute stdout.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,7 +67,11 @@ object Bench {
       .find(n => render(byCost.take(n), ms(total)).length <= 1800)
       .getOrElse(1)
     val keptNames = byCost.take(keep).map(_._1).toSet
-    println(render(rounded.filter(r => keptNames(r._1)), ms(total)))
+    // Stop Spark BEFORE printing so the JSON is the child's final
+    // stdout line (shutdown logs go to stderr, and nothing on stdout
+    // follows it). build.sbt routes forked stdout through verbatim.
     spark.stop()
+    println(render(rounded.filter(r => keptNames(r._1)), ms(total)))
+    Console.out.flush()
   }
 }
