@@ -58,17 +58,26 @@ object LwwSink {
     * main.rs:220) are percent-encoded before touching the filesystem:
     * a topic like `../../x` or one with path-illegal bytes must neither
     * escape the sink root nor poison-pill the micro-batch into a
-    * checkpoint crash loop. Bijective, so distinct topics never collide
-    * on disk ('%' itself is encoded).
+    * checkpoint crash loop. Encoding is over the UTF-8 BYTES, one
+    * fixed-width %XX per escaped byte, so it is bijective: a '%' in the
+    * output is always followed by exactly two hex digits, and '%'
+    * itself is always escaped. (A per-CHAR escape with variable hex
+    * width is not: topic "%40" and topic "╀" both rendered
+    * "%2540", silently merging two per-topic tables.)
     */
-  private[sink] def safeSeg(s: String): String =
-    s.map {
-      case c if c.isLetterOrDigit || c == '-' || c == '.' => c.toString
-      case c => f"%%${c.toInt}%02X"
-    }.mkString match {
-      case "" => "%EMPTY"
-      case enc => enc
+  private[graft] def safeSeg(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xFF).toChar
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '.') sb.append(c)
+      else sb.append(f"%%${b & 0xFF}%02X")
     }
+    // "%EM" is not a valid escape (M is not hex), so no non-empty topic
+    // can encode to this sentinel; a literal "%EMPTY" topic encodes its
+    // '%' and becomes "%25EMPTY".
+    if (sb.isEmpty) "%EMPTY" else sb.toString
+  }
 
   def tablePath(rootDir: String, topic: String, kind: String): String =
     s"$rootDir/${safeSeg(topic)}_${safeSeg(kind)}"
@@ -123,9 +132,11 @@ object LwwSink {
         else winners
       // one writer task per bucket: without this, partitionBy sprays
       // (shuffle-partitions × buckets) small files per batch and the
-      // write dominates the merge
+      // write dominates the merge. Fan out by the table's PINNED bucket
+      // count (kb values are computed mod `nb`), not the global seed
+      // constant — they differ for tables created under an older count.
       val deduped = merged
-        .repartition(NumBuckets, col("kb"))
+        .repartition(nb, col("kb"))
         .sortWithinPartitions(col("symbol"), col("time").desc, col("price"))
       // stage under an underscore name inside the table dir (same volume,
       // invisible to readers), then swap each bucket aside-first
