@@ -128,8 +128,42 @@ private[source] class EnvelopeScan(
   * [[SpoolTransportAdapter]] enforces by resuming its sequence past
   * existing files.
   */
-private[source] case class FileNameOffset(lastFile: String) extends Offset {
-  override def json(): String = lastFile
+private[graft] case class FileNameOffset(lastFile: String) extends Offset {
+  override def json(): String =
+    s"""{"v":2,"lastFile":"${FileNameOffset.esc(lastFile)}"}"""
+}
+
+private[graft] object FileNameOffset {
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c => c.toString
+  }
+  private val V2 = """\{"v":2,"lastFile":"((?:[^"\\]|\\.)*)"\}""".r
+
+  /** Checkpointed-offset decode, VERSIONED. The pre-v2 offset was a bare
+    * file COUNT; reinterpreting a numeric like "3" as a name watermark
+    * would sort ABOVE spool names like "0000000002.jsonl" and silently
+    * skip unconsumed files (data loss). Unrecognized formats fail loudly
+    * instead.
+    */
+  def fromJson(json: String): FileNameOffset = json match {
+    case V2(name) =>
+      // left-to-right unescape: a '\' always consumes the next char
+      val sb = new StringBuilder
+      var i = 0
+      while (i < name.length) {
+        if (name.charAt(i) == '\\' && i + 1 < name.length) {
+          sb.append(name.charAt(i + 1)); i += 2
+        } else { sb.append(name.charAt(i)); i += 1 }
+      }
+      FileNameOffset(sb.toString)
+    case _ => throw new IllegalStateException(
+      s"unrecognized envelope-source offset '$json': expected " +
+        """{"v":2,"lastFile":...}. A checkpoint written by the legacy """ +
+        "file-count offset format is not replayable under name-anchored " +
+        "offsets; restart the query with a fresh checkpoint location.")
+  }
 }
 
 /** Admission control (backpressure): `maxFilesPerTrigger` caps how much
@@ -158,7 +192,8 @@ private[source] class EnvelopeMicroBatchStream(
       .map(f => FileNameOffset(f.getFileName.toString))
       .getOrElse(FileNameOffset(start))
   }
-  override def deserializeOffset(json: String): Offset = FileNameOffset(json)
+  override def deserializeOffset(json: String): Offset =
+    FileNameOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -192,6 +192,23 @@ class EnvelopeSourceSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("offset JSON is versioned; legacy numeric offsets fail loudly") {
+    import graft.source.FileNameOffset
+    // roundtrip through the checkpoint representation
+    val probes = Seq("", "0000000002.jsonl", "odd \"name\" \\ with escapes")
+    probes.foreach { name =>
+      val off = FileNameOffset(name)
+      assert(FileNameOffset.fromJson(off.json()) === off,
+        s"offset roundtrip failed for '$name'")
+    }
+    // a pre-v2 checkpoint stored a bare file COUNT; "3" > "0000000002.jsonl"
+    // in name order, so reinterpreting it as a watermark would silently
+    // mark unconsumed files consumed — it must throw instead
+    val e = intercept[IllegalStateException](FileNameOffset.fromJson("3"))
+    assert(e.getMessage.contains("fresh checkpoint"))
+    intercept[IllegalStateException](FileNameOffset.fromJson("0001.jsonl"))
+  }
+
   test("maxFilesPerTrigger admission control paces micro-batches") {
     val dir = Files.createTempDirectory("spool4")
     (0 until 4).foreach(i =>
