@@ -135,18 +135,60 @@ class SpoolTransportAdapter(
     written
   }
 
-  /** A payload that is already a self-delimiting JSON value passes
-    * through verbatim (the envelope line stays valid JSON and the
+  /** A payload that is already a COMPLETE self-delimiting JSON value
+    * passes through verbatim (the envelope line stays valid JSON and the
     * reader's balanced-value capture returns the identical bytes);
-    * anything else is carried as an escaped JSON string.
+    * anything else — including a truncated wire payload like
+    * `{"symbol": "EUR` — is carried as an escaped JSON string. Verbatim
+    * pass-through of an unterminated value would corrupt the whole
+    * envelope line: the source's parser nulls it and the message
+    * (topic included) vanishes without reaching the dead-letter path.
+    * As a string it survives to from_json, fails typed parse there, and
+    * quarantines with its raw bytes.
     */
   private def payloadJson(p: String): String = {
     val t = p.trim
     val selfDelimiting = t.nonEmpty &&
       (t.head == '{' || t.head == '[' || t.head == '"')
-    if (selfDelimiting) t
+    if (selfDelimiting && isCompleteJsonValue(t)) t
     else if (t.nonEmpty && t.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) t
     else jsonString(p)
+  }
+
+  /** One balanced, properly-nested, terminated JSON value spanning the
+    * whole (trimmed) input: strings close, brackets match by KIND, and
+    * the value's closing char is the last char (trailing garbage would
+    * be silently truncated by the reader's balanced capture).
+    */
+  private[source] def isCompleteJsonValue(t: String): Boolean = {
+    var i = 0
+    var inStr = false
+    var esc = false
+    var stack = List.empty[Char] // expected closers
+    var endedAt = -1 // index where the top-level value closed
+    val stringValue = t.head == '"'
+    while (i < t.length && endedAt < 0) {
+      val c = t.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') {
+          inStr = false
+          if (stringValue && stack.isEmpty) endedAt = i
+        }
+      } else c match {
+        case '"' => inStr = true
+        case '{' => stack = '}' :: stack
+        case '[' => stack = ']' :: stack
+        case '}' | ']' =>
+          if (stack.isEmpty || stack.head != c) return false
+          stack = stack.tail
+          if (stack.isEmpty) endedAt = i
+        case _ => ()
+      }
+      i += 1
+    }
+    endedAt == t.length - 1
   }
 
   private def jsonString(s: String): String = {

@@ -100,6 +100,19 @@ object Pipelines {
     } else CumVolProcessor.enrich(ticks)
   }
 
+  /** Idempotent dead-letter write: one `batch=<id>` partition per
+    * micro-batch, OVERWRITTEN on replay. A blind append would duplicate
+    * quarantine rows every time a crashed micro-batch re-runs — the
+    * main sink is exactly-once per key, and the audit trail must not be
+    * weaker (a duplicated corrupt row reads as "the feed sent this
+    * twice"). Partition-dir granularity keeps replay a local rewrite,
+    * and the read side sees a `kind`/`batch` partitioned table.
+    */
+  private[graft] def quarantine(
+      batch: DataFrame, id: Long, sinkRoot: String, kind: String): Unit =
+    batch.write.mode("overwrite")
+      .parquet(s"$sinkRoot/_deadletter/kind=$kind/batch=$id")
+
   /** R2 mode gating (the reference compiles three binaries from
     * triplicated code and picks one via APP_MODE, start.sh:3-14; here a
     * mode is just which streaming queries start). Returns the started
@@ -136,7 +149,7 @@ object Pipelines {
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$checkpointRoot/tick_dl")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          batch.write.mode("append").parquet(s"$sinkRoot/_deadletter/kind=TICK")
+          quarantine(batch.toDF(), id, sinkRoot, "TICK")
         }.start()
     }
     if (wantBook) {
@@ -179,7 +192,7 @@ object Pipelines {
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$checkpointRoot/book_dl")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          batch.write.mode("append").parquet(s"$sinkRoot/_deadletter/kind=BOOK")
+          quarantine(batch.toDF(), id, sinkRoot, "BOOK")
         }.start()
     }
     queries.toSeq

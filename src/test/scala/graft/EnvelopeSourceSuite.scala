@@ -119,6 +119,36 @@ class EnvelopeSourceSuite extends SparkSpec {
       .count() === 1)
   }
 
+  test("truncated wire payloads survive to the dead-letter path, not vanish") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.source.{MultipartFrames, SpoolTransportAdapter}
+    val dir = Files.createTempDirectory("spool_trunc")
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(buf)
+    def msg(p: String) = MultipartFrames.writeMessage(out,
+      Seq("feed", "TICK", p).map(_.getBytes(UTF_8)))
+    msg(s"""{"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": $t0, "volume": 3, "type": "B"}""")
+    msg("""{"symbol": "EUR""")  // truncated object
+    msg(""""half a strin""")    // unterminated string
+    msg("""{"a": 1}]""")        // trailing garbage after balanced value
+    msg("""{"a": 1]""")         // mismatched bracket kinds
+    val adapter = new SpoolTransportAdapter(
+      new java.io.ByteArrayInputStream(buf.toByteArray), dir.toString)
+    val written = adapter.run()
+    assert(written === 5 && adapter.dropped === 0,
+      "malformed PAYLOADS are data, not transport drops")
+    // every message — valid or truncated — must surface as a source row
+    val df = spark.read.format(fmt).option("path", dir.toString).load()
+    assert(df.count() === 5, "no message may vanish at the envelope layer")
+    val ticks = Pipelines.parseTicks(df)
+    assert(ticks.filter("NOT _corrupt").count() === 1)
+    // the quarantined rows carry the raw wire bytes for forensics
+    val corrupt = ticks.filter("_corrupt").select("payload")
+      .collect().map(_.getString(0)).toSet
+    assert(corrupt.contains("""{"symbol": "EUR"""))
+    assert(corrupt.contains(""""half a strin"""))
+  }
+
   test("adapter restart resumes the file sequence past sealed files") {
     import java.nio.charset.StandardCharsets.UTF_8
     import graft.source.{MultipartFrames, SpoolTransportAdapter}

@@ -50,6 +50,24 @@ class ModeGatingSuite extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("replayed dead-letter micro-batch does not duplicate quarantine rows") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("dl_replay").toString
+    val batch = Seq(("feed", "garbage"), ("feed", "junk"))
+      .toDF("topic", "payload")
+    Pipelines.quarantine(batch, 7L, sink, "TICK")
+    // a crash after the dead-letter write but before the checkpoint
+    // commit re-runs the same micro-batch id — the audit trail must
+    // converge, not accumulate
+    Pipelines.quarantine(batch, 7L, sink, "TICK")
+    assert(spark.read.parquet(s"$sink/_deadletter").count() === 2,
+      "same batch id replayed must overwrite, not append")
+    Pipelines.quarantine(batch, 8L, sink, "TICK")
+    val dl = spark.read.parquet(s"$sink/_deadletter")
+    assert(dl.count() === 4, "distinct batch ids accumulate")
+    assert(dl.columns.toSet === Set("topic", "payload", "kind", "batch"))
+  }
+
   test("mode=book starts only the book branch") {
     val spool = spoolWith(tickLine, bookLine)
     val sink = Files.createTempDirectory("mode_sink2").toString
