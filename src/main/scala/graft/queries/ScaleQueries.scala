@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.ops.TextHash
+
+/** Operators whose whole point is the 100 TB regime: sketch-based
+  * approximate aggregation (bounded state where exact state is
+  * unbounded), runtime semi-join reduction (read less of the big side),
+  * and wide→long reshaping. Each keeps the repo's cross-engine
+  * determinism discipline — the KMV sketch bottoms out in the md5-based
+  * [[TextHash.h31]], so even the "approximate" result is bit-exact
+  * against the DuckDB oracle.
+  */
+object ScaleQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** KMV sketch size: estimate = (K−1)·P/h_K once a group has ≥ K
+    * distinct hashes (the classic k-minimum-values estimator).
+    */
+  private val K = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- approximate distinct (KMV sketch) -----------------------------
+    // COUNT(DISTINCT key) needs per-group state proportional to the
+    // distinct count — at 100 TB that state is unbounded. KMV keeps the
+    // K smallest hash values per group: fixed state, relative error
+    // ~1/sqrt(K−2) (~13% at K=64). Plan: the (group, hash) dedup is ONE
+    // shuffle with map-side partial distinct; the per-group K-smallest
+    // runs over the already-deduped hash set. At 1000-executor scale the
+    // rank step becomes a bounded-heap TypedImperativeAggregate (no
+    // second sort) — the estimator and its arithmetic are unchanged; the
+    // window form is the oracle-checkable anchor. Deterministic
+    // cross-engine because the hash is md5-based h31, not an
+    // engine-private hash.
+    "agg_approx_distinct_kmv" -> ((s, dir) => {
+      val hashes = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          TextHash.h31(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+      val ranked = hashes
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("l_returnflag").orderBy("h")))
+        .filter(col("rn") <= K)
+      ranked.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+        .select(col("l_returnflag"), col("n_kept"), col("h_k"),
+          when(col("n_kept") < K, col("n_kept").cast("double"))
+            .otherwise(
+              lit((K - 1).toDouble * TextHash.P31.toDouble) /
+                col("h_k").cast("double"))
+            .as("est_distinct"))
+    }),
+
+    // ---- runtime-filtered fact⋈fact join -------------------------------
+    // The selective side (filtered orders) is orders of magnitude smaller
+    // than lineitem; at 100 TB Spark injects a bloom filter from the
+    // build side into the lineitem scan (runtime semi-join reduction), so
+    // the probe side is pruned BEFORE the shuffle. The fixture sizes sit
+    // under the injection thresholds — PlanAuditSuite drops them to 0 and
+    // pins the bloom_filter injection on this exact query shape; here the
+    // result (which the bloom never changes) anchors the oracle.
+    "join_bloom_runtime" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+      t(s, dir, "lineitem")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
+    // ---- wide → long reshape (unpivot/melt) ----------------------------
+    // The inverse of pivot: training-data pipelines melt per-column
+    // metrics into (metric, value) rows for uniform downstream handling.
+    // stack() is a Generator — scan-side 1→N, no shuffle.
+    "agg_unpivot" -> ((s, dir) => {
+      t(s, dir, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'retailprice', p_retailprice, " +
+          "'size', CAST(p_size AS DOUBLE)) AS (metric, value)")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "agg_approx_distinct_kmv" ->
+      s"""WITH hx AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % ${TextHash.P31} AS h
+         |  FROM lineitem),
+         |rk AS (SELECT l_returnflag, h,
+         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |       FROM hx)
+         |SELECT l_returnflag, COUNT(*) AS n_kept, MAX(h) AS h_k,
+         |  CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS DOUBLE)
+         |       ELSE ${(K - 1).toDouble * TextHash.P31.toDouble} / CAST(MAX(h) AS DOUBLE)
+         |  END AS est_distinct
+         |FROM rk WHERE rn <= $K GROUP BY l_returnflag""".stripMargin,
+
+    "join_bloom_runtime" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "agg_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |FROM part""".stripMargin
+  )
+}

@@ -209,4 +209,32 @@ class PlanAuditSuite extends SparkSpec {
     assert(scans.size === 1,
       s"documents must be scanned exactly once, got ${scans.size}")
   }
+
+  test("join_bloom_runtime: at scale thresholds, a bloom filter prunes the probe side") {
+    // The fixture sits below the injection thresholds (creation side must
+    // be < 10 MB, application side > 10 GB by default), so emulate the
+    // 100 TB size relationship by dropping the application-side floor and
+    // forcing the join to shuffle; the optimizer must then inject
+    // might_contain(bloom_filter(o_orderkey)) into the lineitem scan —
+    // the semi-join reduction that makes this query read less of the big
+    // side BEFORE the exchange.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = executed(q("join_bloom_runtime")).toString
+      assert(plan.contains("might_contain"),
+        s"expected runtime bloom-filter injection:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("agg_unpivot: the melt generator is scan-side (shuffle-free)") {
+    assert(countShuffles(executed(q("agg_unpivot"))) === 0)
+  }
 }
