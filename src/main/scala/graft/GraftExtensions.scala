@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, Hash60F, RollingFpF, SimHashF}
+import graft.functions.{DotProductF, Hash60F, RollingFpF, SimHashF, ZValueF}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Activate with
@@ -41,7 +41,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_rolling_fp"),
       info("graft_rolling_fp",
         "graft_rolling_fp(xs) - rolling polynomial fingerprint mod 2^31-1"),
-      (args: Seq[Expression]) => RollingFpF(args(0))))
+      (args: Seq[Expression]) => RollingFpF(args(0))),
+    (FunctionIdentifier("graft_zvalue"),
+      info("graft_zvalue",
+        "graft_zvalue(a, b) - Z-order (Morton) interleave of two bigint keys"),
+      (args: Seq[Expression]) => ZValueF(args(0), args(1))))
 
   /** Idempotent registration on a live session (for sessions not started
     * with spark.sql.extensions).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.TextHash
+import graft.ops.{TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -79,6 +79,21 @@ object ScaleQueries extends QueryPack {
             .as("sum_qty"))
     }),
 
+    // ---- Z-order data layout -------------------------------------------
+    // The multi-dimension pruning primitive: sort-by-z clusters rows
+    // close in BOTH key dimensions, so parquet min/max file skipping
+    // serves predicates on either key or on (a, b) boxes — a linear sort
+    // serves only its leading column. ZOrderSuite writes both layouts
+    // and counts skippable files; here the curve value itself (a
+    // codegen'd native expression) anchors the cross-engine oracle, and
+    // `zbucket` is the coarse tile id a writer would range-partition by.
+    "layout_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .withColumn("zbucket", shiftrightunsigned(col("z"), 16))
+    }),
+
     // ---- wide → long reshape (unpivot/melt) ----------------------------
     // The inverse of pivot: training-data pipelines melt per-column
     // metrics into (metric, value) rows for uniform downstream handling.
@@ -119,6 +134,24 @@ object ScaleQueries extends QueryPack {
         |FROM part
         |UNION ALL
         |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+
+    "layout_zorder" -> {
+      // chained CTEs running the SAME dilation masks as ZValueF
+      val steps = ZOrder.SpreadSteps.zipWithIndex.map {
+        case ((sh, mask), i) =>
+          s"""b${i + 1} AS (SELECT l_orderkey, l_linenumber,
+             |  ((xa | (xa << $sh)) & $mask) AS xa,
+             |  ((xb | (xb << $sh)) & $mask) AS xb FROM b$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b0 AS (SELECT l_orderkey, l_linenumber,
+         |  (l_partkey & 2147483647) AS xa,
+         |  (l_suppkey & 2147483647) AS xb FROM lineitem),
+         |$steps
+         |SELECT l_orderkey, l_linenumber,
+         |  (xa | (xb << 1)) AS z,
+         |  ((xa | (xb << 1)) >> 16) AS zbucket
+         |FROM b${ZOrder.SpreadSteps.size}""".stripMargin
+    }
   )
 }

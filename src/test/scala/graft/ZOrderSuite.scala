@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ZOrder
+
+/** Z-order layout: the native expression matches its built-in-operator
+  * reference form bit for bit, and a z-sorted layout actually DELIVERS
+  * multi-dimension file skipping — measured the way a min/max pruning
+  * reader decides: per-file column stats vs the predicate box.
+  */
+class ZOrderSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native zvalue ≡ built-in-operator form, bit for bit") {
+    val edges = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (0x7FFFFFFFL, 0x7FFFFFFFL),
+      (123456789L, 987654321L), (-1L, 5L),
+      (Long.MaxValue, Long.MinValue))
+    val probe = edges.toDF("a", "b").select(
+      ZOrder.zvalue($"a", $"b").as("n"),
+      ZOrder.zvalueHof($"a", $"b").as("h"))
+    probe.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val sweep = Tables(spark, sf, "lineitem").select(
+      ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("n"),
+      ZOrder.zvalueHof(col("l_partkey"), col("l_suppkey")).as("h"))
+    assert(sweep.filter($"n" =!= $"h").count() === 0)
+  }
+
+  test("interleave is monotone per dimension with the other fixed") {
+    val z1 = graft.functions.ZValueHelper.zvalue(5, 9)
+    val z2 = graft.functions.ZValueHelper.zvalue(6, 9)
+    val z3 = graft.functions.ZValueHelper.zvalue(5, 10)
+    assert(z1 < z2 && z1 < z3)
+    assert(z1 >= 0 && graft.functions.ZValueHelper
+      .zvalue(0x7FFFFFFFL, 0x7FFFFFFFL) >= 0, "z must sort as signed long")
+  }
+
+  test("z layout serves a 2-D box with fewer files than a linear layout") {
+    // 128×128 uniform grid — the adversarial case for a linear layout:
+    // a narrow band on the NON-leading dimension overlaps every file.
+    val grid = spark.range(128L * 128L).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+      .withColumn("z", ZOrder.zvalue($"x", $"y"))
+    val nFiles = 16
+    val linDir = Files.createTempDirectory("lin").toString + "/t"
+    val zDir = Files.createTempDirectory("zor").toString + "/t"
+    grid.repartitionByRange(nFiles, $"x", $"y")
+      .sortWithinPartitions("x", "y").write.parquet(linDir)
+    grid.repartitionByRange(nFiles, $"z")
+      .sortWithinPartitions("z").write.parquet(zDir)
+    // a min/max pruning reader must visit exactly the files whose
+    // [min,max] box intersects the predicate box
+    def filesNeeded(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("xn"), max("x").as("xx"),
+          min("y").as("yn"), max("y").as("yx"))
+        .filter($"yx" >= 60 && $"yn" <= 67) // y band, all x
+        .count()
+    val lin = filesNeeded(linDir)
+    val zf = filesNeeded(zDir)
+    assert(lin === nFiles.toLong,
+      s"x-leading linear layout cannot skip for a y-band (got $lin)")
+    assert(zf * 2 <= lin,
+      s"z layout must skip at least half the files, needed $zf of $lin")
+  }
+}
