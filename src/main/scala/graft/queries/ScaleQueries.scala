@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{TextHash, ZOrder}
+import graft.ops.{IncrementalRollup, TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -79,6 +79,21 @@ object ScaleQueries extends QueryPack {
             .as("sum_qty"))
     }),
 
+    // ---- incrementally-maintained rollup -------------------------------
+    // The query runs the rollup's own two-level algebra — day partials,
+    // then the algebraic combine — while the oracle aggregates the raw
+    // table directly in one level. A hash-match PROVES the merge is
+    // lossless (count/decimal-sum partials commute with the final
+    // aggregate), which is the property the incremental maintenance
+    // path (IncrementalRollupSuite: fold in only unseen days, never
+    // rescan history) rests on.
+    "agg_incremental_merge" -> ((s, dir) => {
+      IncrementalRollup.combine(
+        IncrementalRollup.dayPartials(t(s, dir, "events")))
+        .select(col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
+
     // ---- Z-order data layout -------------------------------------------
     // The multi-dimension pruning primitive: sort-by-z clusters rows
     // close in BOTH key dimensions, so parquet min/max file skipping
@@ -135,6 +150,11 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
         |FROM part""".stripMargin,
+
+    "agg_incremental_merge" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "layout_zorder" -> {
       // chained CTEs running the SAME dilation masks as ZValueF

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.IncrementalRollup
+
+/** Incremental rollup maintenance: only unseen days are folded in,
+  * replay adds nothing, sealed day partitions are never rewritten, and
+  * the merged result always equals a direct full aggregate.
+  */
+class IncrementalRollupSuite extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def events = Tables(spark, sf, "events")
+
+  private def direct = events.groupBy("event_type")
+    .agg(count(lit(1)).as("n_events"),
+      sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDecimal(2).toString)).toMap
+
+  test("maintenance folds only unseen days; merged equals direct") {
+    val state = Files.createTempDirectory("rollup").toString
+    val allDays = events.select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(allDays.length >= 3, "fixture must span several days")
+    val (oldDays, newDays) = allDays.splitAt(allDays.length - 1)
+
+    // bootstrap with history minus the newest day
+    val added1 = IncrementalRollup.update(
+      events.filter(to_date(col("ts")).cast("string").isin(oldDays: _*)),
+      state)
+    assert(added1 === oldDays.toSeq)
+
+    // the nightly run sees the FULL table but must fold only the new day
+    val before = Files.list(java.nio.file.Paths.get(state)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("day="))
+      .map(p => p.getFileName.toString ->
+        Files.getLastModifiedTime(p).toMillis).toMap
+    val added2 = IncrementalRollup.update(events, state)
+    assert(added2 === newDays.toSeq, s"must fold exactly the unseen day, got $added2")
+    val after = Files.list(java.nio.file.Paths.get(state)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("day="))
+      .map(p => p.getFileName.toString ->
+        Files.getLastModifiedTime(p).toMillis).toMap
+    before.foreach { case (d, t) =>
+      assert(after(d) === t, s"sealed partition $d must not be rewritten")
+    }
+
+    // replay: nothing new
+    assert(IncrementalRollup.update(events, state).isEmpty)
+
+    // the merged rollup answers exactly what a full rescan answers
+    assert(asMap(IncrementalRollup.merged(spark, state)) === asMap(direct))
+  }
+
+  test("rollup table is one partial row per (day, key)") {
+    val state = Files.createTempDirectory("rollup2").toString
+    IncrementalRollup.update(events, state)
+    val partials = IncrementalRollup.read(spark, state)
+    val dupes = partials.groupBy("day", "event_type")
+      .count().filter(col("count") > 1).count()
+    assert(dupes === 0)
+    // and smaller than the raw table (the compression is per-day-per-key
+    // cardinality vs row count, so the ratio GROWS with scale — ~6× at
+    // this 1000-row fixture, unbounded at 100 TB)
+    assert(partials.count() < events.count() / 5)
+  }
+}
