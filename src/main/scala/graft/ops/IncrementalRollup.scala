@@ -2,8 +2,6 @@ package graft.ops
 
 import java.nio.file.{Files, Paths}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,32 +51,51 @@ object IncrementalRollup {
   def seenDays(stateDir: String): Set[String] = {
     val p = Paths.get(stateDir)
     if (!Files.isDirectory(p)) Set.empty
-    else Files.list(p).iterator().asScala
+    else graft.util.Fs.list(p)
       .map(_.getFileName.toString)
       .filter(_.startsWith("day="))
       .map(_.stripPrefix("day="))
       .toSet
   }
 
-  /** Fold events of UNSEEN days into the rollup; returns the new days.
-    * The seen-day filter is pushed into the scan (partition pruning when
-    * the raw table is day-partitioned), so maintenance reads only the
-    * new days' rows.
+  /** Fold events of UNSEEN days up to and including `through` into the
+    * rollup; returns the days added. `through` is the caller's
+    * COMPLETENESS watermark: a folded day is sealed (replay skips it),
+    * so sealing a day that is still receiving rows would undercount it
+    * forever with no error — in an append-only feed, pass the newest
+    * day known complete (typically yesterday). [[updateAll]] seals
+    * everything, for closed/backfill datasets.
+    *
+    * Cost: one scan of the eligible unseen days. The day filters prune
+    * via parquet row-group stats on `ts`; a raw table physically
+    * partitioned by day gets directory-level pruning by filtering its
+    * partition column before calling this.
     */
-  def update(events: DataFrame, stateDir: String): Seq[String] = {
+  def update(events: DataFrame, stateDir: String,
+      through: java.sql.Date): Seq[String] = {
     val seen = seenDays(stateDir)
+    val eligible = events.filter(to_date(col("ts")) <= lit(through))
+    // partials are per-(day, key) — tiny; pin them so the day inventory
+    // and the write are ONE computation of the aggregate, not two
     val fresh = dayPartials(
-      if (seen.isEmpty) events
-      else events.filter(!to_date(col("ts"))
+      if (seen.isEmpty) eligible
+      else eligible.filter(!to_date(col("ts"))
         .isin(seen.toSeq.map(java.sql.Date.valueOf): _*)))
-    val newDays = fresh.select("day").distinct()
-      .collect().map(_.getDate(0).toString).sorted.toIndexedSeq
-    if (newDays.nonEmpty)
-      fresh.withColumn("day", col("day").cast("string"))
-        .repartition(col("day"))
-        .write.mode(SaveMode.Append).partitionBy("day").parquet(stateDir)
-    newDays
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newDays = fresh.select("day").distinct()
+        .collect().map(_.getDate(0).toString).sorted.toIndexedSeq
+      if (newDays.nonEmpty)
+        fresh.withColumn("day", col("day").cast("string"))
+          .repartition(col("day"))
+          .write.mode(SaveMode.Append).partitionBy("day").parquet(stateDir)
+      newDays
+    } finally fresh.unpersist()
   }
+
+  /** Seal every day present in `events` — for closed datasets. */
+  def updateAll(events: DataFrame, stateDir: String): Seq[String] =
+    update(events, stateDir, java.sql.Date.valueOf("9999-12-31"))
 
   /** The rollup table itself (day, event_type, n_events, sum_value). */
   def read(spark: SparkSession, stateDir: String): DataFrame =

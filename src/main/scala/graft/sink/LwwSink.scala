@@ -2,8 +2,6 @@ package graft.sink
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -79,8 +77,40 @@ object LwwSink {
     if (sb.isEmpty) "%EMPTY" else sb.toString
   }
 
+  /** The pre-byte-wise encoding (per CHAR, variable hex width, Unicode
+    * letters raw) — kept ONLY to detect tables written under it. */
+  private def legacySeg(s: String): String =
+    s.map {
+      case c if c.isLetterOrDigit || c == '-' || c == '.' => c.toString
+      case c => f"%%${c.toInt}%02X"
+    }.mkString match {
+      case "" => "%EMPTY"
+      case enc => enc
+    }
+
   def tablePath(rootDir: String, topic: String, kind: String): String =
     s"$rootDir/${safeSeg(topic)}_${safeSeg(kind)}"
+
+  /** Loud-fail on tables persisted under the legacy encoding: for topics
+    * where the two encodings differ (non-ASCII letters, chars ≥ U+0100),
+    * silently resolving to the new (empty) path would orphan the
+    * existing LWW history without an error — the same failure mode the
+    * versioned source offset guards against, so it gets the same
+    * treatment.
+    */
+  private def checkLegacyLayout(rootDir: String, topic: String,
+      kind: String): Unit = {
+    val v2 = s"${safeSeg(topic)}_${safeSeg(kind)}"
+    val v1 = s"${legacySeg(topic)}_${legacySeg(kind)}"
+    if (v1 != v2 && !Files.exists(Paths.get(s"$rootDir/$v2")) &&
+        Files.exists(Paths.get(s"$rootDir/$v1")))
+      throw new IllegalStateException(
+        s"table for topic '$topic' exists under the legacy per-char " +
+          s"encoding ('$v1') but is addressed as '$v2' under the " +
+          "byte-wise encoding; rename the directory (or migrate the " +
+          "sink root) before writing, or the existing LWW history " +
+          "would be silently abandoned.")
+  }
 
   private def bucketDir(table: String, n: Int) = Paths.get(s"$table/kb=$n")
   private def asideDir(table: String, n: Int) = Paths.get(s"$table/_old_kb=$n")
@@ -99,6 +129,7 @@ object LwwSink {
       keys: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val table = tablePath(rootDir, topic, kind)
+    checkLegacyLayout(rootDir, topic, kind)
     recover(rootDir, topic, kind) // restore aside buckets before reading
     val nb = bucketCount(table)
     val tagged = batch
@@ -192,7 +223,7 @@ object LwwSink {
   def recover(rootDir: String, topic: String, kind: String): Unit = {
     val table = Paths.get(tablePath(rootDir, topic, kind))
     if (!Files.isDirectory(table)) return
-    Files.list(table).iterator().asScala.toSeq
+    graft.util.Fs.list(table)
       .filter(_.getFileName.toString.startsWith("_old_kb="))
       .foreach { aside =>
         val n = aside.getFileName.toString.stripPrefix("_old_kb=")
@@ -204,13 +235,12 @@ object LwwSink {
 
   def read(spark: SparkSession, rootDir: String, topic: String,
       kind: String): DataFrame = {
+    checkLegacyLayout(rootDir, topic, kind)
     recover(rootDir, topic, kind)
     spark.read.parquet(tablePath(rootDir, topic, kind))
       .drop("_batch_id").drop("kb")
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.util.Fs.walk(p).reverse.foreach(Files.deleteIfExists(_))
 }

@@ -4,8 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -84,7 +82,7 @@ private[source] object EnvelopeSpool {
   def files(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala.toSeq
+    else graft.util.Fs.list(p)
       .filter(_.toString.endsWith(".jsonl"))
       .sortBy(_.getFileName.toString)
   }
@@ -130,15 +128,10 @@ private[source] class EnvelopeScan(
   */
 private[graft] case class FileNameOffset(lastFile: String) extends Offset {
   override def json(): String =
-    s"""{"v":2,"lastFile":"${FileNameOffset.esc(lastFile)}"}"""
+    s"""{"v":2,"lastFile":${graft.util.JsonStrings.quote(lastFile)}}"""
 }
 
 private[graft] object FileNameOffset {
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c => c.toString
-  }
   private val V2 = """\{"v":2,"lastFile":"((?:[^"\\]|\\.)*)"\}""".r
 
   /** Checkpointed-offset decode, VERSIONED. The pre-v2 offset was a bare
@@ -148,16 +141,7 @@ private[graft] object FileNameOffset {
     * instead.
     */
   def fromJson(json: String): FileNameOffset = json match {
-    case V2(name) =>
-      // left-to-right unescape: a '\' always consumes the next char
-      val sb = new StringBuilder
-      var i = 0
-      while (i < name.length) {
-        if (name.charAt(i) == '\\' && i + 1 < name.length) {
-          sb.append(name.charAt(i + 1)); i += 2
-        } else { sb.append(name.charAt(i)); i += 1 }
-      }
-      FileNameOffset(sb.toString)
+    case V2(name) => FileNameOffset(graft.util.JsonStrings.unescape(name))
     case _ => throw new IllegalStateException(
       s"unrecognized envelope-source offset '$json': expected " +
         """{"v":2,"lastFile":...}. A checkpoint written by the legacy """ +

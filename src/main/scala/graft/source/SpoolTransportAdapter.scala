@@ -97,12 +97,10 @@ class SpoolTransportAdapter(
     // consumed watermark and never be read. Monotone continuation is
     // the writer half of the source's offset contract.
     var fileSeq: Long = {
-      import scala.jdk.CollectionConverters._
-      val existing = java.nio.file.Files.list(dir).iterator().asScala
+      val existing = graft.util.Fs.list(dir)
         .map(_.getFileName.toString)
         .filter(_.endsWith(".jsonl"))
         .flatMap(n => n.stripSuffix(".jsonl").toLongOption)
-        .toSeq
       if (existing.isEmpty) 0L else existing.max + 1L
     }
     var lines = Vector.empty[String]
@@ -150,7 +148,11 @@ class SpoolTransportAdapter(
     val t = p.trim
     val selfDelimiting = t.nonEmpty &&
       (t.head == '{' || t.head == '[' || t.head == '"')
-    if (selfDelimiting && isCompleteJsonValue(t)) t
+    // raw CR/LF anywhere in a verbatim payload would split the envelope
+    // across physical jsonl lines (one-message-per-line is the spool
+    // contract) — pretty-printed wire JSON must take the escaped path
+    if (selfDelimiting && !t.exists(c => c == '\n' || c == '\r') &&
+        isCompleteJsonValue(t)) t
     else if (t.nonEmpty && t.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) t
     else jsonString(p)
   }
@@ -191,19 +193,7 @@ class SpoolTransportAdapter(
     endedAt == t.length - 1
   }
 
-  private def jsonString(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"'  => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').toString
-  }
+  private def jsonString(s: String): String = graft.util.JsonStrings.quote(s)
 }
 
 object SpoolTransportAdapter {

@@ -2,8 +2,6 @@ package graft.source
 
 import java.nio.file.{Files, Path}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** The one implementation of the spool WRITER contract (monotone-named,
@@ -27,7 +25,7 @@ object SpoolWriter {
     Files.createDirectories(spool)
     repartitionTo.map(lines.repartition(_)).getOrElse(lines)
       .write.mode(SaveMode.Overwrite).text(staging.toString)
-    Files.list(staging).iterator().asScala.toSeq
+    graft.util.Fs.list(staging)
       .filter(_.getFileName.toString.startsWith("part-"))
       .sortBy(_.getFileName.toString)
       .zipWithIndex.foreach { case (p, i) =>
@@ -44,7 +42,6 @@ object SpoolWriter {
     */
   def deleteAtExit(work: Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try Files.walk(work).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      try graft.util.Fs.walk(work).reverse.foreach(Files.deleteIfExists(_))
       catch { case _: Throwable => () }))
 }

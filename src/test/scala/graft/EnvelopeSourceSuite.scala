@@ -132,16 +132,23 @@ class EnvelopeSourceSuite extends SparkSpec {
     msg(""""half a strin""")    // unterminated string
     msg("""{"a": 1}]""")        // trailing garbage after balanced value
     msg("""{"a": 1]""")         // mismatched bracket kinds
+    // pretty-printed wire JSON: complete and balanced, but raw newlines
+    // would split the envelope across spool lines if passed verbatim
+    msg(s"{\n  \"symbol\": \"GBPUSD\", \"bid\": 2.0, \"price\": 2.1," +
+      s"\n  \"ask\": 2.2, \"time\": $t0, \"volume\": 4, \"type\": \"B\"\n}")
     val adapter = new SpoolTransportAdapter(
       new java.io.ByteArrayInputStream(buf.toByteArray), dir.toString)
     val written = adapter.run()
-    assert(written === 5 && adapter.dropped === 0,
+    assert(written === 6 && adapter.dropped === 0,
       "malformed PAYLOADS are data, not transport drops")
     // every message — valid or truncated — must surface as a source row
     val df = spark.read.format(fmt).option("path", dir.toString).load()
-    assert(df.count() === 5, "no message may vanish at the envelope layer")
+    assert(df.count() === 6, "no message may vanish at the envelope layer")
     val ticks = Pipelines.parseTicks(df)
-    assert(ticks.filter("NOT _corrupt").count() === 1)
+    // the pretty-printed payload survives escaped AND still parses
+    assert(ticks.filter("NOT _corrupt").count() === 2)
+    assert(ticks.filter("NOT _corrupt AND symbol = 'GBPUSD' AND volume = 4")
+      .count() === 1, "multi-line payload must arrive intact and typed")
     // the quarantined rows carry the raw wire bytes for forensics
     val corrupt = ticks.filter("_corrupt").select("payload")
       .collect().map(_.getString(0)).toSet

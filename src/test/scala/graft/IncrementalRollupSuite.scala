@@ -2,8 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.functions._
 
 import graft.ops.IncrementalRollup
@@ -25,44 +23,49 @@ class IncrementalRollupSuite extends SparkSpec {
     df.collect().map(r => r.getString(0) ->
       (r.getLong(1), r.getDecimal(2).toString)).toMap
 
-  test("maintenance folds only unseen days; merged equals direct") {
+  test("maintenance folds only unseen complete days; merged equals direct") {
     val state = Files.createTempDirectory("rollup").toString
     val allDays = events.select(to_date(col("ts")).cast("string").as("d"))
       .distinct().collect().map(_.getString(0)).sorted
     assert(allDays.length >= 3, "fixture must span several days")
     val (oldDays, newDays) = allDays.splitAt(allDays.length - 1)
 
-    // bootstrap with history minus the newest day
-    val added1 = IncrementalRollup.update(
-      events.filter(to_date(col("ts")).cast("string").isin(oldDays: _*)),
-      state)
-    assert(added1 === oldDays.toSeq)
+    // the morning run sees the FULL table, but the newest day is still
+    // open (not yet complete) — the watermark must keep it unsealed so
+    // its remaining rows are not lost to the seen-day filter forever
+    val added1 = IncrementalRollup.update(events, state,
+      java.sql.Date.valueOf(oldDays.last))
+    assert(added1 === oldDays.toSeq, "open day must stay unsealed")
 
-    // the nightly run sees the FULL table but must fold only the new day
-    val before = Files.list(java.nio.file.Paths.get(state)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("day="))
-      .map(p => p.getFileName.toString ->
-        Files.getLastModifiedTime(p).toMillis).toMap
-    val added2 = IncrementalRollup.update(events, state)
-    assert(added2 === newDays.toSeq, s"must fold exactly the unseen day, got $added2")
-    val after = Files.list(java.nio.file.Paths.get(state)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("day="))
-      .map(p => p.getFileName.toString ->
-        Files.getLastModifiedTime(p).toMillis).toMap
-    before.foreach { case (d, t) =>
-      assert(after(d) === t, s"sealed partition $d must not be rewritten")
+    // next run: the day has closed; only it gets folded
+    val before = dirMtimes(state)
+    val added2 = IncrementalRollup.update(events, state,
+      java.sql.Date.valueOf(newDays.last))
+    assert(added2 === newDays.toSeq, s"must fold exactly the new day, got $added2")
+    dirMtimes(state).foreach { case (d, t) =>
+      before.get(d).foreach(t0 =>
+        assert(t === t0, s"sealed partition $d must not be rewritten"))
     }
 
     // replay: nothing new
-    assert(IncrementalRollup.update(events, state).isEmpty)
+    assert(IncrementalRollup.update(events, state,
+      java.sql.Date.valueOf(newDays.last)).isEmpty)
 
     // the merged rollup answers exactly what a full rescan answers
     assert(asMap(IncrementalRollup.merged(spark, state)) === asMap(direct))
   }
 
+  private def dirMtimes(state: String): Map[String, Long] = {
+    val p = java.nio.file.Paths.get(state)
+    graft.util.Fs.list(p)
+      .filter(_.getFileName.toString.startsWith("day="))
+      .map(d => d.getFileName.toString ->
+        Files.getLastModifiedTime(d).toMillis).toMap
+  }
+
   test("rollup table is one partial row per (day, key)") {
     val state = Files.createTempDirectory("rollup2").toString
-    IncrementalRollup.update(events, state)
+    IncrementalRollup.updateAll(events, state)
     val partials = IncrementalRollup.read(spark, state)
     val dupes = partials.groupBy("day", "event_type")
       .count().filter(col("count") > 1).count()
