@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{IncrementalRollup, TextHash, ZOrder}
+import graft.ops.{IncrementalRollup, KmvAggregator, TextHash, VecSumAggregator, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -58,6 +58,28 @@ object ScaleQueries extends QueryPack {
             .as("est_distinct"))
     }),
 
+    // The production form of the same sketch: a bounded-buffer typed
+    // Aggregator — O(k) state, map-side partials, at most k values per
+    // partition into the shuffle, NO sort of the deduped hash set. Runs
+    // against the identical oracle SQL as the window anchor, so the
+    // two forms' equivalence is checked by the driver itself.
+    "agg_approx_distinct_kmv_agg" -> ((s, dir) => {
+      val kmv = udaf(new KmvAggregator(K))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          TextHash.h31(col("l_partkey").cast("string")).as("h"))
+        .groupBy("l_returnflag")
+        .agg(kmv(col("h")).as("ks")) // sorted ascending, ≤ K, distinct
+        .select(col("l_returnflag"),
+          size(col("ks")).cast("long").as("n_kept"),
+          element_at(col("ks"), -1).as("h_k"),
+          when(size(col("ks")) < K, size(col("ks")).cast("double"))
+            .otherwise(
+              lit((K - 1).toDouble * TextHash.P31.toDouble) /
+                element_at(col("ks"), -1).cast("double"))
+            .as("est_distinct"))
+    }),
+
     // ---- runtime-filtered fact⋈fact join -------------------------------
     // The selective side (filtered orders) is orders of magnitude smaller
     // than lineitem; at 100 TB Spark injects a bloom filter from the
@@ -77,6 +99,43 @@ object ScaleQueries extends QueryPack {
           count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
+    }),
+
+    // ---- per-label embedding centroids ---------------------------------
+    // Training-data eval staple: the mean embedding per class. Floats
+    // are quantized scan-side to fixed-point longs (floor(x·1e9)) so
+    // the group sum is EXACT and partition-order-independent — a double
+    // sum would drift by partial-agg order and break the oracle hash;
+    // the one final division is a single IEEE op on identical operands
+    // in both engines. Anchor form: posexplode → groupBy (label, pos).
+    "emb_label_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .select(col("label"), col("pos"),
+          floor(col("e").cast("double") * 1e9).cast("long").as("q"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+        .select(col("label"), col("pos"), col("n_vecs"),
+          (col("sq").cast("double") /
+            (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
+    }),
+
+    // Production form: element-wise vector-sum Aggregator — one O(dim)
+    // buffer per group and ONE shuffle on label (vs label × dim rows
+    // for the explode anchor); identical oracle, driver-checked.
+    "emb_label_centroids_agg" -> ((s, dir) => {
+      val vsum = udaf(new VecSumAggregator)
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          transform(col("embedding"),
+            e => floor(e.cast("double") * 1e9).cast("long")).as("qv"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), vsum(col("qv")).as("sv"))
+        .select(col("label"), col("n_vecs"),
+          posexplode(col("sv")).as(Seq("pos", "sq")))
+        .select(col("label"), col("pos"), col("n_vecs"),
+          (col("sq").cast("double") /
+            (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
     }),
 
     // ---- incrementally-maintained rollup -------------------------------
@@ -121,21 +180,43 @@ object ScaleQueries extends QueryPack {
     })
   )
 
+  /** Shared by the window anchor and the Aggregator form — identical
+    * results by construction, checked independently by the driver.
+    */
+  private def kmvOracle: String =
+    s"""WITH hx AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % ${TextHash.P31} AS h
+       |  FROM lineitem),
+       |rk AS (SELECT l_returnflag, h,
+       |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |       FROM hx)
+       |SELECT l_returnflag, COUNT(*) AS n_kept, MAX(h) AS h_k,
+       |  CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS DOUBLE)
+       |       ELSE ${(K - 1).toDouble * TextHash.P31.toDouble} / CAST(MAX(h) AS DOUBLE)
+       |  END AS est_distinct
+       |FROM rk WHERE rn <= $K GROUP BY l_returnflag""".stripMargin
+
+  /** Shared by the explode anchor and the vector-sum Aggregator form.
+    * The fixture dimension (64) is pinned; the Spark side is
+    * dimension-agnostic.
+    */
+  private def centroidOracle: String =
+    """SELECT label, pos, COUNT(*) AS n_vecs,
+      |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+      |    / (1000000000.0 * CAST(COUNT(*) AS DOUBLE)) AS c
+      |FROM (SELECT label, pos,
+      |        CAST(floor(CAST(embedding[pos + 1] AS DOUBLE)
+      |          * 1000000000.0) AS BIGINT) AS q
+      |      FROM embeddings, (SELECT unnest(range(0, 64)) AS pos) ps)
+      |GROUP BY label, pos""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "agg_approx_distinct_kmv" ->
-      s"""WITH hx AS (
-         |  SELECT DISTINCT l_returnflag,
-         |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT)
-         |      % ${TextHash.P31} AS h
-         |  FROM lineitem),
-         |rk AS (SELECT l_returnflag, h,
-         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
-         |       FROM hx)
-         |SELECT l_returnflag, COUNT(*) AS n_kept, MAX(h) AS h_k,
-         |  CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS DOUBLE)
-         |       ELSE ${(K - 1).toDouble * TextHash.P31.toDouble} / CAST(MAX(h) AS DOUBLE)
-         |  END AS est_distinct
-         |FROM rk WHERE rn <= $K GROUP BY l_returnflag""".stripMargin,
+    "agg_approx_distinct_kmv_agg" -> kmvOracle,
+    "agg_approx_distinct_kmv" -> kmvOracle,
+    "emb_label_centroids" -> centroidOracle,
+    "emb_label_centroids_agg" -> centroidOracle,
 
     "join_bloom_runtime" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

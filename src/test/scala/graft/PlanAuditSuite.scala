@@ -237,4 +237,13 @@ class PlanAuditSuite extends SparkSpec {
   test("agg_unpivot: the melt generator is scan-side (shuffle-free)") {
     assert(countShuffles(executed(q("agg_unpivot"))) === 0)
   }
+
+  test("aggregator sketch forms: quantize scan-side, ONE shuffle on the group key") {
+    // the whole point of the production forms: partial sketches merge
+    // map-side, so the exchange carries O(groups × k) rows — the anchor
+    // forms pay a second exchange for their window/explode re-key
+    for (name <- Seq("agg_approx_distinct_kmv_agg", "emb_label_centroids_agg")) {
+      assert(countShuffles(executed(q(name))) === 1, s"$name must shuffle once")
+    }
+  }
 }
