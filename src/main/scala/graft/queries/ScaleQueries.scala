@@ -168,6 +168,52 @@ object ScaleQueries extends QueryPack {
         .withColumn("zbucket", shiftrightunsigned(col("z"), 16))
     }),
 
+    // ---- context-window chunking ---------------------------------------
+    // Long documents → overlapping token windows (k=32, stride=24): the
+    // shape training pipelines feed tokenizers. Pure scan-side generator
+    // (1→N explode of per-doc window starts) — no shuffle, embarrassment-
+    // ally parallel at any corpus size.
+    "text_chunk_windows" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextHash.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, CAST((size(w)-1) div 24 AS INT))"))
+            .as("chunk_id"),
+          col("w"))
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(" ", expr("slice(w, chunk_id*24 + 1, 32)")).as("chunk"),
+          expr("size(slice(w, chunk_id*24 + 1, 32))").cast("long")
+            .as("n_toks"))
+    }),
+
+    // ---- train/eval decontamination ------------------------------------
+    // The benchmark-leakage check: train docs sharing any 4-gram with
+    // the (deterministic 5%) eval split, with the shared-gram count as
+    // evidence. Same scale discipline as the Jaccard index: distinct
+    // (doc, gram) postings, a stop-gram df cap bounding the join's pair
+    // expansion (a gram in >1000 docs is boilerplate, not leakage), one
+    // shuffle per stage. The posting set is pinned (localCheckpoint) —
+    // three consumers would otherwise re-run the shingle pipeline; at
+    // cluster scale that pin becomes checkpoint-to-reliable-storage.
+    "text_decontaminate" -> ((s, dir) => {
+      val dg = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextHash.shingles(TextHash.tokens(col("text")), 4))
+            .as("gram"))
+        .distinct()
+        .localCheckpoint()
+      val common = dg.groupBy("gram")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 1000)
+      val pruned = dg.join(common.select("gram"), "gram")
+      val ev = pruned.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), col("gram"))
+      val tr = pruned.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gram"))
+      tr.join(ev, "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // ---- wide → long reshape (unpivot/melt) ----------------------------
     // The inverse of pivot: training-data pipelines melt per-column
     // metrics into (metric, value) rows for uniform downstream handling.
@@ -231,6 +277,30 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
         |FROM part""".stripMargin,
+
+    // range bound 64 covers any fixture doc (max ~100 tokens → 5 chunks)
+    "text_chunk_windows" ->
+      """SELECT doc_id, ci AS chunk_id,
+        |  array_to_string(list_slice(w, ci*24 + 1, ci*24 + 32), ' ') AS chunk,
+        |  len(list_slice(w, ci*24 + 1, ci*24 + 32)) AS n_toks
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |     (SELECT unnest(range(0, 64)) AS ci) cs
+        |WHERE ci*24 < len(w)""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(list_slice(w, i, i+3), ' ')
+        |            for i in range(1, len(w)-2)]) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |d AS (SELECT DISTINCT doc_id, gram FROM g),
+        |ok AS (SELECT gram FROM d GROUP BY gram HAVING COUNT(*) <= 1000),
+        |p AS (SELECT d.* FROM d JOIN ok USING (gram)),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM p WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id AS train_id, gram FROM p WHERE doc_id % 20 <> 0)
+        |SELECT train_id, eval_id, COUNT(*) AS n_shared
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY train_id, eval_id""".stripMargin,
 
     "agg_incremental_merge" ->
       """SELECT event_type, COUNT(*) AS n_events,
