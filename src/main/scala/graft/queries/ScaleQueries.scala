@@ -189,27 +189,32 @@ object ScaleQueries extends QueryPack {
     // ---- train/eval decontamination ------------------------------------
     // The benchmark-leakage check: train docs sharing any 4-gram with
     // the (deterministic 5%) eval split, with the shared-gram count as
-    // evidence. Same scale discipline as the Jaccard index: distinct
-    // (doc, gram) postings, a stop-gram df cap bounding the join's pair
-    // expansion (a gram in >1000 docs is boilerplate, not leakage), one
-    // shuffle per stage. The posting set is pinned (localCheckpoint) —
-    // three consumers would otherwise re-run the shingle pipeline; at
-    // cluster scale that pin becomes checkpoint-to-reliable-storage.
+    // evidence. Single corpus scan, ArrayPairs-style: distinct
+    // (doc, gram) postings group per gram into an eval-id array and a
+    // train-id array, the df cap (eval+train ≤ 1000 docs — a gram that
+    // common is boilerplate, not leakage) bounds the per-gram cross
+    // expansion, and the train×eval pairs aggregate to shared-gram
+    // counts. No self-join of the shingle pipeline, no posting-set
+    // materialization — three shuffles on narrowing keys.
     "text_decontaminate" -> ((s, dir) => {
-      val dg = t(s, dir, "documents")
+      val isEval = col("doc_id") % 20 === 0
+      t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(TextHash.shingles(TextHash.tokens(col("text")), 4))
-            .as("gram"))
+          // 60-bit gram HASHES as the shuffle key, not gram strings —
+          // ~4× narrower exchange rows (the JaccardPairs trick); the
+          // oracle hashes identically, so rare collisions stay parity
+          explode(TextHash.shingleHashes(col("text"), 4)).as("gram"))
         .distinct()
-        .localCheckpoint()
-      val common = dg.groupBy("gram")
-        .agg(count(lit(1)).as("df")).filter(col("df") <= 1000)
-      val pruned = dg.join(common.select("gram"), "gram")
-      val ev = pruned.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("eval_id"), col("gram"))
-      val tr = pruned.filter(col("doc_id") % 20 =!= 0)
-        .select(col("doc_id").as("train_id"), col("gram"))
-      tr.join(ev, "gram")
+        .groupBy("gram")
+        .agg(
+          sort_array(collect_list(when(isEval, col("doc_id"))))
+            .as("ev_ids"),
+          sort_array(collect_list(when(!isEval, col("doc_id"))))
+            .as("tr_ids"))
+        .filter(size(col("ev_ids")) > 0 && size(col("tr_ids")) > 0 &&
+          size(col("ev_ids")) + size(col("tr_ids")) <= 1000)
+        .select(explode(col("tr_ids")).as("train_id"), col("ev_ids"))
+        .select(col("train_id"), explode(col("ev_ids")).as("eval_id"))
         .groupBy("train_id", "eval_id")
         .agg(count(lit(1)).as("n_shared"))
     }),
@@ -288,10 +293,13 @@ object ScaleQueries extends QueryPack {
         |WHERE ci*24 < len(w)""".stripMargin,
 
     "text_decontaminate" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT doc_id,
-        |    unnest([array_to_string(list_slice(w, i, i+3), ' ')
-        |            for i in range(1, len(w)-2)]) AS gram
+        |    unnest(list_transform(
+        |      [array_to_string(list_slice(w, i, i+3), ' ')
+        |       for i in range(1, len(w)-2)],
+        |      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+        |             % ${TextHash.P31})) AS gram
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
         |d AS (SELECT DISTINCT doc_id, gram FROM g),
         |ok AS (SELECT gram FROM d GROUP BY gram HAVING COUNT(*) <= 1000),
