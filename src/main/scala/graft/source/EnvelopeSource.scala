@@ -56,12 +56,14 @@ class EnvelopeSourceProvider extends TableProvider {
     new EnvelopeTable(
       properties.get("path"),
       opt("topicPrefix").getOrElse(""),
-      opt("maxFilesPerTrigger").map(_.toInt))
+      opt("maxFilesPerTrigger").map(_.toInt),
+      opt("startingAfter").getOrElse(""))
   }
 }
 
 private[source] class EnvelopeTable(
-    dir: String, topicPrefix: String, maxFilesPerTrigger: Option[Int])
+    dir: String, topicPrefix: String, maxFilesPerTrigger: Option[Int],
+    startingAfter: String = "")
     extends Table with SupportsRead {
   require(dir != null, "envelope source requires a 'path' option")
   override def name(): String = s"envelopes($dir)"
@@ -69,7 +71,7 @@ private[source] class EnvelopeTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new EnvelopeScan(dir, topicPrefix, maxFilesPerTrigger)
+    () => new EnvelopeScan(dir, topicPrefix, maxFilesPerTrigger, startingAfter)
 }
 
 private[source] object EnvelopeSpool {
@@ -94,20 +96,22 @@ private[source] object EnvelopeSpool {
 
 private[source] class EnvelopeScan(
     dir: String, topicPrefix: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    startingAfter: String = "")
     extends Scan {
   override def readSchema(): StructType = Schemas.envelopeSchema
   override def description(): String =
     s"EnvelopeScan(dir=$dir, topicPrefix=$topicPrefix)"
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      EnvelopeSpool.files(dir).map(f =>
+      EnvelopeSpool.filesAfter(dir, startingAfter).map(f =>
         EnvelopeFilePartition(f.toString, topicPrefix): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       EnvelopeReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EnvelopeMicroBatchStream(dir, topicPrefix, maxFilesPerTrigger)
+    new EnvelopeMicroBatchStream(dir, topicPrefix, maxFilesPerTrigger,
+      startingAfter)
 }
 
 /** Offset = the high-watermark spool file NAME ("" before any file is
@@ -156,9 +160,14 @@ private[graft] object FileNameOffset {
   * here excess input just waits in the spool for the next trigger).
   */
 private[source] class EnvelopeMicroBatchStream(
-    dir: String, topicPrefix: String, maxFilesPerTrigger: Option[Int] = None)
+    dir: String, topicPrefix: String, maxFilesPerTrigger: Option[Int] = None,
+    startingAfter: String = "")
     extends MicroBatchStream with SupportsAdmissionControl {
-  override def initialOffset(): Offset = FileNameOffset("")
+  // Replay/backfill control: `startingAfter` seeds the FIRST offset at
+  // a known file name, so a re-processing query skips the already-
+  // handled prefix of the spool. Only consulted when no checkpoint
+  // exists — a restart's position always comes from the checkpoint.
+  override def initialOffset(): Offset = FileNameOffset(startingAfter)
   override def latestOffset(): Offset =
     FileNameOffset(EnvelopeSpool.files(dir).lastOption
       .map(_.getFileName.toString).getOrElse(""))

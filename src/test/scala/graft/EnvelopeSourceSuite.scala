@@ -229,6 +229,29 @@ class EnvelopeSourceSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startingAfter replays only the spool suffix (batch and stream)") {
+    val dir = Files.createTempDirectory("spool_sa")
+    write(dir, "000.jsonl", tickLine("feed", "EURUSD", t0, 1, "B"))
+    write(dir, "001.jsonl", tickLine("feed", "EURUSD", t0 + 1, 2, "B"))
+    write(dir, "002.jsonl", tickLine("feed", "EURUSD", t0 + 2, 3, "B"))
+    val batch = spark.read.format(fmt)
+      .option("path", dir.toString)
+      .option("startingAfter", "000.jsonl").load()
+    assert(batch.count() === 2, "batch read skips the consumed prefix")
+    val stream = spark.readStream.format(fmt)
+      .option("path", dir.toString)
+      .option("startingAfter", "001.jsonl").load()
+    val q = stream.writeStream.format("memory").queryName("sa_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val vols = spark.table("sa_out").select("payload")
+        .collect().map(_.getString(0))
+      assert(vols.length === 1 && vols(0).contains("\"volume\": 3"),
+        "stream starts after the named file")
+    } finally q.stop()
+  }
+
   test("offset JSON is versioned; legacy numeric offsets fail loudly") {
     import graft.source.FileNameOffset
     // roundtrip through the checkpoint representation

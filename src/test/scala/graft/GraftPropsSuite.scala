@@ -172,6 +172,41 @@ class GraftPropsSuite extends SparkSpec {
       assert(out === expected)
     }
   }
+
+  test("property: zvalue deinterleaves back to its 31-bit inputs") {
+    import graft.functions.ZValueHelper
+    def unspread(z: Long): Long = {
+      // inverse dilation: gather every second bit back together
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+      (x | (x >> 16)) & 0xFFFFFFFFL
+    }
+    val g = Gen.zip(Gen.choose(0L, 0x7FFFFFFFL), Gen.choose(0L, 0x7FFFFFFFL))
+    forAllSeeded(g, n = 200) { case (a, b) =>
+      val z = ZValueHelper.zvalue(a, b)
+      assert(z >= 0, s"z($a,$b) must sort as signed long")
+      assert(unspread(z) === a, s"x-lane of z($a,$b)")
+      assert(unspread(z >> 1) === b, s"y-lane of z($a,$b)")
+    }
+  }
+
+  test("property: KMV aggregator == sorted-distinct take(k), any partitioning") {
+    import graft.ops.KmvAggregator
+    val k = 8
+    val agg = new KmvAggregator(k)
+    val g = Gen.listOfN(60, Gen.choose(0L, 40L)) // heavy duplication
+    forAllSeeded(Gen.zip(g, Gen.choose(1, 6)), n = 30) { case (xs, nParts) =>
+      // simulate map-side partials over an arbitrary partitioning, then
+      // an arbitrary merge order (reverse) — the distributed shapes
+      val partials = xs.grouped(math.max(1, xs.size / nParts)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = partials.reverse.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === xs.distinct.sorted.take(k))
+    }
+  }
 }
 
 /** Minimal in-memory GroupState for exercising the pure update function
