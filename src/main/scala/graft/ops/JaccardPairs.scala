@@ -46,15 +46,16 @@ object JaccardPairs {
     val postings = docs
       .select(col(idCol).as("doc"),
         explode(array_distinct(gramArr)).as("gram"))
-    // Two consumers (sizes + pairs) read the df-filtered index; without a
-    // materialization point Spark would re-run the tokenize/shuffle/
-    // collect pipeline per consumer. localCheckpoint pins the index once
-    // (at cluster scale: checkpoint to reliable storage / a temp table —
-    // the inverted index IS the thing a production dedup job persists).
+    // Two consumers (sizes + pairs) read the df-filtered index. No
+    // materialization point: both branches aggregate over the SAME
+    // gram exchange, so ReuseExchange serves the expensive part
+    // (scan + tokenize + hash + shuffle write) once — measured equal to
+    // the previous localCheckpoint pin, without the extra copy or the
+    // "persist this at cluster scale" caveat. Only the cheap
+    // collect_set re-aggregation runs per branch.
     val byGram = postings.groupBy("gram")
       .agg(sort_array(collect_set(col("doc"))).as("docs"))
       .filter(size(col("docs")) <= maxDf)
-      .localCheckpoint()
     val sizes = byGram.select(explode(col("docs")).as("doc"))
       .groupBy("doc").agg(count(lit(1)).as("n"))
     val common = byGram
