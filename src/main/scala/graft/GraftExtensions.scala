@@ -14,8 +14,11 @@ import graft.functions.{DotProductF, Hash60F, RollingFpF, SimHashF, ZValueF}
   * [[GraftExtensions.register]] on an existing session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    // rewrite the portable HOF dot-product fold to the native kernel
+    ext.injectOptimizerRule(_ => graft.plans.DotRewriteRule)
+  }
 }
 
 object GraftExtensions {
@@ -56,5 +59,11 @@ object GraftExtensions {
       if (!reg.functionExists(id))
         reg.registerFunction(id, inf, builder)
     }
+    // live sessions can't injectOptimizerRule; the experimental-methods
+    // hook runs the same rule at the same (post-operator-optimization)
+    // point
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraOptimizations.contains(graft.plans.DotRewriteRule))
+      em.extraOptimizations = em.extraOptimizations :+ graft.plans.DotRewriteRule
   }
 }
