@@ -63,6 +63,49 @@ class IncrementalRollupSuite extends SparkSpec {
         Files.getLastModifiedTime(d).toMillis).toMap
   }
 
+  test("streaming landing + watermarked maintenance: the two-stage architecture") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val landing = Files.createTempDirectory("landing").toString
+    val state = Files.createTempDirectory("rollup3").toString
+    val day0 = 1687176000L // day D 00:00 UTC
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("sec", "event_type", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"),
+        col("event_type"), col("value"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("landing_ck").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // raw micro-batches land day-partitioned and append-only; the
+          // rollup NEVER reads a day the watermark hasn't closed
+          b.toDF().withColumn("day", to_date(col("ts")).cast("string"))
+            .write.mode("append").partitionBy("day").parquet(landing)
+      }.start()
+    try {
+      mem.addData((day0 + 10, "a", 1.5), (day0 + 20, "b", 2.0),
+        (day0 + 86400 + 5, "a", 3.0)) // day D+1 begins mid-stream
+      q.processAllAvailable()
+      // watermark: only D is complete
+      val dayD = new java.sql.Date(day0 * 1000L)
+      assert(IncrementalRollup.update(
+        spark.read.parquet(landing), state, dayD).nonEmpty)
+      // more D+1 rows arrive AFTER D+1's first sighting — had D+1 been
+      // sealed above, these would have been lost
+      mem.addData((day0 + 86400 + 50, "a", 4.0))
+      q.processAllAvailable()
+      val dayD1 = new java.sql.Date((day0 + 86400) * 1000L)
+      assert(IncrementalRollup.update(
+        spark.read.parquet(landing), state, dayD1).nonEmpty)
+      val merged = IncrementalRollup.merged(spark, state)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+      assert(merged === Map("a" -> ((3L, 8.5)), "b" -> ((1L, 2.0))))
+    } finally q.stop()
+  }
+
   test("rollup table is one partial row per (day, key)") {
     val state = Files.createTempDirectory("rollup2").toString
     IncrementalRollup.updateAll(events, state)
