@@ -219,6 +219,32 @@ object ScaleQueries extends QueryPack {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // ---- snapshot diff (CDC shape) -------------------------------------
+    // Two deterministic snapshots of `customer` (v2 drops the custkeys
+    // divisible by 7 and bumps balances divisible by 3) diffed into the
+    // added / removed / changed change-stream a downstream CDC consumer
+    // or SCD-2 maintainer ingests. One co-partitioned full-outer join on
+    // the key — at 100 TB both snapshots shuffle on c_custkey once (or
+    // zero times if stored bucketed on the key); unchanged rows drop
+    // before anything downstream sees them.
+    "table_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val v1 = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal").as("bal_old"))
+      val v2 = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")).as("bal_new"))
+      v1.join(v2, Seq("c_custkey"), "full_outer")
+        .withColumn("status",
+          when(col("bal_old").isNull, "added")
+            .when(col("bal_new").isNull, "removed")
+            .when(col("bal_old") =!= col("bal_new"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("c_custkey"), col("status"),
+          col("bal_old"), col("bal_new"))
+    }),
+
     // ---- wide → long reshape (unpivot/melt) ----------------------------
     // The inverse of pivot: training-data pipelines melt per-column
     // metrics into (metric, value) rows for uniform downstream handling.
@@ -282,6 +308,23 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
         |FROM part""".stripMargin,
+
+    "table_diff" ->
+      """WITH v1 AS (SELECT c_custkey, c_acctbal AS bal_old FROM customer
+        |            WHERE c_custkey % 10 <> 0),
+        |v2 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+        |              ELSE c_acctbal END AS bal_new
+        |       FROM customer WHERE c_custkey % 7 <> 0)
+        |SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS c_custkey,
+        |  CASE WHEN bal_old IS NULL THEN 'added'
+        |       WHEN bal_new IS NULL THEN 'removed'
+        |       WHEN bal_old <> bal_new THEN 'changed' END AS status,
+        |  bal_old, bal_new
+        |FROM v1 FULL OUTER JOIN v2 USING (c_custkey)
+        |WHERE CASE WHEN bal_old IS NULL THEN 'added'
+        |           WHEN bal_new IS NULL THEN 'removed'
+        |           WHEN bal_old <> bal_new THEN 'changed' END IS NOT NULL""".stripMargin,
 
     // range bound 64 covers any fixture doc (max ~100 tokens → 5 chunks)
     "text_chunk_windows" ->
