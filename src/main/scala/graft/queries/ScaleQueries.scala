@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{IncrementalRollup, KmvAggregator, TextHash, VecSumAggregator, ZOrder}
+import graft.ops.{IncrementalRollup, KmvAggregator, Scd2, TextHash, VecSumAggregator, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -245,6 +245,23 @@ object ScaleQueries extends QueryPack {
           col("bal_old"), col("bal_new"))
     }),
 
+    // SCD-2 over the same two snapshots: version-stamped history after
+    // folding v2 into a v1-seeded dimension. Work is O(open ∪ snapshot)
+    // — the years of closed rows a real dimension carries pass through
+    // untouched (see ops/Scd2 for the plan shape).
+    "dim_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val v1 = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val v2 = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      Scd2(
+        Scd2.init(v1, Seq("c_custkey"), Seq("c_acctbal"), 1L),
+        v2, Seq("c_custkey"), Seq("c_acctbal"), 2L)
+    }),
+
     // ---- wide → long reshape (unpivot/melt) ----------------------------
     // The inverse of pivot: training-data pipelines melt per-column
     // metrics into (metric, value) rows for uniform downstream handling.
@@ -325,6 +342,25 @@ object ScaleQueries extends QueryPack {
         |WHERE CASE WHEN bal_old IS NULL THEN 'added'
         |           WHEN bal_new IS NULL THEN 'removed'
         |           WHEN bal_old <> bal_new THEN 'changed' END IS NOT NULL""".stripMargin,
+
+    "dim_scd2" ->
+      """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer
+        |            WHERE c_custkey % 10 <> 0),
+        |v2 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |       FROM customer WHERE c_custkey % 7 <> 0)
+        |SELECT v1.c_custkey, v1.c_acctbal,
+        |       CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |FROM v1 JOIN v2 USING (c_custkey) WHERE v1.c_acctbal = v2.c_acctbal
+        |UNION ALL
+        |SELECT v1.c_custkey, v1.c_acctbal, CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+        |FROM v1 LEFT JOIN v2 USING (c_custkey)
+        |WHERE v2.c_custkey IS NULL OR v1.c_acctbal <> v2.c_acctbal
+        |UNION ALL
+        |SELECT v2.c_custkey, v2.c_acctbal, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM v2 LEFT JOIN v1 USING (c_custkey)
+        |WHERE v1.c_custkey IS NULL OR v1.c_acctbal <> v2.c_acctbal""".stripMargin,
 
     // range bound 64 covers any fixture doc (max ~100 tokens → 5 chunks)
     "text_chunk_windows" ->
