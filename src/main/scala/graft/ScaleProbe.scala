@@ -59,37 +59,18 @@ object ScaleProbe {
       VectorOps.signBandCandidatePairs(
         scaled("embeddings", "vec_id", c), "vec_id", "embedding").count()
 
-    // round-3 heavies: gram-hash pair expansion (decontamination shape —
-    // every copy duplicates every doc, the adversarial case for the df
-    // cap) and the vector-sum centroid aggregate
-    def decontaminate(c: Int): Long = {
-      import graft.ops.TextHash
-      val isEval = col("doc_id") % 20 === 0
-      scaled("documents", "doc_id", c)
-        .select(col("doc_id"),
-          explode(TextHash.shingleHashes(col("text"), 4)).as("gram"))
-        .distinct()
-        .groupBy("gram")
-        .agg(
-          sort_array(collect_list(when(isEval, col("doc_id")))).as("ev"),
-          sort_array(collect_list(when(!isEval, col("doc_id")))).as("tr"))
-        .filter(size(col("ev")) > 0 && size(col("tr")) > 0 &&
-          size(col("ev")) + size(col("tr")) <= 1000)
-        .select(explode(col("tr")).as("t"), col("ev"))
-        .select(col("t"), explode(col("ev")).as("e"))
-        .groupBy("t", "e").count().count()
-    }
+    // round-3 heavies, calling the SAME ops the registered queries use
+    // (the probe must measure the plan it claims to provide evidence
+    // for): gram-hash pair expansion (every copy duplicates every doc —
+    // the adversarial case for the df cap) and the vector-sum centroid
+    def decontaminate(c: Int): Long =
+      graft.ops.Decontaminate(
+        scaled("documents", "doc_id", c), "doc_id", "text",
+        isEval = col("doc_id") % 20 === 0).count()
 
-    def centroids(c: Int): Long = {
-      val vsum = udaf(new graft.ops.VecSumAggregator)
-      scaled("embeddings", "vec_id", c)
-        .select(col("label"),
-          transform(col("embedding"),
-            e => floor(e.cast("double") * 1e9).cast("long")).as("qv"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"), vsum(col("qv")).as("sv"))
-        .count()
-    }
+    def centroids(c: Int): Long =
+      graft.ops.Centroids.quantizedSums(
+        scaled("embeddings", "vec_id", c), "label", "embedding").count()
 
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),

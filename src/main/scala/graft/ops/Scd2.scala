@@ -33,13 +33,21 @@ object Scd2 {
       version: Long): DataFrame = {
     val outCols = (keys ++ attrs ++ Seq("valid_from", "valid_to")).map(col)
     val closed = history.filter(col("valid_to").isNotNull)
+    // presence markers, NOT key-null tests: a null-key row is unmatched
+    // on both sides of the join (null never equals null), and testing
+    // presence via the key would drop it from every outcome branch —
+    // silent row loss in an immutable-history operator. With markers a
+    // null-key open row closes and a null-key snapshot row opens, the
+    // honest reading of SQL null-key semantics.
     val open = history.filter(col("valid_to").isNull)
+      .withColumn("_h", lit(true))
     val joined = open.as("h").join(
-      snapshot.select((keys ++ attrs).map(col): _*).as("s"),
+      snapshot.select((keys ++ attrs).map(col): _*)
+        .withColumn("_s", lit(true)).as("s"),
       keys.map(k => col(s"h.$k") === col(s"s.$k")).reduce(_ && _),
       "full_outer")
-    val inH = col(s"h.${keys.head}").isNotNull
-    val inS = col(s"s.${keys.head}").isNotNull
+    val inH = col("h._h").isNotNull
+    val inS = col("s._s").isNotNull
     // null-safe attr equality: a null attr equal on both sides is "same"
     val same = attrs.map(a => col(s"h.$a") <=> col(s"s.$a"))
       .foldLeft(lit(true))(_ && _)

@@ -15,7 +15,14 @@ class VecSumAggregator extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
 
   override def zero: Seq[Long] = Seq.empty
 
-  private def add(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+  // Null vectors are SKIPPED, not poison: the typed-aggregator path
+  // hands null inputs straight to reduce (no automatic null drop), and
+  // a null buffer would NPE the next merge or silently null the whole
+  // group's sketch. Callers count contributors with count(vecCol) so
+  // the divisor matches what actually summed.
+  private def add(a0: Seq[Long], b0: Seq[Long]): Seq[Long] = {
+    val a = if (a0 == null) Seq.empty[Long] else a0
+    val b = if (b0 == null) Seq.empty[Long] else b0
     if (a.isEmpty) b
     else if (b.isEmpty) a
     else {
@@ -26,6 +33,7 @@ class VecSumAggregator extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
       while (i < out.length) { out(i) = a(i) + b(i); i += 1 }
       out.toIndexedSeq
     }
+  }
 
   override def reduce(buf: Seq[Long], v: Seq[Long]): Seq[Long] = add(buf, v)
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = add(a, b)

@@ -19,13 +19,21 @@ import graft.functions.DotProductF
   * DotProductFSuite pins it ULP-exact), so the rewrite cannot move a
   * result.
   *
-  * Null discipline: the two forms DIVERGE when an array ELEMENT is null
-  * (the fold propagates null through the sum; the kernel reads a
-  * primitive 0.0f), so the rule only fires when both array types carry
-  * `containsNull = false`. Null ARRAYS are fine either way (both forms
-  * return null). Injected by [[graft.GraftExtensions]]; a rule must be
-  * conservative — anything that doesn't match the exact shape is left
-  * untouched.
+  * Divergence discipline — the two forms differ in exactly two cases,
+  * and the rule neutralizes both:
+  *   - null array ELEMENTS: the fold propagates null through the sum,
+  *     the kernel reads a primitive 0.0f → only fire when both array
+  *     types carry `containsNull = false`;
+  *   - UNEQUAL lengths: zip_with pads the shorter side with nulls, so
+  *     the fold returns null, while the kernel loops over min(len) →
+  *     rewrite to `if (size(a) = size(b)) graft_dot(a, b) else null`.
+  *     The guard references a and b twice, so the rule additionally
+  *     requires both to be deterministic (whole-stage codegen's
+  *     subexpression elimination collapses the repeated evaluation).
+  * Null ARRAYS agree under the guard too: size(null) is null, the
+  * equality is null, If takes the else branch → null, matching the
+  * fold. Injected by [[graft.GraftExtensions]]; anything that doesn't
+  * match the exact shape is left untouched.
   */
 object DotRewriteRule extends Rule[LogicalPlan] {
 
@@ -84,8 +92,12 @@ object DotRewriteRule extends Rule[LogicalPlan] {
             Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
           finish)
         if nonNullFloatArray(a) && nonNullFloatArray(b) &&
+          a.deterministic && b.deterministic &&
           isWidenedProduct(prod, x, y) && isSum(merge, acc, v) &&
           isIdentity(finish) =>
-        DotProductF(a, b)
+        If(EqualTo(Size(a, legacySizeOfNull = false),
+            Size(b, legacySizeOfNull = false)),
+          DotProductF(a, b),
+          Literal(null, DoubleType))
     }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{IncrementalRollup, KmvAggregator, Scd2, TextHash, VecSumAggregator, ZOrder}
+import graft.ops.{Centroids, Decontaminate, IncrementalRollup, KmvAggregator, Scd2, TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -124,13 +124,7 @@ object ScaleQueries extends QueryPack {
     // buffer per group and ONE shuffle on label (vs label × dim rows
     // for the explode anchor); identical oracle, driver-checked.
     "emb_label_centroids_agg" -> ((s, dir) => {
-      val vsum = udaf(new VecSumAggregator)
-      t(s, dir, "embeddings")
-        .select(col("label"),
-          transform(col("embedding"),
-            e => floor(e.cast("double") * 1e9).cast("long")).as("qv"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_vecs"), vsum(col("qv")).as("sv"))
+      Centroids.quantizedSums(t(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("n_vecs"),
           posexplode(col("sv")).as(Seq("pos", "sq")))
         .select(col("label"), col("pos"), col("n_vecs"),
@@ -188,36 +182,11 @@ object ScaleQueries extends QueryPack {
 
     // ---- train/eval decontamination ------------------------------------
     // The benchmark-leakage check: train docs sharing any 4-gram with
-    // the (deterministic 5%) eval split, with the shared-gram count as
-    // evidence. Single corpus scan, ArrayPairs-style: distinct
-    // (doc, gram) postings group per gram into an eval-id array and a
-    // train-id array, the df cap (eval+train ≤ 1000 docs — a gram that
-    // common is boilerplate, not leakage) bounds the per-gram cross
-    // expansion, and the train×eval pairs aggregate to shared-gram
-    // counts. No self-join of the shingle pipeline, no posting-set
-    // materialization — three shuffles on narrowing keys.
-    "text_decontaminate" -> ((s, dir) => {
-      val isEval = col("doc_id") % 20 === 0
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          // 60-bit gram HASHES as the shuffle key, not gram strings —
-          // ~4× narrower exchange rows (the JaccardPairs trick); the
-          // oracle hashes identically, so rare collisions stay parity
-          explode(TextHash.shingleHashes(col("text"), 4)).as("gram"))
-        .distinct()
-        .groupBy("gram")
-        .agg(
-          sort_array(collect_list(when(isEval, col("doc_id"))))
-            .as("ev_ids"),
-          sort_array(collect_list(when(!isEval, col("doc_id"))))
-            .as("tr_ids"))
-        .filter(size(col("ev_ids")) > 0 && size(col("tr_ids")) > 0 &&
-          size(col("ev_ids")) + size(col("tr_ids")) <= 1000)
-        .select(explode(col("tr_ids")).as("train_id"), col("ev_ids"))
-        .select(col("train_id"), explode(col("ev_ids")).as("eval_id"))
-        .groupBy("train_id", "eval_id")
-        .agg(count(lit(1)).as("n_shared"))
-    }),
+    // the (deterministic 5%) eval split — see [[Decontaminate]] for the
+    // single-scan plan shape shared with the weak-scaling probe.
+    "text_decontaminate" -> ((s, dir) =>
+      Decontaminate(t(s, dir, "documents"), "doc_id", "text",
+        isEval = col("doc_id") % 20 === 0)),
 
     // ---- snapshot diff (CDC shape) -------------------------------------
     // Two deterministic snapshots of `customer` (v2 drops the custkeys

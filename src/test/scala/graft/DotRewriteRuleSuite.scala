@@ -45,6 +45,18 @@ class DotRewriteRuleSuite extends SparkSpec {
     assert(out.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("unequal-length arrays keep the fold's NULL (length-guarded rewrite)") {
+    GraftExtensions.register(spark)
+    // zip_with pads the short side with nulls → the fold yields NULL;
+    // the rewritten form must preserve that, not the kernel's min(len)
+    val df = Seq((Seq(1f, 2f), Seq(3f)), (Seq(1f, 2f), Seq(3f, 4f)))
+      .toDF("a", "b")
+      .selectExpr(s"$hofSql AS d")
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0), "length mismatch must stay NULL")
+    assert(rows(1).getDouble(0) === 11.0)
+  }
+
   test("nullable-element arrays are NOT rewritten (semantics diverge on null)") {
     GraftExtensions.register(spark)
     val df = Seq((Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 1f, 1f)))

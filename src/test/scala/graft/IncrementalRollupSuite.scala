@@ -69,7 +69,8 @@ class IncrementalRollupSuite extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val landing = Files.createTempDirectory("landing").toString
     val state = Files.createTempDirectory("rollup3").toString
-    val day0 = 1687176000L // day D 00:00 UTC
+    val day0 = 1687176000L // 12:00 UTC on day D — mid-day anchor, so
+    // +/- a few hours of offset can never cross a day boundary
     val mem = MemoryStream[(Long, String, Double)]
     val q = mem.toDF().toDF("sec", "event_type", "value")
       .select(timestamp_seconds(col("sec")).as("ts"),

@@ -238,6 +238,17 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(executed(q("agg_unpivot"))) === 0)
   }
 
+  test("jaccard: one corpus scan serves both index consumers (ReuseExchange)") {
+    // the localCheckpoint pin was removed on the strength of exchange
+    // reuse — this pins it: if a plan change ever breaks exchange
+    // canonicalization between the sizes and pairs branches, the
+    // tokenize/hash/shuffle pipeline would silently run twice
+    val p = executed(q("dedup_ngram_jaccard"))
+    val scans = flatten(p).filter(_.nodeName.contains("Scan parquet"))
+    assert(scans.size === 1,
+      s"documents must be scanned exactly once, got ${scans.size}")
+  }
+
   test("aggregator sketch forms: quantize scan-side, ONE shuffle on the group key") {
     // the whole point of the production forms: partial sketches merge
     // map-side, so the exchange carries O(groups × k) rows — the anchor

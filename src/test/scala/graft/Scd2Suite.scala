@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.Scd2
 
 /** SCD-2 maintenance across multiple versions: change, delete, and
@@ -34,6 +36,19 @@ class Scd2Suite extends SparkSpec {
     rows.foreach { case (_, _, from, to) =>
       to.foreach(t => assert(from < t, "closed intervals are non-empty"))
     }
+  }
+
+  test("null-key rows are never silently dropped") {
+    val v1 = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "x")).toDF("k", "v")
+    val v2 = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "x")).toDF("k", "v")
+    val h2 = Scd2(Scd2.init(v1, keys, attrs, 1L), v2, keys, attrs, 2L)
+    // null never joins null, so the null-key row closes and reopens —
+    // but it must survive in the history, not vanish
+    val nullRows = h2.filter(col("k").isNull).collect()
+    assert(nullRows.length === 2, s"null-key history lost: ${h2.collect().toSeq}")
+    assert(nullRows.count(_.isNullAt(3)) === 1, "exactly one open null-key row")
   }
 
   test("idempotent fold: reapplying the same snapshot changes nothing") {
