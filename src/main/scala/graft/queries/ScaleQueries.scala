@@ -188,6 +188,36 @@ object ScaleQueries extends QueryPack {
       Decontaminate(t(s, dir, "documents"), "doc_id", "text",
         isEval = col("doc_id") % 20 === 0)),
 
+    // ---- TF-IDF keyword extraction -------------------------------------
+    // Top-3 tokens per document by tf·idf. idf is the LINEAR form
+    // N/df, not ln(N/df): Math.log and libm log may differ in the last
+    // ulp, which would break the cross-engine hash — the ranking is
+    // identical for any monotone idf, and production code swaps ln in
+    // freely. Plan: one token explode → (doc, token) tf agg; the df
+    // side aggregates the same exchange (ReuseExchange); df is
+    // vocabulary-sized → broadcast join; per-doc top-k is a bounded
+    // window. Deterministic tiebreak on the token.
+    "text_tfidf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count() // corpus size: one metadata count
+      val tf = docs
+        .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("token")
+        .agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df_), "token")
+        .withColumn("tfidf",
+          col("tf").cast("double") * lit(nDocs.toDouble) /
+            col("df").cast("double"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(desc("tfidf"), asc("token"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("token"), col("tf"), col("df"), col("tfidf"))
+    }),
+
     // ---- snapshot diff (CDC shape) -------------------------------------
     // Two deterministic snapshots of `customer` (v2 drops the custkeys
     // divisible by 7 and bumps balances divisible by 3) diffed into the
@@ -294,6 +324,22 @@ object ScaleQueries extends QueryPack {
         |UNION ALL
         |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
         |FROM part""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, token, tf, df,
+        |         CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(df AS DOUBLE)
+        |           AS tfidf
+        |       FROM tf JOIN df USING (token), n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY tfidf DESC, token ASC) AS rk FROM sc)
+        |SELECT doc_id, rk, token, tf, df, tfidf
+        |FROM rk WHERE rk <= 3""".stripMargin,
 
     "table_diff" ->
       """WITH v1 AS (SELECT c_custkey, c_acctbal AS bal_old FROM customer
