@@ -95,6 +95,29 @@ object DedupQueries extends QueryPack {
       JaccardPairs(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // LSH quality evaluation: MinHash candidate pairs scored against the
+    // exact-Jaccard ground truth — the recall/precision check a dedup
+    // pipeline runs before trusting its approximate stage. One metrics
+    // row; all counts exact, the two rates are single IEEE divisions.
+    // (Recall < 1 is expected and meaningful: banding trades recall for
+    // the bounded bucket join.)
+    "dedup_eval_recall" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val truth = JaccardPairs(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val cand = MinHashLSH.candidatePairs(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          (col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"))
+    }),
+
     // Embedding near-dup: banded sign-LSH (8 bands × 16 hyperplane bits)
     // then exact cosine over the DISTINCT candidate pairs. The band
     // explode carries only (vec_id, band, bucket) — ids, not vectors —
@@ -158,6 +181,35 @@ object DedupQueries extends QueryPack {
     "dedup_minhash_pairs" ->
       s"""WITH $minhashPairsWith
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    // truth side re-uses the dedup_ngram_jaccard pipeline (CTEs renamed
+    // j* to avoid colliding with the minhash CTE names)
+    "dedup_eval_recall" ->
+      s"""WITH $minhashPairsWith,
+         |jgrams AS (SELECT DISTINCT doc_id AS doc, gram FROM (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+         |  FROM tok WHERE len(w) >= 2)),
+         |jkept AS (SELECT doc, gram FROM (
+         |  SELECT doc, gram, count(*) OVER (PARTITION BY gram) AS df FROM jgrams)
+         |  WHERE df <= 50),
+         |jsizes AS (SELECT doc, count(*) AS n FROM jkept GROUP BY doc),
+         |jcommon AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+         |            FROM jkept a JOIN jkept b ON a.gram = b.gram AND a.doc < b.doc
+         |            GROUP BY a.doc, b.doc),
+         |truth AS (SELECT doc_a, doc_b FROM jcommon
+         |          JOIN jsizes sa ON sa.doc = doc_a
+         |          JOIN jsizes sb ON sb.doc = doc_b
+         |          WHERE CAST(common AS DOUBLE)
+         |            / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.6),
+         |hit AS (SELECT t.doc_a FROM truth t
+         |        JOIN pairs c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM pairs) AS n_cand,
+         |  (SELECT COUNT(*) FROM hit) AS n_hit,
+         |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall,
+         |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE) AS precision""".stripMargin,
 
     // Mirrors of the text_langid / text_quality formulas (TextQueries)
     // + the component closure, joined into the keep decision.
