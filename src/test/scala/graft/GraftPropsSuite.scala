@@ -193,6 +193,29 @@ class GraftPropsSuite extends SparkSpec {
     }
   }
 
+  test("property: envelope parser never throws on arbitrary spool bytes") {
+    val fmt = classOf[graft.source.EnvelopeSourceProvider].getName
+    // adversarial alphabet: quotes, braces, escapes, control chars,
+    // multi-byte — the hand-written frame demux must null-or-row, never
+    // throw a task failure, on ANY line
+    val fragment = Gen.oneOf(
+      Gen.oneOf("\"", "\\", "{", "}", "[", "]", ":", ",", "\\u12", "\\x",
+        "topic", "\"topic\"", "\"payload\":", "", "é", "𝄞", " "),
+      Gen.alphaNumStr.map(_.take(5)))
+    val lineGen = Gen.listOfN(12, fragment).map(_.mkString)
+    val linesGen = Gen.listOfN(20, lineGen)
+    forAllSeeded(linesGen, n = 10) { lines =>
+      val dir = java.nio.file.Files.createTempDirectory("fuzz")
+      java.nio.file.Files.write(dir.resolve("000.jsonl"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val rows = spark.read.format(fmt)
+        .option("path", dir.toString).load().collect()
+      rows.foreach(r => assert(r.getString(0) != null,
+        "a surfaced row always carries its topic"))
+      assert(rows.length <= lines.length)
+    }
+  }
+
   test("property: KMV aggregator == sorted-distinct take(k), any partitioning") {
     import graft.ops.KmvAggregator
     val k = 8
