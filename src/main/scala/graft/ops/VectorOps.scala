@@ -100,6 +100,38 @@ object VectorOps {
     array(bands: _*)
   }
 
+  /** DuckDB mirror of [[dot]]: left fold in index order over doubles —
+    * the exact operation sequence the native kernel performs, so values
+    * are bit-identical cross-engine.
+    */
+  def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)]), (acc, x) -> acc + x)"
+
+  /** DuckDB mirror of [[cosine]]. */
+  def cosDuck(a: String, b: String): String =
+    s"${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))"
+
+  /** Fixed-point squared L2 distance over the FULL vector: one left fold
+    * in index order over `(a_i − b_i)²` doubles, then `floor(d·1e9)` to a
+    * long — so downstream argmin/threshold compares are exact integer
+    * ops on both engines. (Distinct from summing [[graft.ops.Pq]]'s
+    * per-subspace folds: a different fold order rounds differently.)
+    */
+  def l2Fix(a: Column, b: Column): Column =
+    floor(aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0d), (acc, v) => acc + v) * 1e9).cast("long")
+
+  /** DuckDB mirror of [[l2Fix]]. */
+  def l2FixDuck(a: String, b: String): String =
+    s"""CAST(floor(1e9 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  [ (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |    * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |    for i in range(1, len($a)+1)]),
+       |  (acc, x) -> acc + x)) AS BIGINT)""".stripMargin
+
   /** DuckDB mirror of [[signBands]] over a table with an `embedding`
     * column: CTE text defining `bits` (per-plane sign, left fold in index
     * order — the exact double sequence the native kernel performs) and

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.Pq
+import graft.ops.{Pq, VectorOps}
 
 /** Compressed-index vector operators for the regime past IVF: product
   * quantization (store 4-byte codes instead of 256-byte vectors, probe
@@ -15,6 +15,48 @@ import graft.ops.Pq
 object VectorQueries extends QueryPack {
 
   private val K = 10
+
+  /** SemDeDup prune threshold. The synthetic corpus's closest pairs sit
+    * at cos≈0.5 (see DedupQueries' embedding scaladoc); production
+    * semantic dedup runs ≥0.9 — the math and plan are threshold-blind.
+    */
+  private val CosThreshold = 0.4
+
+  /** Deterministic coarse centroids (every 101st vector — the same seed
+    * set the IVF queries use) and the per-vector cell assignment by
+    * fixed-point L2 argmin: corpus scan × broadcast centroids, integer
+    * argmin via one per-vector window. Shared by `dedup_semantic` and
+    * `emb_kmeans_step` — the SemDeDup paper's "cluster, then act within
+    * cells" shape IS the k-means E-step.
+    */
+  private def assignCells(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dfix"), col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dfix", VectorOps.l2Fix(col("embedding"), col("cv")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** DuckDB mirror of [[assignCells]] as a WITH body ending in
+    * `assign(vec_id, embedding, cell)`.
+    */
+  private val assignCellsDuck: String =
+    s"""cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id % 101 = 0),
+       |assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VectorOps.l2FixDuck("e.embedding", "c.cv")},
+       |          c.cent_id) AS r
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE r = 1)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -38,6 +80,48 @@ object VectorQueries extends QueryPack {
         .filter(col("rnk") <= K)
         .select(col("q_id"), col("n_id"),
           (col("afix").cast("double") / Pq.Scale).as("adist"), col("rnk"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): cluster the corpus into coarse cells,
+    // then drop any vector with a LOWER-id within-cell neighbor above the
+    // cosine threshold. The pairwise work is quadratic only in CELL size
+    // (corpus/centroids) — the cluster count is the knob that keeps each
+    // cell's pair join bounded at 100 TB; cross-cell pairs are never
+    // formed. Survivor policy (min vec_id) matches the dedup family.
+    "dedup_semantic" -> ((s, dir) => {
+      val assigned = assignCells(s, dir)
+      val a = assigned.select(col("cell"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("va") < col("vb") &&
+          VectorOps.cosine(col("ea"), col("eb")) >= CosThreshold)
+        .select(col("vb").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("dup"), lit(false)) === false).toDF(
+          "vec_id", "cell", "kept")
+    }),
+
+    // One k-means Lloyd iteration over the same cells: the M-step that
+    // turns the sampled seed centroids into trained ones (iterate = run
+    // again with the output as the next seed set; PQ codebooks train the
+    // same way per-subspace). Float sums are fixed-point-quantized
+    // scan-side so the per-(cell, pos) mean is exact and
+    // aggregation-order-independent — the identical discipline to
+    // emb_label_centroids, keyed by LEARNED cell instead of given label.
+    "emb_kmeans_step" -> ((s, dir) => {
+      assignCells(s, dir)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"),
+          floor(col("x").cast("double") * 1e9).cast("long").as("q"))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+        .select(col("cell"), col("pos"), col("n_vecs"),
+          (col("sq").cast("double") /
+            (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
     })
   )
 
@@ -73,6 +157,28 @@ object VectorQueries extends QueryPack {
          |SELECT q_id, n_id, afix / 1e9 AS adist, rnk FROM (
          |  SELECT q_id, n_id, afix,
          |    row_number() OVER (PARTITION BY q_id ORDER BY afix, n_id) AS rnk
-         |  FROM ad) WHERE rnk <= $K""".stripMargin
+         |  FROM ad) WHERE rnk <= $K""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $assignCellsDuck,
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${VectorOps.cosDuck("a.embedding", "b.embedding")}
+         |    >= $CosThreshold)
+         |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept
+         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin,
+
+    "emb_kmeans_step" ->
+      s"""WITH $assignCellsDuck
+         |SELECT cell, pos, COUNT(*) AS n_vecs,
+         |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+         |    / (1000000000.0 * CAST(COUNT(*) AS DOUBLE)) AS c
+         |FROM (SELECT cell,  ps.pos,
+         |        CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE)
+         |          * 1000000000.0) AS BIGINT) AS q
+         |      FROM assign, (SELECT unnest(range(0, 64)) AS pos) ps)
+         |GROUP BY cell, pos""".stripMargin
   )
 }
