@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{Centroids, Decontaminate, IncrementalRollup, KmvAggregator, Scd2, TextHash, ZOrder}
+import graft.ops.{Centroids, CountMin, Decontaminate, IncrementalRollup, KmvAggregator, Scd2, TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -261,6 +261,38 @@ object ScaleQueries extends QueryPack {
         v2, Seq("c_custkey"), Seq("c_acctbal"), 2L)
     }),
 
+    // ---- heavy hitters via count-min sketch ----------------------------
+    // "How often does each hot token occur" when the exact per-token
+    // frequency table is itself shuffle-sized: the sketch is ≤ 4×1024
+    // cells NO MATTER the corpus size, built with one groupBy whose
+    // map-side partials are the merge operation (sketches are
+    // counter-matrices — addition commutes). est = min over rows; the
+    // exact top-20 is computed alongside at fixture scale to anchor the
+    // oracle AND surface the overestimate bias (est ≥ n_true always;
+    // equality when the token escapes collisions in some row). See
+    // [[graft.ops.CountMin]] for the cross-engine hash discipline.
+    "freq_topk_cms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextHash.tokens(col("text"))).as("token"))
+        .withColumn("h", TextHash.h31(col("token")))
+      val sketch = toks
+        .select(posexplode(CountMin.cells(col("h"))).as(Seq("i", "dc")))
+        .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val top = toks.groupBy("token")
+        .agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("token")).limit(20)
+        .withColumn("h", TextHash.h31(col("token")))
+      val probes = top
+        .select(col("token"), col("n_true"),
+          posexplode(CountMin.cells(col("h"))).as(Seq("i", "dc")))
+        .select(col("token"), col("n_true"),
+          col("dc.d").as("d"), col("dc.cell").as("cell"))
+      sketch.join(broadcast(probes), Seq("d", "cell"))
+        .groupBy("token", "n_true")
+        .agg(min(col("n")).as("est"))
+    }),
+
     // ---- wide → long reshape (unpivot/melt) ----------------------------
     // The inverse of pivot: training-data pipelines melt per-column
     // metrics into (metric, value) rows for uniform downstream handling.
@@ -305,7 +337,42 @@ object ScaleQueries extends QueryPack {
       |      FROM embeddings, (SELECT unnest(range(0, 64)) AS pos) ps)
       |GROUP BY label, pos""".stripMargin
 
+  /** The sketch rows' (d, a, b) coefficients as a DuckDB VALUES list —
+    * generated from [[CountMin.A]]/[[CountMin.B]] so the two engines can
+    * never drift.
+    */
+  private def cmsRowsDuck: String =
+    (0 until CountMin.Depth)
+      .map(d => s"(${d}, ${CountMin.A(d)}, ${CountMin.B(d)})")
+      .mkString("(VALUES ", ", ", ") AS v(d, a, b)")
+
   def oracles: Map[String, String] = Map(
+    "freq_topk_cms" ->
+      s"""WITH th AS (
+         |  SELECT token,
+         |    CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+         |      % ${TextHash.P31} AS h
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents)),
+         |rws AS (SELECT * FROM $cmsRowsDuck),
+         |sk AS (
+         |  SELECT d, cell, COUNT(*) AS n FROM (
+         |    SELECT r.d, ((t.h * r.a + r.b) % ${TextHash.P31})
+         |      % ${CountMin.Width} AS cell
+         |    FROM th t, rws r)
+         |  GROUP BY d, cell),
+         |tops AS (
+         |  SELECT token, h, COUNT(*) AS n_true FROM th GROUP BY token, h
+         |  ORDER BY n_true DESC, token LIMIT 20),
+         |pr AS (
+         |  SELECT t.token, t.n_true, r.d,
+         |    ((t.h * r.a + r.b) % ${TextHash.P31}) % ${CountMin.Width} AS cell
+         |  FROM tops t, rws r)
+         |SELECT p.token, CAST(p.n_true AS BIGINT) AS n_true,
+         |  CAST(MIN(s.n) AS BIGINT) AS est
+         |FROM pr p JOIN sk s ON p.d = s.d AND p.cell = s.cell
+         |GROUP BY p.token, p.n_true""".stripMargin,
+
     "agg_approx_distinct_kmv_agg" -> kmvOracle,
     "agg_approx_distinct_kmv" -> kmvOracle,
     "emb_label_centroids" -> centroidOracle,
