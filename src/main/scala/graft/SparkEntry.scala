@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.SamplingQueries,
     _root_.graft.queries.ScaleQueries,
     _root_.graft.queries.VectorQueries,
+    _root_.graft.queries.GraphQueries,
     _root_.graft.queries.StreamE2EQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the graph-centrality
+  * primitive a curation pipeline uses to weight documents by link
+  * authority (the signal behind "quality via inlinks" corpus filters).
+  *
+  * Determinism discipline: per-edge contributions `r/outdeg` are IEEE
+  * divisions on identical operands, then quantized to fixed-point longs
+  * (`floor(x·1e12)`) BEFORE the per-node sum — so the one
+  * order-sensitive step (summing a node's in-contributions) is an exact
+  * integer aggregate and every iteration's ranks are bit-identical
+  * cross-engine. The damping update `0.15/N + 0.85·(sq/1e12)` is a fixed
+  * four-op IEEE sequence mirrored literally in the DuckDB oracle.
+  *
+  * Scale shape: each iteration is one broadcast-or-shuffle join of the
+  * static edge table with the current ranks (both keyed on the source
+  * node — a cluster deployment pre-partitions edges by src once and
+  * reuses that layout every iteration) plus one groupBy(dst). Lineage
+  * grows per iteration, so past ~10 iterations you checkpoint ranks —
+  * the same reliable-storage seam as [[ConnectedComponents]]. Dangling
+  * mass is dropped (not redistributed): ranks then sum to < 1, which is
+  * fine for the relative-ordering uses this operator serves.
+  */
+object PageRank {
+
+  val Damping = 0.85
+  val Scale = 1e12
+
+  /** @param edges (src: long, dst: long) directed edge list (pre-deduped)
+    * @param iters fixed iteration count (unrolled in the oracle SQL)
+    * @return (node: long, r: double) — ranks after `iters` iterations
+    */
+  def apply(edges: DataFrame, iters: Int): DataFrame = {
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ewd = edges.join(outdeg, "src")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+
+    var ranks = nodes.crossJoin(nn)
+      .select(col("node"), (lit(1.0) / col("nn").cast("double")).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ewd
+        .join(ranks, ewd("src") === ranks("node"))
+        .select(col("dst"),
+          floor(col("r") / col("outdeg").cast("double") * Scale)
+            .cast("long").as("cq"))
+        .groupBy("dst").agg(sum(col("cq")).as("sq"))
+      ranks = nodes.crossJoin(nn)
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1 - Damping) / col("nn").cast("double") +
+            lit(Damping) *
+              (coalesce(col("sq"), lit(0L)).cast("double") / Scale)).as("r"))
+    }
+    ranks
+  }
+
+  /** DuckDB mirror as a WITH body: expects an `edges(src, dst)` CTE to
+    * already be defined, unrolls `iters` iterations, ends in
+    * `r$iters(node, r)`.
+    */
+  def duckCtes(iters: Int): String = {
+    val base =
+      s"""od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst AS node FROM edges)),
+         |nn AS (SELECT COUNT(*) AS nn FROM nodes),
+         |r0 AS (SELECT node, 1.0 / CAST(nn.nn AS DOUBLE) AS r
+         |       FROM nodes, nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, CAST(SUM(CAST(floor(
+         |      r.r / CAST(o.outdeg AS DOUBLE) * ${Scale}) AS BIGINT))
+         |    AS BIGINT) AS sq
+         |  FROM edges e
+         |  JOIN od o ON e.src = o.src
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ${1 - Damping} / CAST(nn.nn AS DOUBLE) +
+         |    $Damping * (CAST(COALESCE(c.sq, 0) AS DOUBLE) / ${Scale}) AS r
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN c$i c ON n.node = c.dst)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+}
