@@ -118,6 +118,48 @@ object DedupQueries extends QueryPack {
             .as("precision"))
     }),
 
+    // URL-canonicalization dedup — the cheap first dedup pass a web
+    // corpus runs BEFORE any content hashing: mixed-case hosts, default
+    // ports, utm_* tracking params, fragments, and trailing slashes all
+    // collapse to one canonical URL. The fixtures carry no URLs, so a
+    // deterministic variant-rich column is SYNTHESIZED from events
+    // (case/port/utm/fragment/slash variants of per-item URLs); the
+    // canonicalizer itself — parse, filter params, rebuild — is the real
+    // operator and is pure scan-side string work, RE2/Java-portable
+    // (no backreferences: DuckDB's \\1 vs Java's $1 would diverge).
+    // One shuffle: the groupBy on the canonical key.
+    "dedup_url_canonical" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("kk", get_json_object(col("props"), "$.k").cast("long"))
+      val url = concat(
+        when(col("user_id") % 2 === 0, lit("HTTPS://Shop.Example.COM:443"))
+          .otherwise(lit("https://shop.example.com")),
+        lit("/item/"), col("kk").cast("string"),
+        when(col("user_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=s"), (col("user_id") % 7).cast("string"),
+        lit("&id="), (col("kk") % 5).cast("string"),
+        when(col("user_id") % 5 === 0, lit("&utm_campaign=c"))
+          .otherwise(lit("")),
+        when(col("kk") % 4 === 0, lit("#sec")).otherwise(lit("")))
+      val withUrl = ev.select(col("event_id"), url.as("url"))
+      val prefix = lower(regexp_replace(
+        regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+", 0), ":443$", ""))
+      val path = regexp_replace(
+        regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+        "/+$", "")
+      val params = filter(
+        regexp_extract_all(col("url"), lit("[?&]([a-z_]+=[^&#]*)"), lit(1)),
+        p => !p.startsWith("utm_"))
+      withUrl
+        .select(col("event_id"),
+          concat(prefix, path,
+            when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+              .otherwise(lit(""))).as("url_canonical"))
+        .groupBy("url_canonical")
+        .agg(count(lit(1)).as("n_variants"),
+          min(col("event_id")).as("survivor"))
+    }),
+
     // Embedding near-dup: banded sign-LSH (8 bands × 16 hyperplane bits)
     // then exact cosine over the DISTINCT candidate pairs. The band
     // explode carries only (vec_id, band, bucket) — ids, not vectors —
@@ -173,6 +215,41 @@ object DedupQueries extends QueryPack {
        |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "dedup_url_canonical" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS kk
+         |  FROM events),
+         |u AS (
+         |  SELECT event_id,
+         |    (CASE WHEN user_id % 2 = 0 THEN 'HTTPS://Shop.Example.COM:443'
+         |          ELSE 'https://shop.example.com' END) ||
+         |    '/item/' || kk ||
+         |    (CASE WHEN user_id % 3 = 0 THEN '/' ELSE '' END) ||
+         |    '?utm_source=s' || (user_id % 7) ||
+         |    '&id=' || (kk % 5) ||
+         |    (CASE WHEN user_id % 5 = 0 THEN '&utm_campaign=c' ELSE '' END) ||
+         |    (CASE WHEN kk % 4 = 0 THEN '#sec' ELSE '' END) AS url
+         |  FROM ev),
+         |canon AS (
+         |  SELECT event_id,
+         |    lower(regexp_replace(
+         |      regexp_extract(url, '^[a-zA-Z]+://[^/?#]+'), ':443$$', '')) ||
+         |    regexp_replace(
+         |      regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+         |      '/+$$', '') ||
+         |    (CASE WHEN len(list_filter(
+         |        regexp_extract_all(url, '[?&]([a-z_]+=[^&#]*)', 1),
+         |        p -> NOT starts_with(p, 'utm_'))) > 0
+         |      THEN '?' || array_to_string(list_filter(
+         |        regexp_extract_all(url, '[?&]([a-z_]+=[^&#]*)', 1),
+         |        p -> NOT starts_with(p, 'utm_')), '&')
+         |      ELSE '' END) AS url_canonical
+         |  FROM u)
+         |SELECT url_canonical, COUNT(*) AS n_variants,
+         |  MIN(event_id) AS survivor
+         |FROM canon GROUP BY url_canonical""".stripMargin,
+
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
          |  ${h31duckOf("text")} AS h

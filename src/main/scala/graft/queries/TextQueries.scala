@@ -16,7 +16,45 @@ object TextQueries extends QueryPack {
 
   private val P = TextHash.P31
 
+  /** PII regexes, shared verbatim by both engines (conservative syntax —
+    * char classes, bounded repeats, anchors — that Java regex and RE2
+    * parse identically; no lookaround, no backreferences).
+    */
+  private val EmailRe = "[a-z0-9.]+@[a-z][a-z0-9.]*[a-z]"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII redaction — the scrub pass a training corpus runs before
+    // anything else sees the text. The fixtures carry no PII, so a
+    // deterministic message column is SYNTHESIZED from events (email,
+    // phone, IP per row) and then redacted; what's under test is the
+    // scan-side regex machinery and the per-class counts, which is
+    // exactly what transfers to real text. Replacement order
+    // email→phone→IP; counts are taken on the pre-redaction text.
+    "text_pii_redact" -> ((s, dir) => {
+      val msg = Tables(s, dir, "events")
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("event_id"), concat(
+          lit("user"), col("user_id").cast("string"),
+          lit("@mail.example called +1-555-"),
+          lpad(col("k").cast("string"), 4, "0"),
+          lit(" from 10."), (col("k") % 256).cast("string"),
+          lit("."), (col("user_id") % 256).cast("string"),
+          lit(".7")).as("msg"))
+      msg.select(
+        col("event_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("msg"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          IpRe, "[IP]").as("redacted"),
+        regexp_count(col("msg"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("msg"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("msg"), lit(IpRe)).cast("long").as("n_ip"))
+    }),
 
     // Whitespace + BPE-ish token counts per document.
     "text_token_counts" -> ((s, dir) => {
@@ -114,6 +152,26 @@ object TextQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH msg AS (
+         |  SELECT event_id,
+         |    'user' || user_id || '@mail.example called +1-555-' ||
+         |    lpad(CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT)
+         |      AS VARCHAR), 4, '0') ||
+         |    ' from 10.' ||
+         |    (CAST(json_extract_string(props, '$$.k') AS BIGINT) % 256) ||
+         |    '.' || (user_id % 256) || '.7' AS msg
+         |  FROM events)
+         |SELECT event_id,
+         |  regexp_replace(regexp_replace(regexp_replace(msg,
+         |    '$EmailRe', '[EMAIL]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g'),
+         |    '$IpRe', '[IP]', 'g') AS redacted,
+         |  len(regexp_extract_all(msg, '$EmailRe')) AS n_email,
+         |  len(regexp_extract_all(msg, '$PhoneRe')) AS n_phone,
+         |  len(regexp_extract_all(msg, '$IpRe')) AS n_ip
+         |FROM msg""".stripMargin,
+
     "text_token_counts" ->
       s"""SELECT doc_id,
          |  len(string_split(text, ' ')) AS n_ws,
