@@ -83,12 +83,60 @@ object Pq {
        |    for i in range(1, ${D + 1})]),
        |  (acc, x) -> acc + x)) AS BIGINT)""".stripMargin
 
-  /** PQ-encode a vector table against a (broadcastable) codebook: one
-    * corpus scan × 16 codebook rows, per-(vector, subspace) integer
-    * argmin, codes packed to a length-M int array ordered by subspace.
-    * Output: (vec_id, codes). Shuffles: groupBy(vec_id, m) with map-side
-    * partial min, then groupBy(vec_id) to pack — both keyed on the
-    * vector id, no full-vector payload past the first exchange.
+  /** [[subDistFix]] with a runtime subspace index (for the scan-side
+    * fold forms where `m` is a lambda variable, not a literal). Same
+    * fold order, bit-identical results.
+    */
+  def subDistFixDyn(a: Column, b: Column, m: Column): Column = {
+    val sa = slice(a, m * D + 1, lit(D))
+    val sb = slice(b, m * D + 1, lit(D))
+    val d = aggregate(
+      zip_with(sa, sb,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0d), (acc, v) => acc + v)
+    floor(d * Scale).cast("long")
+  }
+
+  /** The codebook collapsed to ONE row: `cvs` = the 16 centroid vectors
+    * ordered by cent_id. Broadcasting this row lets encode/LUT run as
+    * pure scan-side projections — no per-(vector, centroid) row
+    * explosion and no argmin shuffle at all.
+    */
+  def codebookRow(e: DataFrame): DataFrame =
+    codebook(e).agg(
+      transform(array_sort(collect_list(struct(col("cent_id"), col("cv")))),
+        x => x.getField("cv")).as("cvs"))
+
+  /** Scan-side PQ codes: for each subspace, a left-to-right fold over
+    * the 16 codebook entries keeping the strict-min fixed-point distance
+    * — index order ascending, so ties keep the LOWEST cent_id, exactly
+    * the `min(struct(dfix, cent_id))` tiebreak of the relational anchor
+    * form ([[encode]]); the two are asserted bit-equal in PqSuite.
+    */
+  def codesCol(emb: Column, cvs: Column): Column =
+    transform(sequence(lit(0), lit(M - 1)), m =>
+      aggregate(sequence(lit(0), lit(KC - 1)),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, j) => {
+          val d = subDistFixDyn(emb, element_at(cvs, j + 1), m)
+          when(d < acc.getField("d"),
+            struct(d.as("d"), j.as("c"))).otherwise(acc)
+        }).getField("c"))
+
+  /** Scan-side LUT (flat M·KC fixed-point distances, index `m·KC + j`) —
+    * the projection form of [[lut]].
+    */
+  def lutCol(emb: Column, cvs: Column): Column =
+    flatten(transform(sequence(lit(0), lit(M - 1)), m =>
+      transform(sequence(lit(0), lit(KC - 1)), j =>
+        subDistFixDyn(emb, element_at(cvs, j + 1), m))))
+
+  /** Relational anchor form of the encoder (kept for the equivalence
+    * test; the production path is [[codesCol]] over a broadcast
+    * [[codebookRow]]): corpus × 16 codebook rows, per-(vector, subspace)
+    * integer argmin, codes packed per vector. Two shuffles keyed on the
+    * vector id.
     */
   def encode(e: DataFrame): DataFrame = {
     val cb = codebook(e)

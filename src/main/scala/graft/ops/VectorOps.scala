@@ -124,6 +124,22 @@ object VectorOps {
           (x.cast("double") - y.cast("double"))),
       lit(0d), (acc, v) => acc + v) * 1e9).cast("long")
 
+  /** 0-based index of the nearest vector in a (small, broadcast) nested
+    * array of centroids, by fixed-point L2 — a scan-side left fold in
+    * index order, strict `<` so ties keep the earliest (lowest-id when
+    * the array is id-sorted) entry: the same tiebreak as a
+    * `row_number() ... ORDER BY dfix, cent_id` argmin, with NO
+    * per-(vector, centroid) row explosion and no shuffle.
+    */
+  def argminL2Index(v: Column, cvs: Column): Column =
+    aggregate(sequence(lit(0), size(cvs) - 1),
+      struct(lit(Long.MaxValue).as("d"), lit(-1).as("i")),
+      (acc, j) => {
+        val d = l2Fix(v, element_at(cvs, j + 1))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), j.as("i"))).otherwise(acc)
+      }).getField("i")
+
   /** DuckDB mirror of [[l2Fix]]. */
   def l2FixDuck(a: String, b: String): String =
     s"""CAST(floor(1e9 * list_reduce(list_prepend(CAST(0 AS DOUBLE),

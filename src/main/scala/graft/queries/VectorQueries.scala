@@ -24,22 +24,25 @@ object VectorQueries extends QueryPack {
 
   /** Deterministic coarse centroids (every 101st vector — the same seed
     * set the IVF queries use) and the per-vector cell assignment by
-    * fixed-point L2 argmin: corpus scan × broadcast centroids, integer
-    * argmin via one per-vector window. Shared by `dedup_semantic` and
-    * `emb_kmeans_step` — the SemDeDup paper's "cluster, then act within
-    * cells" shape IS the k-means E-step.
+    * fixed-point L2 argmin. The centroid set is collapsed to ONE
+    * broadcast row (id-sorted ids + vectors), so assignment is a pure
+    * scan-side fold ([[VectorOps.argminL2Index]]) — no per-(vector,
+    * centroid) row explosion, no argmin window shuffle; the tiebreak
+    * matches the oracle's `ORDER BY dfix, cent_id`. Shared by
+    * `dedup_semantic` and `emb_kmeans_step` — the SemDeDup paper's
+    * "cluster, then act within cells" shape IS the k-means E-step.
     */
   private def assignCells(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val cents = e.filter(col("vec_id") % 101 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dfix"), col("cent_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("dfix", VectorOps.l2Fix(col("embedding"), col("cv")))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val byId = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+    val cr = e.filter(col("vec_id") % 101 === 0)
+      .agg(transform(byId, x => x.getField("vec_id")).as("cids"),
+        transform(byId, x => x.getField("embedding")).as("cvs"))
+    e.crossJoin(broadcast(cr))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"),
+          VectorOps.argminL2Index(col("embedding"), col("cvs")) + 1)
+          .as("cell"))
   }
 
   /** DuckDB mirror of [[assignCells]] as a WITH body ending in
@@ -60,16 +63,23 @@ object VectorQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // PQ ANN: encode once (two narrow shuffles keyed on vec_id), then the
-    // probe is ONE pass over the 4-byte-per-vector code table × a
-    // broadcast of 20 query LUTs — no full-vector I/O at query time, the
-    // plan PQ exists for. Distances are exact-integer end to end
-    // (fixed-point quantization before argmin and sum), so the result is
-    // hash-exact against DuckDB despite being an "approximate" index.
+    // PQ ANN: the codebook collapses to ONE broadcast row, so encoding is
+    // a pure scan-side fold (no argmin shuffle at all), and the probe is
+    // ONE pass over the 4-byte-per-vector code table × a broadcast of 20
+    // query LUTs — no full-vector I/O at query time, the plan PQ exists
+    // for. The only corpus-sized shuffle in the whole query is the final
+    // top-k window. Distances are exact-integer end to end (fixed-point
+    // quantization before argmin and sum), so the result is hash-exact
+    // against DuckDB despite being an "approximate" index.
     "ann_pq_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val codes = Pq.encode(e)
-      val luts = Pq.lut(e.filter(col("vec_id") < 20), Pq.codebook(e))
+      val cbr = Pq.codebookRow(e)
+      val codes = e.crossJoin(broadcast(cbr))
+        .select(col("vec_id"),
+          Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
+      val luts = e.filter(col("vec_id") < 20).crossJoin(broadcast(cbr))
+        .select(col("vec_id").as("q_id"),
+          Pq.lutCol(col("embedding"), col("cvs")).as("lut"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("afix"), col("n_id"))
       codes.crossJoin(broadcast(luts))

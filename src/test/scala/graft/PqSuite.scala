@@ -37,6 +37,23 @@ class PqSuite extends SparkSpec {
     assert(lut.count(_ > 0) > Pq.M * (Pq.KC - 2), "non-self entries positive")
   }
 
+  test("scan-side encode/LUT equal the relational anchor forms bit-for-bit") {
+    val cbr = Pq.codebookRow(e)
+    val scanCodes = e.crossJoin(broadcast(cbr))
+      .select(col("vec_id"), Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).sortBy(_._1)
+    val relCodes = Pq.encode(e)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).sortBy(_._1)
+    assert(scanCodes.toSeq === relCodes.toSeq)
+
+    val scanLut = e.filter(col("vec_id") < 5).crossJoin(broadcast(cbr))
+      .select(col("vec_id"), Pq.lutCol(col("embedding"), col("cvs")).as("lut"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1)
+    val relLut = Pq.lut(e.filter(col("vec_id") < 5), Pq.codebook(e))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).sortBy(_._1)
+    assert(scanLut.toSeq === relLut.toSeq)
+  }
+
   test("LUT probe equals the explicit (m, code) join form bit-for-bit") {
     val codes = Pq.encode(e)
     val luts = Pq.lut(e.filter(col("vec_id") < 5), Pq.codebook(e))
