@@ -108,13 +108,21 @@ object Pq {
       transform(array_sort(collect_list(struct(col("cent_id"), col("cv")))),
         x => x.getField("cv")).as("cvs"))
 
-  /** Scan-side PQ codes: for each subspace, a left-to-right fold over
-    * the 16 codebook entries keeping the strict-min fixed-point distance
-    * — index order ascending, so ties keep the LOWEST cent_id, exactly
-    * the `min(struct(dfix, cent_id))` tiebreak of the relational anchor
-    * form ([[encode]]); the two are asserted bit-equal in PqSuite.
+  /** Scan-side PQ codes: per subspace, the argmin codebook index with
+    * strict-`<` first-wins tiebreak (index ascending = lowest cent_id —
+    * exactly the `min(struct(dfix, cent_id))` tiebreak of the relational
+    * anchor form [[encode]]). Dispatched to the native codegen'd
+    * [[graft.functions.PqCodesF]]; [[codesColHof]] is the bit-identical
+    * HOF reference (equivalence pinned in PqSuite).
     */
-  def codesCol(emb: Column, cvs: Column): Column =
+  def codesCol(emb: Column, cvs: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.PqCodesF(
+      Bridge.expression(emb), Bridge.expression(cvs), M, Scale))
+  }
+
+  /** HOF reference form of [[codesCol]]. */
+  def codesColHof(emb: Column, cvs: Column): Column =
     transform(sequence(lit(0), lit(M - 1)), m =>
       aggregate(sequence(lit(0), lit(KC - 1)),
         struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
@@ -125,9 +133,17 @@ object Pq {
         }).getField("c"))
 
   /** Scan-side LUT (flat M·KC fixed-point distances, index `m·KC + j`) —
-    * the projection form of [[lut]].
+    * the projection form of [[lut]], dispatched to the native
+    * [[graft.functions.PqLutF]].
     */
-  def lutCol(emb: Column, cvs: Column): Column =
+  def lutCol(emb: Column, cvs: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.PqLutF(
+      Bridge.expression(emb), Bridge.expression(cvs), M, Scale))
+  }
+
+  /** HOF reference form of [[lutCol]]. */
+  def lutColHof(emb: Column, cvs: Column): Column =
     flatten(transform(sequence(lit(0), lit(M - 1)), m =>
       transform(sequence(lit(0), lit(KC - 1)), j =>
         subDistFixDyn(emb, element_at(cvs, j + 1), m))))

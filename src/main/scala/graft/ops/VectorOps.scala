@@ -131,7 +131,14 @@ object VectorOps {
     * `row_number() ... ORDER BY dfix, cent_id` argmin, with NO
     * per-(vector, centroid) row explosion and no shuffle.
     */
-  def argminL2Index(v: Column, cvs: Column): Column =
+  def argminL2Index(v: Column, cvs: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.ArgminL2F(
+      Bridge.expression(v), Bridge.expression(cvs), 1e9))
+  }
+
+  /** HOF reference form of [[argminL2Index]] (equivalence anchor). */
+  def argminL2IndexHof(v: Column, cvs: Column): Column =
     aggregate(sequence(lit(0), size(cvs) - 1),
       struct(lit(Long.MaxValue).as("d"), lit(-1).as("i")),
       (acc, j) => {

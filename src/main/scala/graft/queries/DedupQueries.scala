@@ -147,13 +147,17 @@ object DedupQueries extends QueryPack {
       val path = regexp_replace(
         regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
         "/+$", "")
-      val params = filter(
-        regexp_extract_all(col("url"), lit("[?&]([a-z_]+=[^&#]*)"), lit(1)),
-        p => !p.startsWith("utm_"))
       withUrl
+        // materialize the filtered param list once — referencing the
+        // regexp_extract_all twice (size + join) would run the regex
+        // scan twice per row
+        .select(col("event_id"), col("url"), filter(
+          regexp_extract_all(col("url"), lit("[?&]([a-z_]+=[^&#]*)"), lit(1)),
+          p => !p.startsWith("utm_")).as("params"))
         .select(col("event_id"),
           concat(prefix, path,
-            when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+            when(size(col("params")) > 0,
+              concat(lit("?"), array_join(col("params"), "&")))
               .otherwise(lit(""))).as("url_canonical"))
         .groupBy("url_canonical")
         .agg(count(lit(1)).as("n_variants"),

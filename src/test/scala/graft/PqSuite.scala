@@ -37,6 +37,24 @@ class PqSuite extends SparkSpec {
     assert(lut.count(_ > 0) > Pq.M * (Pq.KC - 2), "non-self entries positive")
   }
 
+  test("native kernels equal the HOF reference forms bit-for-bit") {
+    val cbr = Pq.codebookRow(e)
+    val base = e.crossJoin(broadcast(cbr))
+    val rows = base.select(
+      Pq.codesCol(col("embedding"), col("cvs")).as("cn"),
+      Pq.codesColHof(col("embedding"), col("cvs")).as("ch"),
+      Pq.lutCol(col("embedding"), col("cvs")).as("ln"),
+      Pq.lutColHof(col("embedding"), col("cvs")).as("lh"),
+      graft.ops.VectorOps.argminL2Index(col("embedding"), col("cvs")).as("an"),
+      graft.ops.VectorOps.argminL2IndexHof(col("embedding"), col("cvs")).as("ah"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+      assert(r.getInt(4) === r.getInt(5))
+    }
+  }
+
   test("scan-side encode/LUT equal the relational anchor forms bit-for-bit") {
     val cbr = Pq.codebookRow(e)
     val scanCodes = e.crossJoin(broadcast(cbr))
