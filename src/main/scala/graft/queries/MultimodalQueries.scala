@@ -37,6 +37,18 @@ object MultimodalQueries extends QueryPack {
           md5(col("frame_bytes")).as("frame_digest"))
     }),
 
+    // Exact content dedup on the opaque binary column — the first pass a
+    // multimodal corpus runs (identical bytes = identical asset, no
+    // decode needed). One shuffle on the 128-bit digest, never on the
+    // payload: at 100 TB the exchange carries (digest, id), not bytes.
+    "media_dedup_exact" -> ((s, dir) => {
+      Multimodal.fromDocuments(Tables(s, dir, "documents"))
+        .select(col("media_id"), md5(col("bytes")).as("digest"))
+        .groupBy("digest")
+        .agg(min(col("media_id")).as("survivor"),
+          count(lit(1)).as("n_copies"))
+    }),
+
     // Column-expression form of the stub feature extractor (the oracle
     // anchor; the mapPartitions form is asserted equal in MultimodalSuite).
     "media_features" -> ((s, dir) => {
@@ -52,6 +64,11 @@ object MultimodalQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "media_dedup_exact" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS survivor,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "media_metadata" ->
       """SELECT doc_id AS media_id,
         |  (['image/png', 'audio/wav', 'video/mp4'])[doc_id % 3 + 1] AS mime,

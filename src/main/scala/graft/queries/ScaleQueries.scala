@@ -261,6 +261,42 @@ object ScaleQueries extends QueryPack {
         v2, Seq("c_custkey"), Seq("c_acctbal"), 2L)
     }),
 
+    // ---- approximate quantiles via fixed-bin histogram -----------------
+    // Percentiles at 100 TB without a global sort: pass 1 takes exact
+    // per-group extents (min/max/count — order-independent, bit-exact),
+    // pass 2 histograms values into 1024 uniform bins — per-group state
+    // is 1024 counters NO MATTER how many rows, and bins merge by
+    // addition (mergeable map-side partials, same property as the KMV /
+    // CMS sketches). Quantile q = lower edge of the first bin whose
+    // cumulative count reaches q·n: error ≤ (hi−lo)/1024. All arithmetic
+    // is a fixed IEEE sequence on identical operands, so even the
+    // "approximate" estimates hash-match DuckDB.
+    "agg_quantile_hist" -> ((s, dir) => {
+      val B = 1024
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val ext = ev.groupBy("event_type")
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+      val cum = ev.join(broadcast(ext), Seq("event_type"))
+        .select(col("event_type"),
+          least(floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+            * B), lit((B - 1).toLong)).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("event_type").orderBy("bin")))
+      val qdf = s.range(1).select(
+        explode(array(Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(lit): _*)).as("q"))
+      cum.join(broadcast(ext), Seq("event_type"))
+        .crossJoin(broadcast(qdf))
+        .filter(col("cum").cast("double") >= col("q") * col("n").cast("double"))
+        .groupBy("event_type", "q")
+        .agg(min(col("bin")).as("qbin"))
+        .join(broadcast(ext), Seq("event_type"))
+        .select(col("event_type"), col("q"), col("qbin"),
+          (col("lo") + col("qbin").cast("double") * (col("hi") - col("lo"))
+            / B).as("est"))
+    }),
+
     // ---- heavy hitters via count-min sketch ----------------------------
     // "How often does each hot token occur" when the exact per-token
     // frequency table is itself shuffle-sized: the sketch is ≤ 4×1024
@@ -347,6 +383,35 @@ object ScaleQueries extends QueryPack {
       .mkString("(VALUES ", ", ", ") AS v(d, a, b)")
 
   def oracles: Map[String, String] = Map(
+    "agg_quantile_hist" ->
+      """WITH ext AS (
+        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |bc AS (
+        |  SELECT event_type, bin, COUNT(*) AS c FROM (
+        |    SELECT e.event_type,
+        |      LEAST(CAST(floor((e.value - x.lo) / (x.hi - x.lo) * 1024)
+        |        AS BIGINT), 1023) AS bin
+        |    FROM events e JOIN ext x ON e.event_type = x.event_type)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin)
+        |      AS BIGINT) AS cum
+        |  FROM bc),
+        |qq AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+        |hit AS (
+        |  SELECT c.event_type, q.q, MIN(c.bin) AS qbin
+        |  FROM cum c
+        |  JOIN ext x ON c.event_type = x.event_type
+        |  CROSS JOIN qq q
+        |  WHERE CAST(c.cum AS DOUBLE) >= q.q * CAST(x.n AS DOUBLE)
+        |  GROUP BY 1, 2)
+        |SELECT h.event_type, h.q, h.qbin,
+        |  x.lo + CAST(h.qbin AS DOUBLE) * (x.hi - x.lo) / 1024.0 AS est
+        |FROM hit h JOIN ext x ON h.event_type = x.event_type""".stripMargin,
+
     "freq_topk_cms" ->
       s"""WITH th AS (
          |  SELECT token,
