@@ -39,7 +39,50 @@ object JaccardPairs {
       gramK: Int = 2,
       maxDf: Int = 50,
       minJaccard: Double = 0.6,
-      hashedKeys: Boolean = true): DataFrame = {
+      hashedKeys: Boolean = true): DataFrame =
+    pairStats(docs, idCol, textCol, gramK, maxDf, hashedKeys)
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+        col("jaccard"))
+
+  /** Asymmetric CONTAINMENT over the same index: `common/|A|` and
+    * `common/|B|` — the sub-document-duplication signal Jaccard dilutes
+    * (a short doc fully quoted inside a long one scores near 1.0 on one
+    * side but low on symmetric Jaccard). Same single-index cost shape as
+    * [[apply]]; the pair survives if EITHER direction clears the
+    * threshold. Sizes are df-filtered gram counts, consistent with the
+    * numerator.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramK: Int = 2,
+      maxDf: Int = 50,
+      minContainment: Double = 0.8,
+      hashedKeys: Boolean = true): DataFrame =
+    pairStats(docs, idCol, textCol, gramK, maxDf, hashedKeys)
+      .withColumn("cont_a",
+        col("common").cast("double") / col("na").cast("double"))
+      .withColumn("cont_b",
+        col("common").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
+        col("cont_a"), col("cont_b"))
+
+  /** Shared index pipeline: (doc_a, doc_b, common, na, nb) pair stats
+    * over the df-filtered gram index (see class doc for the plan shape).
+    */
+  private def pairStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramK: Int,
+      maxDf: Int,
+      hashedKeys: Boolean): DataFrame = {
     val gramArr =
       if (hashedKeys) TextHash.shingleHashes(col(textCol), gramK)
       else TextHash.shingles(TextHash.tokens(col(textCol)), gramK)
@@ -65,11 +108,5 @@ object JaccardPairs {
     common
       .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("na") + col("nb") - col("common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("common"), col("na"), col("nb"),
-        col("jaccard"))
   }
 }

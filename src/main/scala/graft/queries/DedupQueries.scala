@@ -95,6 +95,16 @@ object DedupQueries extends QueryPack {
       JaccardPairs(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Asymmetric containment over the same inverted index: catches the
+    // short-doc-quoted-inside-long-doc duplication that symmetric
+    // Jaccard dilutes (common/min-side ≈ 1 while common/union stays
+    // low). Same cost shape as dedup_ngram_jaccard — ONE index build,
+    // df-bounded pair expansion.
+    "dedup_containment" -> ((s, dir) => {
+      JaccardPairs.containmentPairs(Tables(s, dir, "documents"),
+        "doc_id", "text")
+    }),
+
     // LSH quality evaluation: MinHash candidate pairs scored against the
     // exact-Jaccard ground truth — the recall/precision check a dedup
     // pipeline runs before trusting its approximate stage. One metrics
@@ -389,6 +399,27 @@ object DedupQueries extends QueryPack {
         |JOIN sizes sa ON sa.doc = doc_a
         |JOIN sizes sb ON sb.doc = doc_b
         |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.6""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT DISTINCT doc_id AS doc, gram FROM (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+        |  FROM tok WHERE len(w) >= 2)),
+        |kept AS (SELECT doc, gram FROM (
+        |  SELECT doc, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams)
+        |  WHERE df <= 50),
+        |sizes AS (SELECT doc, count(*) AS n FROM kept GROUP BY doc),
+        |common AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+        |           FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc < b.doc
+        |           GROUP BY a.doc, b.doc)
+        |SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+        |  CAST(common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+        |  CAST(common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+        |FROM common
+        |JOIN sizes sa ON sa.doc = doc_a
+        |JOIN sizes sb ON sb.doc = doc_b
+        |WHERE GREATEST(CAST(common AS DOUBLE) / CAST(sa.n AS DOUBLE),
+        |               CAST(common AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.8""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH ${VectorOps.signBandsDuckCte()},

@@ -25,6 +25,24 @@ class JaccardPairsSuite extends SparkSpec {
     assert(math.abs(j - 7.0 / 9.0) < 1e-12)
   }
 
+  test("containment catches a quoted sub-document that Jaccard misses") {
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val short = "alpha beta gamma delta epsilon zeta" // prefix = subset grams
+    val docs = Seq((1L, long), (2L, short), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val cont = JaccardPairs.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(5), r.getDouble(6)))
+    assert(cont.length === 1)
+    val (a, b, ca, cb) = cont.head
+    assert(Set(a, b) === Set(1L, 2L))
+    assert(math.max(ca, cb) === 1.0, "short doc fully contained")
+    // symmetric Jaccard at the default 0.6 must NOT surface this pair
+    val jac = JaccardPairs(docs, "doc_id", "text").collect()
+    assert(jac.isEmpty, "Jaccard 5/19 should be under the 0.6 bar")
+  }
+
   test("hashed gram keys give identical pairs to string gram keys (fixture text)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     def pairs(hashed: Boolean) =
