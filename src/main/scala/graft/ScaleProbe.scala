@@ -72,10 +72,40 @@ object ScaleProbe {
       graft.ops.Centroids.quantizedSums(
         scaled("embeddings", "vec_id", c), "label", "embedding").count()
 
+    // round-4 additions: PQ encode (pure scan-side fold — the filter
+    // forces code evaluation, which a bare count() would prune away; the
+    // codebook stays the 16 copy-0 vectors so per-row work is constant)
+    // and SemDeDup (seed density is ~1/101 of ids across ALL copies, so
+    // cell occupancy stays constant and within-cell pair work scales
+    // linearly — the property that makes it viable at 100 TB).
+    def pqEncode(c: Int): Long = {
+      val e = scaled("embeddings", "vec_id", c)
+      val cbr = graft.ops.Pq.codebookRow(e)
+      e.crossJoin(broadcast(cbr))
+        .select(col("vec_id"),
+          graft.ops.Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
+        .filter(element_at(col("codes"), 1) >= 0).count()
+    }
+
+    def semanticDedup(c: Int): Long = {
+      val assigned = VectorOps.l2Cells(
+        scaled("embeddings", "vec_id", c), "vec_id", "embedding",
+        col("vec_id") % 101 === 0)
+      val a = assigned.select(col("cell"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      a.join(b, Seq("cell"))
+        .filter(col("va") < col("vb") &&
+          VectorOps.cosine(col("ea"), col("eb")) >= 0.4)
+        .count()
+    }
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
-      ("vec_centroids", centroids))
+      ("vec_centroids", centroids), ("pq_encode", pqEncode),
+      ("semantic_dedup", semanticDedup))
     // warm-up at 1x (codegen/JIT), then measure 1x and 10x
     probes.foreach { case (_, f) => f(1) }
     val results = probes.map { case (name, f) =>

@@ -147,6 +147,25 @@ object VectorOps {
           struct(d.as("d"), j.as("i"))).otherwise(acc)
       }).getField("i")
 
+  /** Coarse-cell assignment by fixed-point-L2 argmin against a
+    * deterministic seed-centroid set: the centroids collapse to ONE
+    * broadcast row (id-sorted), assignment is the scan-side
+    * [[argminL2Index]] fold — no per-(vector, centroid) row explosion,
+    * no shuffle. Shared by the SemDeDup/k-means queries and the
+    * weak-scaling probe so both measure the same plan.
+    */
+  def l2Cells(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, seed: Column): org.apache.spark.sql.DataFrame = {
+    val byId = array_sort(collect_list(struct(col(idCol), col(vecCol))))
+    val cr = df.filter(seed).agg(
+      transform(byId, x => x.getField(idCol)).as("cids"),
+      transform(byId, x => x.getField(vecCol)).as("cvs"))
+    df.crossJoin(broadcast(cr))
+      .select(col(idCol), col(vecCol),
+        element_at(col("cids"),
+          argminL2Index(col(vecCol), col("cvs")) + 1).as("cell"))
+  }
+
   /** DuckDB mirror of [[l2Fix]]. */
   def l2FixDuck(a: String, b: String): String =
     s"""CAST(floor(1e9 * list_reduce(list_prepend(CAST(0 AS DOUBLE),

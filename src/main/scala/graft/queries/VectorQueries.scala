@@ -32,18 +32,9 @@ object VectorQueries extends QueryPack {
     * `dedup_semantic` and `emb_kmeans_step` — the SemDeDup paper's
     * "cluster, then act within cells" shape IS the k-means E-step.
     */
-  private def assignCells(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    val byId = array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
-    val cr = e.filter(col("vec_id") % 101 === 0)
-      .agg(transform(byId, x => x.getField("vec_id")).as("cids"),
-        transform(byId, x => x.getField("embedding")).as("cvs"))
-    e.crossJoin(broadcast(cr))
-      .select(col("vec_id"), col("embedding"),
-        element_at(col("cids"),
-          VectorOps.argminL2Index(col("embedding"), col("cvs")) + 1)
-          .as("cell"))
-  }
+  private def assignCells(s: SparkSession, dir: String): DataFrame =
+    VectorOps.l2Cells(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 101 === 0)
 
   /** DuckDB mirror of [[assignCells]] as a WITH body ending in
     * `assign(vec_id, embedding, cell)`.
