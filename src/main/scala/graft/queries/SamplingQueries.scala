@@ -40,6 +40,22 @@ object SamplingQueries extends QueryPack {
         .select("lang", "pick", "doc_id")
     }),
 
+    // Per-source quota: cap each source at 50 docs, keeping the longest
+    // (n_chars as the quality proxy) — the anti-domination guard that
+    // stops one crawl source from swamping the mix. One window shuffle
+    // keyed on source; at 100 TB the heavy-source partitions are the
+    // skew risk, mitigated the usual way (pre-aggregate the per-source
+    // top-N with a bounded heap — TopKAggregator is that shape).
+    "sample_cap_per_source" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 50)
+        .select("source", "rk", "doc_id", "n_chars")
+    }),
+
     // Sequence packing: assign each doc to a fixed-capacity context
     // window (4096 tokens) by the running token count — contiguous
     // packing per language shard in stable doc_id order, pack id =
@@ -90,6 +106,14 @@ object SamplingQueries extends QueryPack {
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) % 2147483647"
 
   def oracles: Map[String, String] = Map(
+    "sample_cap_per_source" ->
+      """SELECT source, rk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50""".stripMargin,
+
     "sample_deterministic" ->
       s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
          |FROM documents
