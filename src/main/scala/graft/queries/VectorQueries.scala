@@ -83,6 +83,37 @@ object VectorQueries extends QueryPack {
           (col("afix").cast("double") / Pq.Scale).as("adist"), col("rnk"))
     }),
 
+    // IVF-PQ — the composition production ANN indexes actually ship
+    // (FAISS's IndexIVFPQ): coarse cells bound WHICH codes each query
+    // scans (cost ∝ cell occupancy, not corpus), PQ codes bound WHAT is
+    // scanned (4 bytes/vector, no full-vector I/O at probe time). Both
+    // stages are the already-verified pieces: scan-side cell assignment
+    // (l2Cells) + scan-side PQ encode against one broadcast codebook;
+    // the probe joins codes to broadcast LUTs ON THE CELL KEY. Integer
+    // distances end to end → hash-exact oracle.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val assigned = assignCells(s, dir)
+      val cbr = Pq.codebookRow(e)
+      val codes = assigned.crossJoin(broadcast(cbr))
+        .select(col("vec_id"), col("cell"),
+          Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
+      val luts = assigned.filter(col("vec_id") < 20)
+        .crossJoin(broadcast(cbr))
+        .select(col("vec_id").as("q_id"), col("cell"),
+          Pq.lutCol(col("embedding"), col("cvs")).as("lut"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("afix"), col("n_id"))
+      codes.join(broadcast(luts), Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          Pq.adistFix(col("codes"), col("lut")).as("afix"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select(col("q_id"), col("n_id"),
+          (col("afix").cast("double") / Pq.Scale).as("adist"), col("rnk"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): cluster the corpus into coarse cells,
     // then drop any vector with a LOWER-id within-cell neighbor above the
     // cosine threshold. The pairwise work is quadratic only in CELL size
@@ -154,6 +185,38 @@ object VectorQueries extends QueryPack {
          |  FROM codes c
          |  JOIN lut l ON l.m = c.m AND l.cent_id = c.code
          |   AND l.q_id <> c.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, n_id, afix / 1e9 AS adist, rnk FROM (
+         |  SELECT q_id, n_id, afix,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY afix, n_id) AS rnk
+         |  FROM ad) WHERE rnk <= $K""".stripMargin,
+
+    "ann_ivfpq_topk" ->
+      s"""WITH $assignCellsDuck,
+         |cb AS (
+         |  SELECT CAST(vec_id // 31 AS INT) AS cent_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < ${31 * Pq.KC}),
+         |sub AS (
+         |  SELECT e.vec_id, c.cent_id, ms.m,
+         |    ${Pq.subDistFixDuck("e.embedding", "c.cv", "ms.m")} AS dfix
+         |  FROM embeddings e, cb c,
+         |       (SELECT unnest(range(0, ${Pq.M})) AS m) ms),
+         |codes AS (
+         |  SELECT vec_id, m, cent_id AS code FROM (
+         |    SELECT vec_id, m, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY dfix, cent_id) AS r
+         |    FROM sub) WHERE r = 1),
+         |lutq AS (
+         |  SELECT vec_id AS q_id, m, cent_id, dfix FROM sub
+         |  WHERE vec_id < 20),
+         |ad AS (
+         |  SELECT l.q_id, c.vec_id AS n_id, CAST(SUM(l.dfix) AS BIGINT) AS afix
+         |  FROM codes c
+         |  JOIN assign ca ON ca.vec_id = c.vec_id
+         |  JOIN lutq l ON l.m = c.m AND l.cent_id = c.code
+         |   AND l.q_id <> c.vec_id
+         |  JOIN assign qa ON qa.vec_id = l.q_id AND qa.cell = ca.cell
          |  GROUP BY 1, 2)
          |SELECT q_id, n_id, afix / 1e9 AS adist, rnk FROM (
          |  SELECT q_id, n_id, afix,

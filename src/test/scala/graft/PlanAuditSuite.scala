@@ -262,6 +262,18 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(p) <= 3, s"PQ plan shuffles: ${countShuffles(p)}")
   }
 
+  test("ann_ivfpq_topk: cell-keyed broadcast probe, no corpus-wide vector shuffle") {
+    // the IVF-PQ composition must keep both stages' plan properties:
+    // scan-side assignment + encode (broadcast codebooks), and a probe
+    // that joins codes to broadcast LUTs — every join broadcast, the
+    // only corpus-sized shuffle the final top-k window.
+    val p = executed(q("ann_ivfpq_topk"))
+    val joins = flatten(p).map(_.nodeName).filter(_.contains("Join"))
+    assert(joins.nonEmpty && joins.forall(_.contains("Broadcast")),
+      s"non-broadcast join in IVF-PQ probe: $joins")
+    assert(countShuffles(p) <= 3, s"IVF-PQ plan shuffles: ${countShuffles(p)}")
+  }
+
   test("aggregator sketch forms: quantize scan-side, ONE shuffle on the group key") {
     // the whole point of the production forms: partial sketches merge
     // map-side, so the exchange carries O(groups × k) rows — the anchor
