@@ -72,32 +72,30 @@ object ScaleProbe {
       graft.ops.Centroids.quantizedSums(
         scaled("embeddings", "vec_id", c), "label", "embedding").count()
 
-    // round-4 additions: PQ encode (pure scan-side fold — the filter
-    // forces code evaluation, which a bare count() would prune away; the
-    // codebook stays the 16 copy-0 vectors so per-row work is constant)
-    // and SemDeDup (seed density is ~1/101 of ids across ALL copies, so
-    // cell occupancy stays constant and within-cell pair work scales
-    // linearly — the property that makes it viable at 100 TB).
+    // round-4 additions, calling the SAME shared ops the registered
+    // queries use (Pq.encodeScan / VectorOps.l2Cells+withinCellCosinePairs).
+    // PQ encode: pure scan-side fold, constant per-row work (the
+    // codebook stays the 16 copy-0 vectors); the filter forces code
+    // evaluation, which a bare count() would prune away.
     def pqEncode(c: Int): Long = {
       val e = scaled("embeddings", "vec_id", c)
-      val cbr = graft.ops.Pq.codebookRow(e)
-      e.crossJoin(broadcast(cbr))
-        .select(col("vec_id"),
-          graft.ops.Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
+      graft.ops.Pq.encodeScan(e, graft.ops.Pq.codebookRow(e))
         .filter(element_at(col("codes"), 1) >= 0).count()
     }
 
+    // SemDeDup: seeds are ~1/101 of ids across ALL copies, so cell
+    // occupancy stays constant and the within-cell PAIR join scales
+    // linearly even on this duplicated adversarial corpus. Honest
+    // caveat the ratio can't show at fixture size: the scan-side argmin
+    // is O(rows × seeds) — with seeds ∝ corpus that term is quadratic
+    // overall, and a true 100 TB deployment bounds it with a
+    // hierarchical/tree coarse quantizer over a FIXED cluster budget
+    // (the k-means knob), not a corpus-proportional seed rule.
     def semanticDedup(c: Int): Long = {
       val assigned = VectorOps.l2Cells(
         scaled("embeddings", "vec_id", c), "vec_id", "embedding",
         col("vec_id") % 101 === 0)
-      val a = assigned.select(col("cell"), col("vec_id").as("va"),
-        col("embedding").as("ea"))
-      val b = assigned.select(col("cell"), col("vec_id").as("vb"),
-        col("embedding").as("eb"))
-      a.join(b, Seq("cell"))
-        .filter(col("va") < col("vb") &&
-          VectorOps.cosine(col("ea"), col("eb")) >= 0.4)
+      VectorOps.withinCellCosinePairs(assigned, "vec_id", "embedding", 0.4)
         .count()
     }
 

@@ -36,13 +36,11 @@ object CountMin {
     ((h * A(d) + B(d)) % TextHash.P31) % Width
 
   /** Array of (d, cell) structs for one token hash — posexplode to get
-    * the sketch increment rows.
+    * the sketch increment rows. The DuckDB mirror is generated from
+    * [[A]]/[[B]] as a VALUES list (see the freq_topk_cms oracle), so the
+    * coefficients can't drift between engines.
     */
   def cells(h: Column): Column =
     array((0 until Depth).map(d =>
       struct(lit(d).as("d"), cell(h, d).as("cell"))): _*)
-
-  /** DuckDB mirror of [[cell]] for a BIGINT expression `h`. */
-  def cellDuck(h: String, d: Int): String =
-    s"((($h) * ${A(d)} + ${B(d)}) % ${TextHash.P31}) % $Width"
 }

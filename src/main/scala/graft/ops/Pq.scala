@@ -148,6 +148,25 @@ object Pq {
       transform(sequence(lit(0), lit(KC - 1)), j =>
         subDistFixDyn(emb, element_at(cvs, j + 1), m))))
 
+  /** The production encode plan — corpus scan × one-row broadcast
+    * codebook, codes as a scan-side projection. Shared by `ann_pq_topk`,
+    * `ann_ivfpq_topk`, and the weak-scaling probe so all measure the
+    * SAME plan. Pass the (reusable) [[codebookRow]] so multiple
+    * consumers share one codebook aggregation.
+    */
+  def encodeScan(e: DataFrame, cbr: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cbr))
+      .select(col("vec_id"),
+        codesCol(col("embedding"), col("cvs")).as("codes"))
+
+  /** The production LUT plan: query rows × the same broadcast codebook
+    * row, LUT as a scan-side projection keyed `q_id`.
+    */
+  def lutScan(queries: DataFrame, cbr: DataFrame): DataFrame =
+    queries.crossJoin(broadcast(cbr))
+      .select(col("vec_id").as("q_id"),
+        lutCol(col("embedding"), col("cvs")).as("lut"))
+
   /** Relational anchor form of the encoder (kept for the equivalence
     * test; the production path is [[codesCol]] over a broadcast
     * [[codebookRow]]): corpus × 16 codebook rows, per-(vector, subspace)

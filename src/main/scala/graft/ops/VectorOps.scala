@@ -162,8 +162,33 @@ object VectorOps {
       transform(byId, x => x.getField(vecCol)).as("cvs"))
     df.crossJoin(broadcast(cr))
       .select(col(idCol), col(vecCol),
-        element_at(col("cids"),
-          argminL2Index(col(vecCol), col("cvs")) + 1).as("cell"))
+        // an empty seed set would make argminL2Index return -1 and
+        // element_at throw an opaque index-0 codegen error — fail with
+        // the actual cause instead
+        when(size(col("cids")) > 0,
+          element_at(col("cids"),
+            argminL2Index(col(vecCol), col("cvs")) + 1))
+          .otherwise(raise_error(
+            lit("l2Cells: seed predicate matched no centroid rows")))
+          .as("cell"))
+  }
+
+  /** Within-cell cosine near-dup pairs over an `l2Cells` assignment —
+    * the SemDeDup prune join, shared by the registered query and the
+    * weak-scaling probe so both measure the SAME plan. Pairwise work is
+    * quadratic only in cell occupancy; pairs are oriented `va < vb`.
+    */
+  def withinCellCosinePairs(assigned: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String,
+      minCos: Double): org.apache.spark.sql.DataFrame = {
+    val a = assigned.select(col("cell"), col(idCol).as("va"),
+      col(vecCol).as("ea"))
+    val b = assigned.select(col("cell"), col(idCol).as("vb"),
+      col(vecCol).as("eb"))
+    a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb") &&
+        cosine(col("ea"), col("eb")) >= minCos)
+      .select(col("cell"), col("va"), col("vb"))
   }
 
   /** DuckDB mirror of [[l2Fix]]. */

@@ -277,10 +277,15 @@ object ScaleQueries extends QueryPack {
       val ext = ev.groupBy("event_type")
         .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
           count(lit(1)).as("n"))
+      // hi == lo (constant/single-value group) would make the bin 0/0 =
+      // NaN — and the engines disagree on floor(NaN) — so degenerate
+      // groups pin to bin 0 explicitly on BOTH sides.
       val cum = ev.join(broadcast(ext), Seq("event_type"))
         .select(col("event_type"),
-          least(floor((col("value") - col("lo")) / (col("hi") - col("lo"))
-            * B), lit((B - 1).toLong)).as("bin"))
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+                * B), lit((B - 1).toLong))).as("bin"))
         .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(
           Window.partitionBy("event_type").orderBy("bin")))
@@ -391,8 +396,10 @@ object ScaleQueries extends QueryPack {
         |bc AS (
         |  SELECT event_type, bin, COUNT(*) AS c FROM (
         |    SELECT e.event_type,
-        |      LEAST(CAST(floor((e.value - x.lo) / (x.hi - x.lo) * 1024)
-        |        AS BIGINT), 1023) AS bin
+        |      CASE WHEN x.hi = x.lo THEN 0
+        |           ELSE LEAST(CAST(floor((e.value - x.lo)
+        |             / (x.hi - x.lo) * 1024) AS BIGINT), 1023)
+        |      END AS bin
         |    FROM events e JOIN ext x ON e.event_type = x.event_type)
         |  GROUP BY 1, 2),
         |cum AS (

@@ -65,12 +65,8 @@ object VectorQueries extends QueryPack {
     "ann_pq_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val cbr = Pq.codebookRow(e)
-      val codes = e.crossJoin(broadcast(cbr))
-        .select(col("vec_id"),
-          Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
-      val luts = e.filter(col("vec_id") < 20).crossJoin(broadcast(cbr))
-        .select(col("vec_id").as("q_id"),
-          Pq.lutCol(col("embedding"), col("cvs")).as("lut"))
+      val codes = Pq.encodeScan(e, cbr)
+      val luts = Pq.lutScan(e.filter(col("vec_id") < 20), cbr)
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("afix"), col("n_id"))
       codes.crossJoin(broadcast(luts))
@@ -122,13 +118,8 @@ object VectorQueries extends QueryPack {
     // formed. Survivor policy (min vec_id) matches the dedup family.
     "dedup_semantic" -> ((s, dir) => {
       val assigned = assignCells(s, dir)
-      val a = assigned.select(col("cell"), col("vec_id").as("va"),
-        col("embedding").as("ea"))
-      val b = assigned.select(col("cell"), col("vec_id").as("vb"),
-        col("embedding").as("eb"))
-      val dropped = a.join(b, Seq("cell"))
-        .filter(col("va") < col("vb") &&
-          VectorOps.cosine(col("ea"), col("eb")) >= CosThreshold)
+      val dropped = VectorOps.withinCellCosinePairs(
+          assigned, "vec_id", "embedding", CosThreshold)
         .select(col("vb").as("vec_id")).distinct()
         .withColumn("dup", lit(true))
       assigned.join(dropped, Seq("vec_id"), "left")

@@ -24,6 +24,23 @@ class HistQuantileSuite extends SparkSpec {
     }
   }
 
+  test("a constant-value group pins every row to bin 0 (no NaN divergence)") {
+    import spark.implicits._
+    // the agg_quantile_hist guard: hi == lo would otherwise bin via
+    // (x-lo)/0 = NaN, where Spark and DuckDB floor/cast semantics differ
+    val df = Seq.fill(7)(("k", 5.0)).toDF("event_type", "value")
+    val ext = df.groupBy("event_type")
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bins = df.join(ext, Seq("event_type"))
+      .select(
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 1024),
+            lit(1023L))).as("bin"))
+      .collect().map(_.getLong(0))
+    assert(bins.length === 7 && bins.forall(_ === 0L))
+  }
+
   test("quantile estimates are monotone in q per group") {
     SparkEntry.queries("agg_quantile_hist")(spark, sf)
       .collect()

@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.ops.{CountMin, TextHash}
 
 /** Streaming count-min sketch: the cell counters ARE a streaming
-  * aggregation — `groupBy(d, cell).count` in update mode maintains the
-  * sketch incrementally with state bounded at Depth×Width cells no
-  * matter how many distinct tokens flow past (the property that makes
-  * frequency tracking viable on an unbounded stream, where a per-token
-  * streaming count would grow state without limit). The final sketch
-  * must equal the batch-built sketch over the same data — counter
-  * matrices are addition-merged, so micro-batch order can't matter.
+  * aggregation — `groupBy(d, cell).count` maintains the sketch
+  * incrementally with STATE bounded at Depth×Width cells no matter how
+  * many distinct tokens flow past (the property that makes frequency
+  * tracking viable on an unbounded stream, where a per-token streaming
+  * count would grow state without limit). The memory sink runs in
+  * complete mode purely so the test can read the whole sketch back;
+  * the bounded thing is the aggregation state, which is identical
+  * under update mode. The final sketch must equal the batch-built
+  * sketch over the same data — counter matrices are addition-merged,
+  * so micro-batch order can't matter.
   */
 class StreamingCmsSuite extends SparkSpec {
   import spark.implicits._

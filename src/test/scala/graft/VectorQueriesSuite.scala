@@ -30,6 +30,19 @@ class VectorQueriesSuite extends SparkSpec {
     assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
 
+  test("l2Cells: an empty seed set fails with the actual cause, not index-0") {
+    val e = Tables(spark, sf, "embeddings")
+    val ex = intercept[Exception] {
+      graft.ops.VectorOps
+        .l2Cells(e, "vec_id", "embedding", lit(false)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("no centroid rows")),
+      s"expected the raise_error cause, got: ${messages(ex)}")
+  }
+
   test("emb_kmeans_step: one Lloyd iteration does not increase total L2 cost") {
     val vecs = Tables(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()
