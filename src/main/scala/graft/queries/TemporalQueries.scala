@@ -26,6 +26,48 @@ object TemporalQueries extends QueryPack {
           col("n"), col("sum_floor"))
     }),
 
+    // Conversion funnel (view → purchase within 1 hour): the running-max
+    // window form, NOT an interval self-join — one shuffle keyed on
+    // user, each purchase checks the latest view seen so far in the
+    // per-user timeline. The interval-join form explodes on hot users
+    // (every purchase × every view in range); the running-max scan is
+    // O(events per user) regardless of activity. Tie order pinned by
+    // (ts, event_id) so same-timestamp rows fold identically on both
+    // engines.
+    "funnel_conversion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("last_view_us",
+          max(when(col("event_type") === "view", unix_micros(col("ts"))))
+            .over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view_us").isNotNull &&
+          unix_micros(col("ts")) - col("last_view_us") <= 3600L * 1000000L)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_conversions"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
+    // Cohort retention: users grouped by first-active day, counted on
+    // each later active day offset. Two shuffles (per-user first-day
+    // agg + the cohort rollup over the deduped user-day grid) — the
+    // user-day distinct bounds the join input to active days, not raw
+    // events.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .join(firstDay, Seq("user_id"))
+        .select(col("cohort"), datediff(col("d"), col("cohort")).as("offset"))
+        .groupBy("cohort", "offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Sliding 1-hour windows every 30 minutes: each event lands in two
     // overlapping windows (Spark's window() generator). The oracle
     // reconstructs the same membership by exploding each event to its
@@ -68,6 +110,31 @@ object TemporalQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "funnel_conversion" ->
+      """WITH scan AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_view_us
+        |  FROM events)
+        |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_conversions,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM scan
+        |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+        |  AND epoch_us(ts) - last_view_us <= CAST(3600 AS BIGINT) * 1000000
+        |GROUP BY 1""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH fd AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT f.cohort, date_diff('day', f.cohort, u.d) AS offset,
+        |  COUNT(*) AS n_users
+        |FROM ud u JOIN fd f ON u.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "agg_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS h_start, event_type,
         |  count(*) AS n,

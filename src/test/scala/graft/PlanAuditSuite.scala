@@ -274,6 +274,17 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(p) <= 3, s"IVF-PQ plan shuffles: ${countShuffles(p)}")
   }
 
+  test("funnel_conversion: running-max scan, not an interval self-join") {
+    // the hot-user blow-up guard: ONE pass per user timeline (window
+    // shuffle) + the tiny post-filter day rollup — and no join node at
+    // all (an interval-join plan would put one here)
+    val p = executed(q("funnel_conversion"))
+    assert(!flatten(p).exists(_.nodeName.contains("Join")),
+      "funnel must not plan a self-join")
+    assert(countShuffles(p) <= 2,
+      s"funnel shuffles: ${countShuffles(p)}")
+  }
+
   test("aggregator sketch forms: quantize scan-side, ONE shuffle on the group key") {
     // the whole point of the production forms: partial sketches merge
     // map-side, so the exchange carries O(groups × k) rows — the anchor
