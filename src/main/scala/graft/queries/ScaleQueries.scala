@@ -334,6 +334,63 @@ object ScaleQueries extends QueryPack {
         .agg(min(col("n")).as("est"))
     }),
 
+    // ---- Bloom filter as DATA (build + probe + measured FPR) -----------
+    // The runtime bloom join (join_bloom_runtime) lets Spark inject a
+    // filter transparently; THIS op materializes one as a table you can
+    // persist and ship — 65536 bits as 2048 32-bit words (32-bit words
+    // inside BIGINTs: no sign-bit shift hazards on either engine),
+    // k=3 affine hashes over h31. Build = one bit_or groupBy (mergeable
+    // partials — a bloom IS an OR-monoid sketch); probe = 3 word
+    // lookups/key against the broadcast-sized sketch. Output: one
+    // metrics row with the measured false-positive count (bloom says
+    // member ∧ truth says not) — exact cross-engine because every bit
+    // position is integer arithmetic on h31.
+    "sketch_bloom_filter" -> ((s, dir) => {
+      val P = TextHash.P31
+      val ab = Seq((1L, 0L), (31L, 17L), (131L, 71L))
+      def positions(h: org.apache.spark.sql.Column) =
+        array(ab.map { case (a, b) => ((h * a + b) % P) % 65536 }: _*)
+
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_custkey")).distinct()
+      val sketch = urgent
+        .select(explode(positions(
+          TextHash.h31(col("o_custkey").cast("string")))).as("p"))
+        .select((col("p") / 32).cast("long").as("word"),
+          (col("p") % 32).cast("int").as("bit"))
+        .groupBy("word")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+
+      val probes = t(s, dir, "customer")
+        .select(col("c_custkey"))
+        .withColumn("p", explode(positions(
+          TextHash.h31(col("c_custkey").cast("string")))))
+        .select(col("c_custkey"), (col("p") / 32).cast("long").as("word"),
+          (col("p") % 32).cast("int").as("bit"))
+      val member = probes
+        .join(broadcast(sketch), Seq("word"), "left")
+        .withColumn("hit",
+          coalesce(expr(
+            "(bits & shiftleft(CAST(1 AS BIGINT), bit)) != CAST(0 AS BIGINT)"),
+            lit(false)))
+        .groupBy("c_custkey")
+        .agg(min(col("hit")).as("bloom_member")) // AND over the 3 bits
+      val truth = urgent.select(col("o_custkey").as("c_custkey"))
+        .withColumn("true_member", lit(true))
+      member.join(broadcast(truth), Seq("c_custkey"), "left")
+        .select(col("bloom_member"),
+          coalesce(col("true_member"), lit(false)).as("tm"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("tm"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("bloom_member"), 1L).otherwise(0L)).as("n_bloom"),
+          sum(when(col("bloom_member") && !col("tm"), 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(col("tm") && !col("bloom_member"), 1L).otherwise(0L))
+            .as("n_false_neg")) // must be 0: blooms never miss members
+    }),
+
     // ---- wide → long reshape (unpivot/melt) ----------------------------
     // The inverse of pivot: training-data pipelines melt per-column
     // metrics into (metric, value) rows for uniform downstream handling.
@@ -388,6 +445,51 @@ object ScaleQueries extends QueryPack {
       .mkString("(VALUES ", ", ", ") AS v(d, a, b)")
 
   def oracles: Map[String, String] = Map(
+    "sketch_bloom_filter" ->
+      s"""WITH urgent AS (
+         |  SELECT DISTINCT o_custkey FROM orders
+         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0),
+         |hk AS (
+         |  SELECT o_custkey,
+         |    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % ${TextHash.P31} AS h
+         |  FROM urgent),
+         |ab AS (SELECT * FROM (VALUES (1, 0), (31, 17), (131, 71)) v(a, b)),
+         |sk AS (
+         |  SELECT p // 32 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |  FROM (SELECT ((h * a + b) % ${TextHash.P31}) % 65536 AS p
+         |        FROM hk, ab)
+         |  GROUP BY 1),
+         |ck AS (
+         |  SELECT c_custkey,
+         |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % ${TextHash.P31} AS h
+         |  FROM customer),
+         |pr AS (
+         |  SELECT c_custkey, p // 32 AS word, CAST(p % 32 AS INT) AS bit
+         |  FROM (SELECT c_custkey, ((h * a + b) % ${TextHash.P31}) % 65536 AS p
+         |        FROM ck, ab)),
+         |mem AS (
+         |  SELECT pr.c_custkey,
+         |    MIN(COALESCE(
+         |      (sk.bits & (CAST(1 AS BIGINT) << pr.bit)) <> 0, FALSE))
+         |      AS bloom_member
+         |  FROM pr LEFT JOIN sk ON pr.word = sk.word
+         |  GROUP BY 1)
+         |SELECT COUNT(*) AS n_keys,
+         |  CAST(SUM(CASE WHEN tm THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bloom,
+         |  CAST(SUM(CASE WHEN bloom_member AND NOT tm THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_pos,
+         |  CAST(SUM(CASE WHEN tm AND NOT bloom_member THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_neg
+         |FROM (
+         |  SELECT m.bloom_member,
+         |    COALESCE(u.o_custkey IS NOT NULL, FALSE) AS tm
+         |  FROM mem m LEFT JOIN urgent u ON m.c_custkey = u.o_custkey)""".stripMargin,
+
     "agg_quantile_hist" ->
       """WITH ext AS (
         |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,

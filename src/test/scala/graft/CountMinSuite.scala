@@ -27,6 +27,16 @@ class CountMinSuite extends SparkSpec {
     }
   }
 
+  test("bloom sketch: no false negatives ever; positives cover the truth") {
+    val r = SparkEntry.queries("sketch_bloom_filter")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (nKeys, nTrue, nBloom, nFp, nFn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nFn === 0L, "a bloom filter must never miss a member")
+    assert(nBloom === nTrue + nFp)
+    assert(nTrue > 0 && nKeys > nTrue)
+  }
+
   test("sketch rows disagree under forced collisions, min repairs them") {
     // 2000 distinct tokens over 1024 cells per row force collisions in
     // every row; min across 4 independent rows must still never
