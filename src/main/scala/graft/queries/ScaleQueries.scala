@@ -80,6 +80,44 @@ object ScaleQueries extends QueryPack {
             .as("est_distinct"))
     }),
 
+    // ---- KMV set algebra (sketch merge, no rescan) ---------------------
+    // The composability that makes sketches worth persisting: two KMV
+    // sketches built over different periods MERGE into the union's
+    // sketch with pure array ops (k smallest of the union of kept
+    // hashes) — estimating |A ∪ B| and, via inclusion-exclusion,
+    // |A ∩ B| WITHOUT rescanning either input. At 100 TB this is the
+    // difference between a metadata lookup and a joint scan. The exact
+    // union count rides along to surface the sketch error; everything
+    // is bit-exact cross-engine (h31 hashes, identical merge order).
+    "agg_kmv_setops" -> ((s, dir) => {
+      val kmv = udaf(new KmvAggregator(K))
+      def sideSketch(pred: org.apache.spark.sql.Column) =
+        t(s, dir, "orders").filter(pred)
+          .select(TextHash.h31(col("o_orderkey").cast("string")).as("h"))
+          .agg(kmv(col("h")).as("ks"))
+      def estOf(ks: org.apache.spark.sql.Column) =
+        when(size(ks) < K, size(ks).cast("double"))
+          .otherwise(lit((K - 1).toDouble * TextHash.P31.toDouble) /
+            element_at(ks, -1).cast("double"))
+      val inA = col("o_orderpriority") === "1-URGENT"
+      val inB = col("o_totalprice") > 250000.0
+      val a = sideSketch(inA).withColumnRenamed("ks", "ks_a")
+      val b = sideSketch(inB).withColumnRenamed("ks", "ks_b")
+      val exact = t(s, dir, "orders").filter(inA || inB)
+        .agg(count_distinct(col("o_orderkey")).as("exact_union"))
+      a.crossJoin(b).crossJoin(exact)
+        .withColumn("ks_u",
+          slice(array_sort(array_distinct(concat(col("ks_a"), col("ks_b")))),
+            1, K))
+        .select(
+          estOf(col("ks_a")).as("est_a"),
+          estOf(col("ks_b")).as("est_b"),
+          estOf(col("ks_u")).as("est_union"),
+          (estOf(col("ks_a")) + estOf(col("ks_b")) - estOf(col("ks_u")))
+            .as("est_inter"),
+          col("exact_union"))
+    }),
+
     // ---- runtime-filtered fact⋈fact join -------------------------------
     // The selective side (filtered orders) is orders of magnitude smaller
     // than lineitem; at 100 TB Spark injects a bloom filter from the
@@ -444,7 +482,41 @@ object ScaleQueries extends QueryPack {
       .map(d => s"(${d}, ${CountMin.A(d)}, ${CountMin.B(d)})")
       .mkString("(VALUES ", ", ", ") AS v(d, a, b)")
 
+  /** KMV estimate over a DuckDB list expression (shared by the set-ops
+    * oracle): CASE len < K → exact small count, else (K−1)·P/h_k.
+    */
+  private def kmvEstDuck(ks: String): String =
+    s"""CASE WHEN len($ks) < $K THEN CAST(len($ks) AS DOUBLE)
+       |     ELSE ${(K - 1).toDouble * TextHash.P31.toDouble}
+       |          / CAST(($ks)[-1] AS DOUBLE) END""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "agg_kmv_setops" -> {
+      def sideCte(name: String, pred: String) =
+        s"""h$name AS (
+           |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+           |    AS BIGINT) % ${TextHash.P31} AS h
+           |  FROM orders WHERE $pred),
+           |k$name AS (
+           |  SELECT list(h ORDER BY h) AS ks FROM (
+           |    SELECT h FROM h$name ORDER BY h LIMIT $K))""".stripMargin
+      s"""WITH ${sideCte("a", "o_orderpriority = '1-URGENT'")},
+         |${sideCte("b", "o_totalprice > 250000.0")},
+         |ex AS (SELECT COUNT(DISTINCT o_orderkey) AS exact_union FROM orders
+         |       WHERE o_orderpriority = '1-URGENT' OR o_totalprice > 250000.0),
+         |m AS (
+         |  SELECT ka.ks AS ks_a, kb.ks AS ks_b,
+         |    list_sort(list_distinct(ka.ks || kb.ks))[1:$K] AS ks_u
+         |  FROM ka, kb)
+         |SELECT ${kmvEstDuck("ks_a")} AS est_a,
+         |  ${kmvEstDuck("ks_b")} AS est_b,
+         |  ${kmvEstDuck("ks_u")} AS est_union,
+         |  ${kmvEstDuck("ks_a")} + ${kmvEstDuck("ks_b")}
+         |    - ${kmvEstDuck("ks_u")} AS est_inter,
+         |  ex.exact_union
+         |FROM m, ex""".stripMargin
+    },
+
     "sketch_bloom_filter" ->
       s"""WITH urgent AS (
          |  SELECT DISTINCT o_custkey FROM orders
