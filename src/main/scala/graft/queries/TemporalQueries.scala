@@ -68,6 +68,55 @@ object TemporalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Time-series gap-fill + linear interpolation: densify each type's
+    // hourly series over its full span (sequence-explode grid), then
+    // fill missing hours by interpolating between the nearest non-null
+    // neighbors (IGNORE NULLS windows; edges clamp to the nearest
+    // value). Hour means are fixed-point sums (aggregation-order-proof);
+    // the interpolation itself is a pinned five-op IEEE sequence
+    // mirrored literally in the oracle. Two shuffles: the hourly
+    // rollup and the per-type ordered windows (same key, exchange
+    // reused). The resample primitive every downstream time-series
+    // model needs.
+    "ts_gapfill" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"),
+          floor(col("value") * 1e9).cast("long").as("q"))
+        .groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(col("event_type"), col("hr"), col("n"),
+          (col("sq").cast("double") /
+            (lit(1.0e9) * col("n").cast("double"))).as("v"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val wPrev = W.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wNext = W.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+      grid.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph",
+          last(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nh",
+          first(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
+            .over(wNext))
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("v").isNull.as("is_gap"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("hr") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double"))).as("v"))
+    }),
+
     // Sliding 1-hour windows every 30 minutes: each event lands in two
     // overlapping windows (Spark's window() generator). The oracle
     // reconstructs the same membership by exploding each event to its
@@ -110,6 +159,45 @@ object TemporalQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "ts_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(floor(value * 1e9) AS BIGINT)) AS BIGINT)
+        |      AS DOUBLE) / (1000000000.0 * CAST(COUNT(*) AS DOUBLE)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM (
+        |    SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+        |    FROM hourly GROUP BY 1)),
+        |j AS (
+        |  SELECT g.event_type, g.hr, h.n, h.v FROM grid g
+        |  LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr),
+        |w AS (
+        |  SELECT event_type, hr, n, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hr
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hr
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, hr, COALESCE(n, 0) AS n,
+        |  v IS NULL AS is_gap,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (CAST(hr - ph AS DOUBLE)
+        |         / CAST(nh - ph AS DOUBLE))
+        |  END AS v
+        |FROM w""".stripMargin,
+
     "funnel_conversion" ->
       """WITH scan AS (
         |  SELECT event_id, user_id, ts, event_type,
