@@ -56,6 +56,43 @@ object TextQueries extends QueryPack {
         regexp_count(col("msg"), lit(IpRe)).cast("long").as("n_ip"))
     }),
 
+    // Corpus drift between two sources, chi-square over the pooled token
+    // distribution — the data-quality gate that catches a crawl slice
+    // whose vocabulary shifted. Chi-square (not KL) because it is pure
+    // rational arithmetic: log is transcendental and engines may differ
+    // in the last ULP, but (obs−exp)²/exp is add/mul/div on identical
+    // operands. Per-token contributions are fixed-point-quantized before
+    // the order-sensitive total. One shuffle (token rollup); the
+    // contribution scan is a broadcast of two scalar totals.
+    "text_drift_chi2" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(TextHash.tokens(col("text"))).as("t"))
+      val counts = toks.groupBy("t")
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("na"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nb"))
+      val totals = counts.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val scored = counts.crossJoin(broadcast(totals))
+        .withColumn("e",
+          (col("na") + col("nb")).cast("double") /
+            (col("ta") + col("tb")).cast("double"))
+        .withColumn("ea", col("ta").cast("double") * col("e"))
+        .withColumn("eb", col("tb").cast("double") * col("e"))
+        .withColumn("contrib",
+          (col("na").cast("double") - col("ea")) *
+            (col("na").cast("double") - col("ea")) / col("ea") +
+            (col("nb").cast("double") - col("eb")) *
+              (col("nb").cast("double") - col("eb")) / col("eb"))
+        .withColumn("cfix", floor(col("contrib") * 1e6).cast("long"))
+      scored.agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("cfix")).cast("double") / 1e6).as("chi2"),
+        max(struct(col("cfix"), col("t"))).as("top"))
+        .select(col("n_tokens"), col("chi2"),
+          col("top.t").as("top_token"),
+          (col("top.cfix").cast("double") / 1e6).as("top_contrib"))
+    }),
+
     // Whitespace + BPE-ish token counts per document.
     "text_token_counts" -> ((s, dir) => {
       Tables(s, dir, "documents").select(
@@ -152,6 +189,41 @@ object TextQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_drift_chi2" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |counts AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM toks GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+        |  FROM counts),
+        |scored AS (
+        |  SELECT t, CAST(floor((
+        |      (CAST(na AS DOUBLE) - CAST(ta AS DOUBLE) * e)
+        |        * (CAST(na AS DOUBLE) - CAST(ta AS DOUBLE) * e)
+        |        / (CAST(ta AS DOUBLE) * e) +
+        |      (CAST(nb AS DOUBLE) - CAST(tb AS DOUBLE) * e)
+        |        * (CAST(nb AS DOUBLE) - CAST(tb AS DOUBLE) * e)
+        |        / (CAST(tb AS DOUBLE) * e)) * 1e6) AS BIGINT) AS cfix
+        |  FROM (
+        |    SELECT t, na, nb, ta, tb,
+        |      CAST(na + nb AS DOUBLE) / CAST(ta + tb AS DOUBLE) AS e
+        |    FROM counts, tot)),
+        |top AS (
+        |  SELECT t, cfix FROM scored ORDER BY cfix DESC, t DESC LIMIT 1)
+        |SELECT (SELECT COUNT(*) FROM scored) AS n_tokens,
+        |  (SELECT CAST(CAST(SUM(cfix) AS BIGINT) AS DOUBLE) / 1e6
+        |   FROM scored) AS chi2,
+        |  top.t AS top_token,
+        |  CAST(top.cfix AS DOUBLE) / 1e6 AS top_contrib
+        |FROM top""".stripMargin,
+
     "text_pii_redact" ->
       s"""WITH msg AS (
          |  SELECT event_id,
