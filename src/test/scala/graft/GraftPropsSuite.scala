@@ -216,6 +216,58 @@ class GraftPropsSuite extends SparkSpec {
     }
   }
 
+  test("property: native PQ codes == independent Scala argmin, random vectors") {
+    // independent reference: same fold order re-implemented in plain
+    // Scala (not the HOF form the kernels were derived from)
+    def subDist(e: Array[Float], c: Array[Float], m: Int): Long = {
+      var s = 0d
+      var i = 0
+      while (i < 8) {
+        val d = e(m * 8 + i).toDouble - c(m * 8 + i).toDouble
+        s += d * d; i += 1
+      }
+      math.floor(s * 1e9).toLong
+    }
+    val vecGen = Gen.listOfN(64, Gen.choose(-8, 8)).map(_.map(_.toFloat / 4f).toArray)
+    val caseGen = Gen.zip(Gen.listOfN(6, vecGen), Gen.listOfN(16, vecGen))
+    forAllSeeded(caseGen, n = 8) { case (vecs, cb) =>
+      val expected = vecs.map { v =>
+        (0 until 8).map { m =>
+          val ds = cb.map(c => subDist(v, c, m))
+          ds.indexOf(ds.min) // first index = lowest cent_id tiebreak
+        }.toList
+      }
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        .toDF("vec_id", "embedding")
+        .crossJoin(Seq(Tuple1(cb.map(_.toSeq))).toDF("cvs"))
+      val got = df.select(col("vec_id"),
+          graft.ops.Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Int](1).toList).toList
+      assert(got === expected)
+    }
+  }
+
+  test("property: PageRank conserves mass on dangling-free random graphs") {
+    import graft.ops.PageRank
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))).map(_.distinct)
+    forAllSeeded(edgeGen, n = 6) { edges0 =>
+      val nodes = edges0.flatMap(e => Seq(e._1, e._2)).distinct
+      if (nodes.size > 1) {
+        // close the graph: every node gets an out-edge (cycle over nodes)
+        // so no rank mass is dropped at a dangling node
+        val ring = nodes.zip(nodes.tail :+ nodes.head)
+        val edges = (edges0 ++ ring).distinct.filter(e => e._1 != e._2)
+        val r = PageRank(edges.toDF("src", "dst"), 3)
+          .collect().map(_.getDouble(1))
+        assert(r.forall(_ > 0))
+        val total = r.sum
+        assert(math.abs(total - 1.0) < 1e-6,
+          s"dangling-free graph must conserve rank mass, got $total")
+      }
+    }
+  }
+
   test("property: KMV aggregator == sorted-distinct take(k), any partitioning") {
     import graft.ops.KmvAggregator
     val k = 8
