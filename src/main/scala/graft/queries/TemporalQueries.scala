@@ -26,6 +26,38 @@ object TemporalQueries extends QueryPack {
           col("n"), col("sum_floor"))
     }),
 
+    // Rolling per-user statistics (24-event frame): mean and stddev of
+    // spend over each user's trailing window — the feature-engineering
+    // shape behind behavioral models. Sums and sums-of-squares are
+    // fixed-point longs so the frame aggregates are exact under any
+    // partial order; variance = E[x²] − mean² with a zero clamp (the
+    // quantization can land a hair negative), sqrt is correctly-rounded
+    // IEEE — all bit-stable cross-engine. One shuffle keyed on user.
+    "window_rolling_stats" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-23, W.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 1e9).cast("long").as("q"),
+          floor(col("value") * col("value") * 1e9).cast("long").as("q2"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_frame"),
+          sum(col("q")).over(w).as("sq"),
+          sum(col("q2")).over(w).as("sq2"))
+        .select(col("event_id"), col("user_id"), col("n_frame"),
+          (col("sq").cast("double") /
+            (lit(1.0e9) * col("n_frame").cast("double"))).as("mean"),
+          sqrt(greatest(
+            col("sq2").cast("double") /
+              (lit(1.0e9) * col("n_frame").cast("double")) -
+              (col("sq").cast("double") /
+                (lit(1.0e9) * col("n_frame").cast("double"))) *
+                (col("sq").cast("double") /
+                  (lit(1.0e9) * col("n_frame").cast("double"))),
+            lit(0.0))).as("std"))
+    }),
+
     // Conversion funnel (view → purchase within 1 hour): the running-max
     // window form, NOT an interval self-join — one shuffle keyed on
     // user, each purchase checks the latest view seen so far in the
@@ -159,6 +191,30 @@ object TemporalQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "window_rolling_stats" ->
+      """WITH q AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 1e9) AS BIGINT) AS q,
+        |    CAST(floor(value * value * 1e9) AS BIGINT) AS q2
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |    COUNT(*) OVER win AS n_frame,
+        |    CAST(SUM(q) OVER win AS BIGINT) AS sq,
+        |    CAST(SUM(q2) OVER win AS BIGINT) AS sq2
+        |  FROM q
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, n_frame,
+        |  CAST(sq AS DOUBLE) / (1000000000.0 * CAST(n_frame AS DOUBLE))
+        |    AS mean,
+        |  sqrt(GREATEST(
+        |    CAST(sq2 AS DOUBLE) / (1000000000.0 * CAST(n_frame AS DOUBLE))
+        |      - (CAST(sq AS DOUBLE) / (1000000000.0 * CAST(n_frame AS DOUBLE)))
+        |        * (CAST(sq AS DOUBLE) / (1000000000.0 * CAST(n_frame AS DOUBLE))),
+        |    0.0)) AS std
+        |FROM w""".stripMargin,
+
     "ts_gapfill" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
