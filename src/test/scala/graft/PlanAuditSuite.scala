@@ -285,6 +285,31 @@ class PlanAuditSuite extends SparkSpec {
       s"funnel shuffles: ${countShuffles(p)}")
   }
 
+  test("window_rolling_stats: exactly one shuffle (the per-user frame window)") {
+    assert(countShuffles(executed(q("window_rolling_stats"))) === 1)
+  }
+
+  test("freq_topk_cms: top-k via TakeOrdered, probe joins broadcast") {
+    val p = executed(q("freq_topk_cms"))
+    val nodes = flatten(p).map(_.nodeName)
+    assert(nodes.exists(_.contains("TakeOrderedAndProject")),
+      "exact top-20 must not be a global sort")
+    assert(nodes.filter(_.contains("Join")).forall(_.contains("Broadcast")),
+      s"probe joins must broadcast: ${nodes.filter(_.contains("Join"))}")
+  }
+
+  test("sketch_bloom_filter: sketch and truth probes broadcast") {
+    val p = executed(q("sketch_bloom_filter"))
+    val joins = flatten(p).map(_.nodeName).filter(_.contains("Join"))
+    assert(joins.nonEmpty && joins.forall(_.contains("Broadcast")),
+      s"bloom probe joins must broadcast: $joins")
+  }
+
+  test("ts_gapfill: bounded shuffle count (rollup + grid + ordered windows)") {
+    val n = countShuffles(executed(q("ts_gapfill")))
+    assert(n <= 5, s"gapfill shuffles: $n")
+  }
+
   test("aggregator sketch forms: quantize scan-side, ONE shuffle on the group key") {
     // the whole point of the production forms: partial sketches merge
     // map-side, so the exchange carries O(groups × k) rows — the anchor
