@@ -143,6 +143,34 @@ object SimilarityQueries extends QueryPack {
         .select("q_id", "n_id", "cos", "rnk")
     }),
 
+    // ANN quality gate: per-(method, query) recall of the two
+    // approximate probes against the exact brute-force top-10 — the
+    // acceptance check run before trusting an approximate index (the
+    // embedding counterpart of dedup_eval_recall's MinHash-vs-Jaccard
+    // check). On this corpus it shows the documented trade honestly:
+    // 16-bit sign-LSH bands recall ~0 at the fixture's cos≈0.5 nearest
+    // neighbors (per-band s^16 with s≈0.67 — the scheme is built for
+    // the ≥0.9 production regime), while IVF's cell-mates keep a
+    // nontrivial share. Counts exact; the rate is one IEEE division.
+    "ann_eval_recall" -> ((s, dir) => {
+      val brute = queries("ann_brute_topk")(s, dir)
+        .select(col("q_id"), col("n_id"))
+      def evalOf(name: String, probe: DataFrame): DataFrame = {
+        val hits = brute.join(probe, Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+        brute.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(name).as("method"), col("q_id"), col("n_brute"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_brute").cast("double")).as("recall"))
+      }
+      evalOf("lsh", queries("ann_lsh_topk")(s, dir)
+          .filter(col("q_id") < 5).select(col("q_id"), col("n_id")))
+        .union(evalOf("ivf", queries("ann_ivf_topk")(s, dir)
+          .filter(col("q_id") < 5).select(col("q_id"), col("n_id"))))
+    }),
+
     "knn_label_vote" -> ((s, dir) => {
       val votes = topk(scored(s, dir))
         .groupBy(col("q_id"), col("label"))
@@ -176,6 +204,74 @@ object SimilarityQueries extends QueryPack {
        |  FROM sc)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "ann_eval_recall" ->
+      s"""WITH ${VectorOps.signBandsDuckCte()},
+         |lcand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM (SELECT * FROM bands WHERE vec_id < 50) q
+         |  JOIN bands c
+         |    ON q.band = c.band AND q.bucket = c.bucket
+         |   AND q.vec_id <> c.vec_id),
+         |lsc AS (
+         |  SELECT q_id, n_id, $cosAB AS cos
+         |  FROM lcand
+         |  JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+         |    ON q.vec_id = q_id
+         |  JOIN (SELECT vec_id, embedding AS nv FROM embeddings) c
+         |    ON c.vec_id = n_id),
+         |ltk AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+         |      AS rnk
+         |  FROM lsc),
+         |icents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+         |  WHERE vec_id % 101 = 0),
+         |iassign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cent_id) AS r
+         |    FROM embeddings e CROSS JOIN icents c)
+         |  WHERE r = 1),
+         |isc AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosAB AS cos
+         |  FROM (SELECT vec_id, embedding AS qv, cell FROM iassign
+         |        WHERE vec_id < 20) q
+         |  JOIN (SELECT vec_id, embedding AS nv, cell FROM iassign) c
+         |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+         |itk AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+         |      AS rnk
+         |  FROM isc),
+         |$bruteTopkCte,
+         |b AS (SELECT q_id, COUNT(*) AS n_brute FROM tk
+         |      WHERE rnk <= $K GROUP BY 1),
+         |hl AS (
+         |  SELECT t.q_id, COUNT(*) AS n_hit
+         |  FROM tk t JOIN ltk l
+         |    ON t.q_id = l.q_id AND t.n_id = l.n_id
+         |  WHERE t.rnk <= $K AND l.rnk <= $K AND l.q_id < 5
+         |  GROUP BY 1),
+         |hi AS (
+         |  SELECT t.q_id, COUNT(*) AS n_hit
+         |  FROM tk t JOIN itk i
+         |    ON t.q_id = i.q_id AND t.n_id = i.n_id
+         |  WHERE t.rnk <= $K AND i.rnk <= $K AND i.q_id < 5
+         |  GROUP BY 1)
+         |SELECT 'lsh' AS method, b.q_id, b.n_brute,
+         |  COALESCE(hl.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(hl.n_hit, 0) AS DOUBLE)
+         |    / CAST(b.n_brute AS DOUBLE) AS recall
+         |FROM b LEFT JOIN hl ON b.q_id = hl.q_id
+         |UNION ALL
+         |SELECT 'ivf' AS method, b.q_id, b.n_brute,
+         |  COALESCE(hi.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(hi.n_hit, 0) AS DOUBLE)
+         |    / CAST(b.n_brute AS DOUBLE) AS recall
+         |FROM b LEFT JOIN hi ON b.q_id = hi.q_id""".stripMargin,
+
     "ann_brute_topk" ->
       s"""WITH $bruteTopkCte
          |SELECT q_id, n_id, cos, rnk FROM tk WHERE rnk <= $K""".stripMargin,

@@ -93,6 +93,28 @@ object TextQueries extends QueryPack {
           (col("top.cfix").cast("double") / 1e6).as("top_contrib"))
     }),
 
+    // Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    // against the corpus's own top-25 tokens — the stat that decides
+    // whether a tokenizer's vocab fits a corpus before training on it.
+    // The vocab is a broadcast top-k (TakeOrdered, no global sort); the
+    // per-doc check is a scan-side array fold against the broadcast
+    // vocab array — no token-level shuffle at all.
+    "text_oov_rate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val vocab = docs
+        .select(explode(TextHash.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t")).limit(25)
+        .agg(sort_array(collect_list(col("t"))).as("vocab"))
+      docs.crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(filter(TextHash.tokens(col("text")),
+            t => !array_contains(col("vocab"), t))).cast("long").as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+    }),
+
     // Whitespace + BPE-ish token counts per document.
     "text_token_counts" -> ((s, dir) => {
       Tables(s, dir, "documents").select(
@@ -189,6 +211,21 @@ object TextQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "text_oov_rate" ->
+      """WITH vc AS (
+        |  SELECT t FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY t ORDER BY COUNT(*) DESC, t LIMIT 25),
+        |v AS (SELECT list(t ORDER BY t) AS vocab FROM vc)
+        |SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> NOT list_contains(v.vocab, t))) AS n_oov,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> NOT list_contains(v.vocab, t))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS oov_rate
+        |FROM documents, v""".stripMargin,
+
     "text_drift_chi2" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS t
