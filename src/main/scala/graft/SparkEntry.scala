@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.SamplingQueries,
     _root_.graft.queries.ScaleQueries,
     _root_.graft.queries.VectorQueries,
+    _root_.graft.queries.QualityQueries,
     _root_.graft.queries.GraphQueries,
     _root_.graft.queries.StreamE2EQueries)
 

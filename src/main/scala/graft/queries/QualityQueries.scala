@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Data-quality operators — the validation gate a 100 TB ingest runs
+  * before anything downstream trusts the data (the Deequ/Great-
+  * Expectations shape, re-expressed as single-scan Spark aggregates).
+  *
+  * Both queries are ONE full scan producing ONE aggregate row that is
+  * then reshaped long with `stack` — no join, no per-rule rescan. At
+  * cluster scale the scan parallelizes per-split and the single
+  * aggregate row is the only thing that crosses the wire; the
+  * multi-`COUNT(DISTINCT)` expand in `dq_profile` is the exact-answer
+  * anchor, with the KMV/HLL sketches (`agg_approx_distinct_*`) as the
+  * bounded-state production form for wide tables.
+  *
+  * Determinism notes: min/max of non-numeric columns are carried as
+  * exact integers widened to double (timestamps via epoch-micros, well
+  * under 2^53) so no engine-private string formatting is compared; null
+  * counts use COUNT(FILTER)/count(when) — never SUM(int), which DuckDB
+  * widens to HUGEINT.
+  */
+object QualityQueries extends QueryPack {
+
+  /** Profiled columns and the numeric image min/max is taken over:
+    * doubles as-is, timestamps as epoch-micros (exact in double),
+    * strings as none (NULL min/max; distinctness still profiled).
+    */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num",
+    "l_quantity" -> "num",
+    "l_extendedprice" -> "num",
+    "l_discount" -> "num",
+    "l_returnflag" -> "str",
+    "l_shipdate" -> "ts")
+
+  /** Constraint rules shared (name, Spark predicate, DuckDB predicate) —
+    * a row VIOLATES when the predicate is not TRUE (nulls violate).
+    */
+  private case class Rule(name: String, spark: Column, duck: String)
+
+  private def rules: Seq[Rule] = Seq(
+    Rule("qty_in_range",
+      col("l_quantity").between(1.0, 50.0),
+      "l_quantity BETWEEN 1.0 AND 50.0"),
+    Rule("discount_in_range",
+      col("l_discount").between(0.0, 0.1),
+      "l_discount BETWEEN 0.0 AND 0.1"),
+    Rule("returnflag_domain",
+      col("l_returnflag").isin("A", "N", "R"),
+      "l_returnflag IN ('A', 'N', 'R')"),
+    Rule("linestatus_domain",
+      col("l_linestatus").isin("O", "F"),
+      "l_linestatus IN ('O', 'F')"),
+    Rule("price_positive",
+      col("l_extendedprice") > 0.0,
+      "l_extendedprice > 0.0"),
+    Rule("keys_not_null",
+      col("l_orderkey").isNotNull && col("l_partkey").isNotNull &&
+        col("l_suppkey").isNotNull,
+      "l_orderkey IS NOT NULL AND l_partkey IS NOT NULL " +
+        "AND l_suppkey IS NOT NULL"),
+    Rule("tax_in_range",
+      col("l_tax").between(0.0, 0.08),
+      "l_tax BETWEEN 0.0 AND 0.08"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-column profile: rows / nulls / exact distinct / numeric
+    // min-max, one row per profiled column. The wide aggregate computes
+    // every metric in one pass; `stack` reshapes driver-side-free.
+    "dq_profile" -> ((s, dir) => {
+      def numOf(c: String, kind: String): Column = kind match {
+        case "num" => col(c).cast("double")
+        // fixtures carry TIMESTAMP_NTZ; the session zone is pinned UTC,
+        // so the cast is the identity DuckDB's epoch_us applies.
+        case "ts" => unix_micros(col(c).cast("timestamp")).cast("double")
+        case _ => lit(null).cast("double")
+      }
+      val aggs = ProfileCols.flatMap { case (c, kind) =>
+        Seq(
+          count(lit(1)).as(s"${c}__rows"),
+          count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+          count_distinct(col(c)).as(s"${c}__distinct"),
+          min(numOf(c, kind)).as(s"${c}__min"),
+          max(numOf(c, kind)).as(s"${c}__max"))
+      }
+      val wide = Tables(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = ProfileCols.map { case (c, _) =>
+        s"'$c', ${c}__rows, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+      }.mkString(", ")
+      wide.selectExpr(
+        s"stack(${ProfileCols.size}, $stackArgs) AS " +
+          "(col_name, n_rows, n_null, n_distinct, min_val, max_val)")
+    }),
+
+    // Constraint-violation audit: one row per rule with violation count
+    // and rate. NOT(pred) with null-as-violation on both engines; the
+    // rate is one double division of identical exact integers.
+    "dq_constraints" -> ((s, dir) => {
+      val aggs = rules.flatMap { r =>
+        Seq(
+          count(when(!coalesce(r.spark, lit(false)), lit(1)))
+            .as(s"${r.name}__viol"),
+          count(lit(1)).as(s"${r.name}__rows"))
+      }
+      val wide = Tables(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = rules.map { r =>
+        s"'${r.name}', ${r.name}__viol, ${r.name}__rows"
+      }.mkString(", ")
+      wide.selectExpr(
+        s"stack(${rules.size}, $stackArgs) AS (rule, n_violations, n_rows)")
+        .withColumn("violation_rate",
+          col("n_violations").cast("double") / col("n_rows").cast("double"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "dq_profile" -> {
+      val perCol = ProfileCols.map { case (c, kind) =>
+        val numExpr = kind match {
+          case "num" => s"CAST($c AS DOUBLE)"
+          case "ts" => s"CAST(epoch_us($c) AS DOUBLE)"
+          case _ => "CAST(NULL AS DOUBLE)"
+        }
+        s"""SELECT '$c' AS col_name,
+           |  COUNT(*) AS n_rows,
+           |  COUNT(*) FILTER (WHERE $c IS NULL) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  MIN($numExpr) AS min_val,
+           |  MAX($numExpr) AS max_val
+           |FROM lineitem""".stripMargin
+      }
+      perCol.mkString("\nUNION ALL\n")
+    },
+
+    "dq_constraints" -> {
+      val perRule = rules.map { r =>
+        s"""SELECT '${r.name}' AS rule,
+           |  COUNT(*) FILTER (WHERE NOT COALESCE(${r.duck}, FALSE))
+           |    AS n_violations,
+           |  COUNT(*) AS n_rows,
+           |  CAST(COUNT(*) FILTER (WHERE NOT COALESCE(${r.duck}, FALSE))
+           |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+           |FROM lineitem""".stripMargin
+      }
+      perRule.mkString("\nUNION ALL\n")
+    }
+  )
+}
