@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch, bit-exact cross-engine.
+  *
+  * Classic HLL (Flajolet et al. 2007): hash each key, use the low
+  * `p = 9` bits as a register index (m = 512 registers), and keep per
+  * register the maximum ρ = 1 + leading-zero-count of the remaining
+  * 51 hash bits. Estimate = α·m²/Σ 2^−M_j. Fixed O(m) state per group
+  * where exact COUNT(DISTINCT) state is unbounded — with standard error
+  * 1.04/√m ≈ 4.6 % at m = 512. Complements the KMV sketch
+  * (`agg_approx_distinct_kmv`): HLL state is 6 bits/register vs KMV's
+  * 64-bit hashes, and HLL unions are register-wise max (no re-sort).
+  *
+  * Cross-engine determinism (the whole design):
+  *   - the hash is the md5-prefix 60-bit value (same family as
+  *     [[TextHash.h31]], WITHOUT the mod-P31 reduction — HLL needs the
+  *     raw uniform bits), identical by construction in DuckDB as
+  *     `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`;
+  *   - ρ is computed with INTEGER STRING ops (`52 − length(bin(w))`),
+  *     not a transcendental log2, so both engines agree exactly;
+  *   - the harmonic-mean denominator Σ 2^−M_j is scaled by 2^52 into
+  *     a pure BIGINT sum (each term `1 << (52 − M_j)`; ≤ 2^61 total,
+  *     no overflow) — exact in any summation order, where the
+  *     textbook double sum spans 52 binades and would round
+  *     order-dependently;
+  *   - the final estimate is ONE double expression over that exact
+  *     integer, written with identical decimal literals on both
+  *     engines. The small-range linear-counting correction
+  *     (m·ln(m/V)) is deliberately NOT applied inline — ln is
+  *     transcendental; `n_set` rides along so a consumer can apply
+  *     any correction downstream.
+  *
+  * Plan shape at 100 TB: one scan; groupBy(group, register) max-agg
+  * with map-side partials bounds the shuffle at tasks × groups × 512
+  * rows regardless of input size; the register→estimate fold touches
+  * ≤ 512 rows per group.
+  *
+  * Reference anchor: the reference engine keeps exact per-key state in
+  * an unbounded process-local HashMap (`/root/reference/src/main.rs:207`)
+  * — this sketch is the bounded-state form of the same "how many
+  * distinct keys" question at corpus scale.
+  */
+object Hll {
+
+  /** Register count m = 2^9. */
+  val M = 512
+
+  /** Sub-register hash width (51 bits) + 1: ρ ∈ [1, 52]; the exact
+    * integer denominator scales each 2^−ρ term by 2^52.
+    */
+  private val Shift = 52
+
+  private val Pow52 = 1L << 52
+
+  /** Raw 60-bit md5-prefix hash (no mod reduction — see class doc). */
+  def raw60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-(group, register) max-ρ table: columns (g, bucket, m_j). */
+  def registers(df: DataFrame, group: Column, key: Column): DataFrame =
+    df.select(group.as("g"), raw60(key).as("h"))
+      .selectExpr("g", s"h % $M AS bucket", s"h DIV $M AS w")
+      .selectExpr("g", "bucket",
+        s"CASE WHEN w = 0 THEN $Shift ELSE $Shift - length(bin(w)) END AS rho")
+      .groupBy("g", "bucket")
+      .agg(max(col("rho")).as("m_j"))
+
+  /** Fold a register table to (g, n_set, s_total, est_distinct). */
+  def estimate(regs: DataFrame): DataFrame =
+    regs.groupBy("g")
+      .agg(
+        count(lit(1)).as("n_set"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($Shift - m_j AS INT))"))
+          .as("s_ne"))
+      .select(col("g"), col("n_set"),
+        (col("s_ne") + (lit(M.toLong) - col("n_set")) * lit(Pow52))
+          .as("s_total"))
+      .withColumn("est_distinct", expr(estSql("s_total")))
+
+  /** The estimate expression, shared verbatim with the DuckDB mirror:
+    * α_m · m² · 2^52 / S with α_m = 0.7213/(1 + 1.079/m). Every literal
+    * is e-notation ON PURPOSE: Spark parses plain `0.7213` as
+    * DECIMAL(4,4) (decimal arithmetic, different rounding) while DuckDB
+    * parses it as DOUBLE — `7213e-4` is DOUBLE in both grammars, so the
+    * identical token stream evaluates to the identical double.
+    */
+  def estSql(sTotal: String): String =
+    s"(7213e-4 / (1e0 + 1079e-3 / 512e0)) * 262144e0 * 4503599627370496e0" +
+      s" / CAST($sTotal AS DOUBLE)"
+
+  /** DuckDB mirror of registers→estimate over a CTE named `hashed`
+    * with columns (g, h).
+    */
+  def duckCtes: String =
+    s"""hllb AS (SELECT g, h % $M AS bucket, h // $M AS w FROM hashed),
+       |hllr AS (
+       |  SELECT g, bucket,
+       |    MAX(CASE WHEN w = 0 THEN $Shift
+       |        ELSE $Shift - length(bin(w)) END) AS m_j
+       |  FROM hllb GROUP BY 1, 2),
+       |hlls AS (
+       |  SELECT g, COUNT(*) AS n_set,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST($Shift - m_j AS INT))
+       |      AS BIGINT)
+       |      + ($M - COUNT(*)) * ${Pow52} AS s_total
+       |  FROM hllr GROUP BY 1)""".stripMargin
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{Centroids, CountMin, Decontaminate, IncrementalRollup, KmvAggregator, Scd2, TextHash, ZOrder}
+import graft.ops.{Centroids, CountMin, Decontaminate, Hll, IncrementalRollup, KmvAggregator, Scd2, TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -78,6 +78,22 @@ object ScaleQueries extends QueryPack {
               lit((K - 1).toDouble * TextHash.P31.toDouble) /
                 element_at(col("ks"), -1).cast("double"))
             .as("est_distinct"))
+    }),
+
+    // ---- approximate distinct (HyperLogLog) ----------------------------
+    // The other classic distinct sketch, same question as KMV with a
+    // different state/merge tradeoff: 512 six-bit registers per group
+    // (vs KMV's 64 hashes), unions by register-wise max. All the
+    // determinism work (string-op rho, exact-integer denominator) lives
+    // in graft.ops.Hll; the query keys on the SAME (l_returnflag,
+    // l_partkey) pair as the KMV anchor so the two sketches' estimates
+    // are directly comparable in the output.
+    "agg_approx_distinct_hll" -> ((s, dir) => {
+      val regs = Hll.registers(
+        t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))
+      Hll.estimate(regs).select(
+        col("g").as("l_returnflag"), col("n_set"), col("s_total"),
+        col("est_distinct"))
     }),
 
     // ---- KMV set algebra (sketch merge, no rescan) ---------------------
@@ -621,6 +637,17 @@ object ScaleQueries extends QueryPack {
 
     "agg_approx_distinct_kmv_agg" -> kmvOracle,
     "agg_approx_distinct_kmv" -> kmvOracle,
+
+    "agg_approx_distinct_hll" ->
+      s"""WITH hashed AS (
+         |  SELECT l_returnflag AS g,
+         |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM lineitem),
+         |${Hll.duckCtes}
+         |SELECT g AS l_returnflag, n_set, s_total,
+         |  ${Hll.estSql("s_total")} AS est_distinct
+         |FROM hlls""".stripMargin,
     "emb_label_centroids" -> centroidOracle,
     "emb_label_centroids_agg" -> centroidOracle,
 
