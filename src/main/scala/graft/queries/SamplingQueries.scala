@@ -99,8 +99,53 @@ object SamplingQueries extends QueryPack {
         .groupBy("split")
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // Temperature-based source mixing (the size^α reweighting every
+    // multi-source LLM corpus runs, α = 0.5): each source's share of
+    // the 40 %-of-corpus target budget is ∝ √(its size), flattening
+    // the source distribution; realized as a per-source hash threshold
+    // so membership stays a pure function of doc_id. Determinism: √ is
+    // IEEE-exact-rounded (the one transcendental-adjacent op both
+    // engines must agree on bit for bit), its value is fixed-point
+    // floored BEFORE the cross-source sum, and the acceptance rate is
+    // one shared arithmetic expression over exact integers. Plan: tiny
+    // per-source rollup, broadcast of the rates table, one scan-side
+    // filter — the corpus never shuffles.
+    "sample_temperature_mix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("wq", expr(WqSql))
+      val tot = per.agg(sum(col("n_docs")).as("n_total"),
+        sum(col("wq")).as("swq"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("thresh_micro",
+          expr(s"CAST(floor(($RateSql) * 1e6) AS BIGINT)"))
+        .select("source", "n_docs", "thresh_micro")
+      val sampled = docs
+        .join(broadcast(rates.select("source", "thresh_micro")), Seq("source"))
+        .filter(pmod(TextHash.h31(col("doc_id").cast("string")),
+          lit(1000000)) < col("thresh_micro"))
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("thresh_micro"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
     })
   )
+
+  /** Fixed-point √size weight, shared verbatim with the DuckDB mirror
+    * (floored to micro units BEFORE summation so the cross-source sum
+    * is exact-integer in any order).
+    */
+  private val WqSql =
+    "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)"
+
+  /** Acceptance rate: min(1, 0.4·N·w_s / (Σw · n_s)), one shared
+    * left-associated double expression over exact integer inputs.
+    */
+  private val RateSql =
+    "least(1e0, 4e-1 * CAST(n_total AS DOUBLE) * CAST(wq AS DOUBLE)" +
+      " / CAST(swq AS DOUBLE) / CAST(n_docs AS DOUBLE))"
 
   private def h(e: String) =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) % 2147483647"
@@ -171,6 +216,27 @@ object SamplingQueries extends QueryPack {
          |FROM (SELECT n_chars,
          |        ${h("CAST(doc_id AS VARCHAR)")} % 100 AS slot
          |      FROM documents)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "sample_temperature_mix" ->
+      s"""WITH per AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |perw AS (SELECT source, n_docs, $WqSql AS wq FROM per),
+         |tot AS (
+         |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         |    CAST(SUM(wq) AS BIGINT) AS swq
+         |  FROM perw),
+         |rates AS (
+         |  SELECT source, n_docs,
+         |    CAST(floor(($RateSql) * 1e6) AS BIGINT) AS thresh_micro
+         |  FROM perw, tot),
+         |samp AS (
+         |  SELECT d.source, COUNT(*) AS n_sampled
+         |  FROM documents d JOIN rates r ON d.source = r.source
+         |  WHERE ${h("CAST(doc_id AS VARCHAR)")} % 1000000 < r.thresh_micro
+         |  GROUP BY 1)
+         |SELECT r.source, r.n_docs, r.thresh_micro,
+         |  COALESCE(n_sampled, 0) AS n_sampled
+         |FROM rates r LEFT JOIN samp USING (source)""".stripMargin
   )
 }

