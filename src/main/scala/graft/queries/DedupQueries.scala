@@ -196,6 +196,43 @@ object DedupQueries extends QueryPack {
             (VectorOps.norm(col("ea")) * VectorOps.norm(col("eb"))))
         .filter(col("cos") >= 0.3)
         .select("vec_a", "vec_b", "cos")
+    }),
+
+    // Fuzzy (edit-distance) dedup with multi-pass blocking — the
+    // entity-resolution shape for typo-level near-duplicates that
+    // hash/shingle methods miss. Scale discipline in two layers:
+    // (1) compare DISTINCT values, not rows — the candidate join runs
+    // over the unique-name table and multiplicities ride along, so a
+    // value repeated 10^4 times costs one comparison, not 10^8;
+    // (2) two blocking passes (first token, last token) bound the
+    // quadratic term to within-block pairs while still catching an
+    // edit in either word — single-key blocking provably misses the
+    // 8 distance-1 pairs here whose FIRST token carries the typo.
+    // Levenshtein itself is the engines' built-in (classic DP, same
+    // algorithm both sides).
+    "dedup_fuzzy_name" -> ((s, dir) => {
+      val names = Tables(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n"))
+        .withColumn("t", split(col("p_name"), " "))
+        .select(col("p_name"), col("n"),
+          element_at(col("t"), 1).as("b1"),
+          element_at(col("t"), -1).as("b2"))
+      val a = names.select(col("p_name").as("a_name"), col("n").as("n_a"),
+        col("b1").as("a_b1"), col("b2").as("a_b2"))
+      val b = names.select(col("p_name").as("b_name"), col("n").as("n_b"),
+        col("b1").as("b_b1"), col("b2").as("b_b2"))
+      val c1 = a.join(b,
+        col("a_b1") === col("b_b1") && col("a_name") < col("b_name"))
+      val c2 = a.join(b,
+        col("a_b2") === col("b_b2") && col("a_name") < col("b_name"))
+      val cand = c1.select("a_name", "b_name", "n_a", "n_b")
+        .union(c2.select("a_name", "b_name", "n_a", "n_b"))
+        .distinct()
+      cand.withColumn("dist",
+          levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist").between(1, 2))
+        .select(col("a_name"), col("b_name"), col("dist"),
+          col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("n_pairs"))
     })
   )
 
@@ -435,6 +472,27 @@ object DedupQueries extends QueryPack {
          |  ON a.vec_id = vec_a
          |JOIN (SELECT vec_id, embedding AS eb FROM embeddings) b
          |  ON b.vec_id = vec_b
-         |WHERE $dotAB / (${normOf("ea")} * ${normOf("eb")}) >= 0.3""".stripMargin
+         |WHERE $dotAB / (${normOf("ea")} * ${normOf("eb")}) >= 0.3""".stripMargin,
+
+    "dedup_fuzzy_name" ->
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n,
+        |    string_split(p_name, ' ')[1] AS b1,
+        |    string_split(p_name, ' ')[-1] AS b2
+        |  FROM part GROUP BY 1),
+        |cand AS (
+        |  SELECT a.p_name AS a_name, b.p_name AS b_name,
+        |    a.n AS n_a, b.n AS n_b
+        |  FROM names a JOIN names b
+        |    ON a.b1 = b.b1 AND a.p_name < b.p_name
+        |  UNION
+        |  SELECT a.p_name, b.p_name, a.n, b.n
+        |  FROM names a JOIN names b
+        |    ON a.b2 = b.b2 AND a.p_name < b.p_name)
+        |SELECT a_name, b_name,
+        |  CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist,
+        |  n_a, n_b, n_a * n_b AS n_pairs
+        |FROM cand
+        |WHERE levenshtein(a_name, b_name) BETWEEN 1 AND 2""".stripMargin
   )
 }
