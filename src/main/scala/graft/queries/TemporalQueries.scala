@@ -58,6 +58,61 @@ object TemporalQueries extends QueryPack {
             lit(0.0))).as("std"))
     }),
 
+    // Rolling z-score anomaly flags over the same 24-event frame as
+    // window_rolling_stats: emit the rows whose spend sits more than
+    // 2σ from their own trailing mean — the outlier gate a feature
+    // pipeline runs before training. The |z| > 2 test is evaluated
+    // ENTIRELY in an exact wide-integer domain — (q·n − Σq)² >
+    // 4·(Σq²·n·10⁹ − (Σq)²), Spark DECIMAL(38,0) vs DuckDB HUGEINT,
+    // both exact so the flag can never diverge on a boundary — while
+    // the reported mean/std reuse the proven fixed-point formulas.
+    // Plan: identical single user-keyed window shuffle; the flag is a
+    // scan-side filter on its output.
+    "ts_anomaly_zscore" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-23, W.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          floor(col("value") * 1e9).cast("long").as("q"),
+          floor(col("value") * col("value") * 1e9).cast("long").as("q2"))
+        .select(col("event_id"), col("user_id"), col("value"), col("q"),
+          count(lit(1)).over(w).as("n_frame"),
+          sum(col("q")).over(w).as("sq"),
+          sum(col("q2")).over(w).as("sq2"))
+        .filter(expr(anomalyCond("DECIMAL(38,0)")))
+        .select(col("event_id"), col("user_id"), col("n_frame"),
+          col("value"),
+          (col("sq").cast("double") /
+            (lit(1.0e9) * col("n_frame").cast("double"))).as("mean"))
+    }),
+
+    // Exponentially-weighted moving average of per-user spend, the
+    // other classic smoothing shape next to the boxcar rolling mean.
+    // Finite 8-event horizon with decay α = 1/2, so every weight is a
+    // POWER OF TWO: the weighted numerator is a pure integer sum of
+    // shifted fixed-point values (exact in any order, no double decay
+    // products), the denominator is the sum of the weights actually
+    // present (partition warm-up shortens the horizon), and the only
+    // double op is the final division. An explicit lag-chain, not a
+    // collect_list fold — each term is a codegen'd window column with
+    // a pinned (ts, event_id) order, nothing depends on aggregation
+    // order. One user-keyed window shuffle, same as the other rolling
+    // features, so the exchange is shared when they run together.
+    "window_ewma" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val base = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 1e6).cast("long").as("q"))
+      val withLags = (0 until EwmaK).foldLeft(base) { (d, j) =>
+        d.withColumn(s"l$j", lag(col("q"), j).over(w))
+      }
+      withLags.select(col("event_id"), col("user_id"),
+        expr(EwmaTermsSql).as("n_terms"),
+        expr(EwmaSql).as("ewma"))
+    }),
+
     // Conversion funnel (view → purchase within 1 hour): the running-max
     // window form, NOT an interval self-join — one shuffle keyed on
     // user, each purchase checks the latest view seen so far in the
@@ -190,7 +245,76 @@ object TemporalQueries extends QueryPack {
     })
   )
 
+  /** EWMA horizon (lags 0..7) with weight 2^(K−1−j) for lag j. */
+  private val EwmaK = 8
+
+  /** Shared numerator/denominator arithmetic over the lag columns
+    * l0..l7 — identical token streams on both engines; a NULL lag
+    * (partition warm-up) contributes neither value nor weight.
+    */
+  private val EwmaNumSql = (0 until 8).map { j =>
+    s"CASE WHEN l$j IS NULL THEN 0 ELSE l$j * ${1L << (7 - j)} END"
+  }.mkString(" + ")
+  private val EwmaDenSql = (0 until 8).map { j =>
+    s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END"
+  }.mkString(" + ")
+  private val EwmaTermsSql = "CAST(" + (0 until 8).map { j =>
+    s"CASE WHEN l$j IS NULL THEN 0 ELSE 1 END"
+  }.mkString(" + ") + " AS BIGINT)"
+  private val EwmaSql =
+    s"CAST($EwmaNumSql AS DOUBLE) / CAST($EwmaDenSql AS DOUBLE) / 1e6"
+
+  /** The |z| > 2 test cross-multiplied into exact integers:
+    * (q·n − Σq)² > 4·(Σq²·n·10⁹ − (Σq)²). `bigT` is the engine's
+    * exact wide-integer type — the magnitudes (≈10²⁷) overflow int64,
+    * so Spark evaluates in DECIMAL(38,0) and DuckDB in HUGEINT; both
+    * are exact, so the inequality agrees everywhere.
+    */
+  private def anomalyCond(bigT: String): String =
+    s"(CAST(q AS $bigT) * n_frame - sq) * (CAST(q AS $bigT) * n_frame - sq)" +
+      s" > 4 * (CAST(sq2 AS $bigT) * n_frame * 1000000000" +
+      s" - CAST(sq AS $bigT) * sq)"
+
   def oracles: Map[String, String] = Map(
+    "window_ewma" -> {
+      val lagCols = (0 until EwmaK).map { j =>
+        s"lag(q, $j) OVER win AS l$j"
+      }.mkString(",\n    ")
+      s"""WITH q AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS q
+         |  FROM events),
+         |lags AS (
+         |  SELECT event_id, user_id,
+         |    $lagCols
+         |  FROM q
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_id, user_id,
+         |  $EwmaTermsSql AS n_terms,
+         |  $EwmaSql AS ewma
+         |FROM lags""".stripMargin
+    },
+
+    "ts_anomaly_zscore" ->
+      s"""WITH q AS (
+         |  SELECT event_id, user_id, ts, value,
+         |    CAST(floor(value * 1e9) AS BIGINT) AS q,
+         |    CAST(floor(value * value * 1e9) AS BIGINT) AS q2
+         |  FROM events),
+         |w AS (
+         |  SELECT event_id, user_id, value, q,
+         |    COUNT(*) OVER win AS n_frame,
+         |    CAST(SUM(q) OVER win AS BIGINT) AS sq,
+         |    CAST(SUM(q2) OVER win AS BIGINT) AS sq2
+         |  FROM q
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, n_frame, value,
+         |  CAST(sq AS DOUBLE) / (1000000000.0 * CAST(n_frame AS DOUBLE))
+         |    AS mean
+         |FROM w
+         |WHERE ${anomalyCond("HUGEINT")}""".stripMargin,
+
     "window_rolling_stats" ->
       """WITH q AS (
         |  SELECT event_id, user_id, ts,
