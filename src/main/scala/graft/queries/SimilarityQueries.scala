@@ -180,6 +180,50 @@ object SimilarityQueries extends QueryPack {
       votes.withColumn("r", row_number().over(w))
         .filter(col("r") === 1)
         .select(col("q_id"), col("label").as("pred_label"), col("n"))
+    }),
+
+    // Hierarchical (two-level) IVF — the FIXED-BUDGET answer to the
+    // scan-side argmin's honest caveat: flat assignment is
+    // O(rows × cells), so growing the cell count with the corpus makes
+    // the scan quadratic overall. Here every vector compares against
+    // S1 super-centroids plus only the ~S2/S1 fine centroids of ITS
+    // super-cell — per-row work stays O(S1 + S2/S1) (minimized at
+    // S1 ≈ √S2) no matter how many fine cells the corpus needs. Both
+    // argmins are scan-side fixed-point folds against broadcast
+    // centroid rows (level 2's grouped per super-cell and attached by
+    // a broadcast join); the fine centroids' own super-assignment
+    // falls out of the level-1 pass since they ARE corpus vectors. No
+    // shuffle anywhere in the index build; the probe is the same
+    // cell-join + exact-rerank shape as flat IVF.
+    "ann_ivf_hier" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a1 = VectorOps.l2Cells(e, "vec_id", "embedding",
+          col("vec_id") % 251 === 0)
+        .withColumnRenamed("cell", "sc")
+      val byId = array_sort(collect_list(struct(col("vec_id"),
+        col("embedding"))))
+      val fineGroups = a1.filter(col("vec_id") % 47 === 0)
+        .groupBy("sc")
+        .agg(transform(byId, x => x.getField("vec_id")).as("cids2"),
+          transform(byId, x => x.getField("embedding")).as("cvs2"))
+      val a2 = a1.join(broadcast(fineGroups), Seq("sc"))
+        .select(col("vec_id"), col("embedding"),
+          element_at(col("cids2"),
+            VectorOps.argminL2Index(col("embedding"), col("cvs2")) + 1)
+            .as("cell"))
+      val q = a2.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("cell"))
+      val c = a2.select(col("vec_id").as("n_id"),
+        col("embedding").as("nv"), col("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select("q_id", "n_id", "cos", "rnk")
     })
   )
 
@@ -356,6 +400,42 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q_id, label, n,
          |    row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) AS r
          |  FROM votes)
-         |WHERE r = 1""".stripMargin
+         |WHERE r = 1""".stripMargin,
+
+    "ann_ivf_hier" ->
+      s"""WITH s1 AS (
+         |  SELECT vec_id AS sid, embedding AS sv FROM embeddings
+         |  WHERE vec_id % 251 = 0),
+         |a1 AS (
+         |  SELECT vec_id, embedding, sc FROM (
+         |    SELECT e.vec_id, e.embedding, s.sid AS sc,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${VectorOps.l2FixDuck("e.embedding", "s.sv")},
+         |          s.sid) AS r
+         |    FROM embeddings e CROSS JOIN s1 s)
+         |  WHERE r = 1),
+         |fg AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv, sc FROM a1
+         |  WHERE vec_id % 47 = 0),
+         |a2 AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT a.vec_id, a.embedding, f.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${VectorOps.l2FixDuck("a.embedding", "f.cv")},
+         |          f.cent_id) AS r
+         |    FROM a1 a JOIN fg f ON a.sc = f.sc)
+         |  WHERE r = 1),
+         |sc2 AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosAB AS cos
+         |  FROM (SELECT vec_id, embedding AS qv, cell FROM a2
+         |        WHERE vec_id < 20) q
+         |  JOIN (SELECT vec_id, embedding AS nv, cell FROM a2) c
+         |    ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+         |      AS rnk
+         |  FROM sc2)
+         |WHERE rnk <= $K""".stripMargin
   )
 }
