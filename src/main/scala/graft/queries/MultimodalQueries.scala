@@ -60,8 +60,64 @@ object MultimodalQueries extends QueryPack {
       Multimodal.fromDocuments(Tables(s, dir, "documents"))
         .select((Seq(col("media_id"),
           length(col("bytes")).cast("long").as("n_bytes")) ++ feat): _*)
+    }),
+
+    // Perceptual-hash near-dup — the pHash pipeline shape (decode →
+    // feature panel → sign-of-deviation bits → banded hamming join),
+    // with the decode behind the same stub seam as media_features:
+    // the stub's 16-byte digest stream plays the 16-tap DCT panel a
+    // real pHash reduces to (the 8-dim feature vector is its prefix).
+    // Bit i of the 16-bit hash is "tap i above the panel mean",
+    // evaluated as the EXACT integer comparison 16·kᵢ > Σk (no double
+    // mean, no rounding boundary). Candidates must share one of four
+    // 4-bit bands — by pigeonhole that catches every pair within
+    // hamming ≤ 3 — and the verify filter is one bit_count(xor). The
+    // payload never joins: bands and hashes travel as ints.
+    "media_phash_neardup" -> ((s, dir) => {
+      val hex = md5(col("bytes"))
+      val ks = (0 until PhashDim).map { i =>
+        conv(substring(hex, 2 * i + 1, 2), 16, 10).cast("long").as(s"k$i")
+      }
+      val hashed = Multimodal.fromDocuments(Tables(s, dir, "documents"))
+        .select((col("media_id") +: ks): _*)
+        .withColumn("ksum", expr(PhashSumSql))
+        .withColumn("phash", expr(PhashBitsSql))
+        .select("media_id", "phash")
+      val bands = hashed.select(col("media_id"), col("phash"),
+        posexplode(array((0 until 4).map(j =>
+          expr(s"(phash DIV ${1 << (4 * j)}) % 16")): _*)))
+        .toDF("media_id", "phash", "band", "bv")
+      val cand = bands
+        .join(bands.toDF("media_b", "phash_b", "band", "bv"),
+          Seq("band", "bv"))
+        .filter(col("media_id") < col("media_b"))
+        .select(col("media_id").as("media_a"), col("phash"),
+          col("media_b"), col("phash_b"))
+        .distinct()
+      cand.withColumn("hamming",
+          expr("CAST(bit_count(phash ^ phash_b) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select("media_a", "media_b", "hamming")
     })
   )
+
+  /** pHash panel width: all 16 digest bytes (the stub's stand-in for
+    * a 16-tap DCT panel; [[Multimodal.StubCodec.FeatureDim]] = 8 is
+    * its prefix).
+    */
+  private val PhashDim = 16
+
+  /** Σk over the 16 panel taps (shared token stream). */
+  private val PhashSumSql =
+    (0 until PhashDim).map(i => s"k$i").mkString(" + ")
+
+  /** Sign-of-deviation bits packed little-endian: bit i set iff
+    * PhashDim·kᵢ > Σk — the all-integer form of "tap above mean".
+    */
+  private val PhashBitsSql =
+    (0 until PhashDim).map { i =>
+      s"CASE WHEN $PhashDim * k$i > ksum THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
 
   def oracles: Map[String, String] = Map(
     "media_dedup_exact" ->
@@ -96,6 +152,34 @@ object MultimodalQueries extends QueryPack {
          |  ${(0 until Multimodal.StubCodec.FeatureDim).map(i =>
              s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS BIGINT) / 255.0 AS f$i")
              .mkString(",\n  ")}
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "media_phash_neardup" ->
+      s"""WITH ks AS (
+         |  SELECT doc_id AS media_id,
+         |    ${(0 until PhashDim).map(i =>
+               s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS BIGINT) AS k$i")
+               .mkString(",\n    ")}
+         |  FROM documents),
+         |ph AS (
+         |  SELECT media_id, $PhashBitsSql AS phash
+         |  FROM (SELECT media_id,
+         |          ${(0 until PhashDim).map(i => s"k$i").mkString(", ")},
+         |          $PhashSumSql AS ksum
+         |        FROM ks)),
+         |bands AS (
+         |  SELECT media_id, phash, j AS band,
+         |    (phash // (CAST(1 AS BIGINT) << (4 * j))) % 16 AS bv
+         |  FROM ph, (SELECT unnest(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS media_a, a.phash,
+         |    b.media_id AS media_b, b.phash AS phash_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv
+         |    AND a.media_id < b.media_id)
+         |SELECT media_a, media_b,
+         |  CAST(bit_count(xor(phash, phash_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(phash, phash_b)) <= 3""".stripMargin
   )
 }
