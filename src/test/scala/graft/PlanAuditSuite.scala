@@ -318,4 +318,76 @@ class PlanAuditSuite extends SparkSpec {
       assert(countShuffles(executed(q(name))) === 1, s"$name must shuffle once")
     }
   }
+
+  test("dq_profile / dq_constraints: one scan, no join, bounded shuffles") {
+    for (name <- Seq("dq_profile", "dq_constraints")) {
+      val p = executed(q(name))
+      val scans = flatten(p).count(_.nodeName.contains("Scan"))
+      assert(scans === 1, s"$name must read lineitem exactly once")
+      assert(!p.toString.contains("Join"), s"$name must not join")
+      // profile pays the multi-distinct expand exchanges; constraints is
+      // a plain two-phase aggregate
+      val cap = if (name == "dq_profile") 3 else 1
+      assert(countShuffles(p) <= cap, s"$name shuffle count")
+    }
+  }
+
+  test("agg_approx_distinct_hll: register rollup merges map-side") {
+    // shuffle 1 carries ≤ tasks × groups × 512 register rows (partial
+    // max), shuffle 2 the per-group fold — corpus size never crosses
+    // the wire
+    val p = executed(q("agg_approx_distinct_hll"))
+    assert(countShuffles(p) === 2, "register rollup + estimate fold")
+    val partials = flatten(p).map(_.toString)
+      .count(s => s.contains("HashAggregate") && s.contains("partial_max"))
+    assert(partials >= 1, "register max must have a map-side partial")
+  }
+
+  test("sample_temperature_mix: the corpus never shuffles (broadcast rates)") {
+    val p = executed(q("sample_temperature_mix"))
+    val joins = flatten(p).map(_.nodeName).filter(_.contains("Join"))
+    assert(joins.count(_.contains("Broadcast")) >= 2,
+      s"rates and sampled-counts must attach by broadcast: $joins")
+    // the only exchanges are tiny per-source rollups (map-side partial
+    // count first) and the one-row totals fold, never the corpus: every
+    // exchange key set is (at most) the 20-value source column
+    assert(countShuffles(p) <= 4, s"shuffles: ${countShuffles(p)}")
+    val exchanges = flatten(p).collect {
+      case e: ShuffleExchangeLike => e.output.map(_.name)
+    }
+    assert(exchanges.forall(out => !out.contains("doc_id")),
+      s"per-document rows must never shuffle: $exchanges")
+  }
+
+  test("text_segment_dedup: df rollup and join are keyed on the 60-bit hash") {
+    val p = executed(q("text_segment_dedup"))
+    val exchanges = flatten(p).filter(_.isInstanceOf[ShuffleExchangeLike])
+      .map(_.toString)
+    // the segment-frequency join must move k (long), not seg strings
+    assert(exchanges.exists(e => e.contains("hashpartitioning(k")),
+      s"df join must key on the hash:\n${exchanges.mkString("\n")}")
+  }
+
+  test("ann_ivf_hier: index build is scan-side (no window argmin, no sort)") {
+    val p = executed(q("ann_ivf_hier"))
+    val s = p.toString
+    // both assignment levels fold inside the projection: the only
+    // Window in the whole plan is the final top-k rank (plus the
+    // WindowGroupLimit pair Spark plants to pre-prune rnk <= K)
+    val windows = flatten(p).count(_.nodeName == "Window")
+    assert(windows === 1, s"expected only the rerank window, got $windows")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoop"),
+      "centroid rows and fine groups must broadcast")
+  }
+
+  test("media_phash_neardup: the candidate exchange carries ints, not payloads") {
+    val p = executed(q("media_phash_neardup"))
+    val exchanges = flatten(p).collect {
+      case e: ShuffleExchangeLike => e.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.flatten.forall(c =>
+        !c.contains("bytes") && !c.contains("binary") && !c.contains("string")),
+      s"every exchanged column must be numeric: $exchanges")
+  }
 }
