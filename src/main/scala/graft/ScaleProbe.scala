@@ -99,11 +99,22 @@ object ScaleProbe {
         .count()
     }
 
+    // Hierarchical cell assignment (the SAME op ann_ivf_hier uses):
+    // seed rates match the flat SemDeDup assignment's density, so the
+    // 10× ratio directly shows the two-level argmin absorbing a fine-
+    // centroid set that grows with the corpus — per-row work is
+    // S1 + S2/S1 where the flat form pays S2.
+    def hierAssign(c: Int): Long =
+      VectorOps.l2CellsHier(
+          scaled("embeddings", "vec_id", c), "vec_id", "embedding",
+          col("vec_id") % 1009 === 0, col("vec_id") % 101 === 0)
+        .filter(col("cell") >= 0).count()
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
       ("vec_centroids", centroids), ("pq_encode", pqEncode),
-      ("semantic_dedup", semanticDedup))
+      ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign))
     // warm-up at 1x (codegen/JIT), then measure 1x and 10x
     probes.foreach { case (_, f) => f(1) }
     val results = probes.map { case (name, f) =>

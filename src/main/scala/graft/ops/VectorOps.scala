@@ -173,6 +173,33 @@ object VectorOps {
           .as("cell"))
   }
 
+  /** Two-level (hierarchical) form of [[l2Cells]] — the fixed-budget
+    * answer to the flat argmin's O(rows × cells) cost: every vector
+    * compares against the S1 super-centroids plus only the ~S2/S1 fine
+    * centroids of ITS super-cell, so per-row work is O(S1 + S2/S1)
+    * (minimized at S1 ≈ √S2) however many fine cells the corpus needs.
+    * Both argmins are scan-side fixed-point folds; level 2's centroid
+    * arrays are grouped per super-cell and attached by a broadcast
+    * join, and the fine centroids' own super-assignment falls out of
+    * the level-1 pass since they are rows of `df`. Returns
+    * (idCol, vecCol, cell) like the flat form.
+    */
+  def l2CellsHier(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, superSeed: Column,
+      fineSeed: Column): org.apache.spark.sql.DataFrame = {
+    val a1 = l2Cells(df, idCol, vecCol, superSeed)
+      .withColumnRenamed("cell", "sc")
+    val byId = array_sort(collect_list(struct(col(idCol), col(vecCol))))
+    val fineGroups = a1.filter(fineSeed)
+      .groupBy("sc")
+      .agg(transform(byId, x => x.getField(idCol)).as("cids2"),
+        transform(byId, x => x.getField(vecCol)).as("cvs2"))
+    a1.join(broadcast(fineGroups), Seq("sc"))
+      .select(col(idCol), col(vecCol),
+        element_at(col("cids2"),
+          argminL2Index(col(vecCol), col("cvs2")) + 1).as("cell"))
+  }
+
   /** Within-cell cosine near-dup pairs over an `l2Cells` assignment —
     * the SemDeDup prune join, shared by the registered query and the
     * weak-scaling probe so both measure the SAME plan. Pairwise work is

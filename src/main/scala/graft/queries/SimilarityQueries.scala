@@ -197,20 +197,8 @@ object SimilarityQueries extends QueryPack {
     // cell-join + exact-rerank shape as flat IVF.
     "ann_ivf_hier" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val a1 = VectorOps.l2Cells(e, "vec_id", "embedding",
-          col("vec_id") % 251 === 0)
-        .withColumnRenamed("cell", "sc")
-      val byId = array_sort(collect_list(struct(col("vec_id"),
-        col("embedding"))))
-      val fineGroups = a1.filter(col("vec_id") % 47 === 0)
-        .groupBy("sc")
-        .agg(transform(byId, x => x.getField("vec_id")).as("cids2"),
-          transform(byId, x => x.getField("embedding")).as("cvs2"))
-      val a2 = a1.join(broadcast(fineGroups), Seq("sc"))
-        .select(col("vec_id"), col("embedding"),
-          element_at(col("cids2"),
-            VectorOps.argminL2Index(col("embedding"), col("cvs2")) + 1)
-            .as("cell"))
+      val a2 = VectorOps.l2CellsHier(e, "vec_id", "embedding",
+        col("vec_id") % 251 === 0, col("vec_id") % 47 === 0)
       val q = a2.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
           col("cell"))
