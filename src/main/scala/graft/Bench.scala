@@ -15,6 +15,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // native fns + optimizer rewrites
     // Warm the JVM (codegen, parquet reader, shuffle paths) so per-query
     // numbers measure the engine in steady state, not class loading.
     try {

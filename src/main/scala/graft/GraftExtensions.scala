@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.injections.foreach(ext.injectFunction)
     // rewrite the portable HOF dot-product fold to the native kernel
     ext.injectOptimizerRule(_ => graft.plans.DotRewriteRule)
+    // length-guard + banded-DP rewrite for levenshtein(a,b) <= k
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
   }
 }
 
@@ -65,5 +67,8 @@ object GraftExtensions {
     val em = spark.sessionState.experimentalMethods
     if (!em.extraOptimizations.contains(graft.plans.DotRewriteRule))
       em.extraOptimizations = em.extraOptimizations :+ graft.plans.DotRewriteRule
+    if (!em.extraOptimizations.contains(graft.plans.LevenshteinGuardRule))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.LevenshteinGuardRule
   }
 }
