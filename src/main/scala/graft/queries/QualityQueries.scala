@@ -115,6 +115,46 @@ object QualityQueries extends QueryPack {
         s"stack(${rules.size}, $stackArgs) AS (rule, n_violations, n_rows)")
         .withColumn("violation_rate",
           col("n_violations").cast("double") / col("n_rows").cast("double"))
+    }),
+
+    // Winsorized (p05/p95-clipped) robust mean per group — the
+    // outlier-tolerant summary a quality report pairs with the raw
+    // mean. The clip bounds are EXACT rank statistics
+    // (percentile_disc semantics: the value at rank ⌈n/20⌉ resp.
+    // ⌈19n/20⌉, ranks computed as pure integer arithmetic, never a
+    // double quantile estimate), so both engines pick the identical
+    // data value; the clipped mean is fixed-point cents summed in
+    // BIGINT with one final division. Plan: one window shuffle keyed
+    // on the group to rank values, bounds re-attach by broadcast.
+    // The per-group global sort is the exactness anchor — at 100 TB
+    // the same query runs on the two-pass histogram-quantile sketch
+    // (`agg_quantile_hist`) with error ≤ one bin width.
+    "agg_winsorized_stats" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("l_returnflag").orderBy(col("l_extendedprice"))
+      val ranked = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          W.partitionBy("l_returnflag")))
+      val bounds = ranked
+        .filter(col("r") === expr("(n + 19) DIV 20") ||
+          col("r") === expr("(19 * n + 19) DIV 20"))
+        .groupBy("l_returnflag")
+        .agg(min(when(col("r") === expr("(n + 19) DIV 20"),
+            col("l_extendedprice"))).as("p05"),
+          min(when(col("r") === expr("(19 * n + 19) DIV 20"),
+            col("l_extendedprice"))).as("p95"))
+      ranked.join(broadcast(bounds), Seq("l_returnflag"))
+        .withColumn("clip",
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+          sum(floor(col("clip") * 100).cast("long")).as("cents"))
+        .select(col("l_returnflag"), col("n_rows"), col("p05"), col("p95"),
+          (col("cents").cast("double") /
+            (lit(1e2) * col("n_rows").cast("double"))).as("wins_mean"))
     })
   )
 
@@ -149,6 +189,31 @@ object QualityQueries extends QueryPack {
            |FROM lineitem""".stripMargin
       }
       perRule.mkString("\nUNION ALL\n")
-    }
+    },
+
+    "agg_winsorized_stats" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice) AS r,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |bounds AS (
+        |  SELECT l_returnflag,
+        |    MIN(CASE WHEN r = (n + 19) // 20 THEN l_extendedprice END)
+        |      AS p05,
+        |    MIN(CASE WHEN r = (19 * n + 19) // 20 THEN l_extendedprice END)
+        |      AS p95
+        |  FROM ranked
+        |  WHERE r = (n + 19) // 20 OR r = (19 * n + 19) // 20
+        |  GROUP BY 1)
+        |SELECT ranked.l_returnflag, COUNT(*) AS n_rows,
+        |  MIN(p05) AS p05, MIN(p95) AS p95,
+        |  CAST(CAST(SUM(CAST(floor(
+        |      LEAST(GREATEST(l_extendedprice, p05), p95) * 100) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / (1e2 * CAST(COUNT(*) AS DOUBLE))
+        |    AS wins_mean
+        |FROM ranked JOIN bounds USING (l_returnflag)
+        |GROUP BY 1""".stripMargin
   )
 }
