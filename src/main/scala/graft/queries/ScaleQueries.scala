@@ -96,6 +96,32 @@ object ScaleQueries extends QueryPack {
         col("est_distinct"))
     }),
 
+    // ---- order-free table checksum -------------------------------------
+    // Row-content fingerprint per group: hash each row's canonical
+    // string image, fold with SUM — commutative and associative, so
+    // the checksum is independent of partitioning, task order, and
+    // file layout. The O(1)-state answer to "are these two copies of
+    // the table identical?" that table_diff answers row-by-row: after
+    // a migration/backfill, compare checksums per group and only run
+    // the row-level diff on groups that disagree. Pure scan + one tiny
+    // rollup; the hash is the cross-engine md5 h31 so DuckDB certifies
+    // the exact fold.
+    "table_checksum" -> ((s, dir) => {
+      // doubles enter the row image as fixed-point integers — integer
+      // rendering is identical across engines where double→string
+      // formatting is not
+      val rowImg = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity") * 100).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), TextHash.h31(rowImg).as("h"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h")).as("checksum"),
+          max(col("h")).as("max_h"))
+    }),
+
     // ---- KMV set algebra (sketch merge, no rescan) ---------------------
     // The composability that makes sketches worth persisting: two KMV
     // sketches built over different periods MERGE into the union's
@@ -637,6 +663,21 @@ object ScaleQueries extends QueryPack {
 
     "agg_approx_distinct_kmv_agg" -> kmvOracle,
     "agg_approx_distinct_kmv" -> kmvOracle,
+
+    "table_checksum" ->
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |    CAST('0x' || substr(md5(
+         |      CAST(l_orderkey AS VARCHAR) || '|' ||
+         |      CAST(l_linenumber AS VARCHAR) || '|' ||
+         |      CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS VARCHAR)
+         |        || '|' ||
+         |      CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+         |    ), 1, 15) AS BIGINT) % ${TextHash.P31} AS h
+         |  FROM lineitem)
+         |SELECT l_returnflag, COUNT(*) AS n_rows,
+         |  CAST(SUM(h) AS BIGINT) AS checksum, MAX(h) AS max_h
+         |FROM h GROUP BY 1""".stripMargin,
 
     "agg_approx_distinct_hll" ->
       s"""WITH hashed AS (
