@@ -143,7 +143,7 @@ object SimilarityQueries extends QueryPack {
         .select("q_id", "n_id", "cos", "rnk")
     }),
 
-    // ANN quality gate: per-(method, query) recall of the two
+    // ANN quality gate: per-(method, query) recall of the three
     // approximate probes against the exact brute-force top-10 — the
     // acceptance check run before trusting an approximate index (the
     // embedding counterpart of dedup_eval_recall's MinHash-vs-Jaccard
@@ -151,7 +151,10 @@ object SimilarityQueries extends QueryPack {
     // 16-bit sign-LSH bands recall ~0 at the fixture's cos≈0.5 nearest
     // neighbors (per-band s^16 with s≈0.67 — the scheme is built for
     // the ≥0.9 production regime), while IVF's cell-mates keep a
-    // nontrivial share. Counts exact; the rate is one IEEE division.
+    // nontrivial share and the two-level hierarchy gives back a few
+    // points of recall for its fixed assignment budget (smaller cells
+    // probe fewer true neighbors) — the measured cost of the caveat
+    // fix. Counts exact; the rate is one IEEE division.
     "ann_eval_recall" -> ((s, dir) => {
       val brute = queries("ann_brute_topk")(s, dir)
         .select(col("q_id"), col("n_id"))
@@ -168,6 +171,8 @@ object SimilarityQueries extends QueryPack {
       evalOf("lsh", queries("ann_lsh_topk")(s, dir)
           .filter(col("q_id") < 5).select(col("q_id"), col("n_id")))
         .union(evalOf("ivf", queries("ann_ivf_topk")(s, dir)
+          .filter(col("q_id") < 5).select(col("q_id"), col("n_id"))))
+        .union(evalOf("ivf_hier", queries("ann_ivf_hier")(s, dir)
           .filter(col("q_id") < 5).select(col("q_id"), col("n_id"))))
     }),
 
@@ -235,6 +240,35 @@ object SimilarityQueries extends QueryPack {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
        |  FROM sc)""".stripMargin
 
+  /** DuckDB mirror of the two-level assignment (shared by the
+    * ann_ivf_hier oracle and the recall evaluation): ends in
+    * `a2(vec_id, embedding, cell)`.
+    */
+  private val hierAssignDuck: String =
+    s"""s1 AS (
+       |  SELECT vec_id AS sid, embedding AS sv FROM embeddings
+       |  WHERE vec_id % 251 = 0),
+       |a1 AS (
+       |  SELECT vec_id, embedding, sc FROM (
+       |    SELECT e.vec_id, e.embedding, s.sid AS sc,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${VectorOps.l2FixDuck("e.embedding", "s.sv")},
+       |          s.sid) AS r
+       |    FROM embeddings e CROSS JOIN s1 s)
+       |  WHERE r = 1),
+       |fg AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv, sc FROM a1
+       |  WHERE vec_id % 47 = 0),
+       |a2 AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT a.vec_id, a.embedding, f.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${VectorOps.l2FixDuck("a.embedding", "f.cv")},
+       |          f.cent_id) AS r
+       |    FROM a1 a JOIN fg f ON a.sc = f.sc)
+       |  WHERE r = 1)"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
     "ann_eval_recall" ->
       s"""WITH ${VectorOps.signBandsDuckCte()},
@@ -291,6 +325,24 @@ object SimilarityQueries extends QueryPack {
          |  FROM tk t JOIN itk i
          |    ON t.q_id = i.q_id AND t.n_id = i.n_id
          |  WHERE t.rnk <= $K AND i.rnk <= $K AND i.q_id < 5
+         |  GROUP BY 1),
+         |$hierAssignDuck,
+         |ysc AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosAB AS cos
+         |  FROM (SELECT vec_id, embedding AS qv, cell FROM a2
+         |        WHERE vec_id < 20) q
+         |  JOIN (SELECT vec_id, embedding AS nv, cell FROM a2) c
+         |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+         |ytk AS (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+         |      AS rnk
+         |  FROM ysc),
+         |hy AS (
+         |  SELECT t.q_id, COUNT(*) AS n_hit
+         |  FROM tk t JOIN ytk y
+         |    ON t.q_id = y.q_id AND t.n_id = y.n_id
+         |  WHERE t.rnk <= $K AND y.rnk <= $K AND y.q_id < 5
          |  GROUP BY 1)
          |SELECT 'lsh' AS method, b.q_id, b.n_brute,
          |  COALESCE(hl.n_hit, 0) AS n_hit,
@@ -302,7 +354,13 @@ object SimilarityQueries extends QueryPack {
          |  COALESCE(hi.n_hit, 0) AS n_hit,
          |  CAST(COALESCE(hi.n_hit, 0) AS DOUBLE)
          |    / CAST(b.n_brute AS DOUBLE) AS recall
-         |FROM b LEFT JOIN hi ON b.q_id = hi.q_id""".stripMargin,
+         |FROM b LEFT JOIN hi ON b.q_id = hi.q_id
+         |UNION ALL
+         |SELECT 'ivf_hier' AS method, b.q_id, b.n_brute,
+         |  COALESCE(hy.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(hy.n_hit, 0) AS DOUBLE)
+         |    / CAST(b.n_brute AS DOUBLE) AS recall
+         |FROM b LEFT JOIN hy ON b.q_id = hy.q_id""".stripMargin,
 
     "ann_brute_topk" ->
       s"""WITH $bruteTopkCte
@@ -391,28 +449,7 @@ object SimilarityQueries extends QueryPack {
          |WHERE r = 1""".stripMargin,
 
     "ann_ivf_hier" ->
-      s"""WITH s1 AS (
-         |  SELECT vec_id AS sid, embedding AS sv FROM embeddings
-         |  WHERE vec_id % 251 = 0),
-         |a1 AS (
-         |  SELECT vec_id, embedding, sc FROM (
-         |    SELECT e.vec_id, e.embedding, s.sid AS sc,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${VectorOps.l2FixDuck("e.embedding", "s.sv")},
-         |          s.sid) AS r
-         |    FROM embeddings e CROSS JOIN s1 s)
-         |  WHERE r = 1),
-         |fg AS (
-         |  SELECT vec_id AS cent_id, embedding AS cv, sc FROM a1
-         |  WHERE vec_id % 47 = 0),
-         |a2 AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT a.vec_id, a.embedding, f.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY ${VectorOps.l2FixDuck("a.embedding", "f.cv")},
-         |          f.cent_id) AS r
-         |    FROM a1 a JOIN fg f ON a.sc = f.sc)
-         |  WHERE r = 1),
+      s"""WITH $hierAssignDuck,
          |sc2 AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosAB AS cos
          |  FROM (SELECT vec_id, embedding AS qv, cell FROM a2
