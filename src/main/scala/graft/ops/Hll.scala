@@ -55,8 +55,19 @@ object Hll {
 
   private val Pow52 = 1L << 52
 
-  /** Raw 60-bit md5-prefix hash (no mod reduction — see class doc). */
-  def raw60(c: Column): Column =
+  /** Raw 60-bit md5-prefix hash (no mod reduction — see class doc),
+    * as the codegen'd native kernel; [[raw60Hof]] is the
+    * built-in-functions reference form (equivalence anchored in
+    * HllSuite, and the DuckDB mirror computes exactly it).
+    */
+  def raw60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.Raw60F(
+      Bridge.expression(c.cast("string"))))
+  }
+
+  /** Built-in-functions form of [[raw60]]. */
+  def raw60Hof(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Per-(group, register) max-ρ table: columns (g, bucket, m_j). */

@@ -14,6 +14,13 @@ class HllSuite extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("native raw60 ≡ built-in conv/md5 form, bit for bit") {
+    val sweep = Tables(spark, sf, "lineitem").limit(5000)
+      .select(Hll.raw60(col("l_partkey")).as("n"),
+        Hll.raw60Hof(col("l_partkey")).as("h"))
+    assert(sweep.filter(col("n") =!= col("h")).count() === 0)
+  }
+
   test("string-op rho ≡ numberOfLeadingZeros on the real hash stream") {
     val rows = Tables(spark, sf, "lineitem").limit(2000)
       .select(Hll.raw60(col("l_partkey")).as("h"))
