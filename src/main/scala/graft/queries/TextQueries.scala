@@ -20,6 +20,10 @@ object TextQueries extends QueryPack {
     * char classes, bounded repeats, anchors — that Java regex and RE2
     * parse identically; no lookaround, no backreferences).
     */
+  /** Stopword list for text_normalize — shared literal on both engines. */
+  private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "did",
+    "worth", "end")
+
   private val EmailRe = "[a-z0-9.]+@[a-z][a-z0-9.]*[a-z]"
   private val PhoneRe = "\\+1-555-[0-9]{4}"
   private val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -235,6 +239,36 @@ object TextQueries extends QueryPack {
               x => x("seg")), " ").as("clean_text"))
     }),
 
+    // Canonicalization pass (lowercase → punctuation strip → space
+    // collapse → stopword drop) — the normalize step that runs before
+    // any token statistics in a real corpus. The fixture documents are
+    // already canonical, so the input is the SAME synthesized
+    // mixed-case/punctuated message column text_pii_redact scrubs
+    // (event_type uppercased, value with decimal point, bracketed
+    // user) — what is under test is the normalization machinery.
+    // Pure scan-side string ops, shuffle-free; the stopword set is a
+    // shared literal list on both engines.
+    "text_normalize" -> ((s, dir) => {
+      val raw = Tables(s, dir, "events").select(col("event_id"),
+        concat(lit("User ["), col("user_id").cast("string"),
+          lit("] DID "), upper(col("event_type")),
+          // cents as an integer — double→string formatting is
+          // engine-private, integer rendering is not
+          lit(" worth $"), floor(col("value") * 100).cast("long")
+            .cast("string"),
+          lit(", the end!")).as("msg"))
+      val canon = regexp_replace(
+        regexp_replace(lower(col("msg")), "[^a-z0-9 ]", " "),
+        " +", " ")
+      val toks = split(trim(canon, " "), " ")
+      val kept = filter(toks, t =>
+        !t.isin(Stopwords: _*) && length(t) > 0)
+      raw.select(col("event_id"),
+        array_join(kept, " ").as("norm_text"),
+        size(toks).cast("long").as("n_raw_tokens"),
+        size(kept).cast("long").as("n_kept_tokens"))
+    }),
+
     // Token-level Gini–Simpson diversity (1 − Σ pᵢ²): the probability
     // two random tokens of a document differ — a repetition/quality
     // signal that, unlike entropy, is PURE RATIONAL arithmetic: the
@@ -446,6 +480,33 @@ object TextQueries extends QueryPack {
          |    FILTER (WHERE df < 2), '') AS clean_text
          |FROM hs JOIN dfreq USING (k)
          |GROUP BY doc_id""".stripMargin,
+
+    "text_normalize" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH raw AS (
+         |  SELECT event_id,
+         |    'User [' || CAST(user_id AS VARCHAR) || '] DID '
+         |      || upper(event_type) || ' worth $$'
+         |      || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+         |      || ', the end!' AS msg
+         |  FROM events),
+         |canon AS (
+         |  SELECT event_id,
+         |    string_split(trim(
+         |      regexp_replace(
+         |        regexp_replace(lower(msg), '[^a-z0-9 ]', ' ', 'g'),
+         |        ' +', ' ', 'g'), ' '), ' ') AS toks
+         |  FROM raw)
+         |SELECT event_id,
+         |  array_to_string(list_filter(toks,
+         |    t -> NOT list_contains($stopList, t) AND len(t) > 0), ' ')
+         |    AS norm_text,
+         |  len(toks) AS n_raw_tokens,
+         |  len(list_filter(toks,
+         |    t -> NOT list_contains($stopList, t) AND len(t) > 0))
+         |    AS n_kept_tokens
+         |FROM canon""".stripMargin
+    },
 
     "text_token_gini" ->
       """WITH tc AS (
