@@ -14,27 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class Hash60Helper
 object Hash60Helper {
-  private val md = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
-
   /** md5(utf8 bytes), first 15 hex chars as a 60-bit value, mod 2^31−1.
     * Equal BY CONSTRUCTION to
-    * `CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647`:
-    * the first 15 hex chars are the first 8 digest bytes, big-endian,
-    * logically shifted right one nibble.
+    * `CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647`.
+    * Delegates to [[Raw60Helper.raw60]] — ONE copy of the byte-level
+    * fold keeps the two hash families bit-coupled by construction.
     */
-  def hash60(s: UTF8String): Long = {
-    val d = md.get()
-    d.reset()
-    val bytes = s.getBytes
-    val h = d.digest(bytes)
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    (v >>> 4) % 2147483647L
-  }
+  def hash60(s: UTF8String): Long =
+    Raw60Helper.raw60(s) % 2147483647L
 }
 
 /** Native form of [[graft.ops.TextHash.h31]]: 60-bit md5-prefix hash of a

@@ -183,6 +183,13 @@ object VectorOps {
     * join, and the fine centroids' own super-assignment falls out of
     * the level-1 pass since they are rows of `df`. Returns
     * (idCol, vecCol, cell) like the flat form.
+    *
+    * Coverage invariant: the super-centroids themselves are folded
+    * into the fine set — each assigns to its own super-cell at
+    * distance 0, so every super-cell owns ≥ 1 fine centroid and no
+    * vector can be dropped by the per-cell join (a fine seed rule
+    * alone leaves ~e^(−S2/S1) of cells empty and would silently lose
+    * their members).
     */
   def l2CellsHier(df: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, superSeed: Column,
@@ -190,7 +197,7 @@ object VectorOps {
     val a1 = l2Cells(df, idCol, vecCol, superSeed)
       .withColumnRenamed("cell", "sc")
     val byId = array_sort(collect_list(struct(col(idCol), col(vecCol))))
-    val fineGroups = a1.filter(fineSeed)
+    val fineGroups = a1.filter(fineSeed || superSeed)
       .groupBy("sc")
       .agg(transform(byId, x => x.getField(idCol)).as("cids2"),
         transform(byId, x => x.getField(vecCol)).as("cvs2"))

@@ -101,9 +101,12 @@ object GraphQueries extends QueryPack {
         .agg(count(lit(1)).as("n_triangles"))
       val nE = e.agg(count(lit(1)).as("n_edges"))
       nE.crossJoin(wedges).crossJoin(tri)
+        // explicit CASE: Spark's non-ANSI x/0 -> NULL vs DuckDB's IEEE
+        // inf/NaN would diverge on a wedge-free (perfect-matching) graph
         .withColumn("clustering",
-          lit(3e0) * col("n_triangles").cast("double") /
-            col("n_wedges").cast("double"))
+          when(col("n_wedges") > 0,
+            lit(3e0) * col("n_triangles").cast("double") /
+              col("n_wedges").cast("double")))
     })
   )
 
@@ -141,8 +144,10 @@ object GraphQueries extends QueryPack {
          |                WHERE xz.ua = xy.ua AND xz.ub = yz.ub)),
          |ne AS (SELECT COUNT(*) AS n_edges FROM e)
          |SELECT n_edges, n_wedges, n_triangles,
-         |  3e0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
-         |    AS clustering
+         |  CASE WHEN n_wedges > 0
+         |    THEN 3e0 * CAST(n_triangles AS DOUBLE)
+         |      / CAST(n_wedges AS DOUBLE)
+         |  END AS clustering
          |FROM ne, w, t""".stripMargin
   )
 }

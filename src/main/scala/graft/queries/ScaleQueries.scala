@@ -109,11 +109,17 @@ object ScaleQueries extends QueryPack {
     "table_checksum" -> ((s, dir) => {
       // doubles enter the row image as fixed-point integers — integer
       // rendering is identical across engines where double→string
-      // formatting is not
+      // formatting is not — and every field is null-coalesced to a
+      // sentinel BEFORE concatenation: concat_ws would silently skip a
+      // null slot (making 'a|null|b' equal 'a|b'), and the mirror's
+      // || chain would nullify the row — either way a null-corrupted
+      // copy could checksum as "identical", defeating the validation
+      def f(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit("@null@"))
       val rowImg = concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"),
-        floor(col("l_quantity") * 100).cast("long"),
-        floor(col("l_extendedprice") * 100).cast("long"))
+        f(col("l_orderkey")), f(col("l_linenumber")),
+        f(floor(col("l_quantity") * 100).cast("long")),
+        f(floor(col("l_extendedprice") * 100).cast("long")))
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), TextHash.h31(rowImg).as("h"))
         .groupBy("l_returnflag")
@@ -668,11 +674,12 @@ object ScaleQueries extends QueryPack {
       s"""WITH h AS (
          |  SELECT l_returnflag,
          |    CAST('0x' || substr(md5(
-         |      CAST(l_orderkey AS VARCHAR) || '|' ||
-         |      CAST(l_linenumber AS VARCHAR) || '|' ||
-         |      CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS VARCHAR)
-         |        || '|' ||
-         |      CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+         |      COALESCE(CAST(l_orderkey AS VARCHAR), '@null@') || '|' ||
+         |      COALESCE(CAST(l_linenumber AS VARCHAR), '@null@') || '|' ||
+         |      COALESCE(CAST(CAST(floor(l_quantity * 100) AS BIGINT)
+         |        AS VARCHAR), '@null@') || '|' ||
+         |      COALESCE(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+         |        AS VARCHAR), '@null@')
          |    ), 1, 15) AS BIGINT) % ${TextHash.P31} AS h
          |  FROM lineitem)
          |SELECT l_returnflag, COUNT(*) AS n_rows,

@@ -258,7 +258,7 @@ object SimilarityQueries extends QueryPack {
        |  WHERE r = 1),
        |fg AS (
        |  SELECT vec_id AS cent_id, embedding AS cv, sc FROM a1
-       |  WHERE vec_id % 47 = 0),
+       |  WHERE vec_id % 47 = 0 OR vec_id % 251 = 0),
        |a2 AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT a.vec_id, a.embedding, f.cent_id AS cell,

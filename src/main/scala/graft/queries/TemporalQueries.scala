@@ -252,13 +252,13 @@ object TemporalQueries extends QueryPack {
     * l0..l7 — identical token streams on both engines; a NULL lag
     * (partition warm-up) contributes neither value nor weight.
     */
-  private val EwmaNumSql = (0 until 8).map { j =>
-    s"CASE WHEN l$j IS NULL THEN 0 ELSE l$j * ${1L << (7 - j)} END"
+  private val EwmaNumSql = (0 until EwmaK).map { j =>
+    s"CASE WHEN l$j IS NULL THEN 0 ELSE l$j * ${1L << (EwmaK - 1 - j)} END"
   }.mkString(" + ")
-  private val EwmaDenSql = (0 until 8).map { j =>
-    s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (7 - j)} END"
+  private val EwmaDenSql = (0 until EwmaK).map { j =>
+    s"CASE WHEN l$j IS NULL THEN 0 ELSE ${1L << (EwmaK - 1 - j)} END"
   }.mkString(" + ")
-  private val EwmaTermsSql = "CAST(" + (0 until 8).map { j =>
+  private val EwmaTermsSql = "CAST(" + (0 until EwmaK).map { j =>
     s"CASE WHEN l$j IS NULL THEN 0 ELSE 1 END"
   }.mkString(" + ") + " AS BIGINT)"
   private val EwmaSql =

@@ -21,13 +21,11 @@ class StreamingHllSuite extends SparkSpec {
   test("incremental registers equal the batch sketch; estimate follows") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(String, Long)]
-    val q = input.toDF().toDF("g", "key")
-      .select(col("g"), Hll.raw60(col("key")).as("h"))
-      .selectExpr("g", s"h % ${Hll.M} AS bucket", s"h DIV ${Hll.M} AS w")
-      .selectExpr("g", "bucket",
-        "CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END AS rho")
-      .groupBy("g", "bucket")
-      .agg(max(col("rho")).as("m_j"))
+    // the SHARED op: registers() is select/groupBy/max only, so it is
+    // streaming-compatible as-is — the suite certifies the production
+    // operator, not a copy of its pipeline
+    val q = Hll.registers(input.toDF().toDF("g", "key"),
+        col("g"), col("key"))
       .writeStream.format("memory").queryName("shll_out")
       .outputMode("complete").start()
     val batches = Seq(
