@@ -167,6 +167,31 @@ object ReferenceQueries extends QueryPack {
           col("q_us"), col("qprice"))
     }),
 
+    // Tolerance-bounded as-of: same enrich, but a quote older than 30
+    // minutes is STALE and must not be attached — the staleness window
+    // every real market-data join carries. Same one-shuffle union-scan
+    // plan (tolerance is a post-carry projection, not a join-shape
+    // change); the matched timestamp rides the payload struct, so
+    // nulling a stale match nulls the WHOLE payload atomically.
+    "asof_tolerance" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val quotes = LwwDedup(
+          e.filter(col("event_type") === "view"),
+          Seq(col("user_id"), col("ts")), Seq(col("event_id")))
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("q_us"), col("value").as("qprice"))
+      val trades = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("tprice"))
+      val tolUs = 1800L * 1000000L
+      val fresh = unix_micros(col("ts")) - col("q_us") <= tolUs
+      AsofJoin(trades, quotes, "user_id", "ts", Seq("q_us", "qprice"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("tprice"),
+          when(fresh, col("q_us")).as("q_us"),
+          when(fresh, col("qprice")).as("qprice"))
+    }),
+
     // Range join with an equi-key: lineitems shipped within 30 days of
     // their order date. The equality on orderkey keeps this a hash join
     // with a residual range predicate — never a cross product.
@@ -285,6 +310,24 @@ object ReferenceQueries extends QueryPack {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT t.user_id, t.event_id, epoch_us(t.ts) AS t_us, t.tprice,
         |       q.q_us, q.qprice
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
+
+    "asof_tolerance" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS q_us, value AS qprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |trades AS (
+        |  SELECT user_id, ts, event_id, value AS tprice
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT t.user_id, t.event_id, epoch_us(t.ts) AS t_us, t.tprice,
+        |  CASE WHEN epoch_us(t.ts) - q.q_us <= 1800000000
+        |    THEN q.q_us END AS q_us,
+        |  CASE WHEN epoch_us(t.ts) - q.q_us <= 1800000000
+        |    THEN q.qprice END AS qprice
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
 
