@@ -205,6 +205,29 @@ object TextQueries extends QueryPack {
       fp.join(clusters, Seq("fp")).select("doc_id", "fp", "n_dups")
     }),
 
+    // Materialized inverted index — the token → postings artifact a
+    // retrieval/dedup stack persists next to the corpus (the data
+    // product BM25, decontamination, and exact-match lookup all read).
+    // Postings are doc_ids sorted ascending and CAPPED at 20 entries
+    // with the true df alongside: a stop-token's full posting list is
+    // corpus-sized and nothing downstream reads past a prefix + count
+    // (the maxDf discipline the Jaccard/decontaminate ops already
+    // apply). One shuffle on the token; the sort-and-slice folds
+    // inside the grouped aggregate, no window.
+    "text_inverted_index" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(TextHash.tokens(col("text"))).as("tok"),
+          col("doc_id"))
+        .distinct()
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          // serialized, not array-typed: the driver's hash-compare
+          // sorts rows by all columns and arrays are unhashable there
+          array_join(
+            slice(array_sort(collect_list(col("doc_id"))), 1, 20), ",")
+            .as("postings"))
+    }),
+
     // CCNet-style shared-segment scrub: chunk each document into
     // non-overlapping 8-token segments, count each segment's document
     // frequency ACROSS the corpus, drop every segment seen in ≥ 2
@@ -458,6 +481,15 @@ object TextQueries extends QueryPack {
          |  FROM documents),
          |cl AS (SELECT fp, count(*) AS n_dups FROM fp GROUP BY fp)
          |SELECT doc_id, fp.fp, n_dups FROM fp JOIN cl USING (fp)""".stripMargin,
+
+    "text_inverted_index" ->
+      """SELECT tok, COUNT(*) AS df,
+        |  array_to_string((list_sort(list(doc_id)))[1:20], ',')
+        |    AS postings
+        |FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok,
+        |        doc_id
+        |      FROM documents)
+        |GROUP BY tok""".stripMargin,
 
     "text_segment_dedup" ->
       s"""WITH toks AS (
