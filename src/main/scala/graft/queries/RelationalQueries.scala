@@ -202,6 +202,48 @@ object RelationalQueries extends QueryPack {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // TPC-H Q10 shape — returned-item revenue per customer: one
+    // fact-fact shuffle join (lineitem⋈orders on orderkey), customer
+    // and nation broadcast, returned-flag filter pushed to the
+    // lineitem scan, top 20 by revenue via TakeOrdered (never a global
+    // sort). Decimal money math routed through VARCHAR like every
+    // other revenue oracle.
+    "q10_returned_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape — large-volume orders: the group-by-HAVING
+    // pre-aggregation runs on the fact FIRST (one shuffle on orderkey,
+    // map-side partial sums), and only the few qualifying orderkeys
+    // join back to orders/customer — never the raw lineitem rows.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast("double").as("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(50)
+    }),
+
     // Fact ⋈ fact with NO runtime exchange: both sides pre-bucketed on
     // the join key ([[graft.ops.Bucketing]]), so the scan itself
     // satisfies the join's required distribution — the 100 TB answer to
@@ -498,6 +540,32 @@ object RelationalQueries extends QueryPack {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(CAST(tq AS VARCHAR) AS DOUBLE) AS total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC
+        |LIMIT 50""".stripMargin,
 
     "join_bucketed_colocated" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
