@@ -319,6 +319,22 @@ class PlanAuditSuite extends SparkSpec {
     }
   }
 
+  test("q10/q18: pushed filters, broadcast dims, TakeOrdered top-k") {
+    val p10 = executed(q("q10_returned_revenue"))
+    val s10 = p10.toString
+    assert(flatten(p10).filter(_.nodeName.contains("Scan")).map(_.toString)
+        .exists(_.contains("EqualTo(l_returnflag,R)")),
+      "returned-flag filter must reach the lineitem scan")
+    assert(s10.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(s10.contains("BroadcastHashJoin"), "customer/nation must broadcast")
+    val p18 = executed(q("q18_large_orders"))
+    assert(p18.toString.contains("TakeOrderedAndProject"))
+    // HAVING pre-agg must come with a map-side partial sum
+    assert(flatten(p18).map(_.toString)
+        .exists(s => s.contains("HashAggregate") && s.contains("partial_sum")),
+      "lineitem rollup needs map-side partials")
+  }
+
   test("dq_profile / dq_constraints: one scan, no join, bounded shuffles") {
     for (name <- Seq("dq_profile", "dq_constraints")) {
       val p = executed(q(name))
