@@ -145,6 +145,35 @@ object VectorQueries extends QueryPack {
         .select(col("cell"), col("pos"), col("n_vecs"),
           (col("sq").cast("double") /
             (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
+    }),
+
+    // Embedding sanity gate: flag vectors whose fixed-point L2 distance
+    // to their own centroid exceeds their cell's p99 rank statistic —
+    // the corrupt-embedding detector a pipeline runs after any encoder
+    // change (a zeroed, clipped, or wrong-model vector lands far from
+    // every centroid). Distances are exact integers (l2Fix), the p99
+    // bound is the value at integer rank ⌈99n/100⌉ within the cell
+    // (same exact-rank discipline as agg_winsorized_stats), so the
+    // flag cannot diverge on a boundary. One keyed window shuffle on
+    // the cell; the centroid re-attach is a broadcast.
+    "emb_outlier_distance" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      val dists = assignCells(s, dir)
+        .join(broadcast(cents), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          VectorOps.l2Fix(col("embedding"), col("cv")).as("dfix"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("cell").orderBy(col("dfix"), col("vec_id"))
+      dists
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("n_cell", count(lit(1)).over(W.partitionBy("cell")))
+        .withColumn("p99",
+          max(when(col("r") === expr("(99 * n_cell + 99) DIV 100"),
+            col("dfix"))).over(W.partitionBy("cell")))
+        .filter(col("dfix") > col("p99"))
+        .select("vec_id", "cell", "dfix", "n_cell")
     })
   )
 
@@ -234,6 +263,28 @@ object VectorQueries extends QueryPack {
          |        CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE)
          |          * 1000000000.0) AS BIGINT) AS q
          |      FROM assign, (SELECT unnest(range(0, 64)) AS pos) ps)
-         |GROUP BY cell, pos""".stripMargin
+         |GROUP BY cell, pos""".stripMargin,
+
+    "emb_outlier_distance" ->
+      s"""WITH $assignCellsDuck,
+         |d AS (
+         |  SELECT a.vec_id, a.cell,
+         |    ${VectorOps.l2FixDuck("a.embedding", "c.cv")} AS dfix
+         |  FROM assign a
+         |  JOIN cents c ON a.cell = c.cent_id),
+         |r AS (
+         |  SELECT vec_id, cell, dfix,
+         |    row_number() OVER (PARTITION BY cell
+         |                       ORDER BY dfix, vec_id) AS r,
+         |    COUNT(*) OVER (PARTITION BY cell) AS n_cell
+         |  FROM d),
+         |b AS (
+         |  SELECT cell,
+         |    MAX(CASE WHEN r = (99 * n_cell + 99) // 100 THEN dfix END)
+         |      AS p99
+         |  FROM r GROUP BY 1)
+         |SELECT vec_id, r.cell, dfix, n_cell
+         |FROM r JOIN b ON r.cell = b.cell
+         |WHERE dfix > p99""".stripMargin
   )
 }
