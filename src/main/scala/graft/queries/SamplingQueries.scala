@@ -101,6 +101,27 @@ object SamplingQueries extends QueryPack {
           sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Proportional stratified sample with EXACT per-stratum counts:
+    // quota_s = ⌊n_s / 5⌋ (20 %, pure integer arithmetic), members
+    // picked by deterministic hash order within the stratum — rate
+    // filters (sample_deterministic) give each stratum only an
+    // EXPECTED share, this gives the allocation a downstream consumer
+    // can assert on. One window shuffle keyed on the stratum; the
+    // quota re-attach rides the same partitioning (no extra exchange).
+    "sample_stratified_exact" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("lang")
+        .orderBy(TextHash.h31(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n_stratum", count(lit(1)).over(W.partitionBy("lang")))
+        .filter(col("rk") <= expr("n_stratum DIV 5"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("n_stratum")).as("n_stratum"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
     // Temperature-based source mixing (the size^α reweighting every
     // multi-source LLM corpus runs, α = 0.5): each source's share of
     // the 40 %-of-corpus target budget is ∝ √(its size), flattening
@@ -216,6 +237,18 @@ object SamplingQueries extends QueryPack {
          |FROM (SELECT n_chars,
          |        ${h("CAST(doc_id AS VARCHAR)")} % 100 AS slot
          |      FROM documents)
+         |GROUP BY 1""".stripMargin,
+
+    "sample_stratified_exact" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_sampled,
+         |  MIN(n_stratum) AS n_stratum, MIN(doc_id) AS first_doc
+         |FROM r WHERE rk <= n_stratum // 5
          |GROUP BY 1""".stripMargin,
 
     "sample_temperature_mix" ->
