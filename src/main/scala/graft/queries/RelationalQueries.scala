@@ -202,6 +202,22 @@ object RelationalQueries extends QueryPack {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // Per-group modal value (most frequent event type per user) with a
+    // deterministic tiebreak — the argmax folds as ONE struct-min
+    // aggregate over the (user, type) counts (min of (−n, type) ≡
+    // count desc, type asc), so the second phase is a map-side-partial
+    // agg on the user key, not a ranking window.
+    "agg_mode" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(min(struct((-col("n")).as("neg"),
+          col("event_type").as("t"))).as("m"))
+        .select(col("user_id"), col("m.t").as("mode_type"),
+          (-col("m.neg")).as("n"))
+    }),
+
     // TPC-H Q10 shape — returned-item revenue per customer: one
     // fact-fact shuffle join (lineitem⋈orders on orderkey), customer
     // and nation broadcast, returned-flag filter pushed to the
@@ -540,6 +556,17 @@ object RelationalQueries extends QueryPack {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY n DESC, event_type) AS r
+        |  FROM c)
+        |WHERE r = 1""".stripMargin,
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
