@@ -13,6 +13,24 @@ import graft.ops.{AsofJoin, CumVol, LwwDedup}
   */
 object ReferenceQueries extends QueryPack {
 
+  /** Shared prelude of the as-of family: LWW-deduped quotes (views) and
+    * trades (purchases) — ONE definition of the dedup keys, version
+    * order, and projections for both as-of queries and their mirrors.
+    */
+  private def quotesAndTrades(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables(s, dir, "events")
+    val quotes = LwwDedup(
+        e.filter(col("event_type") === "view"),
+        Seq(col("user_id"), col("ts")), Seq(col("event_id")))
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("q_us"), col("value").as("qprice"))
+    val trades = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("tprice"))
+    (quotes, trades)
+  }
+
   /** Shared prelude: events projected into tick shape. */
   private def ticks(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
@@ -152,15 +170,7 @@ object ReferenceQueries extends QueryPack {
     // As-of join ([[AsofJoin]]): each trade (purchase) enriched with the
     // prevailing quote (latest view at or before the trade, per user).
     "asof_quote_trade" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-      val quotes = LwwDedup(
-          e.filter(col("event_type") === "view"),
-          Seq(col("user_id"), col("ts")), Seq(col("event_id")))
-        .select(col("user_id"), col("ts"),
-          unix_micros(col("ts")).as("q_us"), col("value").as("qprice"))
-      val trades = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("value").as("tprice"))
+      val (quotes, trades) = quotesAndTrades(s, dir)
       AsofJoin(trades, quotes, "user_id", "ts", Seq("q_us", "qprice"))
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("t_us"), col("tprice"),
@@ -174,15 +184,7 @@ object ReferenceQueries extends QueryPack {
     // change); the matched timestamp rides the payload struct, so
     // nulling a stale match nulls the WHOLE payload atomically.
     "asof_tolerance" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-      val quotes = LwwDedup(
-          e.filter(col("event_type") === "view"),
-          Seq(col("user_id"), col("ts")), Seq(col("event_id")))
-        .select(col("user_id"), col("ts"),
-          unix_micros(col("ts")).as("q_us"), col("value").as("qprice"))
-      val trades = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("value").as("tprice"))
+      val (quotes, trades) = quotesAndTrades(s, dir)
       val tolUs = 1800L * 1000000L
       val fresh = unix_micros(col("ts")) - col("q_us") <= tolUs
       AsofJoin(trades, quotes, "user_id", "ts", Seq("q_us", "qprice"))

@@ -22,19 +22,25 @@ object VectorQueries extends QueryPack {
     */
   private val CosThreshold = 0.4
 
-  /** Deterministic coarse centroids (every 101st vector — the same seed
-    * set the IVF queries use) and the per-vector cell assignment by
-    * fixed-point L2 argmin. The centroid set is collapsed to ONE
-    * broadcast row (id-sorted ids + vectors), so assignment is a pure
-    * scan-side fold ([[VectorOps.argminL2Index]]) — no per-(vector,
-    * centroid) row explosion, no argmin window shuffle; the tiebreak
-    * matches the oracle's `ORDER BY dfix, cent_id`. Shared by
-    * `dedup_semantic` and `emb_kmeans_step` — the SemDeDup paper's
-    * "cluster, then act within cells" shape IS the k-means E-step.
+  /** The single definition of the coarse-centroid seed (stride 101) —
+    * assignCells, the outlier gate's centroid re-attach, and the
+    * DuckDB mirror's cents CTE must all agree on it.
+    */
+  private val seedPred = col("vec_id") % 101 === 0
+
+  /** Deterministic coarse centroids ([[seedPred]]) and the per-vector
+    * cell assignment by fixed-point L2 argmin. The centroid set is
+    * collapsed to ONE broadcast row (id-sorted ids + vectors), so
+    * assignment is a pure scan-side fold ([[VectorOps.argminL2Index]])
+    * — no per-(vector, centroid) row explosion, no argmin window
+    * shuffle; the tiebreak matches the oracle's `ORDER BY dfix,
+    * cent_id`. Shared by `dedup_semantic` and `emb_kmeans_step` — the
+    * SemDeDup paper's "cluster, then act within cells" shape IS the
+    * k-means E-step.
     */
   private def assignCells(s: SparkSession, dir: String): DataFrame =
     VectorOps.l2Cells(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-      col("vec_id") % 101 === 0)
+      seedPred)
 
   /** DuckDB mirror of [[assignCells]] as a WITH body ending in
     * `assign(vec_id, embedding, cell)`.
@@ -157,8 +163,7 @@ object VectorQueries extends QueryPack {
     // flag cannot diverge on a boundary. One keyed window shuffle on
     // the cell; the centroid re-attach is a broadcast.
     "emb_outlier_distance" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") % 101 === 0)
+      val cents = Tables(s, dir, "embeddings").filter(seedPred)
         .select(col("vec_id").as("cell"), col("embedding").as("cv"))
       val dists = assignCells(s, dir)
         .join(broadcast(cents), Seq("cell"))

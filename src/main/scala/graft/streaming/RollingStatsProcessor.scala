@@ -38,8 +38,9 @@ class RollingStatsProcessor
       rows: Iterator[Ev],
       timerValues: TimerValues): Iterator[Out] = {
     val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
-    var qs = Option(state.get()).map(_.qs).getOrElse(Seq.empty)
-    var q2s = Option(state.get()).map(_.q2s).getOrElse(Seq.empty)
+    val st0 = Option(state.get()) // ONE store read + decode per key
+    var qs = st0.map(_.qs).getOrElse(Seq.empty)
+    var q2s = st0.map(_.q2s).getOrElse(Seq.empty)
     val out = Seq.newBuilder[Out]
     sorted.foreach { e =>
       qs = (qs :+ e.q).takeRight(Frame)
