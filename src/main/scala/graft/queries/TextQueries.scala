@@ -205,6 +205,34 @@ object TextQueries extends QueryPack {
       fp.join(clusters, Seq("fp")).select("doc_id", "fp", "n_dups")
     }),
 
+    // One BPE training iteration over the corpus: find the most
+    // frequent adjacent token pair (deterministic tiebreak: count desc,
+    // pair asc, folded as ONE struct-min aggregate) and apply the merge
+    // everywhere — the greedy step a byte-pair-encoding vocabulary
+    // build repeats until the vocab budget is spent. The merge applies
+    // via a word-boundary-anchored regex (\b…\b, supported identically
+    // by Java regex and RE2; left-to-right non-overlapping replacement
+    // is the convention in both), so "a row" can never fire inside
+    // "data row". Plan: one bigram rollup (hash-keyed shuffle), the
+    // winning pair broadcasts, the merge is a scan-side projection.
+    "text_bpe_merge_step" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val top = docs
+        .select(explode(
+          TextHash.shingles(TextHash.tokens(col("text")), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+        .agg(min(struct((-col("n")).as("neg"), col("g").as("p"))).as("m"))
+        .select(col("m.p").as("pair"), (-col("m.neg")).as("pair_n"))
+      docs.crossJoin(broadcast(top))
+        .withColumn("merged", regexp_replace(col("text"),
+          concat(lit("\\b"), col("pair"), lit("\\b")),
+          expr("replace(pair, ' ', '_')")))
+        .select(col("doc_id"), col("pair"), col("pair_n"),
+          size(TextHash.tokens(col("text"))).cast("long").as("n_before"),
+          size(TextHash.tokens(col("merged"))).cast("long").as("n_after"))
+        .withColumn("n_merges", col("n_before") - col("n_after"))
+    }),
+
     // Materialized inverted index — the token → postings artifact a
     // retrieval/dedup stack persists next to the corpus (the data
     // product BM25, decontamination, and exact-match lookup all read).
@@ -481,6 +509,32 @@ object TextQueries extends QueryPack {
          |  FROM documents),
          |cl AS (SELECT fp, count(*) AS n_dups FROM fp GROUP BY fp)
          |SELECT doc_id, fp.fp, n_dups FROM fp JOIN cl USING (fp)""".stripMargin,
+
+    "text_bpe_merge_step" ->
+      """WITH bi AS (
+        |  SELECT g, COUNT(*) AS n FROM (
+        |    SELECT unnest(
+        |      CASE WHEN len(string_split(text, ' ')) >= 2
+        |        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |        ELSE [] END) AS g
+        |    FROM (SELECT string_split(text, ' ') AS w, text
+        |          FROM documents))
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT g AS pair, n AS pair_n FROM (
+        |    SELECT g, n,
+        |      row_number() OVER (ORDER BY n DESC, g) AS r FROM bi)
+        |  WHERE r = 1)
+        |SELECT doc_id, pair, pair_n,
+        |  len(string_split(text, ' ')) AS n_before,
+        |  len(string_split(regexp_replace(text,
+        |    '\b' || pair || '\b', replace(pair, ' ', '_'), 'g'), ' '))
+        |    AS n_after,
+        |  len(string_split(text, ' ')) -
+        |    len(string_split(regexp_replace(text,
+        |      '\b' || pair || '\b', replace(pair, ' ', '_'), 'g'), ' '))
+        |    AS n_merges
+        |FROM documents, top""".stripMargin,
 
     "text_inverted_index" ->
       """SELECT tok, COUNT(*) AS df,
