@@ -117,6 +117,31 @@ object QualityQueries extends QueryPack {
           col("n_violations").cast("double") / col("n_rows").cast("double"))
     }),
 
+    // Higher central moments per group (variance, skewness, excess
+    // kurtosis) from EXACT integer power sums: spend quantizes to
+    // fixed-point thousandths, Σq..Σq⁴ accumulate in the engines'
+    // exact wide-integer types (DECIMAL(38,0) / HUGEINT — q⁴ ≈ 10²⁴
+    // per row overflows int64 but sits far under 38 digits), and the
+    // moment algebra is ONE shared token stream of double expressions
+    // evaluated stepwise over those exact sums — so even the
+    // notoriously cancellation-prone kurtosis is bit-identical
+    // cross-engine. One shuffle with map-side partials (power sums are
+    // plain sums); the shape every distribution-drift monitor needs.
+    "agg_moments" -> ((s, dir) => {
+      val q = expr("CAST(CAST(floor(value * 1e3) AS BIGINT) AS DECIMAL(38,0))")
+      val base = Tables(s, dir, "events")
+        .select(col("event_type"), q.as("q"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+          sum(expr("q * q")).as("s2"),
+          sum(expr("q * q * q")).as("s3"),
+          sum(expr("q * q * q * q")).as("s4"))
+      MomentSqls.foldLeft(base) { case (d, (name, sql)) =>
+        d.withColumn(name, expr(sql))
+      }.select(col("event_type"), col("n"), col("mu"), col("m2"),
+        col("skewness"), col("kurtosis"))
+    }),
+
     // Winsorized (p05/p95-clipped) robust mean per group — the
     // outlier-tolerant summary a quality report pairs with the raw
     // mean. The clip bounds are EXACT rank statistics
@@ -158,7 +183,48 @@ object QualityQueries extends QueryPack {
     })
   )
 
+  /** Moment algebra over the exact power sums — (name, expression)
+    * pairs applied stepwise, each referencing the previous columns, so
+    * both engines evaluate the identical op sequence. E-notation
+    * literals (Spark parses `3.0` as DECIMAL). Raw-moment terms:
+    * E[xᵏ] = sₖ/(n·10³ᵏ).
+    */
+  private val MomentSqls: Seq[(String, String)] = {
+    def raw(k: Int) =
+      s"CAST(s$k AS DOUBLE) / (CAST(n AS DOUBLE) * 1e${3 * k})"
+    Seq(
+      "mu" -> raw(1),
+      "m2" -> s"${raw(2)} - mu * mu",
+      "m3" -> (s"${raw(3)} - 3e0 * mu * (${raw(2)})" +
+        " + 2e0 * mu * mu * mu"),
+      "m4" -> (s"${raw(4)} - 4e0 * mu * (${raw(3)})" +
+        s" + 6e0 * mu * mu * (${raw(2)})" +
+        " - 3e0 * mu * mu * mu * mu"),
+      "skewness" -> "CASE WHEN m2 > 0e0 THEN m3 / (sqrt(m2) * m2) END",
+      "kurtosis" -> "CASE WHEN m2 > 0e0 THEN m4 / (m2 * m2) - 3e0 END")
+  }
+
   def oracles: Map[String, String] = Map(
+    "agg_moments" -> {
+      val steps = MomentSqls.zipWithIndex.map { case ((name, sql), i) =>
+        val prev = if (i == 0) "mbase" else s"m$i"
+        s"m${i + 1} AS (SELECT *, $sql AS $name FROM $prev)"
+      }.mkString(",\n")
+      s"""WITH mbase AS (
+         |  SELECT event_type, COUNT(*) AS n,
+         |    CAST(SUM(q) AS HUGEINT) AS s1,
+         |    CAST(SUM(q * q) AS HUGEINT) AS s2,
+         |    CAST(SUM(q * q * q) AS HUGEINT) AS s3,
+         |    CAST(SUM(q * q * q * q) AS HUGEINT) AS s4
+         |  FROM (SELECT event_type,
+         |          CAST(CAST(floor(value * 1e3) AS BIGINT) AS HUGEINT) AS q
+         |        FROM events)
+         |  GROUP BY 1),
+         |$steps
+         |SELECT event_type, n, mu, m2, skewness, kurtosis
+         |FROM m${MomentSqls.size}""".stripMargin
+    },
+
 
     "dq_profile" -> {
       val perCol = ProfileCols.map { case (c, kind) =>
