@@ -198,6 +198,45 @@ object DedupQueries extends QueryPack {
         .select("vec_a", "vec_b", "cos")
     }),
 
+    // Lexical-vector rerank of the MinHash candidates: exact
+    // term-frequency cosine over the shared-token join — the precision
+    // refinement a dedup stack runs between cheap candidate generation
+    // and expensive human/semantic review. Everything is exact until
+    // the last expression: tf vectors are integer counts keyed on the
+    // 60-bit token hash (both engines group by the HASH, so a
+    // collision merges identically), the dot product and squared norms
+    // are integer sums, and cosine is sqrt/division over those exact
+    // integers in one shared op order. Pairs with no shared token die
+    // in the inner join (their cosine is 0). Shuffles carry (id, hash,
+    // count) longs only.
+    "dedup_tf_cosine" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")
+      val tf = docs
+        .select(col("doc_id"),
+          explode(TextHash.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), TextHash.h31(col("tok")).as("k"))
+        .groupBy("doc_id", "k").agg(count(lit(1)).as("c"))
+      val norms = tf.groupBy("doc_id")
+        .agg(sum(col("c") * col("c")).as("nsq"))
+      val dots = pairs
+        .join(tf.select(col("doc_id").as("doc_a"), col("k"),
+          col("c").as("ca")), Seq("doc_a"))
+        .join(tf.select(col("doc_id").as("doc_b"), col("k"),
+          col("c").as("cb")), Seq("doc_b", "k"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"),
+          col("nsq").as("na")), Seq("doc_a"))
+        .join(norms.select(col("doc_id").as("doc_b"),
+          col("nsq").as("nb")), Seq("doc_b"))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cos") >= 0.8)
+        .select("doc_a", "doc_b", "dot", "cos")
+    }),
+
     // Fuzzy (edit-distance) dedup with multi-pass blocking — the
     // entity-resolution shape for typo-level near-duplicates that
     // hash/shingle methods miss. Scale discipline in two layers:
@@ -473,6 +512,32 @@ object DedupQueries extends QueryPack {
          |JOIN (SELECT vec_id, embedding AS eb FROM embeddings) b
          |  ON b.vec_id = vec_b
          |WHERE $dotAB / (${normOf("ea")} * ${normOf("eb")}) >= 0.3""".stripMargin,
+
+    "dedup_tf_cosine" ->
+      s"""WITH $minhashPairsWith,
+         |tf AS (
+         |  SELECT doc_id, k, COUNT(*) AS c FROM (
+         |    SELECT doc_id, ${h31duckOf("tok")} AS k FROM (
+         |      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |      FROM documents))
+         |  GROUP BY 1, 2),
+         |norms AS (
+         |  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS nsq
+         |  FROM tf GROUP BY 1),
+         |dots AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(SUM(ta.c * tb.c) AS BIGINT) AS dot
+         |  FROM pairs p
+         |  JOIN tf ta ON ta.doc_id = p.doc_a
+         |  JOIN tf tb ON tb.doc_id = p.doc_b AND tb.k = ta.k
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE))
+         |    * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |FROM dots
+         |JOIN norms na ON na.doc_id = doc_a
+         |JOIN norms nb ON nb.doc_id = doc_b
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE))
+         |    * sqrt(CAST(nb.nsq AS DOUBLE))) >= 8e-1""".stripMargin,
 
     "dedup_fuzzy_name" ->
       """WITH names AS (
