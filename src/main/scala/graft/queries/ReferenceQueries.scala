@@ -194,6 +194,26 @@ object ReferenceQueries extends QueryPack {
           when(fresh, col("qprice")).as("qprice"))
     }),
 
+    // Forward-looking as-of: each trade enriched with the NEXT quote at
+    // or after it — the settlement/next-tick shape. Same [[AsofJoin]]
+    // union-scan operator, run on a NEGATED time axis: ordering by
+    // −time and carrying "last right at or before" IS "first right at
+    // or after" on the real axis, with the operator's inclusive-tie
+    // rule mapping to inclusive ≥ (DuckDB `ASOF ... ON q.ts >= t.ts`).
+    // One shuffle, no new operator code.
+    "asof_forward" -> ((s, dir) => {
+      val (quotes, trades) = quotesAndTrades(s, dir)
+      val qn = quotes.select(col("user_id"), (-col("q_us")).as("tneg"),
+        col("q_us"), col("qprice"))
+      val tn = trades.select(col("user_id"),
+        (-unix_micros(col("ts"))).as("tneg"),
+        col("event_id"), col("tprice"))
+      AsofJoin(tn, qn, "user_id", "tneg", Seq("q_us", "qprice"))
+        .select(col("user_id"), col("event_id"),
+          (-col("tneg")).as("t_us"), col("tprice"),
+          col("q_us"), col("qprice"))
+    }),
+
     // Range join with an equi-key: lineitems shipped within 30 days of
     // their order date. The equality on orderkey keeps this a hash join
     // with a residual range predicate — never a cross product.
@@ -314,6 +334,21 @@ object ReferenceQueries extends QueryPack {
         |       q.q_us, q.qprice
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
+
+    "asof_forward" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS q_us, value AS qprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |trades AS (
+        |  SELECT user_id, ts, event_id, value AS tprice
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT t.user_id, t.event_id, epoch_us(t.ts) AS t_us, t.tprice,
+        |       q.q_us, q.qprice
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND q.ts >= t.ts""".stripMargin,
 
     "asof_tolerance" ->
       """WITH quotes AS (
