@@ -194,6 +194,56 @@ object ReferenceQueries extends QueryPack {
           when(fresh, col("qprice")).as("qprice"))
     }),
 
+    // OHLC bars — THE downstream consumer query of the reference's
+    // stored ticks (charting candles): per (symbol, hour), open/close
+    // are argmin/argmax over the (ts, event_id) tick order folded as
+    // ONE struct-min/max aggregate (no ranking window — map-side
+    // partials survive), high/low/count are plain aggregates. The
+    // (ts, event_id, price) struct makes the tie order explicit, so
+    // same-timestamp ticks fold identically on both engines.
+    "ts_ohlc_bars" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id").as("symbol"),
+          window(col("ts"), "1 hour").as("w"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("cl"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n_ticks"))
+        .select(col("symbol"), col("w.start").as("bar_start"),
+          col("o.value").as("open"), col("high"), col("low"),
+          col("cl.value").as("close"), col("n_ticks"))
+    }),
+
+    // VWAP + order-flow imbalance per (symbol, hour) — the other two
+    // bar-level statistics a tick store serves. Price enters the
+    // weighted sum as fixed-point micros × integer volume (exact
+    // BIGINT, ~10^12 per row), buy/sell volumes are exact integer
+    // sums under the tick mapping (purchase = buy, click = sell), and
+    // the two ratios are single divisions over exact integers with a
+    // zero-denominator CASE on both engines.
+    "ts_vwap_imbalance" -> ((s, dir) => {
+      val vol = floor(col("value")).cast("long")
+      val pFix = floor(col("value") * 1e6).cast("long")
+      Tables(s, dir, "events")
+        .groupBy(col("user_id").as("symbol"),
+          window(col("ts"), "1 hour").as("w"))
+        .agg(
+          sum(pFix * vol).as("pv"),
+          sum(vol).as("tot_vol"),
+          sum(when(col("event_type") === "purchase", vol)
+            .otherwise(0L)).as("buy_vol"),
+          sum(when(col("event_type") === "click", vol)
+            .otherwise(0L)).as("sell_vol"))
+        .select(col("symbol"), col("w.start").as("bar_start"),
+          col("tot_vol"), col("buy_vol"), col("sell_vol"),
+          expr("CASE WHEN tot_vol > 0 THEN CAST(pv AS DOUBLE)" +
+            " / (1e6 * CAST(tot_vol AS DOUBLE)) END").as("vwap"),
+          expr("CASE WHEN buy_vol + sell_vol > 0 THEN" +
+            " CAST(buy_vol - sell_vol AS DOUBLE)" +
+            " / CAST(buy_vol + sell_vol AS DOUBLE) END").as("imbalance"))
+    }),
+
     // Forward-looking as-of: each trade enriched with the NEXT quote at
     // or after it — the settlement/next-tick shape. Same [[AsofJoin]]
     // union-scan operator, run on a NEGATED time axis: ordering by
@@ -334,6 +384,54 @@ object ReferenceQueries extends QueryPack {
         |       q.q_us, q.qprice
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
+
+    "ts_ohlc_bars" ->
+      """WITH r AS (
+        |  SELECT user_id AS symbol, date_trunc('hour', ts) AS bar_start,
+        |    value, event_id,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events)
+        |SELECT symbol, bar_start,
+        |  MIN(CASE WHEN rf = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MIN(CASE WHEN rl = 1 THEN value END) AS close,
+        |  COUNT(*) AS n_ticks
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "ts_vwap_imbalance" ->
+      """SELECT user_id AS symbol, date_trunc('hour', ts) AS bar_start,
+        |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS tot_vol,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS buy_vol,
+        |  CAST(SUM(CASE WHEN event_type = 'click'
+        |    THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS sell_vol,
+        |  CASE WHEN CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) > 0
+        |    THEN CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)
+        |        * CAST(floor(value) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |      / (1e6 * CAST(CAST(SUM(CAST(floor(value) AS BIGINT))
+        |        AS BIGINT) AS DOUBLE))
+        |  END AS vwap,
+        |  CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    + CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) > 0
+        |    THEN CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      - CAST(SUM(CASE WHEN event_type = 'click'
+        |        THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE)
+        |      / CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      + CAST(SUM(CASE WHEN event_type = 'click'
+        |        THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE)
+        |  END AS imbalance
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "asof_forward" ->
       """WITH quotes AS (
