@@ -87,6 +87,29 @@ object TemporalQueries extends QueryPack {
             (lit(1.0e9) * col("n_frame").cast("double"))).as("mean"))
     }),
 
+    // Maximum drawdown per symbol — the peak-to-trough risk statistic
+    // over the price path. The running max is pure comparison (no
+    // arithmetic to diverge), each row's drawdown is ONE division of
+    // identical operands, and the final max compares those identical
+    // doubles — deterministic without any fixed-point machinery.
+    // Values are strictly positive in the fixture (min 0.01), but the
+    // zero-peak CASE stays so the query is total. One user-keyed
+    // window shuffle with partitioning reuse into the final rollup.
+    "ts_max_drawdown" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("runmax", max(col("value")).over(w))
+        .withColumn("dd",
+          expr("CASE WHEN runmax > 0e0" +
+            " THEN (runmax - value) / runmax ELSE 0e0 END"))
+        .groupBy(col("user_id").as("symbol"))
+        .agg(max(col("dd")).as("max_drawdown"),
+          max(col("runmax")).as("peak"),
+          count(lit(1)).as("n_ticks"))
+    }),
+
     // Exponentially-weighted moving average of per-user spend, the
     // other classic smoothing shape next to the boxcar rolling mean.
     // Finite 8-event horizon with decay α = 1/2, so every weight is a
@@ -276,6 +299,19 @@ object TemporalQueries extends QueryPack {
       s" - CAST(sq AS $bigT) * sq)"
 
   def oracles: Map[String, String] = Map(
+    "ts_max_drawdown" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax,
+        |    value
+        |  FROM events)
+        |SELECT user_id AS symbol,
+        |  MAX(CASE WHEN runmax > 0e0
+        |    THEN (runmax - value) / runmax ELSE 0e0 END) AS max_drawdown,
+        |  MAX(runmax) AS peak, COUNT(*) AS n_ticks
+        |FROM r GROUP BY 1""".stripMargin,
+
     "window_ewma" -> {
       val lagCols = (0 until EwmaK).map { j =>
         s"lag(q, $j) OVER win AS l$j"
