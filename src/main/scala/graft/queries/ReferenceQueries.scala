@@ -244,13 +244,6 @@ object ReferenceQueries extends QueryPack {
             " / CAST(buy_vol + sell_vol AS DOUBLE) END").as("imbalance"))
     }),
 
-    // Forward-looking as-of: each trade enriched with the NEXT quote at
-    // or after it — the settlement/next-tick shape. Same [[AsofJoin]]
-    // union-scan operator, run on a NEGATED time axis: ordering by
-    // −time and carrying "last right at or before" IS "first right at
-    // or after" on the real axis, with the operator's inclusive-tie
-    // rule mapping to inclusive ≥ (DuckDB `ASOF ... ON q.ts >= t.ts`).
-    // One shuffle, no new operator code.
     "asof_forward" -> ((s, dir) => {
       val (quotes, trades) = quotesAndTrades(s, dir)
       val qn = quotes.select(col("user_id"), (-col("q_us")).as("tneg"),
@@ -402,36 +395,27 @@ object ReferenceQueries extends QueryPack {
         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "ts_vwap_imbalance" ->
-      """SELECT user_id AS symbol, date_trunc('hour', ts) AS bar_start,
-        |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS tot_vol,
-        |  CAST(SUM(CASE WHEN event_type = 'purchase'
-        |    THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |    AS buy_vol,
-        |  CAST(SUM(CASE WHEN event_type = 'click'
-        |    THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |    AS sell_vol,
-        |  CASE WHEN CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) > 0
-        |    THEN CAST(CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)
-        |        * CAST(floor(value) AS BIGINT)) AS BIGINT) AS DOUBLE)
-        |      / (1e6 * CAST(CAST(SUM(CAST(floor(value) AS BIGINT))
-        |        AS BIGINT) AS DOUBLE))
-        |  END AS vwap,
-        |  CASE WHEN CAST(SUM(CASE WHEN event_type = 'purchase'
+      """WITH sums AS (
+        |  SELECT user_id AS symbol, date_trunc('hour', ts) AS bar_start,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)
+        |      * CAST(floor(value) AS BIGINT)) AS BIGINT) AS pv,
+        |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS tot_vol,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
         |      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |    + CAST(SUM(CASE WHEN event_type = 'click'
-        |      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) > 0
-        |    THEN CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
-        |        THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |      - CAST(SUM(CASE WHEN event_type = 'click'
-        |        THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |      AS DOUBLE)
-        |      / CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
-        |        THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |      + CAST(SUM(CASE WHEN event_type = 'click'
-        |        THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |      AS DOUBLE)
+        |      AS buy_vol,
+        |    CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS sell_vol
+        |  FROM events GROUP BY 1, 2)
+        |SELECT symbol, bar_start, tot_vol, buy_vol, sell_vol,
+        |  CASE WHEN tot_vol > 0
+        |    THEN CAST(pv AS DOUBLE) / (1e6 * CAST(tot_vol AS DOUBLE))
+        |  END AS vwap,
+        |  CASE WHEN buy_vol + sell_vol > 0
+        |    THEN CAST(buy_vol - sell_vol AS DOUBLE)
+        |      / CAST(buy_vol + sell_vol AS DOUBLE)
         |  END AS imbalance
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM sums""".stripMargin,
 
     "asof_forward" ->
       """WITH quotes AS (

@@ -16,14 +16,20 @@ object TextQueries extends QueryPack {
 
   private val P = TextHash.P31
 
-  /** PII regexes, shared verbatim by both engines (conservative syntax —
-    * char classes, bounded repeats, anchors — that Java regex and RE2
-    * parse identically; no lookaround, no backreferences).
+  /** Only apply a BPE merge when the winning pair is plain
+    * alphanumerics — regex metachars diverge between Java regex and
+    * RE2 (shared verbatim by both engines; anchored full-match).
     */
+  private val SafePairRe = "^[a-z0-9]+ [a-z0-9]+$"
+
   /** Stopword list for text_normalize — shared literal on both engines. */
   private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "did",
     "worth", "end")
 
+  /** PII regexes, shared verbatim by both engines (conservative syntax —
+    * char classes, bounded repeats, anchors — that Java regex and RE2
+    * parse identically; no lookaround, no backreferences).
+    */
   private val EmailRe = "[a-z0-9.]+@[a-z][a-z0-9.]*[a-z]"
   private val PhoneRe = "\\+1-555-[0-9]{4}"
   private val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -217,12 +223,18 @@ object TextQueries extends QueryPack {
     // winning pair broadcasts, the merge is a scan-side projection.
     "text_bpe_merge_step" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // the SafePair guard (shared with the mirror) keeps the winning
+      // pair out of regex-metacharacter territory — Java and RE2 only
+      // share \b/replacement semantics on plain tokens — and doubles
+      // as the empty-corpus guard: no bigrams (or an unsafe pair) ⇒
+      // zero rows on BOTH engines, never a NULL-row divergence
       val top = docs
         .select(explode(
           TextHash.shingles(TextHash.tokens(col("text")), 2)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("n"))
         .agg(min(struct((-col("n")).as("neg"), col("g").as("p"))).as("m"))
         .select(col("m.p").as("pair"), (-col("m.neg")).as("pair_n"))
+        .filter(col("pair").rlike(SafePairRe))
       docs.crossJoin(broadcast(top))
         .withColumn("merged", regexp_replace(col("text"),
           concat(lit("\\b"), col("pair"), lit("\\b")),
@@ -511,30 +523,29 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, fp.fp, n_dups FROM fp JOIN cl USING (fp)""".stripMargin,
 
     "text_bpe_merge_step" ->
-      """WITH bi AS (
-        |  SELECT g, COUNT(*) AS n FROM (
-        |    SELECT unnest(
-        |      CASE WHEN len(string_split(text, ' ')) >= 2
-        |        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
-        |        ELSE [] END) AS g
-        |    FROM (SELECT string_split(text, ' ') AS w, text
-        |          FROM documents))
-        |  GROUP BY 1),
-        |top AS (
-        |  SELECT g AS pair, n AS pair_n FROM (
-        |    SELECT g, n,
-        |      row_number() OVER (ORDER BY n DESC, g) AS r FROM bi)
-        |  WHERE r = 1)
-        |SELECT doc_id, pair, pair_n,
-        |  len(string_split(text, ' ')) AS n_before,
-        |  len(string_split(regexp_replace(text,
-        |    '\b' || pair || '\b', replace(pair, ' ', '_'), 'g'), ' '))
-        |    AS n_after,
-        |  len(string_split(text, ' ')) -
-        |    len(string_split(regexp_replace(text,
-        |      '\b' || pair || '\b', replace(pair, ' ', '_'), 'g'), ' '))
-        |    AS n_merges
-        |FROM documents, top""".stripMargin,
+      s"""WITH bi AS (
+         |  SELECT g, COUNT(*) AS n FROM (
+         |    SELECT unnest(
+         |      CASE WHEN len(string_split(text, ' ')) >= 2
+         |        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+         |        ELSE [] END) AS g
+         |    FROM (SELECT string_split(text, ' ') AS w, text
+         |          FROM documents))
+         |  GROUP BY 1),
+         |top AS (
+         |  SELECT g AS pair, n AS pair_n FROM (
+         |    SELECT g, n,
+         |      row_number() OVER (ORDER BY n DESC, g) AS r FROM bi)
+         |  WHERE r = 1 AND regexp_matches(g, '$SafePairRe'))
+         |SELECT doc_id, pair, pair_n, n_before, n_after,
+         |  n_before - n_after AS n_merges
+         |FROM (
+         |  SELECT doc_id, pair, pair_n,
+         |    len(string_split(text, ' ')) AS n_before,
+         |    len(string_split(regexp_replace(text,
+         |      '\\b' || pair || '\\b', replace(pair, ' ', '_'), 'g'),
+         |      ' ')) AS n_after
+         |  FROM documents, top)""".stripMargin,
 
     "text_inverted_index" ->
       """SELECT tok, COUNT(*) AS df,

@@ -69,12 +69,18 @@ class RollingStatsRestartSuite extends SparkSpec {
     writeChunk("001.json", second.toSeq)
     run() // must RESUME: rings carry over, file 000 not reprocessed
 
-    val streamed = spark.read.parquet(out)
+    val streamedRows = spark.read.parquet(out)
       .select("eventId", "nFrame", "mean").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val batch = SparkEntry.queries("ts_anomaly_zscore")(spark, sf)
       .select(col("event_id"), col("n_frame"), col("mean")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // count check first: a restart that IGNORED the checkpoint and
+    // reprocessed file 000 with fresh state would duplicate first-half
+    // rows — a Set compare alone would collapse exactly that failure
+    assert(streamedRows.length === batch.size,
+      s"duplicate or missing rows: ${streamedRows.length} vs ${batch.size}")
+    val streamed = streamedRows.toSet
     assert(streamed.nonEmpty && streamed === batch,
       s"streamed=${streamed.size} batch=${batch.size}")
   }
