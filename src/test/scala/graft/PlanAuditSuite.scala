@@ -335,6 +335,33 @@ class PlanAuditSuite extends SparkSpec {
       "lineitem rollup needs map-side partials")
   }
 
+  test("ts_ohlc_bars / agg_moments: single aggregate, map-side partials, no window") {
+    for (name <- Seq("ts_ohlc_bars", "agg_moments")) {
+      val p = executed(q(name))
+      assert(!p.toString.contains("Window"),
+        s"$name must fold argmin/argmax as aggregates, not rank windows")
+      assert(countShuffles(p) === 1, s"$name: one keyed shuffle")
+      // struct-min/max plans as ObjectHashAggregate, plain stats as
+      // HashAggregate — either way the partial mode must be present
+      assert(flatten(p).map(_.toString)
+          .exists(s => s.contains("Aggregate") && s.contains("partial")),
+        s"$name needs map-side partials")
+    }
+  }
+
+  test("dedup_tf_cosine: no exchange carries the raw text column") {
+    // the MinHash candidate machinery legitimately ships compact band
+    // signatures (binary); what must never travel is the document text
+    // or token strings — tf vectors are keyed on the 60-bit hash
+    val p = executed(q("dedup_tf_cosine"))
+    val exchanges = flatten(p).collect {
+      case e: ShuffleExchangeLike => e.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.flatten.forall(n => n != "text" && n != "tok"),
+      s"raw text/token columns must never shuffle: $exchanges")
+  }
+
   test("dq_profile / dq_constraints: one scan, no join, bounded shuffles") {
     for (name <- Seq("dq_profile", "dq_constraints")) {
       val p = executed(q(name))
