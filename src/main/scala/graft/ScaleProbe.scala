@@ -110,11 +110,20 @@ object ScaleProbe {
           col("vec_id") % 1009 === 0, col("vec_id") % 101 === 0)
         .filter(col("cell") >= 0).count()
 
+    // Segment dedup (the SAME op text_segment_dedup runs): on the
+    // duplicated corpus EVERY segment is shared (df ≥ copies), the
+    // adversarial case — there is no pair join to explode, so cost
+    // stays the two hash-keyed rollups.
+    def segmentDedup(c: Int): Long =
+      graft.ops.SegmentDedup(
+        scaled("documents", "doc_id", c), "doc_id", "text").count()
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
       ("vec_centroids", centroids), ("pq_encode", pqEncode),
-      ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign))
+      ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign),
+      ("segment_dedup", segmentDedup))
     // warm-up at 1x (codegen/JIT), then measure 1x and 10x
     probes.foreach { case (_, f) => f(1) }
     val results = probes.map { case (name, f) =>

@@ -277,30 +277,9 @@ object TextQueries extends QueryPack {
     // string, so the two shuffles move longs; the rebuild is an
     // order-struct sort inside one grouped aggregate (no window).
     // At sf0.01 this removes 153 genuinely shared segments.
-    "text_segment_dedup" -> ((s, dir) => {
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(TextHash.tokens(col("text"))).as(Seq("i", "tok")))
-      val segs = toks
-        .withColumn("seg_id", expr("CAST(i DIV 8 AS BIGINT)"))
-        .groupBy("doc_id", "seg_id")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
-            x => x("tok")), " ").as("seg"))
-        .withColumn("k", TextHash.h31(col("seg")))
-      val dfreq = segs.groupBy("k")
-        .agg(count_distinct(col("doc_id")).as("df"))
-      segs.join(dfreq, Seq("k"))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_seg"),
-          count(when(col("df") >= 2, lit(1))).as("n_removed"),
-          array_join(
-            transform(
-              array_sort(collect_list(
-                when(col("df") < 2, struct(col("seg_id"), col("seg"))))),
-              x => x("seg")), " ").as("clean_text"))
-    }),
+    "text_segment_dedup" -> ((s, dir) =>
+      graft.ops.SegmentDedup(
+        Tables(s, dir, "documents"), "doc_id", "text")),
 
     // Canonicalization pass (lowercase → punctuation strip → space
     // collapse → stopword drop) — the normalize step that runs before
