@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see SURVEY.md §7 and the per-pack Scaladoc. */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(
+  private[graft] val packs: Seq[QueryPack] = Seq(
     _root_.graft.queries.ReferenceQueries,
     _root_.graft.queries.RelationalQueries,
     _root_.graft.queries.DedupQueries,

@@ -14,6 +14,13 @@ class HarnessContractSuite extends SparkSpec {
     assert((o -- q).isEmpty, s"orphan oracles: ${o -- q}")
   }
 
+  test("no query name collides across packs (toMap would silently shadow)") {
+    val all = SparkEntry.packs.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate query names across packs: $dups")
+    assert(all.size === SparkEntry.queries.size)
+  }
+
   test("query names are stable snake_case identifiers") {
     val bad = SparkEntry.queries.keySet
       .filterNot(_.matches("[a-z][a-z0-9_]*"))
