@@ -455,6 +455,158 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_above_avg"))
     }),
 
+    // ---- TPC-H plan families (round-5 breadth) -------------------------
+    // Q2 shape — correlated MIN-subquery, decorrelated: "cheapest
+    // EUROPE offer per part" becomes a per-part MIN window over the
+    // offer set + an equality filter. The window decorrelation beats
+    // the agg+re-join form on scans: the offer frame (built with
+    // broadcast dims only) is consumed ONCE — min and filter ride the
+    // same (partkey) exchange — where agg+join would re-scan lineitem
+    // and every dim for the probe side. vs the naive correlated form's
+    // per-row subquery re-execution. (Fixture has no partsupp table;
+    // lineitem price plays supplycost, same shape.)
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eusup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val promo = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eusup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"), col("l_extendedprice").as("price"))
+        .withColumn("min_price",
+          min(col("price")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("price") === col("min_price"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey",
+          "min_price")
+        .distinct()
+        .orderBy(desc("s_acctbal"), asc("s_suppkey"), asc("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q7 shape — volume shipping: multi-join with an OR'd nation-pair
+    // predicate and a date-range filter. Both nation sides pre-filter
+    // to the two nations of interest BEFORE broadcasting (the OR
+    // collapses to "different nation" once both sides are restricted),
+    // so the broadcast payload is 2/25ths of each dim and the ship-date
+    // range is the only filter left on the fact scan (pushed down).
+    "q7_volume_shipping" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      val cust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("cn_key"),
+              col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey", "cust_nation")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1999-12-31"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Q13 shape — outer-join-groupby distribution: the join predicate
+    // carries an extra filter on the RIGHT side (so unmatched customers
+    // still count with c_count=0 — a WHERE would wrongly drop them).
+    // One shuffle on custkey; the count-of-counts regroup is on a
+    // ~dozen-value key and costs nothing at any scale.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      t(s, dir, "customer").select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // Q17 shape — nested per-group aggregate subquery: "lineitems below
+    // 20% of their part's average quantity". Decorrelated to a per-part
+    // window (exact decimal sum / count, so both engines derive the
+    // bit-identical double threshold — see pack Scaladoc); sum and
+    // count share one Window node and one (partkey) exchange, and the
+    // filtered rows fold straight into the global one-row aggregate —
+    // one corpus scan total, where the agg+re-join form would take two.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val selp = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1" && col("p_type") === "MEDIUM")
+        .select("p_partkey")
+      val w = Window.partitionBy(col("l_partkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(selp), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .withColumn("qty_threshold",
+          (sum(dec(col("l_quantity"))).over(w).cast("double")
+            / count(lit(1)).over(w)) * lit(0.2))
+        .filter(col("l_quantity") < col("qty_threshold"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
+    // Q21 shape — stacked semi + anti join: suppliers in EUROPE who were
+    // the SOLE late shipper on a multi-supplier completed order
+    // ("late" = shipped >60 days after the order date; fixture has no
+    // commit/receipt dates, same shape). The lateness flag is derived
+    // ONCE on the lineitem⋈orders join and the frame is reused as both
+    // the probe (l1) and the anti side (l3); the semi side needs only
+    // (orderkey, suppkey). All three joins key on orderkey, so the
+    // semi and anti reuse the probe's hash partitioning.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val fOrd = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+      val liF = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          to_date(col("l_shipdate")).as("sdate"))
+        .join(fOrd, col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("sdate"), col("odate")) > 60)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val eusup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+      val l1 = liF
+        .join(broadcast(eusup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey").as("k1"), col("l_suppkey").as("sk1"),
+          col("s_name"))
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val l3 = liF
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"))
+      l1.join(l2, col("k1") === col("k2") && col("sk2") =!= col("sk1"),
+          "left_semi")
+        .join(l3, col("k1") === col("k3") && col("sk3") =!= col("sk1"),
+          "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(100)
+    }),
+
     // IN-subquery shape: lineitems of parts in a brand (semi join).
     "subquery_in" -> ((s, dir) => {
       val brandParts = t(s, dir, "part")
@@ -734,6 +886,99 @@ object RelationalQueries extends QueryPack {
         |          / COUNT(*) AS avg_price FROM orders) a
         |WHERE o_totalprice > a.avg_price
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // Written in the CORRELATED form on purpose: DuckDB decorrelates it
+    // itself, so the oracle independently validates the Spark-side
+    // manual decorrelation (min-agg + re-join) against the subquery
+    // semantics rather than against a re-statement of the same plan.
+    "q2_min_cost_supplier" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey, min_price
+        |FROM (
+        |  SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+        |    s.s_suppkey, l.l_extendedprice AS min_price
+        |  FROM part p, supplier s, lineitem l, nation n, region r
+        |  WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |    AND p.p_type = 'PROMO'
+        |    AND s.s_nationkey = n.n_nationkey
+        |    AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |    AND l.l_extendedprice = (
+        |      SELECT min(l2.l_extendedprice)
+        |      FROM lineitem l2, supplier s2, nation n2, region r2
+        |      WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |        AND s2.s_nationkey = n2.n_nationkey
+        |        AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'))
+        |ORDER BY s_acctbal DESC, s_suppkey, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS vol
+        |  FROM supplier s, lineitem l, orders o, customer c,
+        |       nation n1, nation n2
+        |  WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+        |    AND c.c_custkey = o.o_custkey
+        |    AND s.s_nationkey = n1.n_nationkey
+        |    AND c.c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |                         AND TIMESTAMP '1999-12-31')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, custdist FROM (
+        |  SELECT c_count, COUNT(*) AS custdist FROM (
+        |    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |    FROM customer c LEFT OUTER JOIN orders o
+        |      ON c.c_custkey = o.o_custkey
+        |      AND o.o_orderpriority <> '1-URGENT'
+        |    GROUP BY c.c_custkey)
+        |  GROUP BY c_count)
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Correlated form (DuckDB decorrelates); the inner average is the
+    // same exact decimal-sum / count as the Spark side so the derived
+    // double threshold is bit-identical. 2e-1 not 0.2: e-notation
+    // parses as DOUBLE in both grammars (decimal-literal trap).
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    / 7e0 AS avg_yearly
+        |FROM lineitem l, part p
+        |WHERE p.p_partkey = l.l_partkey
+        |  AND p.p_brand = 'Brand#1' AND p.p_type = 'MEDIUM'
+        |  AND l.l_quantity < (
+        |    SELECT (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |            / COUNT(*)) * 2e-1
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, numwait FROM (
+        |  SELECT s.s_name, COUNT(*) AS numwait
+        |  FROM supplier s, lineitem l1, orders o, nation n, region r
+        |  WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |    AND o.o_orderstatus = 'F'
+        |    AND date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                  CAST(l1.l_shipdate AS DATE)) > 60
+        |    AND s.s_nationkey = n.n_nationkey
+        |    AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND o3.o_orderkey = l3.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey
+        |                      AND date_diff('day', CAST(o3.o_orderdate AS DATE),
+        |                            CAST(l3.l_shipdate AS DATE)) > 60)
+        |  GROUP BY s.s_name)
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "subquery_in" ->
       """SELECT l_returnflag, COUNT(*) AS n,

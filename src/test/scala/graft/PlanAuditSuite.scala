@@ -423,6 +423,88 @@ class PlanAuditSuite extends SparkSpec {
       "centroid rows and fine groups must broadcast")
   }
 
+  /** The round-5 TPC-H shapes filter on values absent from the sf0.001
+    * fixture (Brand#1 MEDIUM parts, NATION_1/2 suppliers), so under AQE
+    * the runtime plan legitimately collapses to EmptyRelation. The
+    * shape claims are about the COMPILED plan — assert them with AQE
+    * off so the static plan is what executes.
+    */
+  private def staticPlan(name: String): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try executed(q(name))
+    finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("q2: decorrelated min — per-part window, dims broadcast, ONE corpus scan") {
+    val p = staticPlan("q2_min_cost_supplier")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), "supplier/nation/region/part chain must broadcast")
+    // the correlated min decorrelates to one per-part window min; the
+    // offer frame is consumed once — per-row re-execution would show as
+    // a nested loop, the agg+re-join form as a second lineitem scan
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      "decorrelation must not degrade to a nested loop")
+    val liScans = flatten(p).count(n => n.children.isEmpty &&
+      n.nodeName.contains("Scan") && n.toString.contains("lineitem"))
+    assert(liScans === 1, s"lineitem must be scanned exactly once: $liScans")
+    assert(countShuffles(p) <= 3,
+      s"window + distinct + top-k budget exceeded: ${countShuffles(p)}")
+  }
+
+  test("q7: nation pair pre-filtered before broadcast, one fact-fact shuffle pair") {
+    val p = staticPlan("q7_volume_shipping")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), "supplier/customer sides must broadcast")
+    // the only non-broadcast exchange pair is lineitem⋈orders, plus the
+    // final small-key rollup
+    assert(countShuffles(p) <= 3, s"shuffles: ${countShuffles(p)}")
+    // ship-date range must reach the lineitem scan
+    assert(flatten(p).filter(_.nodeName.contains("Scan")).map(_.toString)
+        .exists(_.contains("GreaterThanOrEqual(l_shipdate")),
+      "ship-date range must push to the scan")
+  }
+
+  test("q13: right-side predicate lives in the outer join, custkey partitioning reused") {
+    val p = executed(q("q13_customer_distribution"))
+    val s = p.toString
+    assert(s.contains("LeftOuter"), s"expected a left outer join:\n$s")
+    // the priority filter must sit UNDER the join (scan-side on orders),
+    // not above it where it would drop never-ordered customers
+    assert(flatten(p).filter(_.nodeName.contains("Scan")).map(_.toString)
+        .exists(_.contains("Not(EqualTo(o_orderpriority")),
+      "priority filter must push to the orders scan")
+    // join exchange on custkey is reused by the per-customer count →
+    // 2 join-input shuffles + 1 tiny count-of-counts regroup
+    assert(countShuffles(p) <= 3, s"shuffles: ${countShuffles(p)}")
+  }
+
+  test("q17: per-part threshold is one window on one corpus scan") {
+    val p = staticPlan("q17_small_qty_revenue")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), "brand/type part filter must broadcast")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      "correlated avg must decorrelate, not loop")
+    // sum + count share ONE Window node (one partkey exchange), then
+    // the global one-row fold — and only one lineitem scan
+    val liScans = flatten(p).count(n => n.children.isEmpty &&
+      n.nodeName.contains("Scan") && n.toString.contains("lineitem"))
+    assert(liScans === 1, s"lineitem must be scanned exactly once: $liScans")
+    assert(flatten(p).count(_.nodeName == "Window") === 1,
+      "threshold must fold into a single Window node")
+    assert(countShuffles(p) <= 2, s"shuffles: ${countShuffles(p)}")
+  }
+
+  test("q21: stacked semi then anti, both keyed on orderkey, suppliers broadcast") {
+    val p = executed(q("q21_waiting_suppliers"))
+    val names = flatten(p).map(_.nodeName)
+    val s = p.toString
+    assert(s.contains("LeftSemi"), s"expected a semi join:\n$names")
+    assert(s.contains("LeftAnti"), s"expected an anti join:\n$names")
+    assert(s.contains("BroadcastHashJoin"), "supplier/nation/region must broadcast")
+    assert(s.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(countShuffles(p) <= 5, s"shuffles: ${countShuffles(p)}")
+  }
+
   test("media_phash_neardup: the candidate exchange carries ints, not payloads") {
     val p = executed(q("media_phash_neardup"))
     val exchanges = flatten(p).collect {
