@@ -18,11 +18,18 @@ import org.apache.spark.sql.functions._
   * Scale shape: each iteration is one broadcast-or-shuffle join of the
   * static edge table with the current ranks (both keyed on the source
   * node — a cluster deployment pre-partitions edges by src once and
-  * reuses that layout every iteration) plus one groupBy(dst). Lineage
-  * grows per iteration, so past ~10 iterations you checkpoint ranks —
-  * the same reliable-storage seam as [[ConnectedComponents]]. Dangling
-  * mass is dropped (not redistributed): ranks then sum to < 1, which is
-  * fine for the relative-ordering uses this operator serves.
+  * reuses that layout every iteration) plus one groupBy(dst). The
+  * static inputs (edges⋈degree, node universe) are materialized ONCE
+  * with `localCheckpoint` and every round's ranks are checkpointed the
+  * same way — so plan depth and lineage stay CONSTANT in `iters`
+  * instead of growing linearly (re-analysis blowup past ~10 rounds),
+  * exactly the [[ConnectedComponents]] discipline; `localCheckpoint`
+  * remains the documented swap point for reliable-storage
+  * `checkpoint()` on a long-lived cluster. Superseded rounds are
+  * unpersisted so executor storage holds at most two rank frames.
+  * Dangling mass is dropped (not redistributed): ranks then sum to
+  * < 1, which is fine for the relative-ordering uses this operator
+  * serves.
   */
 object PageRank {
 
@@ -35,12 +42,17 @@ object PageRank {
     */
   def apply(edges: DataFrame, iters: Int): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ewd = edges.join(outdeg, "src")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val nn = nodes.agg(count(lit(1)).as("nn"))
+    // static per-round inputs, computed once: without the checkpoint
+    // every round re-derives the degree join and the node-universe
+    // distinct from raw edges, and the final plan nests `iters` copies
+    val ewd = edges.join(outdeg, "src").localCheckpoint()
+    val base = {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      nodes.crossJoin(nodes.agg(count(lit(1)).as("nn"))).localCheckpoint()
+    }
 
-    var ranks = nodes.crossJoin(nn)
+    var ranks = base
       .select(col("node"), (lit(1.0) / col("nn").cast("double")).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ewd
@@ -49,12 +61,16 @@ object PageRank {
           floor(col("r") / col("outdeg").cast("double") * Scale)
             .cast("long").as("cq"))
         .groupBy("dst").agg(sum(col("cq")).as("sq"))
-      ranks = nodes.crossJoin(nn)
+      val next = base
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(1 - Damping) / col("nn").cast("double") +
             lit(Damping) *
               (coalesce(col("sq"), lit(0L)).cast("double") / Scale)).as("r"))
+        .localCheckpoint()
+      val prev = ranks
+      ranks = next
+      prev.unpersist() // next is materialized; at most two frames live
     }
     ranks
   }

@@ -505,6 +505,23 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(p) <= 5, s"shuffles: ${countShuffles(p)}")
   }
 
+  test("pagerank: plan depth is constant in the iteration count") {
+    // the checkpoint discipline: every round materializes, so the
+    // FINAL plan always contains exactly one round over checkpointed
+    // scans — if lineage leaked across rounds, node count would grow
+    // linearly with iters and re-analysis would blow up at 10×
+    import org.apache.spark.sql.functions.col
+    val edges = spark.range(0, 200)
+      .select((col("id") % 40).as("src"), ((col("id") * 7 + 3) % 40).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    def planSize(iters: Int): Int =
+      flatten(executed(graft.ops.PageRank(edges, iters))).size
+    val d2 = planSize(2)
+    val d6 = planSize(6)
+    assert(d2 === d6,
+      s"plan must not grow with iterations: iters=2 -> $d2 nodes, iters=6 -> $d6")
+  }
+
   test("media_phash_neardup: the candidate exchange carries ints, not payloads") {
     val p = executed(q("media_phash_neardup"))
     val exchanges = flatten(p).collect {
