@@ -32,8 +32,24 @@ object Bench {
     // generated classes); run 2 measures the steady state a long-running
     // cluster job actually sees. Min-of-2 also damps host noise, which
     // at sf0.1 is the same order as the per-query times.
-    val results = SparkEntry.queries.filterNot(_._1.startsWith("stream_"))
-      .map { case (name, fn) =>
+    // Optional subset for isolation/profiling runs: SPARK_GRAFT_ONLY as
+    // comma-separated query names, timed in the GIVEN order. Absent →
+    // full bench in NAME order: the query map is a HashMap, so its
+    // iteration order reshuffles whenever queries are added — which
+    // moves queries relative to the siblings that pre-warm their shared
+    // kernels (JIT/codegen) and makes per-query numbers round-over-round
+    // incomparable (the r4 "dedup_minhash_pairs regression" was exactly
+    // this: 0.38s after its MinHash siblings, 0.84s cold). Sorting pins
+    // the order so warm-up effects are at least reproducible.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      only match {
+        case Some(names) => names.map(n => n -> SparkEntry.queries(n))
+        case None => SparkEntry.queries.filterNot(_._1.startsWith("stream_"))
+          .toSeq.sortBy(_._1)
+      }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -46,7 +62,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full = render(results, total)
     // Round 1 post-mortem: the driver parses the bench JSON out of the
     // LAST 2000 chars of the (sbt-wrapped) stdout stream, and the
