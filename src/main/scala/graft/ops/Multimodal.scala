@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side machinery here is REAL — schemas, the 1-row→N-rows frame
   * generator, and the partition-wise batch decode (iterator in, iterator
   * out, decoder state initialized once per partition — the shape that
-  * amortizes loading a native decoder per executor core at 100 TB). The
-  * byte-level DECODE itself is a clearly-marked deterministic STUB
-  * ([[StubCodec]]): this container has no image/audio libraries, so the
-  * stub hashes bytes instead of running libjpeg/ffmpeg. Swapping in a real
-  * codec changes only [[StubCodec]] — no plan shape, schema, or
+  * amortizes loading a native decoder per executor core at 100 TB). IMAGE
+  * decode is also real as of round 5: [[ImageCodec]] runs the JDK's
+  * `javax.imageio` readers (BMP/PNG/GIF/JPEG, no native dependency) and
+  * [[decodeFeatures]] prefers it, falling back to the deterministic
+  * [[StubCodec]] only for payloads no installed reader accepts — audio
+  * and video, for which this container has no codec. Swapping in
+  * libavcodec changes only that fallback — no plan shape, schema, or
   * partitioning changes.
   */
 object Multimodal {
@@ -34,8 +36,95 @@ object Multimodal {
       n_bytes: Long,
       feature: Array[Float])
 
-  /** ==== STUB ==== deterministic fake codec. A real deployment replaces
-    * the bodies with libjpeg/ffmpeg/etc; signatures and call sites stay.
+  /** REAL image codec on the JDK's `javax.imageio` (BMP/PNG readers ship
+    * with the JRE — no native dependency). This retires the decode stub
+    * for images: [[decodeFeatures]] attempts a real decode first and
+    * only falls back to [[StubCodec]] for payloads no installed reader
+    * recognizes (audio/video — the JDK has no codec for those).
+    *
+    * `ImageIO` instances are NOT thread-safe to share, but the static
+    * `read`/`write` entry points construct per-call reader state — safe
+    * under Spark's task threads; the per-partition init seam in
+    * [[decodeFeatures]] remains where a pooled native decoder would go.
+    */
+  object ImageCodec {
+
+    /** Exact integer pixel statistics of the gray (= red) channel. */
+    case class PixelStats(
+        width: Int, height: Int, sumGray: Long, minGray: Int, maxGray: Int)
+
+    /** Deterministic synthetic image: gray gradient v(x,y) = (x+y+offset)
+      * mod 256, BMP-encoded through the real `ImageIO` writer. The
+      * pixel law is trivially mirrored in SQL (`(x + y + offset) % 256`
+      * over a generate_series grid), which is what lets a real
+      * encode→decode round-trip be ORACLE-CHECKED cross-engine.
+      */
+    def encodeGradientBmp(width: Int, height: Int, offset: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = ((x + y + offset) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: `ImageIO.read` parses the container (BMP/PNG/GIF/
+      * JPEG per the JDK's registry) and the stats walk the decoded
+      * raster. None ⇔ no installed reader accepts the payload — the
+      * deterministic "not an image" signal the fallback keys on.
+      */
+    def decodeStats(bytes: Array[Byte]): Option[PixelStats] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = (img.getRGB(x, y) >> 16) & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          Some(PixelStats(img.getWidth, img.getHeight, sum, mn, mx))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real decoded feature (FeatureDim floats, same arity as the stub):
+      * dimensions, pixel count, and gray-channel stats — the stand-in
+      * for a model embedding, but computed from ACTUAL decoded pixels.
+      */
+    def feature(bytes: Array[Byte]): Option[Array[Float]] =
+      decodeStats(bytes).map { s =>
+        val n = s.width.toLong * s.height
+        Array(
+          s.width.toFloat, s.height.toFloat, n.toFloat, s.sumGray.toFloat,
+          (s.sumGray.toDouble / n).toFloat, s.minGray.toFloat,
+          s.maxGray.toFloat, 1f)
+      }
+  }
+
+  /** ==== TEST DOUBLE ==== deterministic fake codec — the fallback for
+    * payloads the JDK cannot decode (audio/video) and the fixture
+    * anchor for text-byte payloads. A real deployment replaces the
+    * bodies with libavcodec/etc; signatures and call sites stay.
     */
   object StubCodec {
     val FeatureDim = 8
@@ -85,8 +174,11 @@ object Multimodal {
       val dim = StubCodec.FeatureDim
       require(dim > 0)
       it.map { m =>
-        MediaFeatures(m.media_id, m.mime, m.bytes.length.toLong,
-          StubCodec.feature(m.bytes))
+        // real decode first (JDK ImageIO handles BMP/PNG/GIF/JPEG);
+        // the stub only catches payloads no installed reader accepts
+        val feat = ImageCodec.feature(m.bytes)
+          .getOrElse(StubCodec.feature(m.bytes))
+        MediaFeatures(m.media_id, m.mime, m.bytes.length.toLong, feat)
       }
     }
   }

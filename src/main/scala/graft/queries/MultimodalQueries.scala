@@ -62,6 +62,37 @@ object MultimodalQueries extends QueryPack {
           length(col("bytes")).cast("long").as("n_bytes")) ++ feat): _*)
     }),
 
+    // REAL image decode (round-5): deterministic gray-gradient BMPs are
+    // encoded through the JDK's ImageIO writer and decoded back through
+    // its reader ([[Multimodal.ImageCodec]]) inside one mapPartitions
+    // pass; the emitted pixel stats come from the ACTUAL decoded raster.
+    // Oracle-checkable because the pixel law v(x,y)=(x+y+doc_id)%256 is
+    // mirrored as SQL over a generate_series grid — so a codec bug on
+    // either end of the round-trip breaks the hash. Scale shape: pure
+    // scan-side projection (encode+decode fuse into the partition pass,
+    // no shuffle, no payload exchange).
+    "media_decode_imageio" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val w = (8 + nc % 32).toInt
+            val h = (8 + nc % 16).toInt
+            val bytes = Multimodal.ImageCodec.encodeGradientBmp(w, h, id)
+            val st = Multimodal.ImageCodec.decodeStats(bytes).getOrElse(
+              throw new IllegalStateException(
+                s"ImageIO failed to decode its own BMP for doc $id"))
+            (id, st.width.toLong, st.height.toLong, st.sumGray,
+              st.minGray.toLong, st.maxGray.toLong)
+          }
+        }
+        .toDF("media_id", "width", "height", "sum_gray", "min_gray",
+          "max_gray")
+        .withColumn("mean_gray", col("sum_gray").cast("double") /
+          (col("width") * col("height")).cast("double"))
+    }),
+
     // Perceptual-hash near-dup — the pHash pipeline shape (decode →
     // feature panel → sign-of-deviation bits → banded hamming join),
     // with the decode behind the same stub seam as media_features:
@@ -153,6 +184,26 @@ object MultimodalQueries extends QueryPack {
              s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS BIGINT) / 255.0 AS f$i")
              .mkString(",\n  ")}
          |FROM documents""".stripMargin,
+
+    // the pixel-law mirror of the real ImageIO round-trip: v(x,y) =
+    // (x + y + doc_id) % 256 summed over the w×h grid
+    "media_decode_imageio" ->
+      """WITH m AS (
+        |  SELECT doc_id, 8 + n_chars % 32 AS w, 8 + n_chars % 16 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    CAST((gx.x + gy.y + m.doc_id) % 256 AS BIGINT) AS v
+        |  FROM m,
+        |    LATERAL (SELECT unnest(range(0, m.w)) AS x) gx,
+        |    LATERAL (SELECT unnest(range(0, m.h)) AS y) gy)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(MIN(v) AS BIGINT) AS min_gray,
+        |  CAST(MAX(v) AS BIGINT) AS max_gray,
+        |  CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE)
+        |    / CAST(w * h AS DOUBLE) AS mean_gray
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
 
     "media_phash_neardup" ->
       s"""WITH ks AS (

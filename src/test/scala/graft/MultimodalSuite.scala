@@ -63,6 +63,33 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("ImageCodec: real ImageIO round-trip recovers the pixel law exactly") {
+    val (w, h, off) = (13, 9, 1000L)
+    val bytes = Multimodal.ImageCodec.encodeGradientBmp(w, h, off)
+    // a real BMP container came out of the writer
+    assert(bytes(0) === 'B'.toByte && bytes(1) === 'M'.toByte)
+    val st = Multimodal.ImageCodec.decodeStats(bytes).get
+    assert(st.width === w && st.height === h)
+    val expected = for (y <- 0 until h; x <- 0 until w)
+      yield ((x + y + off) % 256).toInt
+    assert(st.sumGray === expected.map(_.toLong).sum)
+    assert(st.minGray === expected.min && st.maxGray === expected.max)
+  }
+
+  test("decodeFeatures: real decode for image payloads, stub only as fallback") {
+    val bmp = Multimodal.ImageCodec.encodeGradientBmp(4, 3, 7L)
+    val rows = Seq(
+      MediaRecord(10L, "image/bmp", bmp, 4, 3, 1),
+      MediaRecord(11L, "audio/wav", "not an image".getBytes, 0, 0, 1))
+    val out = Multimodal.decodeFeatures(rows.toDS()).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    // image row: features are decoded-pixel stats, not the byte hash
+    assert(out(10L).toSeq === Multimodal.ImageCodec.feature(bmp).get.toSeq)
+    assert(out(10L)(0) === 4f && out(10L)(1) === 3f)
+    // non-image payload: deterministic stub fallback
+    assert(out(11L).toSeq === StubCodec.feature("not an image".getBytes).toSeq)
+  }
+
   test("resize stub: truncates or zero-pads to w*h, deterministic") {
     val r = StubCodec.resize("abcdef".getBytes, 2, 2)
     assert(r.length === 4 && new String(r) === "abcd")
