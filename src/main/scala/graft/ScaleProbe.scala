@@ -118,12 +118,30 @@ object ScaleProbe {
       graft.ops.SegmentDedup(
         scaled("documents", "doc_id", c), "doc_id", "text").count()
 
+    // round-5 training loops (the SAME ops emb_kmeans_train /
+    // text_bpe_train run): the 10× ratio shows the per-round
+    // checkpoint discipline holding — cost is rounds × (one corpus
+    // pass + one keyed rollup), with no lineage compounding. The
+    // kmeans seed set grows with the corpus (the flat-argmin caveat
+    // documented at semanticDedup applies); the BPE corpus rewrite is
+    // scan-side against one broadcast winner per round.
+    def kmeansTrain(c: Int): Long =
+      graft.ops.KmeansTrain(
+        scaled("embeddings", "vec_id", c), "vec_id", "embedding",
+        col("vec_id") % 101 === 0, rounds = 3).count()
+
+    def bpeTrain(c: Int): Long =
+      graft.ops.BpeTrain(
+        scaled("documents", "doc_id", c), "doc_id", "text",
+        rounds = 3, safePairRe = "^[a-z0-9_]+ [a-z0-9_]+$").count()
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
       ("vec_centroids", centroids), ("pq_encode", pqEncode),
       ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign),
-      ("segment_dedup", segmentDedup))
+      ("segment_dedup", segmentDedup), ("kmeans_train", kmeansTrain),
+      ("bpe_train", bpeTrain))
     // warm-up at 1x (codegen/JIT), then measure 1x and 10x
     probes.foreach { case (_, f) => f(1) }
     val results = probes.map { case (name, f) =>

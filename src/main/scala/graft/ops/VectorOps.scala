@@ -155,21 +155,35 @@ object VectorOps {
     * weak-scaling probe so both measure the same plan.
     */
   def l2Cells(df: org.apache.spark.sql.DataFrame, idCol: String,
-      vecCol: String, seed: Column): org.apache.spark.sql.DataFrame = {
-    val byId = array_sort(collect_list(struct(col(idCol), col(vecCol))))
-    val cr = df.filter(seed).agg(
-      transform(byId, x => x.getField(idCol)).as("cids"),
-      transform(byId, x => x.getField(vecCol)).as("cvs"))
+      vecCol: String, seed: Column): org.apache.spark.sql.DataFrame =
+    assignToCentroids(df, idCol, vecCol,
+      df.filter(seed).select(col(idCol).as("cid"), col(vecCol).as("cv")),
+      "l2Cells: seed predicate matched no centroid rows")
+
+  /** [[l2Cells]] against an EXTERNAL centroid frame `cents(cid: long,
+    * cv: array<float>)` — the E-step of an iterated Lloyd's loop, where
+    * round r assigns against round r−1's UPDATED centroids rather than
+    * rows of `df` itself. Same plan shape: centroids collapse to one
+    * id-sorted broadcast row, assignment is the scan-side native argmin
+    * fold, no shuffle of `df`.
+    */
+  def assignToCentroids(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, cents: org.apache.spark.sql.DataFrame,
+      emptyMsg: String = "assignToCentroids: empty centroid set")
+      : org.apache.spark.sql.DataFrame = {
+    val byId = array_sort(collect_list(struct(col("cid"), col("cv"))))
+    val cr = cents.agg(
+      transform(byId, x => x.getField("cid")).as("cids"),
+      transform(byId, x => x.getField("cv")).as("cvs"))
     df.crossJoin(broadcast(cr))
       .select(col(idCol), col(vecCol),
-        // an empty seed set would make argminL2Index return -1 and
+        // an empty centroid set would make argminL2Index return -1 and
         // element_at throw an opaque index-0 codegen error — fail with
         // the actual cause instead
         when(size(col("cids")) > 0,
           element_at(col("cids"),
             argminL2Index(col(vecCol), col("cvs")) + 1))
-          .otherwise(raise_error(
-            lit("l2Cells: seed predicate matched no centroid rows")))
+          .otherwise(raise_error(lit(emptyMsg)))
           .as("cell"))
   }
 

@@ -30,7 +30,8 @@ object StreamE2EQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_e2e_sink" -> ((s, dir) => run(s, dir)),
-    "stream_e2e_cumvol" -> ((s, dir) => runCumvol(s, dir)))
+    "stream_e2e_cumvol" -> ((s, dir) => runCumvol(s, dir)),
+    "stream_e2e_rolling" -> ((s, dir) => runRolling(s, dir)))
 
   /** The STATEFUL path end to end: TICK envelopes → envelope source →
     * parse → keyed cumulative state (A1+A2: per-(symbol, UTC-day)
@@ -82,6 +83,90 @@ object StreamE2EQueries extends QueryPack {
       .select(col("symbol"), col("time").as("time_s"), col("volume"),
         col("tradeType").as("trade_type"),
         col("cumbuy"), col("cumsell"), col("cumdelta"))
+  }
+
+  /** The BOUNDED-WINDOW stateful path end to end (round-5, third
+    * streaming oracle row): TICK envelopes → envelope source → parse →
+    * [[graft.streaming.RollingStatsProcessor]] (per-symbol 24-event
+    * ring on RocksDB/transformWithState, emitting |z| > 2σ anomalies)
+    * → LWW sink keyed (symbol, time) → read-back, against the batch
+    * rolling-window DuckDB oracle. Same determinism legs as cumvol
+    * (pre-dedup to one tick per (symbol, second); per-symbol spool-file
+    * locality; the processor's stable per-batch (ts, id) sort), plus
+    * the ring itself carrying the frame across micro-batch boundaries.
+    */
+  private def runRolling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+      .repartition(4, col("user_id"))
+      .sortWithinPartitions(col("time_s"))
+    val lines = base.select(to_json(struct(
+      lit("feed").as("topic"),
+      lit("TICK").as("frameType"),
+      struct(
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("bid"),
+        col("value").as("price"),
+        col("value").as("ask"),
+        col("time_s").as("time"),
+        floor(col("value")).cast("int").as("volume"),
+        when(col("event_type") === "purchase", "B").otherwise("S")
+          .as("type")).as("payload"))).as("value"))
+    val work = Files.createTempDirectory("graft_e2e_roll")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None) // preserve per-symbol file locality
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).load()
+    val sinkRoot = work.resolve("sink").toString
+    // transformWithState requires the RocksDB state store; scope the
+    // provider to this run like StreamingRollingStatsSuite does
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Pipelines.parseTicks(env)
+        .filter(!col("_corrupt"))
+        .select(
+          col("symbol").cast("long").as("userId"),
+          // the deduped (symbol, second) PK makes `time` the row id
+          col("time").as("eventId"),
+          (col("time") * 1000000L).as("tsUs"),
+          col("price").as("value"),
+          floor(col("price") * 1e9).cast("long").as("q"),
+          floor(col("price") * col("price") * 1e9).cast("long").as("q2"))
+        .as[graft.streaming.RollingStatsProcessor.Ev]
+      val q = evs.groupByKey(_.userId)
+        .transformWithState(new graft.streaming.RollingStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          LwwSink.upsertBatch(
+            batch.select(
+              col("userId").cast("string").as("symbol"),
+              col("eventId").as("time"),
+              col("nFrame").as("n_frame"),
+              col("value"), col("mean")).toDF(),
+            id, sinkRoot, "feed", "roll", Seq("symbol", "time"))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    LwwSink.read(s, sinkRoot, "feed", "roll")
+      .select(col("symbol"), col("time").as("time_s"),
+        col("n_frame"), col("value"), col("mean"))
   }
 
   private def run(s: SparkSession, dir: String): DataFrame = {
@@ -148,6 +233,41 @@ object StreamE2EQueries extends QueryPack {
          |WINDOW w AS (PARTITION BY user_id, sec // 86400
          |             ORDER BY sec
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the batch rolling-window mirror of the streamed ring: 24-event
+    // frame per user over the deduped (user, second) ticks, |z| > 2σ in
+    // exact HUGEINT (matches the processor's BigInt test), mean = the
+    // same exact-integer division
+    "stream_e2e_rolling" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT user_id, sec, value,
+        |    CAST(floor(value * 1e9) AS BIGINT) AS q,
+        |    CAST(floor(value * value * 1e9) AS BIGINT) AS q2
+        |  FROM base),
+        |w AS (
+        |  SELECT user_id, sec, value, q,
+        |    COUNT(*) OVER win AS n_frame,
+        |    CAST(SUM(q) OVER win AS BIGINT) AS sq,
+        |    CAST(SUM(q2) OVER win AS BIGINT) AS sq2
+        |  FROM q
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY sec
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT CAST(user_id AS VARCHAR) AS symbol, sec AS time_s,
+        |  n_frame, value,
+        |  CAST(sq AS DOUBLE) / (1000000000.0 * CAST(n_frame AS DOUBLE))
+        |    AS mean
+        |FROM w
+        |WHERE (CAST(q AS HUGEINT) * n_frame - sq)
+        |      * (CAST(q AS HUGEINT) * n_frame - sq)
+        |    > 4 * (CAST(sq2 AS HUGEINT) * n_frame * 1000000000
+        |           - CAST(sq AS HUGEINT) * sq)""".stripMargin,
 
     "stream_e2e_sink" ->
       """SELECT CAST(user_id AS VARCHAR) AS symbol,

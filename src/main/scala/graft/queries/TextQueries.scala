@@ -22,6 +22,17 @@ object TextQueries extends QueryPack {
     */
   private val SafePairRe = "^[a-z0-9]+ [a-z0-9]+$"
 
+  /** [[SafePairRe]] widened with underscore for the multi-round BPE
+    * train: round ≥ 2 pairs may contain tokens produced by earlier
+    * merges (`a_b`), still regex-metacharacter-free.
+    */
+  private val SafeTrainPairRe = "^[a-z0-9_]+ [a-z0-9_]+$"
+
+  /** text_bpe_train merge count — fixed so the DuckDB oracle can unroll
+    * the rounds as a CTE chain.
+    */
+  private val BpeTrainRounds = 3
+
   /** Stopword list for text_normalize — shared literal on both engines. */
   private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "did",
     "worth", "end")
@@ -244,6 +255,15 @@ object TextQueries extends QueryPack {
           size(TextHash.tokens(col("merged"))).cast("long").as("n_after"))
         .withColumn("n_merges", col("n_before") - col("n_after"))
     }),
+
+    // Multi-round BPE training (round-5: the loop form of
+    // text_bpe_merge_step) — see [[graft.ops.BpeTrain]] for the
+    // per-round plan, checkpoint discipline, and the unsafe-winner
+    // determinism fence. Output is the merge TABLE (rank, pair, count),
+    // hash-compared against a fully unrolled DuckDB CTE chain.
+    "text_bpe_train" -> ((s, dir) =>
+      graft.ops.BpeTrain(Tables(s, dir, "documents"), "doc_id", "text",
+        BpeTrainRounds, SafeTrainPairRe)),
 
     // Materialized inverted index — the token → postings artifact a
     // retrieval/dedup stack persists next to the corpus (the data
@@ -525,6 +545,39 @@ object TextQueries extends QueryPack {
          |      '\\b' || pair || '\\b', replace(pair, ' ', '_'), 'g'),
          |      ' ')) AS n_after
          |  FROM documents, top)""".stripMargin,
+
+    // fully unrolled merge chain: d0 = corpus; round r = bigram rollup
+    // over d(r−1), safe-winner pick, corpus rewrite. The merge-table
+    // SELECT unions the per-round winners — DuckDB re-derives the same
+    // cascade independently.
+    "text_bpe_train" -> {
+      val d0 = "d0 AS (SELECT doc_id, text FROM documents)"
+      val rounds = (1 to BpeTrainRounds).map { r =>
+        s"""bi$r AS (
+           |  SELECT g, COUNT(*) AS n FROM (
+           |    SELECT unnest(
+           |      CASE WHEN len(string_split(text, ' ')) >= 2
+           |        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+           |        ELSE [] END) AS g
+           |    FROM (SELECT string_split(text, ' ') AS w, text
+           |          FROM d${r - 1}))
+           |  GROUP BY 1),
+           |top$r AS (
+           |  SELECT g AS pair, n AS pair_n FROM (
+           |    SELECT g, n,
+           |      row_number() OVER (ORDER BY n DESC, g) AS r FROM bi$r)
+           |  WHERE r = 1 AND regexp_matches(g, '$SafeTrainPairRe')),
+           |d$r AS (
+           |  SELECT doc_id, regexp_replace(text,
+           |      '\\b' || pair || '\\b', replace(pair, ' ', '_'), 'g')
+           |    AS text
+           |  FROM d${r - 1}, top$r)""".stripMargin
+      }
+      val sel = (1 to BpeTrainRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, pair, pair_n FROM top$r"
+      }.mkString("\nUNION ALL ")
+      s"WITH ${(d0 +: rounds).mkString(",\n")}\n$sel"
+    },
 
     "text_inverted_index" ->
       """SELECT tok, COUNT(*) AS df,

@@ -28,6 +28,12 @@ object VectorQueries extends QueryPack {
     */
   private val seedPred = col("vec_id") % 101 === 0
 
+  /** emb_kmeans_train iteration count — fixed so the DuckDB oracle can
+    * unroll it as a CTE chain (the [[graft.ops.PageRank.duckCtes]]
+    * pattern).
+    */
+  private val KmeansTrainRounds = 3
+
   /** Deterministic coarse centroids ([[seedPred]]) and the per-vector
     * cell assignment by fixed-point L2 argmin. The centroid set is
     * collapsed to ONE broadcast row (id-sorted ids + vectors), so
@@ -153,6 +159,15 @@ object VectorQueries extends QueryPack {
             (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
     }),
 
+    // Multi-iteration Lloyd's k-means (round-5: the training-loop form
+    // of emb_kmeans_step) — see [[graft.ops.KmeansTrain]] for the
+    // per-round plan and the float32 re-centroid determinism note.
+    // Output = the final round's update table, hash-compared against a
+    // fully UNROLLED DuckDB CTE chain.
+    "emb_kmeans_train" -> ((s, dir) =>
+      graft.ops.KmeansTrain(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", seedPred, KmeansTrainRounds)),
+
     // Embedding sanity gate: flag vectors whose fixed-point L2 distance
     // to their own centroid exceeds their cell's p99 rank statistic —
     // the corrupt-embedding detector a pipeline runs after any encoder
@@ -269,6 +284,45 @@ object VectorQueries extends QueryPack {
          |          * 1000000000.0) AS BIGINT) AS q
          |      FROM assign, (SELECT unnest(range(0, 64)) AS pos) ps)
          |GROUP BY cell, pos""".stripMargin,
+
+    // fully unrolled Lloyd's chain: c0 = seed rows; round r = argmin
+    // assignment vs c(r−1) + quantized update + REAL-cast re-centroid.
+    // The final SELECT reads the last update table — identical math to
+    // the Spark loop, derived independently by DuckDB.
+    "emb_kmeans_train" -> {
+      val c0 =
+        """c0 AS (
+          |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          |  WHERE vec_id % 101 = 0)""".stripMargin
+      val rounds = (1 to KmeansTrainRounds).map { r =>
+        s"""a$r AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${VectorOps.l2FixDuck("e.embedding", "c.cv")},
+           |          c.cid) AS r
+           |    FROM embeddings e CROSS JOIN c${r - 1} c)
+           |  WHERE r = 1),
+           |u$r AS (
+           |  SELECT cell, pos, COUNT(*) AS n_vecs,
+           |    CAST(SUM(q) AS BIGINT) AS sq
+           |  FROM (SELECT cell, ps.pos,
+           |          CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE)
+           |            * 1000000000.0) AS BIGINT) AS q
+           |        FROM a$r, (SELECT unnest(range(0, 64)) AS pos) ps)
+           |  GROUP BY cell, pos),
+           |c$r AS (
+           |  SELECT cell AS cid,
+           |    list(CAST(CAST(sq AS DOUBLE)
+           |          / (1000000000.0 * CAST(n_vecs AS DOUBLE)) AS REAL)
+           |         ORDER BY pos) AS cv
+           |  FROM u$r GROUP BY cell)""".stripMargin
+      }
+      s"""WITH ${(c0 +: rounds).mkString(",\n")}
+         |SELECT cell, pos, n_vecs,
+         |  CAST(sq AS DOUBLE) / (1000000000.0 * CAST(n_vecs AS DOUBLE)) AS c
+         |FROM u$KmeansTrainRounds""".stripMargin
+    },
 
     "emb_outlier_distance" ->
       s"""WITH $assignCellsDuck,

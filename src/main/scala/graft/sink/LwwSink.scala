@@ -166,9 +166,12 @@ object LwwSink {
       // write dominates the merge. Fan out by the table's PINNED bucket
       // count (kb values are computed mod `nb`), not the global seed
       // constant — they differ for tables created under an older count.
+      // deterministic in-file layout: sort by the table's OWN primary
+      // key (hardcoding (symbol, time, price) here broke the first
+      // table whose schema lacked one of those columns)
       val deduped = merged
         .repartition(nb, col("kb"))
-        .sortWithinPartitions(col("symbol"), col("time").desc, col("price"))
+        .sortWithinPartitions(keys.map(col): _*)
       // stage under an underscore name inside the table dir (same volume,
       // invisible to readers), then swap each bucket aside-first
       val tmp = s"$table/_tmp_b$batchId"

@@ -39,22 +39,44 @@ class RollingStatsProcessor
       timerValues: TimerValues): Iterator[Out] = {
     val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
     val st0 = Option(state.get()) // ONE store read + decode per key
-    var qs = st0.map(_.qs).getOrElse(Seq.empty)
-    var q2s = st0.map(_.q2s).getOrElse(Seq.empty)
+    // indexed circular buffer + running sums: O(1) per event — the
+    // evicted element is subtracted, the new one added (ADVICE r4; the
+    // Seq-append form re-summed the whole frame per event). The
+    // persisted Ring stays oldest→newest, so the state format is
+    // unchanged across the rewrite.
+    val qs = new Array[Long](Frame)
+    val q2s = new Array[Long](Frame)
+    var n = 0 // filled size; head (next write, = oldest when full)
+    var head = 0
+    var sq = 0L
+    var sq2 = 0L
+    st0.foreach { r =>
+      r.qs.copyToArray(qs)
+      r.q2s.copyToArray(q2s)
+      n = r.qs.size
+      head = n % Frame
+      sq = r.qs.sum // once per batch, not per event
+      sq2 = r.q2s.sum
+    }
     val out = Seq.newBuilder[Out]
     sorted.foreach { e =>
-      qs = (qs :+ e.q).takeRight(Frame)
-      q2s = (q2s :+ e.q2).takeRight(Frame)
-      val n = qs.size
-      val sq = qs.sum
-      val sq2 = q2s.sum
+      if (n == Frame) { sq -= qs(head); sq2 -= q2s(head) } else n += 1
+      qs(head) = e.q
+      q2s(head) = e.q2
+      head = (head + 1) % Frame
+      sq += e.q
+      sq2 += e.q2
       val lhs = BigInt(e.q) * n - BigInt(sq)
       val rhs = (BigInt(sq2) * n * 1000000000L - BigInt(sq) * BigInt(sq)) * 4
       if (lhs * lhs > rhs)
         out += Out(e.eventId, userId, n.toLong, e.value,
           sq.toDouble / (1.0e9 * n))
     }
-    state.update(Ring(qs, q2s))
+    // re-serialize oldest→newest (when full, the oldest sits at head)
+    val ordered =
+      if (n < Frame) (0 until n)
+      else (0 until Frame).map(i => (head + i) % Frame)
+    state.update(Ring(ordered.map(qs), ordered.map(q2s)))
     out.result().iterator
   }
 }
