@@ -106,20 +106,24 @@ object SamplingQueries extends QueryPack {
     // picked by deterministic hash order within the stratum — rate
     // filters (sample_deterministic) give each stratum only an
     // EXPECTED share, this gives the allocation a downstream consumer
-    // can assert on. One window shuffle keyed on the stratum; the
-    // quota re-attach rides the same partitioning (no extra exchange).
+    // can assert on. EVERY stratum reports: a stratum under 5 members
+    // (quota 0) shows n_sampled = 0 rather than vanishing, so an
+    // absent stratum is distinguishable from an unsampled one (ADVICE
+    // r4) — the quota test moved from a row filter into conditional
+    // aggregates. One window shuffle keyed on the stratum; the rollup
+    // rides the same partitioning (no extra exchange).
     "sample_stratified_exact" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       val w = W.partitionBy("lang")
         .orderBy(TextHash.h31(col("doc_id").cast("string")), col("doc_id"))
+      val inQuota = col("rk") <= expr("n_stratum DIV 5")
       Tables(s, dir, "documents")
         .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("n_stratum", count(lit(1)).over(W.partitionBy("lang")))
-        .filter(col("rk") <= expr("n_stratum DIV 5"))
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_sampled"),
+        .agg(count(when(inQuota, 1)).as("n_sampled"),
           min(col("n_stratum")).as("n_stratum"),
-          min(col("doc_id")).as("first_doc"))
+          min(when(inQuota, col("doc_id"))).as("first_doc"))
     }),
 
     // Temperature-based source mixing (the size^α reweighting every
@@ -246,9 +250,11 @@ object SamplingQueries extends QueryPack {
          |      ORDER BY ${h("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk,
          |    COUNT(*) OVER (PARTITION BY lang) AS n_stratum
          |  FROM documents)
-         |SELECT lang, COUNT(*) AS n_sampled,
-         |  MIN(n_stratum) AS n_stratum, MIN(doc_id) AS first_doc
-         |FROM r WHERE rk <= n_stratum // 5
+         |SELECT lang,
+         |  COUNT(CASE WHEN rk <= n_stratum // 5 THEN 1 END) AS n_sampled,
+         |  MIN(n_stratum) AS n_stratum,
+         |  MIN(CASE WHEN rk <= n_stratum // 5 THEN doc_id END) AS first_doc
+         |FROM r
          |GROUP BY 1""".stripMargin,
 
     "sample_temperature_mix" ->

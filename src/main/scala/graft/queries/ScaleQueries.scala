@@ -25,6 +25,12 @@ object ScaleQueries extends QueryPack {
     */
   private val K = 64
 
+  /** table_checksum reduction modulus (2^61 − 1, Mersenne prime):
+    * exact in both engines' wide-integer accumulators, and the reduced
+    * checksum fits a BIGINT at any row count.
+    */
+  private val ChecksumMod = 2305843009213693951L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- approximate distinct (KMV sketch) -----------------------------
@@ -120,11 +126,17 @@ object ScaleQueries extends QueryPack {
         f(col("l_orderkey")), f(col("l_linenumber")),
         f(floor(col("l_quantity") * 100).cast("long")),
         f(floor(col("l_extendedprice") * 100).cast("long")))
+      // accumulate in DECIMAL(38,0) (matches DuckDB's HUGEINT sum) and
+      // reduce mod 2^61−1: a raw int64 sum overflows past ~10^9 rows
+      // per group (h < 2^31) — Spark would wrap silently while the
+      // mirror's HUGEINT→BIGINT cast errors, breaking parity exactly
+      // at the scale the op targets (ADVICE r4)
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), TextHash.h31(rowImg).as("h"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("h")).as("checksum"),
+          (sum(col("h").cast("decimal(38,0)")) % lit(ChecksumMod))
+            .cast("long").as("checksum"),
           max(col("h")).as("max_h"))
     }),
 
@@ -683,7 +695,7 @@ object ScaleQueries extends QueryPack {
          |    ), 1, 15) AS BIGINT) % ${TextHash.P31} AS h
          |  FROM lineitem)
          |SELECT l_returnflag, COUNT(*) AS n_rows,
-         |  CAST(SUM(h) AS BIGINT) AS checksum, MAX(h) AS max_h
+         |  CAST(SUM(h) % $ChecksumMod AS BIGINT) AS checksum, MAX(h) AS max_h
          |FROM h GROUP BY 1""".stripMargin,
 
     "agg_approx_distinct_hll" ->

@@ -36,7 +36,12 @@ class LevenshteinGuardSuite extends SparkSpec {
         "levenshtein(a, b) <= 2",
         "levenshtein(a, b) < 2",
         "CAST(levenshtein(a, b) AS BIGINT) <= 1",
-        "2 >= levenshtein(a, b)")) {
+        "2 >= levenshtein(a, b)",
+        // threshold-0 rewrites (ADVICE r4): `< 1` / `<= 0` exercise
+        // the banded implementation's equality-only path against the
+        // dist-0 fixture pair
+        "levenshtein(a, b) < 1",
+        "levenshtein(a, b) <= 0")) {
       val guarded = df.filter(expr(pred)).select("a").collect().toSet
       // reference: compute the distance first so the comparison sits on
       // a projected column the rule leaves alone
