@@ -13,6 +13,15 @@ object Bench {
       // (Tables normalizes to micros TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce tiny post-shuffle partitions for size, not parallelism
+      // (the setting Spark's own tuning guide recommends flipping).
+      // Measured NEUTRAL at local[32]/sf0.1 (in-process task launch is
+      // cheap, so 32 tiny reducers cost the same as 1); kept because at
+      // 100 TB it prevents partition-count overload on genuinely small
+      // intermediate shuffles. See docs/NOTES.md round-5 profile: the
+      // per-query floor is EXECUTION (run2 0.10–0.26 s), not analysis
+      // (0.02–0.08 s) — pre-resolving views would buy nothing.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // native fns + optimizer rewrites
@@ -49,11 +58,30 @@ object Bench {
         case None => SparkEntry.queries.filterNot(_._1.startsWith("stream_"))
           .toSeq.sortBy(_._1)
       }
+    // SPARK_GRAFT_PROFILE=1: per-query phase breakdown (build = the
+    // queries-map closure, analyze = force the executed plan, run1/run2
+    // = the two executions) to stderr — the diagnostic that attributes
+    // the per-query fixed floor to analysis vs codegen/JIT vs execution.
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").exists(_ == "1")
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
+      }
+      if (profile) {
+        def ms[T](f: => T): (Double, T) = {
+          val t0 = System.nanoTime(); val r = f
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        try {
+          val (tBuild, df) = ms(fn(spark, sfDir))
+          val (tAnalyze, _) = ms(df.queryExecution.executedPlan)
+          val (tRun1, _) = ms(df.count())
+          val (tRun2, _) = ms(df.count())
+          System.err.println(
+            f"[profile] $name%-28s build=$tBuild%.3f analyze=$tAnalyze%.3f run1=$tRun1%.3f run2=$tRun2%.3f")
+        } catch { case _: Throwable => () }
       }
       name -> Seq(once(), once()).min
     }

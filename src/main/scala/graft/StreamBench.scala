@@ -68,13 +68,68 @@ object StreamBench {
     val rows = runOnce(spark, spool, work.resolve("run").toString, Some(3))
     val sec = (System.nanoTime() - start) / 1e9
     val eps = rows / sec
+
+    // transport:socket variant — the SAME pipeline fed through the wire
+    // path: a loopback feeder writes multipart frames, [[graft.source
+    // .SpoolTransportAdapter]] decodes and spools them (the production
+    // entry shape, minus only the libzmq dependency), then the stream
+    // drains the spool. Wall-clock covers pump start → drain end, so
+    // the number includes frame decode + spool sealing.
+    val (sRows, sSec, wireSec) = socketRun(spark, work, nRows)
     val json =
-      f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus}"""
+      f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus,""" +
+        f""""socket":{"rows_per_sec":${sRows / sSec}%.1f,"rows":$sRows,"sec":$sSec%.3f,"wire_sec":$wireSec%.3f}}"""
     val outFile = args.headOption.getOrElse("stream_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     println(json)
     spark.stop()
+  }
+
+  /** Wire-path run: loopback ServerSocket feeder → multipart frame
+    * decode → spool → stream drain. Returns (rows landed, total sec,
+    * wire-only sec). The feeder thread writes the same deterministic
+    * tick shape genSpool lays down; the pump is single-threaded like
+    * the reference's recv loop, so wire_sec is the serialized ingest
+    * bound and the spool is what decouples it from the query side.
+    */
+  private def socketRun(spark: SparkSession,
+      work: java.nio.file.Path, nRows: Int): (Long, Double, Double) = {
+    import java.net.{InetAddress, ServerSocket}
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val feeder = new Thread(() => {
+      val s = server.accept()
+      try {
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(s.getOutputStream, 1 << 16))
+        val t0 = 1687176000L
+        var id = 0
+        while (id < nRows) {
+          val payload =
+            s"""{"symbol": "SYM${id % 100}", "bid": 1.0, "price": 1.1, """ +
+              s""""ask": 1.2, "time": ${t0 + id / 100}, """ +
+              s""""volume": ${id % 50 + 1}, "type": "${if (id % 2 == 0) "B" else "S"}"}"""
+          graft.source.MultipartFrames.writeMessage(out, Seq(
+            "feed".getBytes, "TICK".getBytes, payload.getBytes))
+          id += 1
+        }
+        out.flush()
+      } finally s.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val spool = work.resolve("socket_spool")
+    Files.createDirectories(spool)
+    val tStart = System.nanoTime()
+    graft.source.SpoolTransportAdapter.pump(
+      "127.0.0.1", server.getLocalPort, spool.toString,
+      messagesPerFile = math.max(1, nRows / 10))
+    val wireSec = (System.nanoTime() - tStart) / 1e9
+    val rows = runOnce(spark, spool.toString,
+      work.resolve("socket_run").toString, Some(3))
+    val sec = (System.nanoTime() - tStart) / 1e9
+    server.close()
+    (rows, sec, wireSec)
   }
 
   /** Drain the whole spool through the tick pipeline into a fresh sink;
