@@ -607,6 +607,231 @@ object RelationalQueries extends QueryPack {
         .limit(100)
     }),
 
+    // Q4 shape — order priority checking: a date-sliced order scan
+    // semi-joined to its "late" lineitems (lateness is a derived
+    // cross-table predicate, so it lives in the join condition). Semi
+    // stops at the first late line and never duplicates an order.
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1996-04-01")
+      ord.join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            datediff(to_date(col("l_shipdate")),
+              to_date(col("o_orderdate"))) > 30,
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Q8 shape — national market share: an 8-relation join (both
+    // nation roles) feeding a CASE-ratio aggregate. Numerator and
+    // denominator are separate exact decimal sums; the share is ONE
+    // double division of identically-derived operands.
+    "q8_market_share" -> ((s, dir) => {
+      val vol = dec(col("l_extendedprice")) *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,6)")
+      val amCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(amCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0)))
+            .cast("double").as("nation_rev"),
+          sum(vol).cast("double").as("total_rev"))
+        .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+        .orderBy("o_year")
+    }),
+
+    // Q9 shape — product-type profit by (nation, year): the 6-way join
+    // grouped on derived keys. No partsupp in the fixture, so retail
+    // price × quantity plays supply cost — same plan, and the profit
+    // is the DIFFERENCE OF TWO exact decimal sums taken in double
+    // (subtracting mixed-scale decimals inside one aggregate would
+    // cross Spark's precision cap and silently round).
+    "q9_product_profit" -> ((s, dir) => {
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("sn_key"),
+              col("n_name").as("nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "nation")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").contains("red"))
+            .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
+            .cast("double").as("rev"),
+          sum(dec(col("p_retailprice")) * dec(col("l_quantity")))
+            .cast("double").as("cost"))
+        .select(col("nation"), col("o_year"),
+          (col("rev") - col("cost")).as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    }),
+
+    // Q11 shape — important stock: per-key value vs a scalar fraction
+    // of the global total (scalar subquery in HAVING). The total is a
+    // 1-row re-aggregate of the per-part frame, broadcast back — two
+    // aggregates over one shuffle, never a second lineitem scan.
+    "q11_important_stock" -> ((s, dir) => {
+      val n3sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = t(s, dir, "lineitem")
+        .join(broadcast(n3sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("vd"))
+      val tot = vals.agg(sum(col("vd")).as("td"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("vd").cast("double") > col("td").cast("double") * lit(1e-3))
+        .select(col("l_partkey").as("p_partkey"),
+          col("vd").cast("double").as("value"))
+        .orderBy(desc("value"), asc("p_partkey"))
+    }),
+
+    // Q12 shape — shipping-speed priority split: a fact-fact join with
+    // a derived bucket key and two complementary CASE-count aggregates.
+    // (No l_shipmode in the fixture; ship latency plays the mode.)
+    "q12_ship_speed" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("speed",
+          when(datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) <= 30, "FAST").otherwise("SLOW"))
+        .groupBy("speed")
+        .agg(
+          sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(hi, 0).otherwise(1)).as("low_line_count"))
+        .orderBy("speed")
+    }),
+
+    // Q14 shape — promo revenue share: one month of lineitem against
+    // the part dim, a CASE-sum ratio scaled to percent. Same exact-
+    // operand division discipline as q8.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val vol = dec(col("l_extendedprice")) *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,6)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-03-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0)))
+            .cast("double").as("promo_rev"),
+          sum(vol).cast("double").as("total_rev"))
+        .withColumn("promo_share",
+          col("promo_rev") / col("total_rev") * lit(100.0))
+    }),
+
+    // Q15 shape — top supplier: a revenue "view" re-aggregated to its
+    // max, equality-joined back on the EXACT decimal (ties all kept,
+    // no double rounding at the boundary), supplier dim broadcast.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,6)")).as("rd"))
+      val mx = rev.agg(max(col("rd")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rd") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rd").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Q16 shape — supplier-count distribution: DISTINCT count per part
+    // attribute triple with a NOT-IN exclusion set (negative-balance
+    // suppliers play the complaint list), planned as a broadcast anti
+    // join — never a per-row subquery.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_sk"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#1")
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("bad_sk"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+          asc("p_size"))
+    }),
+
+    // Q19 shape — disjunctive bracketed predicates: three OR'd
+    // (brand, size-range, quantity-range) conjuncts spanning BOTH join
+    // sides, carried in the join condition so the part-side half
+    // pushes to the dim scan while the quantity half filters the probe.
+    "q19_disjunctive_rev" -> ((s, dir) => {
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey") && cond)
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
+    }),
+
+    // Q22 shape — global sales opportunity: scalar-average subquery
+    // gate + anti join + derived-code rollup. (Every fixture customer
+    // has orders, so "no orders at all" is vacuous — "no URGENT
+    // orders" keeps the anti join load-bearing; nationkey mod 5 plays
+    // the phone country code.)
+    "q22_sales_opportunity" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("uk"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(urgent, col("c_custkey") === col("uk"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // IN-subquery shape: lineitems of parts in a brand (semi join).
     "subquery_in" -> ((s, dir) => {
       val brandParts = t(s, dir, "part")
@@ -979,6 +1204,160 @@ object RelationalQueries extends QueryPack {
         |  GROUP BY s.s_name)
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND date_diff('day', CAST(o_orderdate AS DATE),
+        |                      CAST(l_shipdate AS DATE)) > 30)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS v,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem l, orders o, customer c, nation n2, region r2,
+        |       supplier s, part p, nation n1
+        |  WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |    AND c.c_nationkey = n2.n_nationkey
+        |    AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'AMERICA'
+        |    AND l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |    AND l.l_suppkey = s.s_suppkey
+        |    AND s.s_nationkey = n1.n_nationkey)
+        |SELECT o_year,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
+        |    AS VARCHAR) AS DOUBLE) AS nation_rev,
+        |  CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total_rev,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
+        |    AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS mkt_share
+        |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """WITH j AS (
+        |  SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS rev,
+        |    CAST(p.p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l.l_quantity AS DECIMAL(18,2)) AS cost
+        |  FROM lineitem l, part p, orders o, supplier s, nation n
+        |  WHERE l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |    AND l.l_orderkey = o.o_orderkey
+        |    AND l.l_suppkey = s.s_suppkey
+        |    AND s.s_nationkey = n.n_nationkey)
+        |SELECT nation, o_year,
+        |  CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(SUM(cost) AS VARCHAR) AS DOUBLE) AS sum_profit
+        |FROM j GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS vd
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(vd) AS td FROM v)
+        |SELECT l_partkey AS p_partkey,
+        |  CAST(CAST(vd AS VARCHAR) AS DOUBLE) AS value
+        |FROM v, t
+        |WHERE CAST(CAST(vd AS VARCHAR) AS DOUBLE)
+        |    > CAST(CAST(td AS VARCHAR) AS DOUBLE) * 1e-3
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "q12_ship_speed" ->
+      """SELECT speed,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (
+        |  SELECT o.o_orderpriority,
+        |    CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+        |        CAST(l.l_shipdate AS DATE)) <= 30
+        |      THEN 'FAST' ELSE 'SLOW' END AS speed
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1.0 - l.l_discount AS DECIMAL(18,6)) AS v
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT
+        |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END)
+        |    AS VARCHAR) AS DOUBLE) AS promo_rev,
+        |  CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS total_rev,
+        |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN v ELSE 0 END)
+        |    AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) * 1e2 AS promo_share
+        |FROM j""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS rd
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |m AS (SELECT MAX(rd) AS mx FROM r)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(CAST(r.rd AS VARCHAR) AS DOUBLE) AS total_rev
+        |FROM r, m, supplier s
+        |WHERE r.rd = m.mx AND s.s_suppkey = r.l_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND l.l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive_rev" ->
+      """SELECT CAST(CAST(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1.0 - l_discount AS DECIMAL(18,6)))
+        |  AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |        AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+        |        AND l.l_quantity BETWEEN 10 AND 40)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+        |        AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "q22_sales_opportunity" ->
+      """WITH a AS (
+        |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |      AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey % 5 AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+        |    AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "subquery_in" ->
       """SELECT l_returnflag, COUNT(*) AS n,

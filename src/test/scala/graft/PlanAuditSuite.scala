@@ -505,6 +505,33 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(p) <= 5, s"shuffles: ${countShuffles(p)}")
   }
 
+  test("round-5 TPC-H batch 2: join strategies and shuffle budgets") {
+    // q4: lateness predicate rides the semi join
+    val p4 = staticPlan("q4_order_priority")
+    assert(p4.toString.contains("LeftSemi"), "q4 must plan a semi join")
+    assert(countShuffles(p4) <= 3, s"q4 shuffles: ${countShuffles(p4)}")
+    // q8: the only non-broadcast exchange pair is lineitem⋈orders
+    val p8 = staticPlan("q8_market_share")
+    assert(p8.toString.contains("BroadcastHashJoin"), "q8 dims must broadcast")
+    assert(countShuffles(p8) <= 3, s"q8 shuffles: ${countShuffles(p8)}")
+    // q16: NOT IN plans as a broadcast anti join, not a per-row subquery
+    val p16 = staticPlan("q16_supplier_cnt")
+    val s16 = p16.toString
+    assert(s16.contains("LeftAnti") && s16.contains("BroadcastHashJoin"),
+      "q16 exclusion set must anti-join broadcast")
+    // q19: the disjunctive predicate must not degrade the join to a
+    // nested loop — the equi-key stays l_partkey = p_partkey
+    val p19 = staticPlan("q19_disjunctive_rev")
+    assert(p19.toString.contains("BroadcastHashJoin"),
+      "q19 must keep the equi hash join under the OR predicate")
+    assert(countShuffles(p19) <= 1, s"q19 shuffles: ${countShuffles(p19)}")
+    // q22: scalar-average gate broadcasts one row; anti join on orders
+    val p22 = staticPlan("q22_sales_opportunity")
+    val s22 = p22.toString
+    assert(s22.contains("LeftAnti"), "q22 must anti-join the urgent set")
+    assert(s22.contains("Broadcast"), "q22 scalar average must broadcast")
+  }
+
   test("pagerank: plan depth is constant in the iteration count") {
     // the checkpoint discipline: every round materializes, so the
     // FINAL plan always contains exactly one round over checkpointed
