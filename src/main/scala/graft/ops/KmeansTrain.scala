@@ -45,14 +45,20 @@ object KmeansTrain {
             (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
       out = upd
       val prev = cents
-      cents = upd.groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c").cast("float")).as("cv"))
-        .select(col("cell").as("cid"), col("cv"))
-        .localCheckpoint()
+      cents = centroidFrame(upd).localCheckpoint()
       prev.unpersist()
     }
     out
   }
+
+  /** Rebuild the centroid frame (cid: long, cv: array<float>) from an
+    * update table — the float32 requantization lives HERE so the loop
+    * and external consumers (trained-index builds) stay in lockstep.
+    */
+  def centroidFrame(upd: DataFrame): DataFrame =
+    upd.groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c").cast("float")).as("cv"))
+      .select(col("cell").as("cid"), col("cv"))
 }

@@ -33,6 +33,37 @@ object TextQueries extends QueryPack {
     */
   private val BpeTrainRounds = 3
 
+  /** The unrolled BPE merge cascade as a WITH body: d0 = corpus, then
+    * per round a bigram rollup, safe-winner pick, and corpus rewrite —
+    * ends at `d$BpeTrainRounds` (the fully merged corpus) and `top$r`
+    * (per-round winners). Shared by the train and apply oracles.
+    */
+  private lazy val bpeTrainCtes: String = {
+    val d0 = "d0 AS (SELECT doc_id, text FROM documents)"
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""bi$r AS (
+         |  SELECT g, COUNT(*) AS n FROM (
+         |    SELECT unnest(
+         |      CASE WHEN len(string_split(text, ' ')) >= 2
+         |        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+         |        ELSE [] END) AS g
+         |    FROM (SELECT string_split(text, ' ') AS w, text
+         |          FROM d${r - 1}))
+         |  GROUP BY 1),
+         |top$r AS (
+         |  SELECT g AS pair, n AS pair_n FROM (
+         |    SELECT g, n,
+         |      row_number() OVER (ORDER BY n DESC, g) AS r FROM bi$r)
+         |  WHERE r = 1 AND regexp_matches(g, '$SafeTrainPairRe')),
+         |d$r AS (
+         |  SELECT doc_id, regexp_replace(text,
+         |      '\\b' || pair || '\\b', replace(pair, ' ', '_'), 'g')
+         |    AS text
+         |  FROM d${r - 1}, top$r)""".stripMargin
+    }
+    (d0 +: rounds).mkString(",\n")
+  }
+
   /** Stopword list for text_normalize — shared literal on both engines. */
   private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "did",
     "worth", "end")
@@ -264,6 +295,29 @@ object TextQueries extends QueryPack {
     "text_bpe_train" -> ((s, dir) =>
       graft.ops.BpeTrain(Tables(s, dir, "documents"), "doc_id", "text",
         BpeTrainRounds, SafeTrainPairRe)),
+
+    // Tokenizer APPLICATION (the other half of BPE training): the
+    // learned merge table — driver metadata, ≤3 rows — folds into a
+    // chained scan-side regexp_replace in rank order, reproducing
+    // exactly the per-round rewrites the trainer performed. Per-doc
+    // token counts before/after measure the compression the merges
+    // bought. Pure projection over one corpus scan (plus the train's
+    // own bounded passes to derive the table); at 100 TB the merge
+    // table is what ships to the tokenize job, not the corpus.
+    "text_bpe_apply" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.ops.BpeTrain(docs, "doc_id", "text",
+          BpeTrainRounds, SafeTrainPairRe)
+        .collect().sortBy(_.getLong(0))
+      val applied = merges.foldLeft(col("text")) { (c, m) =>
+        val pair = m.getString(1)
+        regexp_replace(c, "\\b" + pair + "\\b", pair.replace(' ', '_'))
+      }
+      docs.select(col("doc_id"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_before"),
+        size(TextHash.tokens(applied)).cast("long").as("n_after"))
+        .withColumn("n_merged", col("n_before") - col("n_after"))
+    }),
 
     // Materialized inverted index — the token → postings artifact a
     // retrieval/dedup stack persists next to the corpus (the data
@@ -551,33 +605,22 @@ object TextQueries extends QueryPack {
     // SELECT unions the per-round winners — DuckDB re-derives the same
     // cascade independently.
     "text_bpe_train" -> {
-      val d0 = "d0 AS (SELECT doc_id, text FROM documents)"
-      val rounds = (1 to BpeTrainRounds).map { r =>
-        s"""bi$r AS (
-           |  SELECT g, COUNT(*) AS n FROM (
-           |    SELECT unnest(
-           |      CASE WHEN len(string_split(text, ' ')) >= 2
-           |        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
-           |        ELSE [] END) AS g
-           |    FROM (SELECT string_split(text, ' ') AS w, text
-           |          FROM d${r - 1}))
-           |  GROUP BY 1),
-           |top$r AS (
-           |  SELECT g AS pair, n AS pair_n FROM (
-           |    SELECT g, n,
-           |      row_number() OVER (ORDER BY n DESC, g) AS r FROM bi$r)
-           |  WHERE r = 1 AND regexp_matches(g, '$SafeTrainPairRe')),
-           |d$r AS (
-           |  SELECT doc_id, regexp_replace(text,
-           |      '\\b' || pair || '\\b', replace(pair, ' ', '_'), 'g')
-           |    AS text
-           |  FROM d${r - 1}, top$r)""".stripMargin
-      }
       val sel = (1 to BpeTrainRounds).map { r =>
         s"SELECT CAST($r AS BIGINT) AS merge_rank, pair, pair_n FROM top$r"
       }.mkString("\nUNION ALL ")
-      s"WITH ${(d0 +: rounds).mkString(",\n")}\n$sel"
+      s"WITH $bpeTrainCtes\n$sel"
     },
+
+    // the applied corpus IS the train chain's final d{rounds}: per-doc
+    // counts compare d0 to it
+    "text_bpe_apply" ->
+      s"""WITH $bpeTrainCtes
+         |SELECT d0.doc_id,
+         |  len(string_split(d0.text, ' ')) AS n_before,
+         |  len(string_split(df.text, ' ')) AS n_after,
+         |  len(string_split(d0.text, ' '))
+         |    - len(string_split(df.text, ' ')) AS n_merged
+         |FROM d0 JOIN d$BpeTrainRounds df ON d0.doc_id = df.doc_id""".stripMargin,
 
     "text_inverted_index" ->
       """SELECT tok, COUNT(*) AS df,

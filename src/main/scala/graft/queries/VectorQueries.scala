@@ -34,6 +34,43 @@ object VectorQueries extends QueryPack {
     */
   private val KmeansTrainRounds = 3
 
+  /** The unrolled Lloyd's chain as a WITH body: c0 = seed rows, round r
+    * = argmin assignment (a$r) + quantized update (u$r) + REAL-cast
+    * re-centroid (c$r) — ends at `u$KmeansTrainRounds` /
+    * `c$KmeansTrainRounds`. Shared by the train and trained-IVF oracles.
+    */
+  private lazy val kmeansTrainCtes: String = {
+    val c0 =
+      """c0 AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 101 = 0)""".stripMargin
+    val rounds = (1 to KmeansTrainRounds).map { r =>
+      s"""a$r AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${VectorOps.l2FixDuck("e.embedding", "c.cv")},
+         |          c.cid) AS r
+         |    FROM embeddings e CROSS JOIN c${r - 1} c)
+         |  WHERE r = 1),
+         |u$r AS (
+         |  SELECT cell, pos, COUNT(*) AS n_vecs,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM (SELECT cell, ps.pos,
+         |          CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE)
+         |            * 1000000000.0) AS BIGINT) AS q
+         |        FROM a$r, (SELECT unnest(range(0, 64)) AS pos) ps)
+         |  GROUP BY cell, pos),
+         |c$r AS (
+         |  SELECT cell AS cid,
+         |    list(CAST(CAST(sq AS DOUBLE)
+         |          / (1000000000.0 * CAST(n_vecs AS DOUBLE)) AS REAL)
+         |         ORDER BY pos) AS cv
+         |  FROM u$r GROUP BY cell)""".stripMargin
+    }
+    (c0 +: rounds).mkString(",\n")
+  }
+
   /** Deterministic coarse centroids ([[seedPred]]) and the per-vector
     * cell assignment by fixed-point L2 argmin. The centroid set is
     * collapsed to ONE broadcast row (id-sorted ids + vectors), so
@@ -168,6 +205,36 @@ object VectorQueries extends QueryPack {
       graft.ops.KmeansTrain(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", seedPred, KmeansTrainRounds)),
 
+    // IVF probe over TRAINED centroids (round-5: the training loop and
+    // the index it exists to feed, certified together): the Lloyd's
+    // loop's final centroid frame drives one more scan-side argmin
+    // assignment, queries probe only their own trained cell, cosine
+    // top-k within it. Same plan as ann_ivf_topk — the index build is
+    // a scan-side fold against one broadcast centroid row, query cost
+    // ∝ trained-cell occupancy — but the cells now come from data, not
+    // a seed stride.
+    "ann_ivf_trained" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = graft.ops.KmeansTrain.centroidFrame(
+        graft.ops.KmeansTrain(e, "vec_id", "embedding", seedPred,
+          KmeansTrainRounds))
+      val assigned = VectorOps.assignToCentroids(e, "vec_id", "embedding",
+        cents)
+      val q = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("cell"))
+      val c = assigned.select(col("vec_id").as("n_id"),
+        col("embedding").as("nv"), col("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      c.join(broadcast(q), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select("q_id", "n_id", "cos", "rnk")
+    }),
+
     // Embedding sanity gate: flag vectors whose fixed-point L2 distance
     // to their own centroid exceeds their cell's p99 rank statistic —
     // the corrupt-embedding detector a pipeline runs after any encoder
@@ -289,40 +356,36 @@ object VectorQueries extends QueryPack {
     // assignment vs c(r−1) + quantized update + REAL-cast re-centroid.
     // The final SELECT reads the last update table — identical math to
     // the Spark loop, derived independently by DuckDB.
-    "emb_kmeans_train" -> {
-      val c0 =
-        """c0 AS (
-          |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-          |  WHERE vec_id % 101 = 0)""".stripMargin
-      val rounds = (1 to KmeansTrainRounds).map { r =>
-        s"""a$r AS (
-           |  SELECT vec_id, embedding, cell FROM (
-           |    SELECT e.vec_id, e.embedding, c.cid AS cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${VectorOps.l2FixDuck("e.embedding", "c.cv")},
-           |          c.cid) AS r
-           |    FROM embeddings e CROSS JOIN c${r - 1} c)
-           |  WHERE r = 1),
-           |u$r AS (
-           |  SELECT cell, pos, COUNT(*) AS n_vecs,
-           |    CAST(SUM(q) AS BIGINT) AS sq
-           |  FROM (SELECT cell, ps.pos,
-           |          CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE)
-           |            * 1000000000.0) AS BIGINT) AS q
-           |        FROM a$r, (SELECT unnest(range(0, 64)) AS pos) ps)
-           |  GROUP BY cell, pos),
-           |c$r AS (
-           |  SELECT cell AS cid,
-           |    list(CAST(CAST(sq AS DOUBLE)
-           |          / (1000000000.0 * CAST(n_vecs AS DOUBLE)) AS REAL)
-           |         ORDER BY pos) AS cv
-           |  FROM u$r GROUP BY cell)""".stripMargin
-      }
-      s"""WITH ${(c0 +: rounds).mkString(",\n")}
+    "emb_kmeans_train" ->
+      s"""WITH $kmeansTrainCtes
          |SELECT cell, pos, n_vecs,
          |  CAST(sq AS DOUBLE) / (1000000000.0 * CAST(n_vecs AS DOUBLE)) AS c
-         |FROM u$KmeansTrainRounds""".stripMargin
-    },
+         |FROM u$KmeansTrainRounds""".stripMargin,
+
+    // trained-IVF probe: the SAME unrolled chain feeds one more argmin
+    // assignment against the final centroids, then the within-cell
+    // cosine top-k — training loop and index probe certified together
+    "ann_ivf_trained" ->
+      s"""WITH $kmeansTrainCtes,
+         |af AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${VectorOps.l2FixDuck("e.embedding", "c.cv")},
+         |          c.cid) AS r
+         |    FROM embeddings e CROSS JOIN c$KmeansTrainRounds c)
+         |  WHERE r = 1),
+         |qs AS (
+         |  SELECT vec_id AS q_id, embedding AS qv, cell
+         |  FROM af WHERE vec_id < 20)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q.q_id, a.vec_id AS n_id,
+         |    ${VectorOps.cosDuck("q.qv", "a.embedding")} AS cos,
+         |    CAST(row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${VectorOps.cosDuck("q.qv", "a.embedding")} DESC,
+         |        a.vec_id) AS BIGINT) AS rnk
+         |  FROM af a JOIN qs q ON a.cell = q.cell AND a.vec_id <> q.q_id)
+         |WHERE rnk <= $K""".stripMargin,
 
     "emb_outlier_distance" ->
       s"""WITH $assignCellsDuck,
