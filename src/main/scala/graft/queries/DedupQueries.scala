@@ -37,6 +37,37 @@ object DedupQueries extends QueryPack {
         Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // INCREMENTAL dedup (round-5: the deployment shape — a daily batch
+    // against the standing corpus, not corpus × corpus): incoming docs
+    // (odd ids play the new batch) band-join against the existing
+    // side's signatures and each reports admit/dup with its earliest
+    // match. At 100 TB the existing side's (band, sig, doc) rows are a
+    // PERSISTED fingerprint table maintained alongside the corpus —
+    // the increment joins against it without rescanning anything; here
+    // both sides derive from one signature scan (split scan-side by
+    // parity) so the oracle can re-derive them. The join is
+    // incoming-batch × bucket-occupancy, never corpus-quadratic.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sigs = MinHashLSH.signatures(docs, "doc_id", "text",
+        shingleK = 3, perms = 16, bands = 4)
+      val existing = sigs.filter(col("doc_id") % 2 === 0)
+        .select(col("band"), col("sig"), col("doc_id").as("match_id"))
+      val incoming = sigs.filter(col("doc_id") % 2 === 1)
+        .select(col("band"), col("sig"), col("doc_id").as("new_id"))
+      val matches = incoming.join(existing, Seq("band", "sig"))
+        .select("new_id", "match_id").distinct()
+        .groupBy("new_id")
+        .agg(min(col("match_id")).as("dup_of"),
+          count(lit(1)).as("n_matches"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("new_id"))
+        .join(matches, Seq("new_id"), "left")
+        .select(col("new_id"), col("dup_of"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          when(col("dup_of").isNull, "admit").otherwise("dup").as("status"))
+    }),
+
     // Pairs → clusters → survivors: connected components over the
     // MinHash candidate pairs ([[ConnectedComponents]], hash-to-min +
     // pointer jumping), canonical survivor = min doc_id per component,
@@ -348,6 +379,24 @@ object DedupQueries extends QueryPack {
     "dedup_minhash_pairs" ->
       s"""WITH $minhashPairsWith
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    // cross-parity band join over the SAME signature pipeline (the
+    // unused `pairs` CTE is never referenced, so DuckDB skips it)
+    "dedup_incremental" ->
+      s"""WITH $minhashPairsWith,
+         |im AS (
+         |  SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS match_id
+         |  FROM bands i JOIN bands e
+         |    ON i.band = e.band AND i.sig = e.sig
+         |  WHERE i.doc_id % 2 = 1 AND e.doc_id % 2 = 0),
+         |agg AS (
+         |  SELECT new_id, MIN(match_id) AS dup_of, COUNT(*) AS n_matches
+         |  FROM im GROUP BY 1)
+         |SELECT d.doc_id AS new_id, agg.dup_of,
+         |  COALESCE(agg.n_matches, 0) AS n_matches,
+         |  CASE WHEN agg.new_id IS NULL THEN 'admit' ELSE 'dup' END AS status
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.new_id
+         |WHERE d.doc_id % 2 = 1""".stripMargin,
 
     // truth side re-uses the dedup_ngram_jaccard pipeline (CTEs renamed
     // j* to avoid colliding with the minhash CTE names)
