@@ -4,6 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // fail fast on a bad SPARK_GRAFT_ONLY — a typo should not survive
+    // session spin-up and the warm-up pass before erroring
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY: unknown queries ${unknown.mkString(", ")}")
+      require(names.distinct.size == names.size,
+        "SPARK_GRAFT_ONLY: duplicate names would emit duplicate JSON keys")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,17 +52,15 @@ object Bench {
     // generated classes); run 2 measures the steady state a long-running
     // cluster job actually sees. Min-of-2 also damps host noise, which
     // at sf0.1 is the same order as the per-query times.
-    // Optional subset for isolation/profiling runs: SPARK_GRAFT_ONLY as
-    // comma-separated query names, timed in the GIVEN order. Absent →
-    // full bench in NAME order: the query map is a HashMap, so its
-    // iteration order reshuffles whenever queries are added — which
-    // moves queries relative to the siblings that pre-warm their shared
-    // kernels (JIT/codegen) and makes per-query numbers round-over-round
-    // incomparable (the r4 "dedup_minhash_pairs regression" was exactly
-    // this: 0.38s after its MinHash siblings, 0.84s cold). Sorting pins
-    // the order so warm-up effects are at least reproducible.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    // SPARK_GRAFT_ONLY (validated above): comma-separated names, timed
+    // in the GIVEN order. Absent → full bench in NAME order: the query
+    // map is a HashMap, so its iteration order reshuffles whenever
+    // queries are added — which moves queries relative to the siblings
+    // that pre-warm their shared kernels (JIT/codegen) and makes
+    // per-query numbers round-over-round incomparable (the r4
+    // "dedup_minhash_pairs regression" was exactly this: 0.38s after
+    // its MinHash siblings, 0.84s cold). Sorting pins the order so
+    // warm-up effects are at least reproducible.
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       only match {
         case Some(names) => names.map(n => n -> SparkEntry.queries(n))

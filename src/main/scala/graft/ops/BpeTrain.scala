@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * Per round: one bigram rollup over the CURRENT merged corpus (hash-
   * keyed shuffle, map-side partials), a deterministic argmin winner
   * pick (min of (−count, pair) — count desc, pair asc), a regex-safety
-  * guard, then a scan-side corpus rewrite against the broadcast winner.
+  * guard, then a scan-side corpus rewrite against the collected winner
+  * (a guard-safe literal — broadcasting the winner frame instead would
+  * re-execute the rollup as the broadcast subplan).
   * The merged corpus is `localCheckpoint`ed per round (the
   * [[PageRank]]/[[ConnectedComponents]] discipline): round r's rollup
   * never re-runs rounds 1..r−1's regexes, plan depth is constant in the
@@ -47,15 +49,21 @@ object BpeTrain {
         .filter(col("pair").rlike(safePairRe))
       val win = top.collect()
       win.foreach(w => merges += ((r.toLong, w.getString(0), w.getLong(1))))
-      if (win.nonEmpty) {
+      // rewrite from the COLLECTED winner (a guard-safe literal): a
+      // crossJoin(broadcast(top)) would re-execute the whole bigram
+      // rollup as the broadcast subplan — doubling the dominant
+      // per-round cost (r5 review). The final round's rewrite is
+      // skipped entirely: no later rollup ever reads it.
+      if (win.nonEmpty && r < rounds) {
+        val pair = win(0).getString(0)
         val prev = docs
-        docs = docs.crossJoin(broadcast(top))
+        docs = docs
           .withColumn("text", regexp_replace(col("text"),
-            concat(lit("\\b"), col("pair"), lit("\\b")),
-            expr("replace(pair, ' ', '_')")))
+            lit("\\b" + pair + "\\b"), lit(pair.replace(' ', '_'))))
           .select(col(idCol), col("text"))
           .localCheckpoint()
-        prev.unpersist()
+        // checkpoint blocks bypass the CacheManager; release the RDD
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prev)
       }
     }
     merges.toSeq.toDF("merge_rank", "pair", "pair_n")

@@ -95,9 +95,12 @@ object ConnectedComponents {
       // executor storage
       val prev = labels
       labels = next
-      prev.unpersist()
+      // Dataset.unpersist is a silent no-op on localCheckpoint blocks
+      // (they bypass the CacheManager) — release the RDD itself
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prev)
     }
-    edges.unpersist() // the result depends only on the final labels
+    // the result depends only on the final labels
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(edges)
     labels.select(col("node"), col("label").as("component"))
   }
 }

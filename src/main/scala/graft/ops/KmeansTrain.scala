@@ -33,7 +33,7 @@ object KmeansTrain {
     var cents = df.filter(seed)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     var out: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val upd = VectorOps.assignToCentroids(df, idCol, vecCol, cents)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .select(col("cell"), col("pos"),
@@ -44,9 +44,16 @@ object KmeansTrain {
           (col("sq").cast("double") /
             (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
       out = upd
-      val prev = cents
-      cents = centroidFrame(upd).localCheckpoint()
-      prev.unpersist()
+      // the LAST round's centroids are never consumed — materializing
+      // them would add one full E+M corpus pass whose result is thrown
+      // away (r5 review); consumers wanting them call [[centroidFrame]]
+      // on the returned update table (cells × dims rows, cheap)
+      if (r < rounds) {
+        val prev = cents
+        cents = centroidFrame(upd).localCheckpoint()
+        // checkpoint blocks bypass the CacheManager; release the RDD
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prev)
+      }
     }
     out
   }

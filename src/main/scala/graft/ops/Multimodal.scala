@@ -49,6 +49,14 @@ object Multimodal {
     */
   object ImageCodec {
 
+    // ImageIO's default stream cache is DISK-backed: with it on, every
+    // per-row read/write creates and deletes a temp file under
+    // java.io.tmpdir — filesystem I/O dwarfing the in-memory BMP work
+    // and contending across task threads. Byte-array payloads want the
+    // in-memory stream path. One-time JVM-wide switch, applied on
+    // first use of this object (classload is thread-safe).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Exact integer pixel statistics of the gray (= red) channel. */
     case class PixelStats(
         width: Int, height: Int, sumGray: Long, minGray: Int, maxGray: Int)

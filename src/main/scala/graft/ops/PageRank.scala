@@ -70,7 +70,10 @@ object PageRank {
         .localCheckpoint()
       val prev = ranks
       ranks = next
-      prev.unpersist() // next is materialized; at most two frames live
+      // Dataset.unpersist would be a silent no-op here (checkpoint
+      // blocks bypass the CacheManager) — release the checkpointed RDD
+      // itself so at most two rank frames are ever materialized
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prev)
     }
     ranks
   }

@@ -37,6 +37,12 @@ object TextQueries extends QueryPack {
     * per round a bigram rollup, safe-winner pick, and corpus rewrite —
     * ends at `d$BpeTrainRounds` (the fully merged corpus) and `top$r`
     * (per-round winners). Shared by the train and apply oracles.
+    *
+    * The rewrite is a LEFT JOIN + COALESCE, NOT a cross join: a round
+    * with no safe winner must leave the corpus UNCHANGED (as the Spark
+    * loop does) — a plain `FROM d, top` would empty every later d$r,
+    * which coincidentally matches for the merge-table output but
+    * diverges for text_bpe_apply, which compares corpora (r5 review).
     */
   private lazy val bpeTrainCtes: String = {
     val d0 = "d0 AS (SELECT doc_id, text FROM documents)"
@@ -56,10 +62,11 @@ object TextQueries extends QueryPack {
          |      row_number() OVER (ORDER BY n DESC, g) AS r FROM bi$r)
          |  WHERE r = 1 AND regexp_matches(g, '$SafeTrainPairRe')),
          |d$r AS (
-         |  SELECT doc_id, regexp_replace(text,
-         |      '\\b' || pair || '\\b', replace(pair, ' ', '_'), 'g')
-         |    AS text
-         |  FROM d${r - 1}, top$r)""".stripMargin
+         |  SELECT doc_id,
+         |    COALESCE(regexp_replace(d.text,
+         |        '\\b' || t.pair || '\\b', replace(t.pair, ' ', '_'), 'g'),
+         |      d.text) AS text
+         |  FROM d${r - 1} d LEFT JOIN top$r t ON TRUE)""".stripMargin
     }
     (d0 +: rounds).mkString(",\n")
   }

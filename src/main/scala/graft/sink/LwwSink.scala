@@ -37,9 +37,10 @@ import graft.ops.LwwDedup
   * Scale note: per-bucket rewrite is the *emulation's* granularity —
   * on a cluster this `foreachBatch` body becomes a real keyed upsert
   * (Cassandra writes or MERGE INTO on a table format with row-level
-  * merge); the dataflow upstream is unchanged. Layout matches the read
-  * pattern the reference's PK serves: bucketed by symbol, sorted
-  * `time DESC, price` within files.
+  * merge); the dataflow upstream is unchanged. Layout follows each
+  * table's OWN primary key: bucketed by `keys.head` (the partition-key
+  * analog), rows sorted by the full PK within files — deterministic
+  * clustering for whatever schema the table carries.
   */
 object LwwSink {
 

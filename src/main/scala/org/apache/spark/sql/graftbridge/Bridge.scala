@@ -13,4 +13,25 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the storage blocks of a `localCheckpoint()`ed DataFrame.
+    *
+    * `Dataset.unpersist` only clears CacheManager entries, and a local
+    * checkpoint is NOT one — it persists the underlying RDD directly,
+    * so plain `df.unpersist()` on a checkpointed frame silently frees
+    * nothing and iterative loops leak one materialized frame per round.
+    * The persisted RDD is the checkpoint's `LogicalRDD` ROOT;
+    * unpersisting that is the release. Deliberately matches only the
+    * plan ROOT: a frame merely DERIVED from checkpoints (round-1 state
+    * built on a checkpointed base) must not release its still-live
+    * inputs — walking all leaves did exactly that and later rounds
+    * died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. No-op on frames that
+    * were never checkpointed.
+    */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -547,6 +547,15 @@ class PlanAuditSuite extends SparkSpec {
     val d6 = planSize(6)
     assert(d2 === d6,
       s"plan must not grow with iterations: iters=2 -> $d2 nodes, iters=6 -> $d6")
+    // and storage must not grow with iterations either: superseded
+    // rounds release their checkpoint RDDs (Dataset.unpersist is a
+    // silent no-op on localCheckpoint blocks — r5 review). Live after a
+    // run: the static frames (ewd, base) + the final ranks = 3 per run.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    graft.ops.PageRank(edges, 6).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"checkpoint leak: $before persisted RDDs before, $after after iters=6")
   }
 
   test("media_phash_neardup: the candidate exchange carries ints, not payloads") {
