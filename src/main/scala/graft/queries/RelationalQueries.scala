@@ -810,6 +810,37 @@ object RelationalQueries extends QueryPack {
           .cast("double").as("revenue"))
     }),
 
+    // Q20 shape — excess stock: a semi-join CHAIN whose inner member-
+    // ship test is itself a nested grouped-aggregate comparison
+    // ("suppliers who shipped >50% of some promo part's year volume").
+    // Both rollups aggregate the SAME joined frame — the per-(part,
+    // supp) and per-part sums share one scan and the re-join rides the
+    // partkey partitioning; the qualifying supplier-key set is bounded
+    // by supplier cardinality, so the final semi is broadcast-sized.
+    // (No partsupp availqty in the fixture; shipped-share plays it.)
+    "q20_excess_stock" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1997-01-01")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), dec(col("l_quantity")).as("q"))
+      val bySupp = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("q")).as("sq"))
+      val byPart = li.groupBy(col("l_partkey").as("tp"))
+        .agg(sum(col("q")).as("tq"))
+      val dominant = bySupp.join(byPart, col("l_partkey") === col("tp"))
+        .filter(col("sq").cast("double") > col("tq").cast("double") * lit(0.5))
+        .select(col("l_suppkey").as("dk")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant, col("s_suppkey") === col("dk"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    }),
+
     // Q22 shape — global sales opportunity: scalar-average subquery
     // gate + anti join + derived-code rollup. (Every fixture customer
     // has orders, so "no orders at all" is vacuous — "no URGENT
@@ -1343,6 +1374,27 @@ object RelationalQueries extends QueryPack {
         |        AND l.l_quantity BETWEEN 10 AND 40)
         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
         |        AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin,
+
+    "q20_excess_stock" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    CAST(l.l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'PROMO'
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-01-01'),
+        |bs AS (SELECT l_partkey, l_suppkey, SUM(q) AS sq
+        |       FROM li GROUP BY 1, 2),
+        |bp AS (SELECT l_partkey, SUM(q) AS tq FROM li GROUP BY 1),
+        |dom AS (
+        |  SELECT DISTINCT bs.l_suppkey
+        |  FROM bs JOIN bp USING (l_partkey)
+        |  WHERE CAST(CAST(bs.sq AS VARCHAR) AS DOUBLE)
+        |      > CAST(CAST(bp.tq AS VARCHAR) AS DOUBLE) * 5e-1)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s.s_suppkey""".stripMargin,
 
     "q22_sales_opportunity" ->
       """WITH a AS (
