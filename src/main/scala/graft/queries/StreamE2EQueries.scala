@@ -31,7 +31,8 @@ object StreamE2EQueries extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_e2e_sink" -> ((s, dir) => run(s, dir)),
     "stream_e2e_cumvol" -> ((s, dir) => runCumvol(s, dir)),
-    "stream_e2e_rolling" -> ((s, dir) => runRolling(s, dir)))
+    "stream_e2e_rolling" -> ((s, dir) => runRolling(s, dir)),
+    "stream_e2e_join" -> ((s, dir) => runJoin(s, dir)))
 
   /** The STATEFUL path end to end: TICK envelopes → envelope source →
     * parse → keyed cumulative state (A1+A2: per-(symbol, UTC-day)
@@ -169,6 +170,85 @@ object StreamE2EQueries extends QueryPack {
         col("n_frame"), col("value"), col("mean"))
   }
 
+  /** The STREAM-STREAM JOIN path end to end (round-5, fourth streaming
+    * oracle row): one spool carrying BOTH envelope kinds → the two
+    * parse branches of a single source instance →
+    * [[graft.streaming.StreamJoins.tickWithRecentBook]] (watermarked
+    * interval join, 1-day lag) → LWW sink keyed on the pair PK →
+    * read-back, against a plain interval-join DuckDB oracle.
+    *
+    * Determinism leg specific to the join: the spool is ONE file, so
+    * each source instance admits everything in a single micro-batch —
+    * the watermark cannot advance between batches and drop
+    * cross-batch matches as late. (The cumvol/rolling queries tolerate
+    * multi-batch admission because their per-key state carries over;
+    * an interval join's output SET depends on what the watermark has
+    * already evicted, so completeness needs the one-batch guarantee.)
+    * Both join inputs are pre-deduped on their sink PKs, so the joined
+    * pair PK (symbol, tick_time, book_time, book_price) is unique and
+    * replay-idempotent.
+    */
+  private def runJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val tickBase = LwwDedup(
+      ev.filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+    val bookBase = LwwDedup(
+      ev.filter(col("event_type") === "view")
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s"), col("value")),
+      Seq(col("event_id")))
+    val tickLines = tickBase.select(to_json(struct(
+      lit("feed").as("topic"),
+      lit("TICK").as("frameType"),
+      struct(
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("bid"),
+        col("value").as("price"),
+        col("value").as("ask"),
+        col("time_s").as("time"),
+        floor(col("value")).cast("int").as("volume"),
+        when(col("event_type") === "purchase", "B").otherwise("S")
+          .as("type")).as("payload"))).as("value"))
+    val bookLines = bookBase.select(to_json(struct(
+      lit("feed").as("topic"),
+      lit("BOOK").as("frameType"),
+      array(struct(
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("price"),
+        col("time_s").as("time"),
+        floor(col("value")).cast("int").as("volume"),
+        lit("BOOK_TYPE_VIEW").as("type"))).as("payload"))).as("value"))
+    val work = Files.createTempDirectory("graft_e2e_join")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(
+      tickLines.unionByName(bookLines), work, repartitionTo = Some(1))
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).load()
+    val ticks = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .select("symbol", "bid", "price", "ask", "time", "volume", "tradeType")
+    val books = Pipelines.parseBooks(env).filter(!col("_corrupt"))
+      .select("symbol", "price", "time", "volume", "orderType")
+    val joined = graft.streaming.StreamJoins.tickWithRecentBook(
+      ticks, books, lagSeconds = 86400)
+    val sinkRoot = work.resolve("sink").toString
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "tickbook",
+          Seq("symbol", "tick_time", "book_time", "book_price"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "tickbook")
+      .select(col("symbol"), col("tick_time"), col("tick_price"),
+        col("tick_volume"), col("tradeType").as("trade_type"),
+        col("book_time"), col("book_price"), col("book_volume"),
+        col("orderType").as("order_type"))
+  }
+
   private def run(s: SparkSession, dir: String): DataFrame = {
     // 1. Feed-adapter analog: events → one single-level BOOK envelope
     //    each, PK-unique per (symbol, time-second, price) so LWW output
@@ -268,6 +348,35 @@ object StreamE2EQueries extends QueryPack {
         |      * (CAST(q AS HUGEINT) * n_frame - sq)
         |    > 4 * (CAST(sq2 AS HUGEINT) * n_frame * 1000000000
         |           - CAST(sq AS HUGEINT) * sq)""".stripMargin,
+
+    // plain interval-join mirror of the watermarked stream-stream join:
+    // deduped ticks × deduped book views within the 1-day lag
+    "stream_e2e_join" ->
+      """WITH t AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END AS typ,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1),
+        |b AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, epoch_us(ts) // 1000000, value
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1)
+        |SELECT CAST(t.user_id AS VARCHAR) AS symbol,
+        |  t.sec AS tick_time, t.value AS tick_price,
+        |  CAST(floor(t.value) AS INT) AS tick_volume,
+        |  t.typ AS trade_type,
+        |  b.sec AS book_time, b.value AS book_price,
+        |  CAST(floor(b.value) AS INT) AS book_volume,
+        |  'VIEW' AS order_type
+        |FROM t JOIN b ON t.user_id = b.user_id
+        |  AND b.sec >= t.sec - 86400 AND b.sec <= t.sec""".stripMargin,
 
     "stream_e2e_sink" ->
       """SELECT CAST(user_id AS VARCHAR) AS symbol,
