@@ -863,6 +863,29 @@ object RelationalQueries extends QueryPack {
         .orderBy("cntrycode")
     }),
 
+    // NULL-AWARE anti join — the NOT-IN shape engines get wrong: SQL's
+    // three-valued logic makes `x NOT IN (list containing NULL)` never
+    // true, so ONE null in the subquery empties the result. Spark
+    // plans this as a null-aware anti join (a distinct physical family
+    // from the plain LeftAnti q16/q22 use — the null check needs the
+    // whole build side); the clean/poisoned pair pins both branches in
+    // one oracle row. Written in SQL because NOT IN's null semantics
+    // ARE the SQL surface under test.
+    "subquery_not_in_nullaware" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust_naaj")
+      t(s, dir, "supplier").createOrReplaceTempView("supp_naaj")
+      s.sql(
+        """SELECT
+          |  (SELECT COUNT(*) FROM cust_naaj
+          |   WHERE c_nationkey NOT IN
+          |     (SELECT s_nationkey FROM supp_naaj WHERE s_suppkey < 40))
+          |    AS n_clean,
+          |  (SELECT COUNT(*) FROM cust_naaj
+          |   WHERE c_nationkey NOT IN
+          |     (SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END
+          |      FROM supp_naaj)) AS n_poisoned""".stripMargin)
+    }),
+
     // IN-subquery shape: lineitems of parts in a brand (semi join).
     "subquery_in" -> ((s, dir) => {
       val brandParts = t(s, dir, "part")
@@ -1410,6 +1433,17 @@ object RelationalQueries extends QueryPack {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "subquery_not_in_nullaware" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_nationkey NOT IN
+        |     (SELECT s_nationkey FROM supplier WHERE s_suppkey < 40))
+        |    AS n_clean,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_nationkey NOT IN
+        |     (SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END
+        |      FROM supplier)) AS n_poisoned""".stripMargin,
 
     "subquery_in" ->
       """SELECT l_returnflag, COUNT(*) AS n,
