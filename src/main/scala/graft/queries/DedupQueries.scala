@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{ConnectedComponents, JaccardPairs, MinHashLSH, SimHash, TextHash, TextStats, VectorOps}
+import graft.ops.{ConnectedComponents, JaccardPairs, MinHashLSH, PrefixFilterJoin, SimHash, TextHash, TextStats, VectorOps}
 
 /** Training-data deduplication operators over the `documents` /
   * `embeddings` fixtures: exact hash dedup, MinHash+LSH banding, SimHash
@@ -124,6 +124,17 @@ object DedupQueries extends QueryPack {
     // stop-gram cut (df > 50 dropped).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       JaccardPairs(Tables(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Prefix-filtered set-similarity self-join (AllPairs/PPJoin): EVERY
+    // pair with 3-shingle Jaccard >= 3/5, exact metric, NO df cap. The
+    // oracle brute-forces all co-gram pairs with no prefix logic, so the
+    // hash-match proves end-to-end that the prefix filter lost nothing
+    // on this corpus — completeness checked, not assumed. Threshold
+    // rides as the rational 3/5: every prune/accept is an exact integer
+    // comparison. See PrefixFilterJoin for the 100 TB argument.
+    "dedup_prefix_filter" -> ((s, dir) => {
+      PrefixFilterJoin(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
     // Asymmetric containment over the same inverted index: catches the
@@ -379,6 +390,28 @@ object DedupQueries extends QueryPack {
     "dedup_minhash_pairs" ->
       s"""WITH $minhashPairsWith
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    // Deliberately NOT the prefix-filter algorithm: the full brute-force
+    // postings self-join (no prefix, no length prune). A hash-match
+    // therefore certifies the Spark-side filter's completeness, not just
+    // arithmetic parity.
+    "dedup_prefix_filter" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |g AS (SELECT DISTINCT doc_id AS doc, $h31duck AS gram FROM (
+         |  SELECT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            for i in range(1, len(w)-1)]) AS s
+         |  FROM tok WHERE len(w) >= 3)),
+         |sz AS (SELECT doc, COUNT(*) AS n FROM g GROUP BY 1),
+         |c AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc < b.doc
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common, sa.n AS na, sb.n AS nb,
+         |  CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE)
+         |    AS jaccard
+         |FROM c JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+         |WHERE 5 * common >= 3 * (sa.n + sb.n - common)""".stripMargin,
 
     // cross-parity band join over the SAME signature pipeline (the
     // unused `pairs` CTE is never referenced, so DuckDB skips it)
