@@ -15,6 +15,7 @@ import graft.ops.{TextHash, TextStats}
 object TextQueries extends QueryPack {
 
   private val P = TextHash.P31
+  private val h31duck = s"CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P"
 
   /** Only apply a BPE merge when the winning pair is plain
     * alphanumerics — regex metachars diverge between Java regex and
@@ -258,6 +259,38 @@ object TextQueries extends QueryPack {
           TextHash.shingleHashes(col("text"), 1)).as("fp"))
       val clusters = fp.groupBy("fp").agg(count(lit(1)).as("n_dups"))
       fp.join(clusters, Seq("fp")).select("doc_id", "fp", "n_dups")
+    }),
+
+    // Winnowing fingerprints (the MOSS local-fingerprint scheme,
+    // Schleimer/Wilkerson/Aiken SIGMOD'03): slide a w=8 window over each
+    // doc's ordered 3-shingle hashes and record the window minimum, ties
+    // to the RIGHTMOST occurrence (robust winnowing). Guarantees every
+    // shared run of >= w+k-1 tokens yields a shared fingerprint, with
+    // expected density 2/(w+1) — position-robust where the whole-doc
+    // rolling fingerprint breaks on a single edit. The argmin-with-
+    // rightmost-tie folds into ONE window MIN by packing
+    // hash*2^26 + (2^26-1-pos) into a single long (hash < 2^31, so the
+    // pack fits in 57 bits; min ⇒ smallest hash, then largest pos) —
+    // no nested window, no self-join. Plan: scan-side shingle hashing +
+    // one doc-keyed window; output rows are the per-doc fingerprint
+    // index (the join key for cross-doc plagiarism/overlap detection).
+    // Docs shorter than w+k-1 tokens have no full window and emit
+    // nothing, per the original algorithm's guarantee domain.
+    "text_winnow_fingerprint" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val S = 1L << 26
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextHash.shingleHashes(col("text"), 3)).as(Seq("i", "h")))
+        .select(col("doc_id"), col("i"),
+          (col("h") * S + (lit(S - 1) - col("i"))).as("pack"))
+        .withColumn("m", min(col("pack")).over(
+          W.partitionBy("doc_id").orderBy("i").rowsBetween(-7, 0)))
+        .filter(col("i") >= 7)
+        .select(col("doc_id"),
+          (lit(S - 1) - col("m") % S).as("pos"),
+          expr(s"m div $S").as("fp"))
+        .distinct()
     }),
 
     // One BPE training iteration over the corpus: find the most
@@ -581,6 +614,28 @@ object TextQueries extends QueryPack {
          |  FROM documents),
          |cl AS (SELECT fp, count(*) AS n_dups FROM fp GROUP BY fp)
          |SELECT doc_id, fp.fp, n_dups FROM fp JOIN cl USING (fp)""".stripMargin,
+
+    // Same pack-then-window-MIN formulation (pure integer arithmetic,
+    // so the engines cannot diverge on a tie).
+    "text_winnow_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |sh AS (SELECT doc_id,
+         |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |          for i in range(1, len(w)-1)] AS sh
+         |       FROM tok WHERE len(w) >= 3),
+         |hx AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS i,
+         |         unnest(list_transform(sh, s -> $h31duck)) AS h
+         |       FROM sh),
+         |p AS (SELECT doc_id, i,
+         |        h * 67108864 + (67108863 - i) AS pack FROM hx),
+         |m AS (SELECT doc_id, i,
+         |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m
+         |      FROM p)
+         |SELECT DISTINCT doc_id, 67108863 - (m % 67108864) AS pos,
+         |  m // 67108864 AS fp
+         |FROM m WHERE i >= 7""".stripMargin,
 
     "text_bpe_merge_step" ->
       s"""WITH bi AS (
