@@ -406,6 +406,18 @@ object RelationalQueries extends QueryPack {
           col("l_extendedprice").as("price"))
     }),
 
+    // 2-D skyline: parts on the (cheap, large) Pareto frontier — no other
+    // part is both at-most-as-expensive and at-least-as-big with one
+    // strict. The oracle runs the textbook quadratic NOT EXISTS; the
+    // Spark plan is the linear level-maxima + two-level prefix-max
+    // reduction (see ops/Skyline) — the hash-match proves the reduction
+    // IS the dominance semantics, including whole tied groups surviving
+    // together (duplicate points never dominate each other).
+    "sort_skyline" -> ((s, dir) => {
+      graft.ops.Skyline(t(s, dir, "part"), "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    }),
+
     // ---- set operations -------------------------------------------------
     "set_union" -> ((s, dir) => {
       val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -1112,6 +1124,17 @@ object RelationalQueries extends QueryPack {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 10""".stripMargin,
+
+    // deliberately the quadratic dominance definition, not the
+    // prefix-max algorithm — independent semantics check
+    "sort_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size > p.p_size))""".stripMargin,
 
     "set_union" ->
       """SELECT DISTINCT nk FROM (
