@@ -227,6 +227,86 @@ object TemporalQueries extends QueryPack {
                 (col("nh") - col("ph")).cast("double"))).as("v"))
     }),
 
+    // Time-weighted average price (TWAP) per (user, day): each tick
+    // weighted by its holding duration to the next tick — the
+    // execution-quality benchmark next to the volume-weighted VWAP
+    // (ts_vwap_imbalance). Weights are exact epoch-micro durations, the
+    // price is fixed-point cents, so numerator/denominator are pure
+    // BIGINT sums: num <= max_q · Σdur <= 10^5 · 8.64·10^10 (a day in
+    // micros) ≈ 8.6·10^15 — int64-safe BY CONSTRUCTION because a day's
+    // durations sum to at most a day. The last tick of each group takes
+    // zero weight (no next tick to hold to), matching the standard
+    // left-Riemann TWAP; single-tick and zero-span groups drop (no
+    // holding interval exists). One user/day-keyed window + the grouped
+    // rollup on the same key — exchange reused.
+    "ts_twap" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id", "day").orderBy(col("us"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("q"))
+        .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+        .groupBy("user_id", "day")
+        .agg(count(col("dur")).as("n_weighted"),
+          sum(col("q") * col("dur")).as("num"),
+          sum(col("dur")).as("den"))
+        .filter(col("den").isNotNull && col("den") > 0)
+        .select(col("user_id"), col("day"), col("n_weighted"),
+          expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e2").as("twap"))
+    }),
+
+    // First-order Markov transition matrix over each user's event
+    // sequence: P(next_type | prev_type) with exact pair counts — the
+    // session-behavior fingerprint (and the input to sequence-model
+    // sanity checks on training data). One user-keyed window builds
+    // adjacent pairs; the matrix is |types|² rows, so the per-row
+    // probability divides two exact counts (row totals via a window
+    // over the TINY aggregated matrix, partitioned on prev_type).
+    "event_transitions" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(W.partitionBy("prev_type")).cast("double"))
+    }),
+
+    // Per-user linear trend of spend over time: least-squares slope from
+    // the five classical sums, every one EXACT — x is epoch-seconds
+    // centered on the group minimum (a window min on the same user key),
+    // which keeps x² sums in int64; the cross products n·Σxy and Σx·Σy
+    // reach ~10²² so the combination runs in DECIMAL(38,0)/HUGEINT (the
+    // agg_moments discipline). Groups whose x-variance is zero (all
+    // events in the same second) have no defined slope and drop — an
+    // exact integer test, not a float-epsilon one. One user-keyed
+    // shuffle shared by the window and the rollup.
+    "ts_linear_trend" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("sec"),
+          floor(col("value") * 1e6).cast("long").as("q"))
+        .withColumn("x",
+          col("sec") - min(col("sec")).over(W.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(expr("x * x")).as("sxx"), sum(col("q")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * q")).as("sxy"))
+        .filter(expr("CAST(n AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx > 0"))
+        .select(col("user_id"), col("n"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+            " / CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / 1e6")
+            .as("slope_per_sec"))
+    }),
+
     // Sliding 1-hour windows every 30 minutes: each event lands in two
     // overlapping windows (Spark's window() generator). The oracle
     // reconstructs the same membership by exploding each event to its
@@ -438,6 +518,63 @@ object TemporalQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM ud u JOIN fd f ON u.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "ts_twap" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+        |    epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS q
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, day, q,
+        |    lead(us) OVER (PARTITION BY user_id, day
+        |      ORDER BY us, event_id) - us AS dur
+        |  FROM b)
+        |SELECT user_id, day, COUNT(dur) AS n_weighted,
+        |  CAST(CAST(SUM(q * dur) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) / 1e2 AS twap
+        |FROM d GROUP BY 1, 2
+        |HAVING SUM(dur) IS NOT NULL AND SUM(dur) > 0""".stripMargin,
+
+    "event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |m AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n FROM pairs
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |         AS DOUBLE) AS p
+        |FROM m""".stripMargin,
+
+    "ts_linear_trend" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS q
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    sec - MIN(sec) OVER (PARTITION BY user_id) AS x, q
+        |  FROM b),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(q) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * q) AS sxy
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n,
+        |  CAST(CAST(CAST(n AS HUGEINT) * sxy
+        |    - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(CAST(n AS HUGEINT) * sxx
+        |    - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+        |  / 1e6 AS slope_per_sec
+        |FROM a
+        |WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0""".stripMargin,
 
     "agg_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS h_start, event_type,
