@@ -180,6 +180,48 @@ object QualityQueries extends QueryPack {
         .select(col("l_returnflag"), col("n_rows"), col("p05"), col("p95"),
           (col("cents").cast("double") /
             (lit(1e2) * col("n_rows").cast("double"))).as("wins_mean"))
+    }),
+
+    // Median-absolute-deviation outlier gate per group — the robust
+    // cousin of ts_anomaly_zscore (a single wild value can't drag MAD
+    // the way it drags σ). BOTH medians are exact rank statistics over
+    // fixed-point longs, doubled to dodge the halving: med2 = q⌈n/2⌉ +
+    // q⌈(n+1)/2⌉ (= 2·median, odd n picks the same rank twice via two
+    // conditional sums), dev2 = |2q − med2| (= 2·|x−med|), mad4 =
+    // dev2 at the same two ranks (= 4·MAD). The outlier test
+    // |x − med| > 3·MAD becomes 2·dev2 > 3·mad4 — pure int64 (dev2 ≤
+    // 4·10⁹, so no boundary row can flip cross-engine). Two rank
+    // windows on the same group key (the exchange reuses), medians
+    // re-attach by broadcast. The per-group sorts are the exactness
+    // anchor; at 100 TB the same gate runs on the histogram-quantile
+    // sketch, like agg_winsorized_stats.
+    "dq_mad_outliers" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "events")
+        .select(col("event_type"), floor(col("value") * 1e6).cast("long").as("q"))
+      val ranked = base
+        .withColumn("r", row_number().over(
+          W.partitionBy("event_type").orderBy("q")).cast("long"))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("event_type")))
+      val med = ranked.groupBy("event_type").agg(
+        max(col("n")).as("n"),
+        (sum(when(col("r") === expr("(n + 1) DIV 2"), col("q"))) +
+          sum(when(col("r") === expr("(n + 2) DIV 2"), col("q")))).as("med2"))
+      val dev = base.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev2", abs(col("q") * 2 - col("med2")))
+      val mad = dev
+        .withColumn("r", row_number().over(
+          W.partitionBy("event_type").orderBy("dev2")).cast("long"))
+        .groupBy("event_type").agg(
+          (sum(when(col("r") === expr("(n + 1) DIV 2"), col("dev2"))) +
+            sum(when(col("r") === expr("(n + 2) DIV 2"), col("dev2")))).as("mad4"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          expr("CAST(MAX(med2) AS DOUBLE) / 2e6").as("median"),
+          expr("CAST(MAX(mad4) AS DOUBLE) / 4e6").as("mad"),
+          sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
     })
   )
 
@@ -205,6 +247,42 @@ object QualityQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "dq_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS q
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, q,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY q) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM base),
+        |med AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |    CAST(SUM(CASE WHEN r = (n + 1) // 2 THEN q END) AS BIGINT)
+        |    + CAST(SUM(CASE WHEN r = (n + 2) // 2 THEN q END) AS BIGINT)
+        |      AS med2
+        |  FROM rk GROUP BY 1),
+        |dev AS (
+        |  SELECT b.event_type, m.n, m.med2, abs(b.q * 2 - m.med2) AS dev2
+        |  FROM base b JOIN med m ON b.event_type = m.event_type),
+        |rk2 AS (
+        |  SELECT event_type, n, dev2,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS r
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN r = (n + 1) // 2 THEN dev2 END) AS BIGINT)
+        |    + CAST(SUM(CASE WHEN r = (n + 2) // 2 THEN dev2 END) AS BIGINT)
+        |      AS mad4
+        |  FROM rk2 GROUP BY 1)
+        |SELECT d.event_type, MAX(d.n) AS n,
+        |  CAST(MAX(d.med2) AS DOUBLE) / 2e6 AS median,
+        |  CAST(MAX(a.mad4) AS DOUBLE) / 4e6 AS mad,
+        |  CAST(SUM(CASE WHEN d.dev2 * 2 > a.mad4 * 3 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY 1""".stripMargin,
+
     "agg_moments" -> {
       val steps = MomentSqls.zipWithIndex.map { case ((name, sql), i) =>
         val prev = if (i == 0) "mbase" else s"m$i"
