@@ -307,6 +307,57 @@ object TemporalQueries extends QueryPack {
             .as("slope_per_sec"))
     }),
 
+    // Peak concurrent sessions per day — the interval sweep line. User
+    // sessions (the agg_session_window 30-minute-gap semantics, half-open
+    // [start, end)) become ±1 deltas; concurrency is the running sum in
+    // event-time order, ends before starts at the same instant (at time
+    // t an ending session is inactive, a starting one active; within an
+    // instant negatives sort first so the running value is monotone up
+    // to the instant's true final count — no intermediate ordering can
+    // inflate the max). The sweep is DAY-PARTITIONED, not global: each
+    // day's window seeds with a carry-in row counting the sessions that
+    // span its midnight (exploded per spanned midnight, bounded by
+    // session length), so no corpus-sized data meets an un-partitioned
+    // window. All arithmetic is epoch-micro integers; an end exactly on
+    // midnight contributes neither carry nor delta to that day
+    // (half-open), keeping the two row sources consistent.
+    "ts_peak_concurrency" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val US = 86400000000L // one day in micros
+      val gap = 1800000000L // 30 min
+      val wU = W.partitionBy("user_id").orderBy("us")
+      val sess = Tables(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(wU) < gap, 0L).otherwise(1L))
+        .withColumn("sid", sum(col("new_s")).over(
+          wU.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min(col("us")).as("s_us"), (max(col("us")) + gap).as("e_us"))
+      val starts = sess.select(expr(s"s_us div ${US}L").as("dn"),
+        col("s_us").as("us"), lit(1L).as("delta"), lit(1L).as("is_start"))
+      val ends = sess.filter(expr(s"e_us % ${US}L != 0"))
+        .select(expr(s"e_us div ${US}L").as("dn"),
+          col("e_us").as("us"), lit(-1L).as("delta"), lit(0L).as("is_start"))
+      val carry = sess
+        .select(expr(s"s_us div ${US}L").as("d0"),
+          expr(s"(e_us - 1) div ${US}L").as("d1"))
+        .filter(col("d1") > col("d0"))
+        .select(explode(sequence(col("d0") + 1, col("d1"))).as("dn"))
+        .groupBy("dn").agg(count(lit(1)).as("delta"))
+        .select(col("dn"), (col("dn") * US).as("us"), col("delta"),
+          lit(0L).as("is_start"))
+      starts.unionByName(ends).unionByName(carry)
+        .withColumn("run", sum(col("delta")).over(
+          W.partitionBy("dn").orderBy(col("us"), col("delta"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("dn")
+        .agg(sum(col("is_start")).as("n_starts"),
+          max(col("run")).as("max_concurrent"))
+        .select(date_add(lit("1970-01-01").cast("date"), col("dn").cast("int"))
+          .as("day"), col("n_starts"), col("max_concurrent"))
+    }),
+
     // Sliding 1-hour windows every 30 minutes: each event lands in two
     // overlapping windows (Spark's window() generator). The oracle
     // reconstructs the same membership by exploding each event to its
@@ -518,6 +569,48 @@ object TemporalQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM ud u JOIN fd f ON u.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "ts_peak_concurrency" ->
+      """WITH m AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |mk AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           < 1800000000 THEN 0 ELSE 1 END AS new_s
+        |  FROM m),
+        |s0 AS (
+        |  SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM mk),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(us) AS s_us,
+        |    MAX(us) + 1800000000 AS e_us
+        |  FROM s0 GROUP BY 1, 2),
+        |st AS (SELECT s_us // 86400000000 AS dn, s_us AS us,
+        |         CAST(1 AS BIGINT) AS delta, CAST(1 AS BIGINT) AS is_start
+        |       FROM sess),
+        |en AS (SELECT e_us // 86400000000 AS dn, e_us AS us,
+        |         CAST(-1 AS BIGINT) AS delta, CAST(0 AS BIGINT) AS is_start
+        |       FROM sess WHERE e_us % 86400000000 != 0),
+        |cr AS (SELECT dn, dn * 86400000000 AS us, COUNT(*) AS delta,
+        |         CAST(0 AS BIGINT) AS is_start
+        |       FROM (
+        |         SELECT unnest(range(s_us // 86400000000 + 1,
+        |                             (e_us - 1) // 86400000000 + 1)) AS dn
+        |         FROM sess
+        |         WHERE (e_us - 1) // 86400000000 > s_us // 86400000000)
+        |       GROUP BY 1),
+        |d AS (SELECT * FROM st UNION ALL SELECT * FROM en
+        |      UNION ALL SELECT * FROM cr),
+        |r AS (
+        |  SELECT dn, is_start,
+        |    SUM(delta) OVER (PARTITION BY dn ORDER BY us, delta
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM d)
+        |SELECT DATE '1970-01-01' + CAST(dn AS INTEGER) AS day,
+        |  CAST(SUM(is_start) AS BIGINT) AS n_starts,
+        |  CAST(MAX(run) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY 1""".stripMargin,
 
     "ts_twap" ->
       """WITH b AS (
