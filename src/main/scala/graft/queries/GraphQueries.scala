@@ -107,10 +107,51 @@ object GraphQueries extends QueryPack {
           when(col("n_wedges") > 0,
             lit(3e0) * col("n_triangles").cast("double") /
               col("n_wedges").cast("double")))
+    }),
+
+    // One round of neighbor mean-aggregation over the undirected
+    // bipartite graph — the GraphSAGE mean-aggregator shape a GNN
+    // feature pipeline runs per layer, with node feature = degree, so
+    // the result is each node's mean neighbor degree (the assortativity
+    // profile: do heavy users touch popular items?). Plan: adjacency =
+    // both orientations (distinct — a user–item pair engaged both ways
+    // folds to one undirected edge), degree = one grouped count, then
+    // ONE dst-keyed join ships each neighbor's degree and a src-keyed
+    // rollup folds the message sum — exactly the scatter/gather pair
+    // every message-passing round compiles to, each stage key-partitioned.
+    // Counts are exact longs; the mean is a single division of them.
+    "graph_neighbor_agg" -> ((s, dir) => {
+      val adj = {
+        val e = edges(s, dir)
+        e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      }
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("d"))
+      adj.join(deg.select(col("src").as("dst"), col("d").as("d_nbr")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"), sum(col("d_nbr")).as("sum_nbr_deg"))
+        .select(col("node"), col("deg"), col("sum_nbr_deg"),
+          (col("sum_nbr_deg").cast("double") / col("deg").cast("double"))
+            .as("mean_nbr_deg"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_neighbor_agg" ->
+      s"""WITH $edgesDuck,
+         |adj AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+         |deg AS (SELECT src, COUNT(*) AS d FROM adj GROUP BY 1)
+         |SELECT a.src AS node, COUNT(*) AS deg,
+         |  CAST(SUM(n.d) AS BIGINT) AS sum_nbr_deg,
+         |  CAST(CAST(SUM(n.d) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mean_nbr_deg
+         |FROM adj a JOIN deg n ON a.dst = n.src
+         |GROUP BY 1""".stripMargin,
+
     "graph_pagerank" ->
       s"""WITH $edgesDuck,
          |${PageRank.duckCtes(Iters)}
