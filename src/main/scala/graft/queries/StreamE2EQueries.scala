@@ -32,7 +32,74 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_sink" -> ((s, dir) => run(s, dir)),
     "stream_e2e_cumvol" -> ((s, dir) => runCumvol(s, dir)),
     "stream_e2e_rolling" -> ((s, dir) => runRolling(s, dir)),
-    "stream_e2e_join" -> ((s, dir) => runJoin(s, dir)))
+    "stream_e2e_join" -> ((s, dir) => runJoin(s, dir)),
+    "stream_e2e_dedup" -> ((s, dir) => runDedup(s, dir)))
+
+  /** STREAMING DEDUPLICATION end to end (round-5, fifth streaming oracle
+    * row): duplicate-bearing TICK envelopes → envelope source paced to
+    * MULTIPLE micro-batches (maxFilesPerTrigger) → watermarked
+    * `dropDuplicates` (the stateful streaming dedup operator, state
+    * expired by the 1-day watermark) → LWW sink → read-back vs a plain
+    * DISTINCT oracle. Unlike the other four rows, the duplicates are NOT
+    * pre-scrubbed — removing them IS the operator under test.
+    *
+    * Determinism legs: (a) every payload field is a pure function of the
+    * dedup key (user, second), so WHICH duplicate wins is unobservable;
+    * (b) the spool is globally time-sorted (orderBy → range-partitioned
+    * part files renamed in order, rows sorted within each), so a
+    * later-batch FIRST instance can never be behind the watermark —
+    * only true duplicates can be late-dropped, and dropping a duplicate
+    * is exactly the operator's job either way.
+    */
+  private def runDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("time_s", expr("unix_micros(ts) div 1000000"))
+      .withColumn("pseudo_price",
+        ((col("user_id") * 31 + col("time_s") % 86400L) % 1000L)
+          .cast("double") / 10.0)
+      .withColumn("pseudo_vol",
+        ((col("user_id") + col("time_s")) % 100L).cast("int"))
+    val lines = base.orderBy(col("time_s"), col("user_id"), col("event_id"))
+      .select(to_json(struct(
+        lit("feed").as("topic"),
+        lit("TICK").as("frameType"),
+        struct(
+          col("user_id").cast("string").as("symbol"),
+          col("pseudo_price").as("bid"),
+          col("pseudo_price").as("price"),
+          col("pseudo_price").as("ask"),
+          col("time_s").as("time"),
+          col("pseudo_vol").as("volume"),
+          when(col("user_id") % 2 === 0, "B").otherwise("S")
+            .as("type")).as("payload"))).as("value"))
+    val work = Files.createTempDirectory("graft_e2e_dd")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None) // keep the global time-sorted file sequence
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "4") // force cross-batch dedup state
+      .load()
+    val dedup = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .withColumn("ts", timestamp_seconds(col("time")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("symbol", "ts")
+    val sinkRoot = work.resolve("sink").toString
+    val q = dedup.writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(
+          batch.select(col("symbol"), col("time"), col("price"),
+            col("volume"), col("tradeType")).toDF(),
+          id, sinkRoot, "feed", "dedup", Seq("symbol", "time"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "dedup")
+      .select(col("symbol"), col("time").as("time_s"), col("price"),
+        col("volume"), col("tradeType").as("trade_type"))
+  }
 
   /** The STATEFUL path end to end: TICK envelopes → envelope source →
     * parse → keyed cumulative state (A1+A2: per-(symbol, UTC-day)
@@ -377,6 +444,17 @@ object StreamE2EQueries extends QueryPack {
         |  'VIEW' AS order_type
         |FROM t JOIN b ON t.user_id = b.user_id
         |  AND b.sec >= t.sec - 86400 AND b.sec <= t.sec""".stripMargin,
+
+    // plain DISTINCT over the same pure-function-of-key payload: the
+    // streamed dropDuplicates must land on exactly this set
+    "stream_e2e_dedup" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS symbol,
+        |  epoch_us(ts) // 1000000 AS time_s,
+        |  CAST((user_id * 31 + (epoch_us(ts) // 1000000) % 86400) % 1000
+        |       AS DOUBLE) / 10.0 AS price,
+        |  CAST((user_id + epoch_us(ts) // 1000000) % 100 AS INT) AS volume,
+        |  CASE WHEN user_id % 2 = 0 THEN 'B' ELSE 'S' END AS trade_type
+        |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
 
     "stream_e2e_sink" ->
       """SELECT CAST(user_id AS VARCHAR) AS symbol,
