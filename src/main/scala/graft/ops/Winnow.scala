@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD'03)
+  * shared by the per-doc fingerprint query and the cross-doc pair join —
+  * see `text_winnow_fingerprint`'s comment for the algorithm and the
+  * pack-then-window-MIN formulation (hash·2²⁶ + (2²⁶−1−pos) folds
+  * min-hash-with-rightmost-tie into ONE window MIN; hash < 2³¹ keeps the
+  * pack in 57 bits).
+  */
+object Winnow {
+
+  val Shift: Long = 1L << 26
+
+  /** Selected fingerprints per doc: (doc_id, pos, fp), distinct. One
+    * doc-keyed window over scan-side shingle hashes — no shuffle beyond
+    * the doc partitioning.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   gramK: Int = 3, window: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextHash.shingleHashes(col(textCol), gramK))
+          .as(Seq("i", "h")))
+      .select(col("doc_id"), col("i"),
+        (col("h") * Shift + (lit(Shift - 1) - col("i"))).as("pack"))
+      .withColumn("m", min(col("pack")).over(
+        Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(-(window - 1), 0)))
+      .filter(col("i") >= window - 1)
+      .select(col("doc_id"),
+        (lit(Shift - 1) - col("m") % Shift).as("pos"),
+        expr(s"m div $Shift").as("fp"))
+      .distinct()
+
+  /** DuckDB mirror ending in CTE `wm(doc_id, i, m)` over `documents`;
+    * consumers decode pos/fp from `m` exactly as the Spark side does.
+    * `h31duck` is the caller's md5→60-bit hash fragment over alias `s`.
+    */
+  def duckCtes(h31duck: String, gramK: Int = 3, window: Int = 8): String = {
+    require(gramK == 3, "mirror is written for 3-shingles")
+    s"""wtok AS (SELECT doc_id, string_split(text, ' ') AS w
+       |         FROM documents),
+       |wsh AS (SELECT doc_id,
+       |          [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |           for i in range(1, len(w)-1)] AS sh
+       |        FROM wtok WHERE len(w) >= 3),
+       |whx AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS i,
+       |          unnest(list_transform(sh, s -> $h31duck)) AS h
+       |        FROM wsh),
+       |wp AS (SELECT doc_id, i,
+       |         h * $Shift + (${Shift - 1} - i) AS pack FROM whx),
+       |wm AS (SELECT doc_id, i,
+       |         MIN(pack) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS m
+       |       FROM wp)""".stripMargin
+  }
+}

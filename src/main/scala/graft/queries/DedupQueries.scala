@@ -137,6 +137,27 @@ object DedupQueries extends QueryPack {
       PrefixFilterJoin(Tables(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Cross-doc winnowing matches (the MOSS detector): pairs sharing
+    // >= 3 selected fingerprints. Position-robust where whole-doc
+    // hashes break (a single edit moves at most the fingerprints whose
+    // windows cover it), and each shared fingerprint certifies a shared
+    // k-token run. Same bucket discipline as the other pair families:
+    // fingerprint postings -> df-capped buckets (a boilerplate
+    // fingerprint everyone shares carries no match signal and costs
+    // O(df²) pairs) -> scan-side C(n,2) -> grouped shared-count.
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val fp = graft.ops.Winnow.fingerprints(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "fp").distinct()
+      fp.groupBy("fp")
+        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")).between(2, 50))
+        .select(explode(graft.ops.ArrayPairs.of(col("docs"))).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }),
+
     // Asymmetric containment over the same inverted index: catches the
     // short-doc-quoted-inside-long-doc duplication that symmetric
     // Jaccard dilutes (common/min-side ≈ 1 while common/union stays
@@ -390,6 +411,18 @@ object DedupQueries extends QueryPack {
     "dedup_minhash_pairs" ->
       s"""WITH $minhashPairsWith
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH ${graft.ops.Winnow.duckCtes(h31duck)},
+         |fp AS (SELECT DISTINCT doc_id, m // 67108864 AS fp
+         |       FROM wm WHERE i >= 7),
+         |kept AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS c FROM fp)
+         |  WHERE c BETWEEN 2 AND 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
 
     // Deliberately NOT the prefix-filter algorithm: the full brute-force
     // postings self-join (no prefix, no length prune). A hash-match

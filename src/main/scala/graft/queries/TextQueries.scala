@@ -276,22 +276,9 @@ object TextQueries extends QueryPack {
     // index (the join key for cross-doc plagiarism/overlap detection).
     // Docs shorter than w+k-1 tokens have no full window and emit
     // nothing, per the original algorithm's guarantee domain.
-    "text_winnow_fingerprint" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val S = 1L << 26
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(TextHash.shingleHashes(col("text"), 3)).as(Seq("i", "h")))
-        .select(col("doc_id"), col("i"),
-          (col("h") * S + (lit(S - 1) - col("i"))).as("pack"))
-        .withColumn("m", min(col("pack")).over(
-          W.partitionBy("doc_id").orderBy("i").rowsBetween(-7, 0)))
-        .filter(col("i") >= 7)
-        .select(col("doc_id"),
-          (lit(S - 1) - col("m") % S).as("pos"),
-          expr(s"m div $S").as("fp"))
-        .distinct()
-    }),
+    "text_winnow_fingerprint" -> ((s, dir) =>
+      graft.ops.Winnow.fingerprints(
+        Tables(s, dir, "documents"), "doc_id", "text")),
 
     // One BPE training iteration over the corpus: find the most
     // frequent adjacent token pair (deterministic tiebreak: count desc,
@@ -618,24 +605,10 @@ object TextQueries extends QueryPack {
     // Same pack-then-window-MIN formulation (pure integer arithmetic,
     // so the engines cannot diverge on a tie).
     "text_winnow_fingerprint" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
-         |             FROM documents),
-         |sh AS (SELECT doc_id,
-         |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |          for i in range(1, len(w)-1)] AS sh
-         |       FROM tok WHERE len(w) >= 3),
-         |hx AS (SELECT doc_id, generate_subscripts(sh, 1) - 1 AS i,
-         |         unnest(list_transform(sh, s -> $h31duck)) AS h
-         |       FROM sh),
-         |p AS (SELECT doc_id, i,
-         |        h * 67108864 + (67108863 - i) AS pack FROM hx),
-         |m AS (SELECT doc_id, i,
-         |        MIN(pack) OVER (PARTITION BY doc_id ORDER BY i
-         |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m
-         |      FROM p)
+      s"""WITH ${graft.ops.Winnow.duckCtes(h31duck)}
          |SELECT DISTINCT doc_id, 67108863 - (m % 67108864) AS pos,
          |  m // 67108864 AS fp
-         |FROM m WHERE i >= 7""".stripMargin,
+         |FROM wm WHERE i >= 7""".stripMargin,
 
     "text_bpe_merge_step" ->
       s"""WITH bi AS (
