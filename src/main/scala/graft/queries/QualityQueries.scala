@@ -142,6 +142,42 @@ object QualityQueries extends QueryPack {
         col("skewness"), col("kurtosis"))
     }),
 
+    // Exact Pearson correlation per group (quantity vs price) from the
+    // five classical sums — the dependence check a feature audit runs
+    // before trusting a model input. Same discipline as agg_moments:
+    // fixed-point cents, per-row products that fit int64 stay BIGINT
+    // (x·x ≤ 2.5·10⁷), the ones that don't (y·y ≈ 10¹⁴, x·y) and every
+    // cross-sum combination run in DECIMAL(38,0)/HUGEINT (n·Σyy reaches
+    // ~10²⁴). The three exact combinations convert to double ONCE each;
+    // corr = num/√d1/√d2 is then a fixed 5-op IEEE sequence, with an
+    // exact-integer zero-variance guard (never a float epsilon) so a
+    // degenerate group yields NULL on both engines instead of NaN
+    // roulette. One map-side-partial aggregate, no window, no join.
+    "agg_corr" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_quantity") * 100).cast("long").as("x"),
+          floor(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx > 0" +
+            " AND CAST(n AS DECIMAL(38,0)) * syy" +
+            " - CAST(sy AS DECIMAL(38,0)) * sy > 0 THEN" +
+            " CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))" +
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy" +
+            " - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))" +
+            " END").as("corr"))
+    }),
+
     // Winsorized (p05/p95-clipped) robust mean per group — the
     // outlier-tolerant summary a quality report pairs with the raw
     // mean. The clip bounds are EXACT rank statistics
@@ -247,6 +283,32 @@ object QualityQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "agg_corr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+        |        AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+        |  THEN
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+        |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE))
+        |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+        |  END AS corr
+        |FROM a""".stripMargin,
+
     "dq_mad_outliers" ->
       """WITH base AS (
         |  SELECT event_type, CAST(floor(value * 1e6) AS BIGINT) AS q
