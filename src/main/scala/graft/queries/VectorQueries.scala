@@ -261,10 +261,67 @@ object VectorQueries extends QueryPack {
             col("dfix"))).over(W.partitionBy("cell")))
         .filter(col("dfix") > col("p99"))
         .select("vec_id", "cell", "dfix", "n_cell")
+    }),
+
+    // Hard triplet mining — the metric-learning batch builder: for each
+    // anchor (every 10th vector = "the batch"), the HARDEST positive is
+    // its nearest same-label vector and the hardest negative its
+    // nearest other-label vector; margin = d_neg − d_pos is the
+    // triplet-loss violation signal. Distances are exact fixed-point
+    // integers (l2Fix) and both argmins fold as ONE struct-min each
+    // ((dfix, id) — lowest id on ties), so no ranking window touches
+    // the pair table. Plan: anchors BROADCAST against the corpus (the
+    // batch×corpus product is the operator's defining cost; at 100 TB
+    // the pool side is pre-pruned to the anchor's IVF probe cells —
+    // ann_ivf_topk's machinery — which changes recall, not this plan
+    // shape), one grouped aggregate, no shuffle of the pair table.
+    "emb_triplet_mining" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("a"), col("label").as("la"),
+          col("embedding").as("ea"))
+      val pool = emb.select(col("vec_id").as("b"), col("label").as("lb"),
+        col("embedding").as("eb"))
+      pool.join(broadcast(anchors), col("a") =!= col("b"))
+        .withColumn("dfix", VectorOps.l2Fix(col("ea"), col("eb")))
+        .groupBy("a", "la")
+        .agg(
+          min(when(col("la") === col("lb"),
+            struct(col("dfix"), col("b")))).as("pos"),
+          min(when(col("la") =!= col("lb"),
+            struct(col("dfix"), col("b")))).as("neg"))
+        .filter(col("pos").isNotNull && col("neg").isNotNull)
+        .select(col("a").as("anchor"), col("la").as("label"),
+          col("pos.b").as("pos_id"), col("pos.dfix").as("d_pos"),
+          col("neg.b").as("neg_id"), col("neg.dfix").as("d_neg"),
+          (col("neg.dfix") - col("pos.dfix")).as("margin"))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // argmins as row_number ranks — a different algorithm than the
+    // Spark struct-min fold, same (dfix, id) order
+    "emb_triplet_mining" ->
+      s"""WITH anc AS (SELECT vec_id AS a, label AS la, embedding AS ea
+         |             FROM embeddings WHERE vec_id % 10 = 0),
+         |pool AS (SELECT vec_id AS b, label AS lb, embedding AS eb
+         |         FROM embeddings),
+         |d AS (SELECT a, la, b, lb,
+         |        ${VectorOps.l2FixDuck("ea", "eb")} AS dfix
+         |      FROM anc JOIN pool ON a <> b),
+         |pos AS (SELECT a, b, dfix FROM (
+         |  SELECT a, b, dfix,
+         |    row_number() OVER (PARTITION BY a ORDER BY dfix, b) AS r
+         |  FROM d WHERE la = lb) WHERE r = 1),
+         |neg AS (SELECT a, b, dfix FROM (
+         |  SELECT a, b, dfix,
+         |    row_number() OVER (PARTITION BY a ORDER BY dfix, b) AS r
+         |  FROM d WHERE la <> lb) WHERE r = 1)
+         |SELECT anc.a AS anchor, anc.la AS label,
+         |  pos.b AS pos_id, pos.dfix AS d_pos,
+         |  neg.b AS neg_id, neg.dfix AS d_neg,
+         |  neg.dfix - pos.dfix AS margin
+         |FROM anc JOIN pos ON anc.a = pos.a JOIN neg ON anc.a = neg.a""".stripMargin,
 
     // The oracle mirrors the MATH (fold order, fixed-point quantization,
     // integer argmin/sum) in the relational join form; plan shape is
