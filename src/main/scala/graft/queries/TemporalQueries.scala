@@ -162,6 +162,42 @@ object TemporalQueries extends QueryPack {
           count_distinct(col("user_id")).as("n_users"))
     }),
 
+    // Last-touch revenue attribution: each purchase credits the item
+    // (`props.k`) of the user's most recent view within the 1-hour
+    // lookback — the classic marketing-attribution shape, and the same
+    // single running-max scan as funnel_conversion (NOT an interval
+    // self-join, which explodes on hot users): the view's (time, item)
+    // ride ONE packed long through the window max (epoch-SECONDS in the
+    // high bits, item in the low 20 — 1.7·10⁹·2²⁰ ≈ 1.8·10¹⁵ stays in
+    // int64, where micros would overflow), so carrier and payload
+    // cannot come from different views; a same-second view tie
+    // deterministically credits the larger item id on both engines.
+    // Unattributed purchases (no view in the hour) fall out, attributed
+    // revenue is fixed-point cents summed per item. One user-keyed
+    // window + one item rollup.
+    "event_attribution" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val S = 1L << 20
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+        .withColumn("last_view",
+          max(when(col("event_type") === "view",
+            col("sec") * S + col("k"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view").isNotNull &&
+          col("sec") - expr(s"last_view div ${S}L") <= 3600L)
+        .groupBy(expr(s"last_view % ${S}L").as("item"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .select(col("item"), col("n_purchases"),
+          expr("CAST(cents AS DOUBLE) / 1e2").as("revenue"))
+    }),
+
     // Cohort retention: users grouped by first-active day, counted on
     // each later active day offset. Two shuffles (per-user first-day
     // agg + the cohort rollup over the deduped user-day grid) — the
@@ -569,6 +605,28 @@ object TemporalQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM ud u JOIN fd f ON u.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "event_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |scan AS (
+        |  SELECT event_id, user_id, ts, event_type, value, sec,
+        |    MAX(CASE WHEN event_type = 'view'
+        |          THEN sec * 1048576 + k END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_view
+        |  FROM e)
+        |SELECT last_view % 1048576 AS item, COUNT(*) AS n_purchases,
+        |  CAST(CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |       AS DOUBLE) / 1e2 AS revenue
+        |FROM scan
+        |WHERE event_type = 'purchase' AND last_view IS NOT NULL
+        |  AND sec - last_view // 1048576 <= 3600
+        |GROUP BY 1""".stripMargin,
 
     "ts_peak_concurrency" ->
       """WITH m AS (SELECT user_id, epoch_us(ts) AS us FROM events),
