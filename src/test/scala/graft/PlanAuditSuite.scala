@@ -568,4 +568,63 @@ class PlanAuditSuite extends SparkSpec {
         !c.contains("bytes") && !c.contains("binary") && !c.contains("string")),
       s"every exchanged column must be numeric: $exchanges")
   }
+
+  test("dedup_prefix_filter: no exchange carries the raw text column") {
+    // gram hashes + doc ids + the aggregated gram ARRAYS shuffle; the
+    // text itself never leaves the scan projection
+    val p = executed(q("dedup_prefix_filter"))
+    val exchanges = flatten(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.flatten.forall(n => n != "text"),
+      s"raw text must never shuffle: $exchanges")
+  }
+
+  test("text_winnow_fingerprint: one doc-keyed shuffle, text-free exchange") {
+    val p = executed(q("text_winnow_fingerprint"))
+    // the doc window + the final distinct (same doc-keyed columns); the
+    // distinct's exchange is over (doc, pos, fp) longs only
+    assert(countShuffles(p) <= 2, s"expected <= 2 shuffles:\n$p")
+    val exchanges = flatten(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.flatten.forall(n => n != "text"),
+      s"raw text must never shuffle: $exchanges")
+  }
+
+  test("sort_skyline: survivors re-attach by broadcast, never sort-merge") {
+    val p = executed(q("sort_skyline"))
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      "level-survivor join must not degrade to sort-merge")
+    // the two prefix-max windows run on the level/bucket tables — the
+    // corpus-sized input itself must meet only hash exchanges (the
+    // groupBy), never a global sort
+    assert(!s.contains("rangepartitioning"),
+      s"no global range sort of the part table:\n$s")
+  }
+
+  test("emb_triplet_mining: anchors broadcast; embeddings never shuffle") {
+    val p = executed(q("emb_triplet_mining"))
+    assert(p.toString.contains("Broadcast"),
+      s"anchor batch should broadcast:\n$p")
+    val exchanges = flatten(p).collect {
+      case e: ShuffleExchangeLike => e.child.output.map(_.name)
+    }
+    assert(exchanges.flatten.forall(n => !n.startsWith("e")
+        || n == "event_id"),
+      s"embedding arrays must not ride the argmin exchange: $exchanges")
+  }
+
+  test("ts_twap: window and rollup share the (user, day) exchange") {
+    assert(countShuffles(executed(q("ts_twap"))) === 1)
+  }
+
+  test("event_attribution: user window + item rollup, exactly two shuffles") {
+    assert(countShuffles(executed(q("event_attribution"))) === 2)
+  }
 }
