@@ -135,13 +135,37 @@ object ScaleProbe {
         scaled("documents", "doc_id", c), "doc_id", "text",
         rounds = 3, safePairRe = "^[a-z0-9_]+ [a-z0-9_]+$").count()
 
+    // round-5 continuation: prefix-filtered similarity join and
+    // winnowing (the SAME ops dedup_prefix_filter / dedup_winnow_pairs
+    // run). The duplicated corpus is the adversarial case for BOTH —
+    // every doc gains 10 exact near-dups, so true-dup clusters (where
+    // candidate cost is quadratic BY DESIGN: the output is) grow 10×
+    // while the prefix/positional prunes must keep everything else flat.
+    def prefixFilter(c: Int): Long =
+      graft.ops.PrefixFilterJoin(
+        scaled("documents", "doc_id", c), "doc_id", "text").count()
+
+    def winnowPairs(c: Int): Long = {
+      val fp = graft.ops.Winnow.fingerprints(
+          scaled("documents", "doc_id", c), "doc_id", "text")
+        .select("doc_id", "fp").distinct()
+      fp.groupBy("fp")
+        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")).between(2, 550))
+        .select(explode(graft.ops.ArrayPairs.of(col("docs"))).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3).count()
+    }
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
       ("vec_centroids", centroids), ("pq_encode", pqEncode),
       ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign),
       ("segment_dedup", segmentDedup), ("kmeans_train", kmeansTrain),
-      ("bpe_train", bpeTrain))
+      ("bpe_train", bpeTrain), ("prefix_filter", prefixFilter),
+      ("winnow_pairs", winnowPairs))
     // warm-up at 1x (codegen/JIT), then measure 1x and 10x
     probes.foreach { case (_, f) => f(1) }
     val results = probes.map { case (name, f) =>
