@@ -33,7 +33,84 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_cumvol" -> ((s, dir) => runCumvol(s, dir)),
     "stream_e2e_rolling" -> ((s, dir) => runRolling(s, dir)),
     "stream_e2e_join" -> ((s, dir) => runJoin(s, dir)),
-    "stream_e2e_dedup" -> ((s, dir) => runDedup(s, dir)))
+    "stream_e2e_dedup" -> ((s, dir) => runDedup(s, dir)),
+    "stream_e2e_session" -> ((s, dir) => runSession(s, dir)))
+
+  /** STREAMING SESSION WINDOWS end to end (round-5, sixth streaming
+    * oracle row): TICK envelopes → envelope source → watermarked
+    * `session_window` aggregation (append mode — a session row emits
+    * only once the watermark proves no more events can join it) → LWW
+    * sink keyed (symbol, session start) → read-back vs the batch
+    * gaps-and-islands oracle.
+    *
+    * The append-mode mechanics are the point: a SENTINEL envelope two
+    * days past the data (separate trailing spool file, filtered from
+    * the sink) advances the event-time watermark past every real
+    * session's end, and Spark's no-data micro-batch then flushes the
+    * finalized state — without the sentinel, processAllAvailable would
+    * drain with every session still unemitted in the store. The
+    * sentinel's own session stays unfinalized in state and never
+    * reaches the sink. Late-drop safety: everything admits in one
+    * batch (watermark is still -∞ during it), so no real tick can be
+    * late; the pre-dedup makes session row counts arrival-independent.
+    */
+  private def runSession(s: SparkSession, dir: String): DataFrame = {
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+    val lines = base.orderBy(col("time_s"), col("user_id"))
+      .select(to_json(struct(
+        lit("feed").as("topic"),
+        lit("TICK").as("frameType"),
+        struct(
+          col("user_id").cast("string").as("symbol"),
+          col("value").as("bid"),
+          col("value").as("price"),
+          col("value").as("ask"),
+          col("time_s").as("time"),
+          floor(col("value")).cast("int").as("volume"),
+          when(col("event_type") === "purchase", "B").otherwise("S")
+            .as("type")).as("payload"))).as("value"))
+    val work = Files.createTempDirectory("graft_e2e_sess")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None)
+    // sentinel: one envelope 2 days past the data maximum, in a file
+    // that sorts AFTER every writer-produced one
+    val maxSec = base.agg(max(col("time_s"))).head().getLong(0)
+    val sentinel = s"""{"topic":"feed","frameType":"TICK","payload":""" +
+      s"""{"symbol":"ZZZ","bid":1.0,"price":1.0,"ask":1.0,""" +
+      s""""time":${maxSec + 2 * 86400},"volume":1,"type":"B"}}"""
+    val nFiles = graft.util.Fs.list(Paths.get(spool))
+      .count(_.getFileName.toString.endsWith(".jsonl"))
+    Files.writeString(Paths.get(spool).resolve(f"$nFiles%04d.jsonl"),
+      sentinel + "\n")
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).load()
+    val sess = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .withColumn("ts", timestamp_seconds(col("time")))
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("symbol"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("symbol"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n_events"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = sess.writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(
+          batch.filter(col("symbol") =!= "ZZZ").toDF(),
+          id, sinkRoot, "feed", "sess", Seq("symbol", "s_start"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "sess")
+      .select(col("symbol"), col("s_start"), col("s_end"), col("n_events"))
+  }
 
   /** STREAMING DEDUPLICATION end to end (round-5, fifth streaming oracle
     * row): duplicate-bearing TICK envelopes → envelope source paced to
@@ -444,6 +521,33 @@ object StreamE2EQueries extends QueryPack {
         |  'VIEW' AS order_type
         |FROM t JOIN b ON t.user_id = b.user_id
         |  AND b.sec >= t.sec - 86400 AND b.sec <= t.sec""".stripMargin,
+
+    // the batch gaps-and-islands mirror of the streamed session_window
+    // aggregation, over the same deduped (user, second) ticks
+    "stream_e2e_session" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT user_id, sec,
+        |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+        |           < 1800 THEN 0 ELSE 1 END AS new_s
+        |  FROM base),
+        |s0 AS (
+        |  SELECT user_id, sec,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT CAST(user_id AS VARCHAR) AS symbol,
+        |  TIMESTAMP '1970-01-01' + MIN(sec) * INTERVAL 1 SECOND AS s_start,
+        |  TIMESTAMP '1970-01-01' + (MAX(sec) + 1800) * INTERVAL 1 SECOND
+        |    AS s_end,
+        |  COUNT(*) AS n_events
+        |FROM s0 GROUP BY user_id, sid""".stripMargin,
 
     // plain DISTINCT over the same pure-function-of-key payload: the
     // streamed dropDuplicates must land on exactly this set
