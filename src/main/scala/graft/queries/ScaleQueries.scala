@@ -359,6 +359,46 @@ object ScaleQueries extends QueryPack {
         v2, Seq("c_custkey"), Seq("c_acctbal"), 2L)
     }),
 
+    // Point-in-time (AS OF) lookup against a 3-version SCD-2 history:
+    // each order reads the dimension row valid at ITS version epoch
+    // (valid_from <= v < valid_to, open rows unbounded) — the temporal
+    // dimension join every backfill/audit runs against a versioned
+    // warehouse. The ORACLE is the SCD-2 INVARIANT, not the algorithm:
+    // history as-of v must equal snapshot v exactly (changed rows
+    // close+reopen, adds open, removals close), so DuckDB joins the
+    // raw SNAPSHOTS and never sees valid_from/valid_to at all — a
+    // hash-match proves the fold+lookup machinery reconstructs every
+    // intermediate state. Plan: equi-join on the key with the version
+    // interval as a residual filter (the standard SMJ shape for
+    // point-in-interval on a keyed dimension); sums in exact cents.
+    "dim_asof_lookup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val v1 = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val v2 = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val v3 = c.filter(col("c_custkey") % 5 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 4 === 0, col("c_acctbal") - 2.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+      val hist = Scd2(Scd2(
+        Scd2.init(v1, Seq("c_custkey"), Seq("c_acctbal"), 1L),
+        v2, Seq("c_custkey"), Seq("c_acctbal"), 2L),
+        v3, Seq("c_custkey"), Seq("c_acctbal"), 3L)
+      val facts = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 3 + 1).as("ver"))
+      facts.join(hist,
+          facts("o_custkey") === hist("c_custkey") &&
+            hist("valid_from") <= facts("ver") &&
+            (hist("valid_to").isNull || hist("valid_to") > facts("ver")))
+        .groupBy("ver")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+    }),
+
     // ---- approximate quantiles via fixed-bin histogram -----------------
     // Percentiles at 100 TB without a global sort: pass 1 takes exact
     // per-group extents (min/max/count — order-independent, bit-exact),
@@ -757,6 +797,33 @@ object ScaleQueries extends QueryPack {
         |WHERE CASE WHEN bal_old IS NULL THEN 'added'
         |           WHEN bal_new IS NULL THEN 'removed'
         |           WHEN bal_old <> bal_new THEN 'changed' END IS NOT NULL""".stripMargin,
+
+    // the SCD-2 invariant as the check: as-of v == raw snapshot v,
+    // so this SQL never touches valid_from/valid_to
+    "dim_asof_lookup" ->
+      """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer
+        |            WHERE c_custkey % 10 <> 0),
+        |v2 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |       FROM customer WHERE c_custkey % 7 <> 0),
+        |v3 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 4 = 0 THEN c_acctbal - 2.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |       FROM customer WHERE c_custkey % 5 <> 0),
+        |snaps AS (
+        |  SELECT 1 AS ver, * FROM v1
+        |  UNION ALL SELECT 2, * FROM v2
+        |  UNION ALL SELECT 3, * FROM v3),
+        |facts AS (
+        |  SELECT o_orderkey, o_custkey, o_orderkey % 3 + 1 AS ver
+        |  FROM orders)
+        |SELECT f.ver, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(s.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM facts f JOIN snaps s
+        |  ON f.o_custkey = s.c_custkey AND f.ver = s.ver
+        |GROUP BY 1""".stripMargin,
 
     "dim_scd2" ->
       """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer
