@@ -198,6 +198,39 @@ object TemporalQueries extends QueryPack {
           expr("CAST(cents AS DOUBLE) / 1e2").as("revenue"))
     }),
 
+    // RFM segmentation — recency / frequency / monetary quintiles per
+    // purchasing user, the classic customer-scoring data product. The
+    // three metrics are exact (seconds, counts, cents); each quintile
+    // is a GLOBAL ntile over all users, which at scale is exactly what
+    // un-partitioned `ntile() OVER (ORDER BY …)` cannot do — so all
+    // three scores run on ops/GlobalRank.withNtile (range-partitioned
+    // parallel sort + scan-side tile arithmetic, bit-identical to the
+    // window form by the window_ntile equivalence). Recency anchors to
+    // the corpus max purchase time (1-row broadcast), not wall clock —
+    // deterministic and replayable.
+    "event_rfm" -> ((s, dir) => {
+      val p = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("sec"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val rfm = p.groupBy("user_id").agg(
+        max(col("sec")).as("last_sec"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary_cents"))
+      val withR = rfm
+        .crossJoin(broadcast(rfm.agg(max(col("last_sec")).as("mx"))))
+        .withColumn("recency_s", col("mx") - col("last_sec"))
+      val G = graft.ops.GlobalRank
+      val scored = G.withNtile(
+        G.withNtile(
+          G.withNtile(withR, "r_tile", 5,
+            Seq(col("recency_s"), col("user_id"))),
+          "f_tile", 5, Seq(col("freq"), col("user_id"))),
+        "m_tile", 5, Seq(col("monetary_cents"), col("user_id")))
+      scored.select(col("user_id"), col("recency_s"), col("freq"),
+        col("monetary_cents"), col("r_tile"), col("f_tile"), col("m_tile"))
+    }),
+
     // Cohort retention: users grouped by first-active day, counted on
     // each later active day offset. Two shuffles (per-user first-day
     // agg + the cohort rollup over the deduped user-day grid) — the
@@ -605,6 +638,22 @@ object TemporalQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM ud u JOIN fd f ON u.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "event_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |rfm AS (
+        |  SELECT user_id, MAX(sec) AS last_sec, COUNT(*) AS freq,
+        |    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |  FROM p GROUP BY 1),
+        |mx AS (SELECT MAX(last_sec) AS mx FROM rfm)
+        |SELECT user_id, mx - last_sec AS recency_s, freq, monetary_cents,
+        |  ntile(5) OVER (ORDER BY mx - last_sec, user_id) AS r_tile,
+        |  ntile(5) OVER (ORDER BY freq, user_id) AS f_tile,
+        |  ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_tile
+        |FROM rfm, mx""".stripMargin,
 
     "event_attribution" ->
       """WITH e AS (
