@@ -19,7 +19,8 @@ object SparkEntry {
     _root_.graft.queries.VectorQueries,
     _root_.graft.queries.QualityQueries,
     _root_.graft.queries.GraphQueries,
-    _root_.graft.queries.StreamE2EQueries)
+    _root_.graft.queries.StreamE2EQueries,
+    _root_.graft.queries.SourceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

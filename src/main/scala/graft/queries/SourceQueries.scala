@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Source-format breadth: the engine's batch read paths beyond parquet
+  * (JSON lines, CSV, ORC), each proved by a ROUND TRIP — project the
+  * `events` fixture to exactly-representable columns (longs + simple
+  * strings; no doubles, so no textual-float representability questions),
+  * write with the Spark writer, read back with an EXPLICIT schema (no
+  * inference nondeterminism), aggregate. The DuckDB oracle computes the
+  * same aggregate straight from the parquet fixture — a hash-match
+  * proves the write→read cycle is lossless, not merely self-consistent.
+  *
+  * Scale note: these exercise the same DataSource scan machinery a
+  * partitioned lake read uses (splittable files, column pruning on
+  * ORC/CSV, schema enforcement); the temp-dir is harness plumbing, not
+  * part of the operator.
+  */
+object SourceQueries extends QueryPack {
+
+  /** Exactly-representable projection shared by all three formats. */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      floor(col("value") * 100).cast("long").as("cents"))
+
+  private def rollup(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"), max(col("user_id")).as("max_user"))
+
+  private val Schema =
+    "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT"
+
+  private def work(tag: String) = {
+    val w = Files.createTempDirectory(s"graft_src_$tag")
+    graft.source.SpoolWriter.deleteAtExit(w)
+    w.resolve("data").toString
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      val path = work("jsonl")
+      base(s, dir).write.mode("overwrite").json(path)
+      rollup(s.read.schema(Schema).json(path))
+    }),
+
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val path = work("csv")
+      base(s, dir).write.mode("overwrite").option("header", "true").csv(path)
+      rollup(s.read.schema(Schema).option("header", "true").csv(path))
+    }),
+
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val path = work("orc")
+      base(s, dir).write.mode("overwrite").orc(path)
+      rollup(s.read.orc(path))
+    })
+  )
+
+  private val mirror =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  MIN(event_id) AS min_id, MAX(user_id) AS max_user
+      |FROM events GROUP BY 1""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "source_jsonl_roundtrip" -> mirror,
+    "source_csv_roundtrip" -> mirror,
+    "source_orc_roundtrip" -> mirror)
+}
