@@ -191,6 +191,29 @@ object DedupQueries extends QueryPack {
             .as("precision"))
     }),
 
+    // Banding quality against the TRUE metric: dedup_eval_recall scores
+    // MinHash candidates against the df-CAPPED (and 2-gram) Jaccard
+    // index — the affordable truth before this round. PrefixFilterJoin
+    // makes the uncapped 3-shingle truth affordable, and it lives in
+    // the SAME gram space as the MinHash signatures, so this is the
+    // apples-to-apples recall/precision the capped form approximates.
+    "dedup_eval_recall_exact" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val truth = PrefixFilterJoin(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val cand = MinHashLSH.candidatePairs(docs, "doc_id", "text")
+        .select("doc_a", "doc_b")
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          (col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"))
+    }),
+
     // URL-canonicalization dedup — the cheap first dedup pass a web
     // corpus runs BEFORE any content hashing: mixed-case hosts, default
     // ports, utm_* tracking params, fragments, and trailing slashes all
@@ -423,6 +446,34 @@ object DedupQueries extends QueryPack {
          |  COUNT(*) AS n_shared
          |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    // brute-force 3-shingle truth (shared `tok`) vs the minhash band
+    // pipeline — counts + two divisions of exact counts
+    "dedup_eval_recall_exact" ->
+      s"""WITH $minhashPairsWith,
+         |jg AS (SELECT DISTINCT doc_id AS doc, $h31duck AS gram FROM (
+         |  SELECT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            for i in range(1, len(w)-1)]) AS s
+         |  FROM tok WHERE len(w) >= 3)),
+         |jsz AS (SELECT doc, COUNT(*) AS n FROM jg GROUP BY 1),
+         |jc AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+         |       FROM jg a JOIN jg b ON a.gram = b.gram AND a.doc < b.doc
+         |       GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM jc
+         |          JOIN jsz sa ON sa.doc = doc_a
+         |          JOIN jsz sb ON sb.doc = doc_b
+         |          WHERE 5 * common >= 3 * (sa.n + sb.n - common)),
+         |hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+         |        JOIN pairs p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+         |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM pairs) AS n_cand,
+         |  (SELECT COUNT(*) FROM hit) AS n_hit,
+         |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall,
+         |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM pairs) AS DOUBLE) AS precision
+         |""".stripMargin,
 
     // Deliberately NOT the prefix-filter algorithm: the full brute-force
     // postings self-join (no prefix, no length prune). A hash-match
