@@ -129,8 +129,71 @@ object Multimodal {
       }
   }
 
+  /** Real AUDIO decode on `javax.sound.sampled` (WAV/PCM ships with the
+    * JRE — no native dependency), the audio analog of [[ImageCodec]]:
+    * encode synthesizes a 16-bit mono PCM WAV whose samples follow a
+    * pure-integer law (mirrorable in SQL), decode parses the RIFF
+    * container through the REAL `AudioSystem` reader and walks the
+    * frames. This narrows the stub seam to video only.
+    */
+  object AudioCodec {
+
+    /** Exact integer sample statistics of a decoded 16-bit mono stream. */
+    case class AudioStats(
+        nSamples: Long, sumAbs: Long, minS: Int, maxS: Int, zeroCross: Long)
+
+    /** Deterministic synthetic audio: s(i) = ((i·37 + offset·11) mod
+      * 4096) − 2048, 16-bit little-endian mono PCM at 8 kHz in a
+      * standard 44-byte RIFF/WAVE header. Integer law ⇒ SQL mirror.
+      */
+    def encodePcmWav(nSamples: Int, offset: Long): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataLen)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+      buf.putShort(1); buf.putShort(1) // PCM, mono
+      buf.putInt(8000); buf.putInt(8000 * 2); buf.putShort(2); buf.putShort(16)
+      buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        buf.putShort((((i.toLong * 37 + offset * 11) % 4096) - 2048).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+
+    /** Real decode: `AudioSystem.getAudioInputStream` parses the
+      * container and the stats walk the decoded 16-bit LE frames.
+      * None ⇔ not audio any installed provider accepts — the fallback
+      * signal, exactly like [[ImageCodec.decodeStats]].
+      */
+    def decodeStats(bytes: Array[Byte]): Option[AudioStats] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val data = ais.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var n = 0L; var sumAbs = 0L
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var zc = 0L; var prev = 0; var first = true
+        while (bb.remaining() >= 2) {
+          val s = bb.getShort.toInt
+          n += 1; sumAbs += math.abs(s)
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          if (!first && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
+          prev = s; first = false
+        }
+        if (n == 0) None else Some(AudioStats(n, sumAbs, mn, mx, zc))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** ==== TEST DOUBLE ==== deterministic fake codec — the fallback for
-    * payloads the JDK cannot decode (audio/video) and the fixture
+    * payloads the JDK cannot decode (now video only: images decode via
+    * [[ImageCodec]], WAV audio via [[AudioCodec]]) and the fixture
     * anchor for text-byte payloads. A real deployment replaces the
     * bodies with libavcodec/etc; signatures and call sites stay.
     */

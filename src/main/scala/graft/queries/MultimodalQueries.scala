@@ -93,6 +93,31 @@ object MultimodalQueries extends QueryPack {
           (col("width") * col("height")).cast("double"))
     }),
 
+    // Real WAV round-trip (the audio analog of media_decode_imageio):
+    // synthesize 16-bit mono PCM audio under a pure-integer sample law,
+    // encode through a standard RIFF/WAVE container, decode through the
+    // REAL javax.sound.sampled reader, and report exact frame
+    // statistics incl. zero crossings — against a DuckDB mirror of the
+    // sample law. Any header/endianness/frame-walk bug on either end
+    // breaks the hash. Scan-side only; the stub seam is now video-only.
+    "media_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val n = (64 + nc % 128).toInt
+            val bytes = Multimodal.AudioCodec.encodePcmWav(n, id)
+            val st = Multimodal.AudioCodec.decodeStats(bytes).getOrElse(
+              throw new IllegalStateException(
+                s"AudioSystem failed to decode its own WAV for doc $id"))
+            (id, st.nSamples, st.sumAbs, st.minS, st.maxS, st.zeroCross)
+          }
+        }
+        .toDF("media_id", "n_samples", "sum_abs", "min_s", "max_s",
+          "zero_cross")
+    }),
+
     // Perceptual-hash near-dup — the pHash pipeline shape (decode →
     // feature panel → sign-of-deviation bits → banded hamming join),
     // with the decode behind the same stub seam as media_features:
@@ -184,6 +209,29 @@ object MultimodalQueries extends QueryPack {
              s"CAST('0x' || substr(md5(text), ${2 * i + 1}, 2) AS BIGINT) / 255.0 AS f$i")
              .mkString(",\n  ")}
          |FROM documents""".stripMargin,
+
+    // the sample-law mirror of the real WAV round-trip:
+    // s(i) = ((i*37 + doc_id*11) % 4096) - 2048 over n samples, zero
+    // crossings via lag
+    "media_decode_wav" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + n_chars % 128 AS n FROM documents),
+        |sm AS (
+        |  SELECT m.doc_id, g.i,
+        |    CAST(((g.i * 37 + m.doc_id * 11) % 4096) - 2048 AS INTEGER)
+        |      AS v
+        |  FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) g),
+        |zc AS (
+        |  SELECT doc_id, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM sm)
+        |SELECT doc_id AS media_id, COUNT(*) AS n_samples,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  MIN(v) AS min_s, MAX(v) AS max_s,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND
+        |    ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM zc GROUP BY 1""".stripMargin,
 
     // the pixel-law mirror of the real ImageIO round-trip: v(x,y) =
     // (x + y + doc_id) % 256 summed over the w×h grid
