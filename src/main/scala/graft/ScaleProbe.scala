@@ -145,18 +145,14 @@ object ScaleProbe {
       graft.ops.PrefixFilterJoin(
         scaled("documents", "doc_id", c), "doc_id", "text").count()
 
-    def winnowPairs(c: Int): Long = {
-      val fp = graft.ops.Winnow.fingerprints(
-          scaled("documents", "doc_id", c), "doc_id", "text")
-        .select("doc_id", "fp").distinct()
-      fp.groupBy("fp")
-        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")).between(2, 550))
-        .select(explode(graft.ops.ArrayPairs.of(col("docs"))).as("p"))
-        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3).count()
-    }
+    // same shared op as dedup_winnow_pairs; only the df cap scales with
+    // the duplication factor (every fp's df multiplies by ~11 on the
+    // duplicated corpus — cap 50 would drop every bucket and measure
+    // nothing)
+    def winnowPairs(c: Int): Long =
+      graft.ops.Winnow.pairs(
+        scaled("documents", "doc_id", c), "doc_id", "text",
+        maxDf = 550).count()
 
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),

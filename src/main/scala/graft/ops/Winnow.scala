@@ -35,9 +35,33 @@ object Winnow {
         expr(s"m div $Shift").as("fp"))
       .distinct()
 
-  /** DuckDB mirror ending in CTE `wm(doc_id, i, m)` over `documents`;
-    * consumers decode pos/fp from `m` exactly as the Spark side does.
-    * `h31duck` is the caller's md5→60-bit hash fragment over alias `s`.
+  /** Cross-doc match pairs over the shared fingerprints (the MOSS
+    * detector): df-capped fp buckets → scan-side C(n,2) → shared-count
+    * threshold. ONE implementation serves the registered query and the
+    * weak-scaling probe (which raises `maxDf` to match its duplication
+    * factor) — review finding: a copy in the probe had already drifted.
+    */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+            gramK: Int = 3, window: Int = 8,
+            minShared: Int = 3, maxDf: Int = 50): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, gramK, window)
+      .select("doc_id", "fp").distinct()
+    fp.groupBy("fp")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+      .select(explode(ArrayPairs.of(col("docs"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB mirror ending in CTE `wsel(doc_id, pos, fp)` — the decoded,
+    * full-window-filtered selection, with the decode constants and the
+    * window bound DERIVED from the parameters so a non-default `window`
+    * cannot silently diverge from the Spark side (review finding: the
+    * old mirror ended at the packed `wm` and every consumer hardcoded
+    * the decode). `h31duck` is the caller's md5→60-bit hash fragment
+    * over alias `s`.
     */
   def duckCtes(h31duck: String, gramK: Int = 3, window: Int = 8): String = {
     require(gramK == 3, "mirror is written for 3-shingles")
@@ -55,6 +79,10 @@ object Winnow {
        |wm AS (SELECT doc_id, i,
        |         MIN(pack) OVER (PARTITION BY doc_id ORDER BY i
        |           ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS m
-       |       FROM wp)""".stripMargin
+       |       FROM wp),
+       |wsel AS (SELECT DISTINCT doc_id,
+       |           ${Shift - 1} - (m % $Shift) AS pos,
+       |           m // $Shift AS fp
+       |         FROM wm WHERE i >= ${window - 1})""".stripMargin
   }
 }

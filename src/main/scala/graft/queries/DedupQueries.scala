@@ -145,18 +145,9 @@ object DedupQueries extends QueryPack {
     // fingerprint postings -> df-capped buckets (a boilerplate
     // fingerprint everyone shares carries no match signal and costs
     // O(df²) pairs) -> scan-side C(n,2) -> grouped shared-count.
-    "dedup_winnow_pairs" -> ((s, dir) => {
-      val fp = graft.ops.Winnow.fingerprints(
-          Tables(s, dir, "documents"), "doc_id", "text")
-        .select("doc_id", "fp").distinct()
-      fp.groupBy("fp")
-        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")).between(2, 50))
-        .select(explode(graft.ops.ArrayPairs.of(col("docs"))).as("p"))
-        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-    }),
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      graft.ops.Winnow.pairs(
+        Tables(s, dir, "documents"), "doc_id", "text")),
 
     // Asymmetric containment over the same inverted index: catches the
     // short-doc-quoted-inside-long-doc duplication that symmetric
@@ -199,10 +190,13 @@ object DedupQueries extends QueryPack {
     // apples-to-apples recall/precision the capped form approximates.
     "dedup_eval_recall_exact" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // both legs feed a count AND the hit join — pin each once so the
+      // prefix-join and banding pipelines run once, not twice (review
+      // finding; pair-list-sized tables)
       val truth = PrefixFilterJoin(docs, "doc_id", "text")
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").localCheckpoint()
       val cand = MinHashLSH.candidatePairs(docs, "doc_id", "text")
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").localCheckpoint()
       val hit = truth.join(cand, Seq("doc_a", "doc_b"))
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -437,8 +431,7 @@ object DedupQueries extends QueryPack {
 
     "dedup_winnow_pairs" ->
       s"""WITH ${graft.ops.Winnow.duckCtes(h31duck)},
-         |fp AS (SELECT DISTINCT doc_id, m // 67108864 AS fp
-         |       FROM wm WHERE i >= 7),
+         |fp AS (SELECT DISTINCT doc_id, fp FROM wsel),
          |kept AS (SELECT doc_id, fp FROM (
          |  SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS c FROM fp)
          |  WHERE c BETWEEN 2 AND 50)

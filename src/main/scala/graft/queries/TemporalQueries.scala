@@ -348,12 +348,17 @@ object TemporalQueries extends QueryPack {
     // Per-user linear trend of spend over time: least-squares slope from
     // the five classical sums, every one EXACT — x is epoch-seconds
     // centered on the group minimum (a window min on the same user key),
-    // which keeps x² sums in int64; the cross products n·Σxy and Σx·Σy
-    // reach ~10²² so the combination runs in DECIMAL(38,0)/HUGEINT (the
-    // agg_moments discipline). Groups whose x-variance is zero (all
-    // events in the same second) have no defined slope and drop — an
-    // exact integer test, not a float-epsilon one. One user-keyed
-    // shuffle shared by the window and the rollup.
+    // and BOTH product sums (x², x·q) accumulate in DECIMAL(38,0)/
+    // HUGEINT: centering shrinks x, but a multi-year group would push
+    // Σx² past int64 and Spark's long sum wraps SILENTLY where DuckDB's
+    // HUGEINT stays exact — the one failure mode that breaks parity
+    // precisely at scale (review finding; the agg_moments discipline
+    // applied to every term that can leave int64). The n·Σxy / Σx·Σy
+    // combinations reach ~10²² and stay in the same wide domain. Groups
+    // whose x-variance is zero (all events in the same second) have no
+    // defined slope and drop — an exact integer test, not a
+    // float-epsilon one. One user-keyed shuffle shared by the window
+    // and the rollup.
     "ts_linear_trend" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
       Tables(s, dir, "events")
@@ -364,7 +369,8 @@ object TemporalQueries extends QueryPack {
           col("sec") - min(col("sec")).over(W.partitionBy("user_id")))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(expr("x * x")).as("sxx"), sum(col("q")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(col("q")).as("sy"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * q")).as("sxy"))
         .filter(expr("CAST(n AS DECIMAL(38,0)) * sxx" +
           " - CAST(sx AS DECIMAL(38,0)) * sx > 0"))
@@ -395,6 +401,11 @@ object TemporalQueries extends QueryPack {
       val US = 86400000000L // one day in micros
       val gap = 1800000000L // 30 min
       val wU = W.partitionBy("user_id").orderBy("us")
+      // THREE consumers (starts, ends, carry) read the session table and
+      // diverge immediately, so the user-keyed sessionization would run
+      // three times without a pin (review finding — the PrefixFilterJoin
+      // docAgg situation; sessions-cardinality rows, reliable-storage
+      // checkpoint at cluster scale).
       val sess = Tables(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
         .withColumn("new_s",
@@ -403,6 +414,7 @@ object TemporalQueries extends QueryPack {
           wU.rowsBetween(W.unboundedPreceding, W.currentRow)))
         .groupBy("user_id", "sid")
         .agg(min(col("us")).as("s_us"), (max(col("us")) + gap).as("e_us"))
+        .localCheckpoint()
       val starts = sess.select(expr(s"s_us div ${US}L").as("dn"),
         col("s_us").as("us"), lit(1L).as("delta"), lit(1L).as("is_start"))
       val ends = sess.filter(expr(s"e_us % ${US}L != 0"))
@@ -763,7 +775,7 @@ object TemporalQueries extends QueryPack {
         |a AS (
         |  SELECT user_id, COUNT(*) AS n,
         |    CAST(SUM(x) AS BIGINT) AS sx,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
         |    CAST(SUM(q) AS BIGINT) AS sy,
         |    SUM(CAST(x AS HUGEINT) * q) AS sxy
         |  FROM c GROUP BY 1)

@@ -606,9 +606,7 @@ object TextQueries extends QueryPack {
     // so the engines cannot diverge on a tie).
     "text_winnow_fingerprint" ->
       s"""WITH ${graft.ops.Winnow.duckCtes(h31duck)}
-         |SELECT DISTINCT doc_id, 67108863 - (m % 67108864) AS pos,
-         |  m // 67108864 AS fp
-         |FROM wm WHERE i >= 7""".stripMargin,
+         |SELECT doc_id, pos, fp FROM wsel""".stripMargin,
 
     "text_bpe_merge_step" ->
       s"""WITH bi AS (
