@@ -24,15 +24,16 @@ object Bench {
       // (Tables normalizes to micros TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // coalesce tiny post-shuffle partitions for size, not parallelism
-      // (the setting Spark's own tuning guide recommends flipping).
-      // Measured NEUTRAL at local[32]/sf0.1 (in-process task launch is
-      // cheap, so 32 tiny reducers cost the same as 1); kept because at
-      // 100 TB it prevents partition-count overload on genuinely small
-      // intermediate shuffles. See docs/NOTES.md round-5 profile: the
-      // per-query floor is EXECUTION (run2 0.10–0.26 s), not analysis
-      // (0.02–0.08 s) — pre-resolving views would buy nothing.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelismFirst stays at Spark's DEFAULT (true). The closeout
+      // flipped it to false on a "measured neutral" claim; re-measured
+      // on window-heavy small-key queries it is NOT neutral — with
+      // false, AQE coalesces a 3-group window shuffle to ONE partition
+      // and serializes the per-group sorts (agg_winsorized_stats
+      // 2.89 s vs 1.65 s at sf0.1, A/B-tested; scan-shaped queries
+      // unchanged). At real scale partitions exceed the advisory size
+      // either way, so the default costs nothing there. The round-5
+      // profile attribution stands: the per-query floor is EXECUTION
+      // (run2 0.10–0.26 s), not analysis (0.02–0.08 s).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // native fns + optimizer rewrites
