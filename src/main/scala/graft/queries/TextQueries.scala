@@ -236,6 +236,39 @@ object TextQueries extends QueryPack {
         .limit(100)
     }),
 
+    // Collocation mining by LIFT: bigram strength as the exact rational
+    // N·c(ab) / (c(a)·c(b)) — the count-only core of PMI (whose log is
+    // monotone, so the TOP-K BY LIFT is the top-k by PMI without a
+    // transcendental the engines could round apart). Numerator and
+    // denominator are exact int64 (N·c_ab ≤ 10⁵·10⁵; the tie/order key
+    // is the integer pair (lift-as-division double from identical
+    // operands, bigram)). Two grouped rollups (unigrams, bigrams) + a
+    // broadcast of the unigram table onto the bigram rollup; the min
+    // support floor keeps one-off pairings from topping the chart on
+    // spurious 1/1 counts. Corpus-statistics shape: the collocation
+    // table a tokenizer or phrase-merger is seeded with.
+    "text_bigram_lift" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(explode(TextHash.tokens(col("text"))).as("t"))
+      val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      val nTotal = toks.agg(count(lit(1)).as("n_tok"))
+      val bi = docs
+        .select(explode(
+          TextHash.shingles(TextHash.tokens(col("text")), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .withColumn("a", split(col("bg"), " ").getItem(0))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+      bi.join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))), "a")
+        .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))), "b")
+        .crossJoin(broadcast(nTotal))
+        .select(col("bg").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          ((col("n_tok") * col("c_ab")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        .orderBy(desc("lift"), asc("bigram"))
+        .limit(20)
+    }),
+
     // Repetition ratio (Gopher-style quality rule): share of bigrams
     // that are repeats of an earlier bigram in the same doc. Scan-side
     // only — the shingle array never leaves the projection.
@@ -607,6 +640,26 @@ object TextQueries extends QueryPack {
     "text_winnow_fingerprint" ->
       s"""WITH ${graft.ops.Winnow.duckCtes(h31duck)}
          |SELECT doc_id, pos, fp FROM wsel""".stripMargin,
+
+    "text_bigram_lift" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_tok FROM toks),
+        |w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bi AS (
+        |  SELECT bg, COUNT(*) AS c_ab FROM (
+        |    SELECT unnest([w[i] || ' ' || w[i+1]
+        |                   for i in range(1, len(w))]) AS bg
+        |    FROM w WHERE len(w) >= 2)
+        |  GROUP BY 1 HAVING COUNT(*) >= 5)
+        |SELECT bg AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  CAST(n.n_tok * c_ab AS DOUBLE)
+        |    / CAST(ua.c * ub.c AS DOUBLE) AS lift
+        |FROM bi
+        |JOIN uni ua ON ua.t = string_split(bg, ' ')[1]
+        |JOIN uni ub ON ub.t = string_split(bg, ' ')[2], n
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
 
     "text_bpe_merge_step" ->
       s"""WITH bi AS (
