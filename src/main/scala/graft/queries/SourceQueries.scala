@@ -60,6 +60,35 @@ object SourceQueries extends QueryPack {
       val path = work("orc")
       base(s, dir).write.mode("overwrite").orc(path)
       rollup(s.read.orc(path))
+    }),
+
+    // Runtime DYNAMIC partition pruning — the complement of
+    // scan_partition_pruned's static case: lineitem lands in a
+    // month-partitioned layout, the probe filter lives on a DIM table
+    // (order priorities → months), so no static rule can prune the
+    // fact scan; Spark's DPP builds the month list from the dim at
+    // RUNTIME and skips every other partition's files. PlanAuditSuite
+    // pins `dynamicpruning` in the fact scan. The written layout is
+    // the operator under test (a lake fact table IS such a directory
+    // tree); the oracle computes the join from the raw fixture.
+    "join_dpp_runtime" -> ((s, dir) => {
+      val path = work("dpp")
+      Tables(s, dir, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+      val fact = s.read.parquet(path)
+      // dim: ~1/3 of the months survive an engine-neutral bucket rule
+      // ((year + month) % 3 — no engine-private hash), a selection the
+      // fact scan can only learn by RUNNING the dim subquery
+      val dim = Tables(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+        .distinct()
+        .filter((substring(col("ship_month"), 6, 2).cast("int") +
+          substring(col("ship_month"), 1, 4).cast("int")) % 3 === 0)
+      fact.join(broadcast(dim.select("ship_month")), "ship_month")
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
     })
   )
 
@@ -73,5 +102,25 @@ object SourceQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "source_jsonl_roundtrip" -> mirror,
     "source_csv_roundtrip" -> mirror,
-    "source_orc_roundtrip" -> mirror)
+    "source_orc_roundtrip" -> mirror,
+
+    // same join from the raw fixture — no partitioned layout involved.
+    // hash(month) is Spark-side Murmur3: mirrored via the month list?
+    // No — the bucket rule must be ENGINE-NEUTRAL, so it pins the
+    // month's digit sum instead (see the Spark side).
+    "join_dpp_runtime" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+        |  FROM orders),
+        |keep AS (
+        |  SELECT ship_month FROM dim
+        |  WHERE (CAST(substr(ship_month, 6, 2) AS INTEGER)
+        |         + CAST(substr(ship_month, 1, 4) AS INTEGER)) % 3 = 0)
+        |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM lineitem
+        |JOIN keep ON strftime(l_shipdate, '%Y-%m') = keep.ship_month
+        |GROUP BY 1""".stripMargin)
 }

@@ -624,6 +624,13 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(executed(q("ts_twap"))) === 1)
   }
 
+  test("join_dpp_runtime: dim filter prunes fact partitions at RUNTIME") {
+    val p = executed(q("join_dpp_runtime"))
+    val scans = flatten(p).filter(_.nodeName.contains("Scan")).map(_.toString)
+    assert(scans.exists(_.toLowerCase.contains("dynamicpruning")),
+      s"fact scan must carry a dynamic pruning subquery:\n${scans.mkString("\n")}")
+  }
+
   test("event_attribution: user window + item rollup, exactly two shuffles") {
     assert(countShuffles(executed(q("event_attribution"))) === 2)
   }
