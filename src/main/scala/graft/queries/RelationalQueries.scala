@@ -395,6 +395,21 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // nth_value completes the positional-window family next to
+    // first/last: each customer's SECOND order key over the full frame
+    // (null for single-order customers on both engines — nth_value's
+    // missing-position semantics, not a sentinel). Same single
+    // customer-keyed window shuffle as window_first_last.
+    "window_nth_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .groupBy("o_custkey", "second_key")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // ---- sorts / top-k --------------------------------------------------
     // Global top-10: TakeOrderedAndProject — k rows per partition to the
     // driver, never a full sort at any scale.
@@ -1117,6 +1132,16 @@ object RelationalQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1""".stripMargin,
+
+    "window_nth_value" ->
+      """SELECT o_custkey,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+        |  COUNT(*) OVER w AS n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey) = 1""".stripMargin,
 
     "sort_topk" ->
       """SELECT l_orderkey, l_linenumber,
