@@ -34,7 +34,59 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_rolling" -> ((s, dir) => runRolling(s, dir)),
     "stream_e2e_join" -> ((s, dir) => runJoin(s, dir)),
     "stream_e2e_dedup" -> ((s, dir) => runDedup(s, dir)),
-    "stream_e2e_session" -> ((s, dir) => runSession(s, dir)))
+    "stream_e2e_session" -> ((s, dir) => runSession(s, dir)),
+    "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)))
+
+  /** UNBOUNDED streaming aggregation end to end (round-5, seventh
+    * streaming oracle row): raw TICK envelopes → envelope source paced
+    * to multiple micro-batches → global `groupBy(type)` running totals
+    * in UPDATE mode (no watermark — the state never expires, the
+    * grow-forever aggregation family the other six rows don't cover) →
+    * LWW sink upsert per emitted key → read-back vs a plain batch
+    * GROUP BY. Update mode re-emits a key's CURRENT total whenever a
+    * batch touches it, and the PK upsert makes replays and multi-batch
+    * pacing converge to the same final row set — order-independence
+    * comes from the aggregation algebra (counts/sums of ints), so the
+    * spool needs no dedup and no time sorting.
+    */
+  private def runCounts(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(to_json(struct(
+        lit("feed").as("topic"),
+        lit("TICK").as("frameType"),
+        struct(
+          col("user_id").cast("string").as("symbol"),
+          col("value").as("bid"),
+          col("value").as("price"),
+          col("value").as("ask"),
+          expr("unix_micros(ts) div 1000000").as("time"),
+          floor(col("value")).cast("int").as("volume"),
+          when(col("event_type") === "purchase", "B").otherwise("S")
+            .as("type")).as("payload"))).as("value"))
+    val work = Files.createTempDirectory("graft_e2e_cnt")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2") // several update emissions
+      .load()
+    val agg = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .groupBy(col("tradeType").as("trade_type"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("volume").cast("long")).as("sum_vol"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "cnt",
+          Seq("trade_type"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "cnt")
+      .select(col("trade_type"), col("n_ticks"), col("sum_vol"))
+  }
 
   /** STREAMING SESSION WINDOWS end to end (round-5, sixth streaming
     * oracle row): TICK envelopes → envelope source → watermarked
@@ -521,6 +573,15 @@ object StreamE2EQueries extends QueryPack {
         |  'VIEW' AS order_type
         |FROM t JOIN b ON t.user_id = b.user_id
         |  AND b.sec >= t.sec - 86400 AND b.sec <= t.sec""".stripMargin,
+
+    // plain batch GROUP BY mirror of the streamed running totals
+    "stream_e2e_counts" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END
+        |    AS trade_type,
+        |  COUNT(*) AS n_ticks,
+        |  CAST(SUM(CAST(floor(value) AS INTEGER)) AS BIGINT) AS sum_vol
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |GROUP BY 1""".stripMargin,
 
     // the batch gaps-and-islands mirror of the streamed session_window
     // aggregation, over the same deduped (user, second) ticks
