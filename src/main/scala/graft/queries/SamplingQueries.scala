@@ -18,6 +18,22 @@ object SamplingQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Systematic (every k-th) sampling over the GLOBAL event timeline —
+    // the evenly-spaced audit sample a data-quality review pulls. The
+    // global row number comes from ops/GlobalRank (range-partitioned
+    // parallel sort — systematic sampling is exactly the op an
+    // un-partitioned ROW_NUMBER window cannot provide at scale; third
+    // production consumer after ntile and RFM), keyed on the total
+    // (ts, event_id) order so both engines number identically.
+    "sample_systematic" -> ((s, dir) => {
+      val ranked = graft.ops.GlobalRank.withRowNumber(
+        Tables(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id")),
+        "rn", Seq(col("ts"), col("event_id")))
+      ranked.filter(col("rn") % 20 === 0)
+        .select(col("event_id"), col("user_id"), col("rn"))
+    }),
+
     // ~10% deterministic sample, stratification audited per language.
     "sample_deterministic" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -176,6 +192,13 @@ object SamplingQueries extends QueryPack {
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) % 2147483647"
 
   def oracles: Map[String, String] = Map(
+    "sample_systematic" ->
+      """SELECT event_id, user_id, rn FROM (
+        |  SELECT event_id, user_id,
+        |    row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn % 20 = 0""".stripMargin,
+
     "sample_cap_per_source" ->
       """SELECT source, rk, doc_id, n_chars FROM (
         |  SELECT source, doc_id, n_chars,
