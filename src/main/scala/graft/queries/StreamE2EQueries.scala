@@ -35,7 +35,65 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_join" -> ((s, dir) => runJoin(s, dir)),
     "stream_e2e_dedup" -> ((s, dir) => runDedup(s, dir)),
     "stream_e2e_session" -> ((s, dir) => runSession(s, dir)),
-    "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)))
+    "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)),
+    "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)))
+
+  /** STREAM-STATIC ENRICHMENT end to end (round-5, eighth streaming
+    * oracle row): TICK envelopes → envelope source → broadcast join
+    * against a STATIC dimension (customer keyed by symbol-as-custkey —
+    * the reference-data lookup every live feed runs per row) → LWW
+    * sink → read-back vs the batch join. Stateless by construction
+    * (the static side re-broadcasts per micro-batch, no state store),
+    * so determinism needs only the usual PK pre-dedup; unmatched
+    * symbols drop (inner join) on both sides.
+    */
+  private def runEnrich(s: SparkSession, dir: String): DataFrame = {
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+    val lines = base.select(to_json(struct(
+      lit("feed").as("topic"),
+      lit("TICK").as("frameType"),
+      struct(
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("bid"),
+        col("value").as("price"),
+        col("value").as("ask"),
+        col("time_s").as("time"),
+        floor(col("value")).cast("int").as("volume"),
+        when(col("event_type") === "purchase", "B").otherwise("S")
+          .as("type")).as("payload"))).as("value"))
+    val work = Files.createTempDirectory("graft_e2e_enr")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey").cast("string").as("symbol"),
+        col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2")
+      .load()
+    val enriched = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .join(broadcast(dim), Seq("symbol"))
+      .select(col("symbol"), col("time"), col("price"),
+        col("tradeType"), col("nation"), col("bal_cents"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = enriched.writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "enr",
+          Seq("symbol", "time"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "enr")
+      .select(col("symbol"), col("time").as("time_s"), col("price"),
+        col("tradeType").as("trade_type"), col("nation"), col("bal_cents"))
+  }
 
   /** UNBOUNDED streaming aggregation end to end (round-5, seventh
     * streaming oracle row): raw TICK envelopes → envelope source paced
@@ -573,6 +631,23 @@ object StreamE2EQueries extends QueryPack {
         |  'VIEW' AS order_type
         |FROM t JOIN b ON t.user_id = b.user_id
         |  AND b.sec >= t.sec - 86400 AND b.sec <= t.sec""".stripMargin,
+
+    // batch mirror of the stream-static enrichment: deduped ticks
+    // inner-joined to the same customer projection
+    "stream_e2e_enrich" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END AS typ,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1)
+        |SELECT CAST(b.user_id AS VARCHAR) AS symbol, b.sec AS time_s,
+        |  b.value AS price, b.typ AS trade_type,
+        |  c.c_nationkey AS nation,
+        |  CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM base b JOIN customer c ON b.user_id = c.c_custkey""".stripMargin,
 
     // plain batch GROUP BY mirror of the streamed running totals
     "stream_e2e_counts" ->
