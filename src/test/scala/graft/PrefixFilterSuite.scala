@@ -83,4 +83,25 @@ class PrefixFilterSuite extends SparkSpec {
     assert(out.count() === 10) // C(5,2)
     assert(out.filter(col("jaccard") =!= 1.0).count() === 0)
   }
+
+  test("property: complete vs brute force on random small-vocab corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocab + short docs: maximal shingle overlap, boundary
+    // Jaccard values, sub-k docs, duplicate docs — the shapes where an
+    // off-by-one in the prefix/positional bounds would actually bite
+    val docGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("x", "y", "z"))
+    } yield toks.mkString(" ")
+    val corpusGen = Gen.listOfN(6, docGen)
+    (0 until 8).foreach { i =>
+      corpusGen(Gen.Parameters.default, Seed(i.toLong)).foreach { corpus =>
+        val docs = corpus.zipWithIndex
+          .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+        assert(pairsOf(PrefixFilterJoin(docs, "doc_id", "text")) ===
+          pairsOf(bruteForce(docs)), s"diverged under seed $i: $corpus")
+      }
+    }
+  }
 }

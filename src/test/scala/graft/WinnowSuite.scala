@@ -60,4 +60,56 @@ class WinnowSuite extends SparkSpec {
     val fps = fingerprints(Seq((1L, (1 to 9).map("u" + _).mkString(" "))))
     assert(fps.isEmpty)
   }
+
+  // ---- property: pipeline == independent in-JVM reference ------------
+
+  /** Straight-line reference: md5-hash the 3-shingles, pack, take each
+    * full window's min, decode — no Spark, no SQL, shared with nothing.
+    */
+  private def h31ref(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 2147483647L
+  }
+
+  private def winnowRef(tokens: Seq[String], k: Int = 3, w: Int = 8)
+      : Set[(Long, Long)] = {
+    if (tokens.size < k) return Set.empty
+    val S = 1L << 26
+    val packs = tokens.sliding(k).map(_.mkString(" ")).map(h31ref)
+      .zipWithIndex.map { case (h, i) => h * S + (S - 1 - i) }.toVector
+    if (packs.size < w) Set.empty
+    else (w - 1 until packs.size).map { j =>
+      val m = packs.slice(j - w + 1, j + 1).min
+      (S - 1 - m % S, m / S)
+    }.toSet
+  }
+
+  test("property: selection matches the straight-line reference on random docs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val docGen = for {
+      n <- Gen.choose(0, 40)
+      // tiny vocab forces hash ties and repeated shingles — the
+      // rightmost-tie and dedup paths a diverse vocab never exercises
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks
+    val corpusGen = Gen.listOfN(4, docGen)
+    (0 until 8).foreach { i =>
+      corpusGen(Gen.Parameters.default, Seed(i.toLong)).foreach { corpus =>
+        val rows = corpus.zipWithIndex.map { case (ts, id) =>
+          (id.toLong, ts.mkString(" "))
+        }
+        val got = fingerprints(rows)
+          .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+        corpus.zipWithIndex.foreach { case (toks, id) =>
+          // split("a b", " ") on an empty string yields [""] — mirror
+          // the pipeline's tokenization for the reference
+          val tokens = rows(id)._2.split(" ", -1).toSeq
+          assert(got.getOrElse(id.toLong, Set.empty) === winnowRef(tokens),
+            s"doc $id (${toks.size} tokens) diverged under seed $i")
+        }
+      }
+    }
+  }
 }
