@@ -102,6 +102,27 @@ object ScaleQueries extends QueryPack {
         col("est_distinct"))
     }),
 
+    // Sketch REAGGREGATION as an oracle row: union the per-group HLL
+    // sketches by register-wise max and estimate the GLOBAL distinct —
+    // the two-level rollup a 100 TB pipeline actually runs (leaf
+    // sketches per partition/day, merged upward without re-reading
+    // data). The oracle never merges: it builds ONE global sketch
+    // directly from the rows — a hash-match is an end-to-end proof
+    // that max-merge of group sketches ≡ the sketch of the union
+    // (associativity exercised through real plans, not just the
+    // suite's unit check). Exact distinct rides along to show the
+    // estimate's error in-row.
+    "agg_hll_union" -> ((s, dir) => {
+      val perGroup = Hll.registers(t(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_partkey"))
+      val merged = perGroup.groupBy("bucket").agg(max(col("m_j")).as("m_j"))
+        .withColumn("g", lit("all"))
+      Hll.estimate(merged)
+        .select(col("n_set"), col("s_total"), col("est_distinct"))
+        .crossJoin(t(s, dir, "lineitem")
+          .agg(countDistinct(col("l_partkey")).as("exact_distinct")))
+    }),
+
     // ---- order-free table checksum -------------------------------------
     // Row-content fingerprint per group: hash each row's canonical
     // string image, fold with SUM — commutative and associative, so
@@ -748,6 +769,20 @@ object ScaleQueries extends QueryPack {
          |SELECT g AS l_returnflag, n_set, s_total,
          |  ${Hll.estSql("s_total")} AS est_distinct
          |FROM hlls""".stripMargin,
+    // deliberately UNMERGED: one global sketch straight from the rows,
+    // so the match proves the Spark side's group-then-max-merge path
+    "agg_hll_union" ->
+      s"""WITH hashed AS (
+         |  SELECT 'all' AS g,
+         |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM lineitem),
+         |${Hll.duckCtes}
+         |SELECT n_set, s_total, ${Hll.estSql("s_total")} AS est_distinct,
+         |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+         |    AS exact_distinct
+         |FROM hlls""".stripMargin,
+
     "emb_label_centroids" -> centroidOracle,
     "emb_label_centroids_agg" -> centroidOracle,
 
