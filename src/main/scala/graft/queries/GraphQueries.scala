@@ -109,6 +109,39 @@ object GraphQueries extends QueryPack {
               col("n_wedges").cast("double")))
     }),
 
+    // Breadth-first reachability levels — the traversal family next to
+    // PageRank (diffusion), connected components (equivalence), and
+    // triangles (census): hop distance from a seed set (users 0..4)
+    // over the undirected bipartite graph, 3 unrolled relaxation
+    // rounds (dist := min(dist, min over neighbors + 1) — each round
+    // one join + one grouped min, the textbook distributed BFS/SSSP
+    // step with unit weights; pure integer mins, so no order
+    // sensitivity anywhere). Nodes still unreached after 3 hops drop,
+    // exactly like the mirror's unrolled CTEs. At scale the unrolled
+    // form becomes the ConnectedComponents loop discipline
+    // (per-round checkpoint, fixed-point detection).
+    "graph_bfs_levels" -> ((s, dir) => {
+      val adj = {
+        val e = edges(s, dir)
+        e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      }
+      val seeds = adj.select(col("src").as("node")).distinct()
+        .filter(col("node") < 5)
+        .withColumn("dist", lit(0L))
+      val d3 = (1 to 3).foldLeft(seeds) { (frontier, _) =>
+        frontier
+          .join(adj, frontier("node") === adj("src"))
+          .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+          .unionByName(frontier)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+      }
+      d3.join(
+        adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+        Seq("node"))
+    }),
+
     // One round of neighbor mean-aggregation over the undirected
     // bipartite graph — the GraphSAGE mean-aggregator shape a GNN
     // feature pipeline runs per layer, with node feature = degree, so
@@ -138,6 +171,31 @@ object GraphQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // same 3 relaxation rounds, unrolled as CTEs
+    "graph_bfs_levels" ->
+      s"""WITH $edgesDuck,
+         |adj AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges
+         |    UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+         |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM adj WHERE src < 5),
+         |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT a.dst AS node, d.dist + 1 AS dist
+         |  FROM d0 d JOIN adj a ON d.node = a.src
+         |  UNION ALL SELECT node, dist FROM d0) GROUP BY 1),
+         |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT a.dst AS node, d.dist + 1 AS dist
+         |  FROM d1 d JOIN adj a ON d.node = a.src
+         |  UNION ALL SELECT node, dist FROM d1) GROUP BY 1),
+         |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT a.dst AS node, d.dist + 1 AS dist
+         |  FROM d2 d JOIN adj a ON d.node = a.src
+         |  UNION ALL SELECT node, dist FROM d2) GROUP BY 1),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM adj GROUP BY 1)
+         |SELECT d3.node, d3.dist, deg.deg
+         |FROM d3 JOIN deg ON d3.node = deg.node""".stripMargin,
+
     "graph_neighbor_agg" ->
       s"""WITH $edgesDuck,
          |adj AS (
