@@ -62,6 +62,34 @@ object SourceQueries extends QueryPack {
       rollup(s.read.orc(path))
     }),
 
+    // PERMISSIVE-mode corrupt-record isolation on the batch JSON path —
+    // the batch face of the streaming dead-letter (K5): every 7th line
+    // is deterministically mangled into invalid JSON; the reader must
+    // quarantine exactly those rows into the corrupt column (whole
+    // record nulled — no partial salvage for syntactically invalid
+    // lines) while every healthy row parses bit-exactly. The oracle
+    // recomputes both populations from the fixture by the same mod-7
+    // rule; sum_cents is NULL for the corrupt bucket on both engines
+    // (SUM over no non-null values).
+    "source_jsonl_corrupt" -> ((s, dir) => {
+      val path = work("jsonl_bad")
+      val good = to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), floor(col("value") * 100).cast("long").as("cents")))
+      Tables(s, dir, "events").select(
+        when(col("event_id") % 7 === 0,
+          concat(lit("{\"event_id\":"), col("event_id"), lit(",INVALID")))
+          .otherwise(good).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "cents BIGINT, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+        .groupBy(coalesce(col("event_type"), lit("_corrupt")).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    }),
+
     // Runtime DYNAMIC partition pruning — the complement of
     // scan_partition_pruned's static case: lineitem lands in a
     // month-partitioned layout, the probe filter lives on a DIM table
@@ -103,6 +131,17 @@ object SourceQueries extends QueryPack {
     "source_jsonl_roundtrip" -> mirror,
     "source_csv_roundtrip" -> mirror,
     "source_orc_roundtrip" -> mirror,
+
+    "source_jsonl_corrupt" ->
+      """SELECT bucket, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM (
+        |  SELECT CASE WHEN event_id % 7 = 0 THEN '_corrupt'
+        |              ELSE event_type END AS bucket,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(floor(value * 100) AS BIGINT) END AS cents
+        |  FROM events)
+        |GROUP BY 1""".stripMargin,
 
     // same join from the raw fixture — no partitioned layout involved.
     // hash(month) is Spark-side Murmur3: mirrored via the month list?
