@@ -121,11 +121,15 @@ object GraphQueries extends QueryPack {
     // form becomes the ConnectedComponents loop discipline
     // (per-round checkpoint, fixed-point detection).
     "graph_bfs_levels" -> ((s, dir) => {
+      // FIVE consumers (seeds, 3 relaxation joins, deg) — pin the
+      // symmetrized adjacency once (the ts_peak_concurrency review
+      // lesson; edge-list-sized, reliable-storage checkpoint at scale)
       val adj = {
         val e = edges(s, dir)
         e.select(col("src"), col("dst"))
           .union(e.select(col("dst").as("src"), col("src").as("dst")))
           .distinct()
+          .localCheckpoint()
       }
       val seeds = adj.select(col("src").as("node")).distinct()
         .filter(col("node") < 5)

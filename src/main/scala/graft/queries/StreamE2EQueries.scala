@@ -38,6 +38,33 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)),
     "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)))
 
+  /** Shared TICK-envelope JSON projection (review finding: seven nearly
+    * identical copies had accumulated across the e2e runners — a payload
+    * change must happen in ONE place or drift silently). Expects
+    * `user_id` and `time_s` on `df`; price/volume/type vary per caller,
+    * and row order/partitioning pass through untouched (the cumvol and
+    * session runners depend on theirs).
+    */
+  private def tickLines(df: DataFrame,
+      price: org.apache.spark.sql.Column,
+      volume: org.apache.spark.sql.Column,
+      typ: org.apache.spark.sql.Column): DataFrame =
+    df.select(to_json(struct(
+      lit("feed").as("topic"),
+      lit("TICK").as("frameType"),
+      struct(
+        col("user_id").cast("string").as("symbol"),
+        price.as("bid"), price.as("price"), price.as("ask"),
+        col("time_s").as("time"), volume.as("volume"),
+        typ.as("type")).as("payload"))).as("value"))
+
+  /** The reference feed's B/S convention over the events fixture. */
+  private def stdType: org.apache.spark.sql.Column =
+    when(col("event_type") === "purchase", "B").otherwise("S")
+
+  private def stdVolume: org.apache.spark.sql.Column =
+    floor(col("value")).cast("int")
+
   /** STREAM-STATIC ENRICHMENT end to end (round-5, eighth streaming
     * oracle row): TICK envelopes → envelope source → broadcast join
     * against a STATIC dimension (customer keyed by symbol-as-custkey —
@@ -54,18 +81,7 @@ object StreamE2EQueries extends QueryPack {
         .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
       Seq(col("user_id"), col("time_s")),
       Seq(col("event_id")))
-    val lines = base.select(to_json(struct(
-      lit("feed").as("topic"),
-      lit("TICK").as("frameType"),
-      struct(
-        col("user_id").cast("string").as("symbol"),
-        col("value").as("bid"),
-        col("value").as("price"),
-        col("value").as("ask"),
-        col("time_s").as("time"),
-        floor(col("value")).cast("int").as("volume"),
-        when(col("event_type") === "purchase", "B").otherwise("S")
-          .as("type")).as("payload"))).as("value"))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_enr")
     graft.source.SpoolWriter.deleteAtExit(work)
     val spool = graft.source.SpoolWriter.write(lines, work)
@@ -108,20 +124,11 @@ object StreamE2EQueries extends QueryPack {
     * spool needs no dedup and no time sorting.
     */
   private def runCounts(s: SparkSession, dir: String): DataFrame = {
-    val lines = Tables(s, dir, "events")
-      .filter(col("event_type").isin("purchase", "click"))
-      .select(to_json(struct(
-        lit("feed").as("topic"),
-        lit("TICK").as("frameType"),
-        struct(
-          col("user_id").cast("string").as("symbol"),
-          col("value").as("bid"),
-          col("value").as("price"),
-          col("value").as("ask"),
-          expr("unix_micros(ts) div 1000000").as("time"),
-          floor(col("value")).cast("int").as("volume"),
-          when(col("event_type") === "purchase", "B").otherwise("S")
-            .as("type")).as("payload"))).as("value"))
+    val lines = tickLines(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_cnt")
     graft.source.SpoolWriter.deleteAtExit(work)
     val spool = graft.source.SpoolWriter.write(lines, work)
@@ -171,19 +178,8 @@ object StreamE2EQueries extends QueryPack {
         .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
       Seq(col("user_id"), col("time_s")),
       Seq(col("event_id")))
-    val lines = base.orderBy(col("time_s"), col("user_id"))
-      .select(to_json(struct(
-        lit("feed").as("topic"),
-        lit("TICK").as("frameType"),
-        struct(
-          col("user_id").cast("string").as("symbol"),
-          col("value").as("bid"),
-          col("value").as("price"),
-          col("value").as("ask"),
-          col("time_s").as("time"),
-          floor(col("value")).cast("int").as("volume"),
-          when(col("event_type") === "purchase", "B").otherwise("S")
-            .as("type")).as("payload"))).as("value"))
+    val lines = tickLines(base.orderBy(col("time_s"), col("user_id")),
+      col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_sess")
     graft.source.SpoolWriter.deleteAtExit(work)
     val spool = graft.source.SpoolWriter.write(lines, work,
@@ -247,19 +243,10 @@ object StreamE2EQueries extends QueryPack {
           .cast("double") / 10.0)
       .withColumn("pseudo_vol",
         ((col("user_id") + col("time_s")) % 100L).cast("int"))
-    val lines = base.orderBy(col("time_s"), col("user_id"), col("event_id"))
-      .select(to_json(struct(
-        lit("feed").as("topic"),
-        lit("TICK").as("frameType"),
-        struct(
-          col("user_id").cast("string").as("symbol"),
-          col("pseudo_price").as("bid"),
-          col("pseudo_price").as("price"),
-          col("pseudo_price").as("ask"),
-          col("time_s").as("time"),
-          col("pseudo_vol").as("volume"),
-          when(col("user_id") % 2 === 0, "B").otherwise("S")
-            .as("type")).as("payload"))).as("value"))
+    val lines = tickLines(
+      base.orderBy(col("time_s"), col("user_id"), col("event_id")),
+      col("pseudo_price"), col("pseudo_vol"),
+      when(col("user_id") % 2 === 0, "B").otherwise("S"))
     val work = Files.createTempDirectory("graft_e2e_dd")
     graft.source.SpoolWriter.deleteAtExit(work)
     val spool = graft.source.SpoolWriter.write(lines, work,
@@ -311,18 +298,7 @@ object StreamE2EQueries extends QueryPack {
       Seq(col("event_id")))
       .repartition(4, col("user_id"))
       .sortWithinPartitions(col("time_s"))
-    val lines = base.select(to_json(struct(
-      lit("feed").as("topic"),
-      lit("TICK").as("frameType"),
-      struct(
-        col("user_id").cast("string").as("symbol"),
-        col("value").as("bid"),
-        col("value").as("price"),
-        col("value").as("ask"),
-        col("time_s").as("time"),
-        floor(col("value")).cast("int").as("volume"),
-        when(col("event_type") === "purchase", "B").otherwise("S")
-          .as("type")).as("payload"))).as("value"))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_cv")
     graft.source.SpoolWriter.deleteAtExit(work)
     val spool = graft.source.SpoolWriter.write(lines, work,
@@ -360,18 +336,7 @@ object StreamE2EQueries extends QueryPack {
       Seq(col("event_id")))
       .repartition(4, col("user_id"))
       .sortWithinPartitions(col("time_s"))
-    val lines = base.select(to_json(struct(
-      lit("feed").as("topic"),
-      lit("TICK").as("frameType"),
-      struct(
-        col("user_id").cast("string").as("symbol"),
-        col("value").as("bid"),
-        col("value").as("price"),
-        col("value").as("ask"),
-        col("time_s").as("time"),
-        floor(col("value")).cast("int").as("volume"),
-        when(col("event_type") === "purchase", "B").otherwise("S")
-          .as("type")).as("payload"))).as("value"))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_roll")
     graft.source.SpoolWriter.deleteAtExit(work)
     val spool = graft.source.SpoolWriter.write(lines, work,
@@ -454,18 +419,7 @@ object StreamE2EQueries extends QueryPack {
         .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
       Seq(col("user_id"), col("time_s"), col("value")),
       Seq(col("event_id")))
-    val tickLines = tickBase.select(to_json(struct(
-      lit("feed").as("topic"),
-      lit("TICK").as("frameType"),
-      struct(
-        col("user_id").cast("string").as("symbol"),
-        col("value").as("bid"),
-        col("value").as("price"),
-        col("value").as("ask"),
-        col("time_s").as("time"),
-        floor(col("value")).cast("int").as("volume"),
-        when(col("event_type") === "purchase", "B").otherwise("S")
-          .as("type")).as("payload"))).as("value"))
+    val tickJson = tickLines(tickBase, col("value"), stdVolume, stdType)
     val bookLines = bookBase.select(to_json(struct(
       lit("feed").as("topic"),
       lit("BOOK").as("frameType"),
@@ -478,7 +432,7 @@ object StreamE2EQueries extends QueryPack {
     val work = Files.createTempDirectory("graft_e2e_join")
     graft.source.SpoolWriter.deleteAtExit(work)
     val spool = graft.source.SpoolWriter.write(
-      tickLines.unionByName(bookLines), work, repartitionTo = Some(1))
+      tickJson.unionByName(bookLines), work, repartitionTo = Some(1))
     val env = s.readStream
       .format(classOf[graft.source.EnvelopeSourceProvider].getName)
       .option("path", spool).load()

@@ -250,8 +250,13 @@ object TextQueries extends QueryPack {
     "text_bigram_lift" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val toks = docs.select(explode(TextHash.tokens(col("text"))).as("t"))
+      // vocab-sized; pinned because THREE consumers (two broadcast
+      // sides + the total) would each re-scan the corpus otherwise
       val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
-      val nTotal = toks.agg(count(lit(1)).as("n_tok"))
+        .localCheckpoint()
+      // total tokens from the vocab-sized rollup, NOT a third corpus
+      // scan (review finding)
+      val nTotal = uni.agg(sum(col("c")).as("n_tok"))
       val bi = docs
         .select(explode(
           TextHash.shingles(TextHash.tokens(col("text")), 2)).as("bg"))
