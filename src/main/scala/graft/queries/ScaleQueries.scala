@@ -493,6 +493,38 @@ object ScaleQueries extends QueryPack {
         .agg(min(col("n")).as("est"))
     }),
 
+    // The OTHER sketch-merge algebra as a driver-checked fact, next to
+    // agg_hll_union's register-wise MAX: count-min cells merge by
+    // ADDITION. Leaf sketches per `source` (the per-partition/day shape
+    // a 100 TB rollup builds), summed cell-wise into one global sketch,
+    // then probed for the top-10 tokens — while the oracle builds the
+    // global sketch DIRECTLY from the rows and never sees `source`. A
+    // hash-match proves sum-merge of leaf sketches ≡ the sketch of the
+    // union, exactly (not approximately: the merge algebra is exact
+    // even though the estimates are not).
+    "agg_cms_union" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TextHash.tokens(col("text"))).as("token"))
+        .withColumn("h", TextHash.h31(col("token")))
+      val perSource = toks
+        .select(col("source"),
+          posexplode(CountMin.cells(col("h"))).as(Seq("i", "dc")))
+        .groupBy(col("source"), col("dc.d").as("d"), col("dc.cell").as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val merged = perSource.groupBy("d", "cell").agg(sum(col("n")).as("n"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("token")).limit(10)
+        .withColumn("h", TextHash.h31(col("token")))
+      val probes = top
+        .select(col("token"), col("n_true"),
+          posexplode(CountMin.cells(col("h"))).as(Seq("i", "dc")))
+        .select(col("token"), col("n_true"),
+          col("dc.d").as("d"), col("dc.cell").as("cell"))
+      merged.join(broadcast(probes), Seq("d", "cell"))
+        .groupBy("token", "n_true")
+        .agg(min(col("n")).as("est"))
+    }),
+
     // ---- Bloom filter as DATA (build + probe + measured FPR) -----------
     // The runtime bloom join (join_bloom_runtime) lets Spark inject a
     // filter transparently; THIS op materializes one as a table you can
@@ -731,6 +763,33 @@ object ScaleQueries extends QueryPack {
          |tops AS (
          |  SELECT token, h, COUNT(*) AS n_true FROM th GROUP BY token, h
          |  ORDER BY n_true DESC, token LIMIT 20),
+         |pr AS (
+         |  SELECT t.token, t.n_true, r.d,
+         |    ((t.h * r.a + r.b) % ${TextHash.P31}) % ${CountMin.Width} AS cell
+         |  FROM tops t, rws r)
+         |SELECT p.token, CAST(p.n_true AS BIGINT) AS n_true,
+         |  CAST(MIN(s.n) AS BIGINT) AS est
+         |FROM pr p JOIN sk s ON p.d = s.d AND p.cell = s.cell
+         |GROUP BY p.token, p.n_true""".stripMargin,
+
+    // the direct global sketch — no per-source leaves, no merge
+    "agg_cms_union" ->
+      s"""WITH th AS (
+         |  SELECT token,
+         |    CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+         |      % ${TextHash.P31} AS h
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+         |        FROM documents)),
+         |rws AS (SELECT * FROM $cmsRowsDuck),
+         |sk AS (
+         |  SELECT d, cell, COUNT(*) AS n FROM (
+         |    SELECT r.d, ((t.h * r.a + r.b) % ${TextHash.P31})
+         |      % ${CountMin.Width} AS cell
+         |    FROM th t, rws r)
+         |  GROUP BY d, cell),
+         |tops AS (
+         |  SELECT token, h, COUNT(*) AS n_true FROM th GROUP BY token, h
+         |  ORDER BY n_true DESC, token LIMIT 10),
          |pr AS (
          |  SELECT t.token, t.n_true, r.d,
          |    ((t.h * r.a + r.b) % ${TextHash.P31}) % ${CountMin.Width} AS cell
