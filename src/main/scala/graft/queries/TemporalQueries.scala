@@ -16,6 +16,19 @@ object TemporalQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Day-of-week × hour-of-day activity profile — the seasonality
+    // matrix a forecasting or anomaly model is calibrated against, and
+    // the capacity-planning heat map. One grouped rollup (168 cells at
+    // most), exact counts and fixed-point cents; both engines evaluate
+    // calendar parts in the session's pinned UTC, and the oracle shifts
+    // DuckDB's Sunday=0 convention to Spark's Sunday=1.
+    "ts_seasonality" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+    }),
+
     // Tumbling 1-hour event-time windows.
     "agg_tumbling_window" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -787,6 +800,12 @@ object TemporalQueries extends QueryPack {
         |  / 1e6 AS slope_per_sec
         |FROM a
         |WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0""".stripMargin,
+
+    "ts_seasonality" ->
+      """SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "agg_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS h_start, event_type,
