@@ -359,23 +359,26 @@ object TextQueries extends QueryPack {
     // hash-compared against a fully unrolled DuckDB CTE chain.
     "text_bpe_train" -> ((s, dir) =>
       graft.ops.BpeTrain(Tables(s, dir, "documents"), "doc_id", "text",
-        BpeTrainRounds, SafeTrainPairRe)),
+        BpeTrainRounds, SafeTrainPairRe, dirKey = Some(dir))),
 
     // Tokenizer APPLICATION (the other half of BPE training): the
     // learned merge table — driver metadata, ≤3 rows — folds into a
     // chained scan-side regexp_replace in rank order, reproducing
     // exactly the per-round rewrites the trainer performed. Per-doc
     // token counts before/after measure the compression the merges
-    // bought. Pure projection over one corpus scan (plus the train's
-    // own bounded passes to derive the table); at 100 TB the merge
-    // table is what ships to the tokenize job, not the corpus.
+    // bought. Pure projection over one corpus scan; the merge table
+    // itself comes from [[graft.ops.BpeTrain.cachedMerges]] — at 100 TB
+    // the table is what ships to the tokenize job, not the corpus, so
+    // the tokenizer must not re-run training when a trained table for
+    // this corpus already exists (r5 review: the bench double-paid the
+    // most expensive pipeline in the suite).
     "text_bpe_apply" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val merges = graft.ops.BpeTrain(docs, "doc_id", "text",
-          BpeTrainRounds, SafeTrainPairRe)
-        .collect().sortBy(_.getLong(0))
+      val merges = graft.ops.BpeTrain.cachedMerges(docs, "doc_id", "text",
+          BpeTrainRounds, SafeTrainPairRe, dirKey = dir)
+        .sortBy(_._1)
       val applied = merges.foldLeft(col("text")) { (c, m) =>
-        val pair = m.getString(1)
+        val pair = m._2
         regexp_replace(c, "\\b" + pair + "\\b", pair.replace(' ', '_'))
       }
       docs.select(col("doc_id"),
