@@ -73,6 +73,20 @@ object Bench {
     // = the two executions) to stderr — the diagnostic that attributes
     // the per-query fixed floor to analysis vs codegen/JIT vs execution.
     val profile = sys.env.get("SPARK_GRAFT_PROFILE").exists(_ == "1")
+    // SPARK_GRAFT_EXPLAIN=1: dump each selected query's final (AQE-
+    // resolved where possible) formatted plan to stderr AFTER executing
+    // it once — the artifact for scan-count / exchange-reuse audits.
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_ == "1")
+    if (explain) selected.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.count() // resolve AQE so the printed plan is the executed one
+        System.err.println(s"==== $name ====")
+        System.err.println(df.queryExecution.executedPlan.toString)
+      } catch { case e: Throwable =>
+        System.err.println(s"==== $name ==== EXPLAIN FAILED: ${e.getMessage}")
+      }
+    }
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -439,23 +439,30 @@ object ScaleQueries extends QueryPack {
       // hi == lo (constant/single-value group) would make the bin 0/0 =
       // NaN — and the engines disagree on floor(NaN) — so degenerate
       // groups pin to bin 0 explicitly on BOTH sides.
+      // ext joins ONCE, before binning, and (lo, hi, n) ride through the
+      // downstream grouping keys: they are functionally dependent on
+      // event_type, so the group cardinality is unchanged — and the
+      // re-joins the previous form used cost a fresh BroadcastExchange
+      // EACH (column pruning makes the three ext subplans canonically
+      // distinct, so ReuseExchange cannot merge them: the executed plan
+      // scanned events 4×; r6 profile). This form scans events exactly
+      // twice — the two-pass floor for this algorithm.
       val cum = ev.join(broadcast(ext), Seq("event_type"))
-        .select(col("event_type"),
+        .select(col("event_type"), col("lo"), col("hi"), col("n"),
           when(col("hi") === col("lo"), lit(0L))
             .otherwise(least(
               floor((col("value") - col("lo")) / (col("hi") - col("lo"))
                 * B), lit((B - 1).toLong))).as("bin"))
-        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+        .groupBy("event_type", "lo", "hi", "n", "bin")
+        .agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(
           Window.partitionBy("event_type").orderBy("bin")))
       val qdf = s.range(1).select(
         explode(array(Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(lit): _*)).as("q"))
-      cum.join(broadcast(ext), Seq("event_type"))
-        .crossJoin(broadcast(qdf))
+      cum.crossJoin(broadcast(qdf))
         .filter(col("cum").cast("double") >= col("q") * col("n").cast("double"))
-        .groupBy("event_type", "q")
+        .groupBy("event_type", "lo", "hi", "q")
         .agg(min(col("bin")).as("qbin"))
-        .join(broadcast(ext), Seq("event_type"))
         .select(col("event_type"), col("q"), col("qbin"),
           (col("lo") + col("qbin").cast("double") * (col("hi") - col("lo"))
             / B).as("est"))
