@@ -301,6 +301,42 @@ object RelationalQueries extends QueryPack {
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
     }),
 
+    // AQE adaptive skew split — the mechanism a 100 TB hot-symbol
+    // shuffle actually leans on (SURVEY §7.3.5), complementing the
+    // manual [[graft.ops.SaltedJoin]] escape hatch above. The fact side
+    // is made adversarially skewed ON PURPOSE: every even l_orderkey
+    // collapses onto key 1, so one join key carries ~50% of the rows
+    // and its hash partition dwarfs the median — exactly the shape
+    // OptimizeSkewedJoin exists to split (PlanAuditSuite pins the
+    // `isSkewJoin` rewrite firing at fixture scale with the size
+    // thresholds scaled down; in production the 256 MB default
+    // thresholds trip on real data). Two fixture-vs-scale stand-ins,
+    // both sized UP not down: (1) merge hints keep the join sort-merge —
+    // a broadcast would dodge the skew; the dim stands in for one too
+    // big to broadcast. (2) the fact is an 8-branch self-union: AQE
+    // splits a skewed partition at MAP-OUTPUT boundaries, and the
+    // fixture parquet is one row group = ONE map task, which would make
+    // the split structurally impossible no matter the thresholds (r6
+    // mapStats probe) — at 100 TB the fact table IS thousands of
+    // splits, so the union models the real mapper layout, not an extra
+    // pass. Correctness is AQE-independent: the split replicates the
+    // matching dim rows per sub-partition, leaving the join's result
+    // multiset unchanged — which is what the oracle checks (8× the
+    // plain-join totals).
+    "join_skew_aqe" -> ((s, dir) => {
+      val branch = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 2 === 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+      val fact = (1 to 8).map(_ => branch).reduce(_ union _)
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      fact.hint("merge").join(dim.hint("merge"), Seq("k"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
     // Left semi: orders having at least one big lineitem. At scale a
     // shuffle-hash semi join on l_orderkey; semi stops at first match and
     // never duplicates the left side.
@@ -1064,6 +1100,20 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // the even-key collapse mirrors the Spark side's deliberate skew;
+    // orders keys are unique so the hot key joins ONE dim row and the
+    // multiset stays linear in the fact side. generate_series(1,8)
+    // mirrors the 8-branch self-union (same multiset: every fact row
+    // ×8) without spelling out eight UNION ALL arms.
+    "join_skew_aqe" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1
+        |                  ELSE l_orderkey END AS k, l_quantity
+        |      FROM lineitem CROSS JOIN generate_series(1, 8)) f
+        |JOIN orders ON f.k = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
     "join_semi" ->

@@ -634,4 +634,39 @@ class PlanAuditSuite extends SparkSpec {
   test("event_attribution: user window + item rollup, exactly two shuffles") {
     assert(countShuffles(executed(q("event_attribution"))) === 2)
   }
+
+  test("join_skew_aqe: AQE splits the hot-key partition (OptimizeSkewedJoin)") {
+    // The adversarial distribution: every even l_orderkey collapses onto
+    // key 1, so one hash partition holds ~50% of the fact side — the
+    // hot-symbol shape SURVEY §7.3.5 names. The default trip-wires are
+    // sized for production (skewed partition > 256 MB AND > 5× median);
+    // the fixture is KBs, so scale the thresholds down to the fixture the
+    // same way join_bloom_runtime emulates its 10 GB floor. The assertion
+    // is the MECHANISM: the executed sort-merge join must be the skew
+    // variant (isSkewJoin), i.e. OptimizeSkewedJoin fired and the hot
+    // partition was split with dim rows replicated per sub-split.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      // the post-join rollup re-shuffles anyway, but the split still
+      // counts as "extra shuffle" in AQE's cost check — force it, as a
+      // 100 TB deployment tuning for a hot key would
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = executed(q("join_skew_aqe"))
+      val smjs = flatten(p).collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$p")
+      assert(smjs.exists(_.isSkewJoin),
+        s"OptimizeSkewedJoin must fire on the hot-key partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
