@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * generator, and the partition-wise batch decode (iterator in, iterator
   * out, decoder state initialized once per partition — the shape that
   * amortizes loading a native decoder per executor core at 100 TB). IMAGE
-  * decode is also real as of round 5: [[ImageCodec]] runs the JDK's
-  * `javax.imageio` readers (BMP/PNG/GIF/JPEG, no native dependency) and
-  * [[decodeFeatures]] prefers it, falling back to the deterministic
-  * [[StubCodec]] only for payloads no installed reader accepts — audio
-  * and video, for which this container has no codec. Swapping in
-  * libavcodec changes only that fallback — no plan shape, schema, or
-  * partitioning changes.
+  * decode is real as of round 5 ([[ImageCodec]] on the JDK's
+  * `javax.imageio` readers: BMP/PNG/GIF/JPEG) and AUDIO decode is real
+  * as of round 6 ([[AudioCodec]] on `javax.sound.sampled`: WAV/PCM) —
+  * both ship with the JRE, no native dependency. [[decodeFeatures]]
+  * tries them in order and falls back to the deterministic [[StubCodec]]
+  * only for payloads no installed reader accepts — now video only, for
+  * which this container has no codec. Swapping in libavcodec changes
+  * only that fallback — no plan shape, schema, or partitioning changes.
   */
 object Multimodal {
 
@@ -189,6 +190,23 @@ object Multimodal {
         }
         if (n == 0) None else Some(AudioStats(n, sumAbs, mn, mx, zc))
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real decoded feature (FeatureDim floats, same arity as the stub
+      * and [[ImageCodec.feature]]): sample count, amplitude stats, and
+      * zero-crossing rate — the classic cheap audio descriptors,
+      * computed from ACTUAL decoded frames. The trailing 2f tags the
+      * modality (1f = image, 2f = audio) so downstream feature
+      * consumers can tell decoded-real from stub without a schema
+      * change.
+      */
+    def feature(bytes: Array[Byte]): Option[Array[Float]] =
+      decodeStats(bytes).map { s =>
+        Array(
+          s.nSamples.toFloat, s.sumAbs.toFloat,
+          (s.sumAbs.toDouble / s.nSamples).toFloat,
+          s.minS.toFloat, s.maxS.toFloat, s.zeroCross.toFloat,
+          (s.zeroCross.toDouble / s.nSamples).toFloat, 2f)
+      }
   }
 
   /** ==== TEST DOUBLE ==== deterministic fake codec — the fallback for
@@ -245,9 +263,11 @@ object Multimodal {
       val dim = StubCodec.FeatureDim
       require(dim > 0)
       it.map { m =>
-        // real decode first (JDK ImageIO handles BMP/PNG/GIF/JPEG);
-        // the stub only catches payloads no installed reader accepts
+        // real decode first — ImageIO (BMP/PNG/GIF/JPEG) then
+        // javax.sound.sampled (WAV/PCM); the stub only catches
+        // payloads no installed reader accepts (video)
         val feat = ImageCodec.feature(m.bytes)
+          .orElse(AudioCodec.feature(m.bytes))
           .getOrElse(StubCodec.feature(m.bytes))
         MediaFeatures(m.media_id, m.mime, m.bytes.length.toLong, feat)
       }

@@ -76,18 +76,40 @@ class MultimodalSuite extends SparkSpec {
     assert(st.minGray === expected.min && st.maxGray === expected.max)
   }
 
-  test("decodeFeatures: real decode for image payloads, stub only as fallback") {
+  test("decodeFeatures: real decode for image AND audio payloads, stub fallback") {
     val bmp = Multimodal.ImageCodec.encodeGradientBmp(4, 3, 7L)
+    val wav = Multimodal.AudioCodec.encodePcmWav(100, 5L)
     val rows = Seq(
       MediaRecord(10L, "image/bmp", bmp, 4, 3, 1),
-      MediaRecord(11L, "audio/wav", "not an image".getBytes, 0, 0, 1))
+      MediaRecord(11L, "audio/wav", "not an image".getBytes, 0, 0, 1),
+      MediaRecord(12L, "audio/wav", wav, 0, 0, 1))
     val out = Multimodal.decodeFeatures(rows.toDS()).collect()
       .map(f => f.media_id -> f.feature).toMap
     // image row: features are decoded-pixel stats, not the byte hash
     assert(out(10L).toSeq === Multimodal.ImageCodec.feature(bmp).get.toSeq)
     assert(out(10L)(0) === 4f && out(10L)(1) === 3f)
-    // non-image payload: deterministic stub fallback
+    // real WAV payload: features are decoded-SAMPLE stats (n_samples
+    // first, modality tag 2f last), not the byte hash
+    assert(out(12L).toSeq === Multimodal.AudioCodec.feature(wav).get.toSeq)
+    assert(out(12L)(0) === 100f && out(12L)(7) === 2f)
+    // payload no installed reader accepts: deterministic stub fallback
     assert(out(11L).toSeq === StubCodec.feature("not an image".getBytes).toSeq)
+  }
+
+  test("AudioCodec: real javax.sound round-trip recovers the sample law exactly") {
+    val (n, off) = (200, 42L)
+    val wav = Multimodal.AudioCodec.encodePcmWav(n, off)
+    // a real RIFF/WAVE container came out of the encoder
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val st = Multimodal.AudioCodec.decodeStats(wav).get
+    val expected = (0 until n).map(i => (((i.toLong * 37 + off * 11) % 4096) - 2048).toInt)
+    assert(st.nSamples === n.toLong)
+    assert(st.sumAbs === expected.map(v => math.abs(v).toLong).sum)
+    assert(st.minS === expected.min && st.maxS === expected.max)
+    val zc = expected.sliding(2).count(p =>
+      (p(0) < 0 && p(1) >= 0) || (p(0) >= 0 && p(1) < 0))
+    assert(st.zeroCross === zc.toLong)
   }
 
   test("resize stub: truncates or zero-pads to w*h, deterministic") {
