@@ -36,7 +36,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_dedup" -> ((s, dir) => runDedup(s, dir)),
     "stream_e2e_session" -> ((s, dir) => runSession(s, dir)),
     "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)),
-    "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)))
+    "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)),
+    "stream_e2e_asof" -> ((s, dir) => runAsof(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -109,6 +110,88 @@ object StreamE2EQueries extends QueryPack {
     LwwSink.read(s, sinkRoot, "feed", "enr")
       .select(col("symbol"), col("time").as("time_s"), col("price"),
         col("tradeType").as("trade_type"), col("nation"), col("bal_cents"))
+  }
+
+  /** STREAMING AS-OF ENRICHMENT end to end (round-6, ninth streaming
+    * oracle row): quotes and trades interleave in ONE feed (quotes as
+    * type-"Q" TICK envelopes — the parse branch passes `type` through,
+    * so no schema change) → envelope source →
+    * [[graft.streaming.AsofEnrichProcessor]] (transformWithState /
+    * RocksDB, ONE last-quote pair per symbol) → each trade emits
+    * enriched with the prevailing quote → LWW sink keyed
+    * (symbol, time) → read-back vs DuckDB's native ASOF JOIN.
+    *
+    * This closes the one operator whose streaming face was missing:
+    * the batch [[graft.ops.AsofJoin]] union-scan becomes O(symbols)
+    * keyed state on arrival — the reference's tick-vs-book use case
+    * run live. Determinism legs (cumvol's, plus one): at most one
+    * trade per (symbol, second) (pre-dedup) and one quote per
+    * (symbol, second) (max-price pre-aggregate — the same reduction on
+    * both engines); per-symbol spool-file locality with rows
+    * time-sorted inside each file; and the processor's per-batch
+    * (time, kind) sort with quotes before trades — the inclusive `<=`
+    * tie rule DuckDB's ASOF JOIN applies.
+    */
+  private def runAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+    val trades = LwwDedup(
+      ev.filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+      .select(col("user_id"), col("time_s"), col("value").as("price"),
+        stdType.as("typ"), lit(1).as("kind"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .withColumn("time_s", expr("unix_micros(ts) div 1000000"))
+      .groupBy("user_id", "time_s")
+      .agg(max(col("value")).as("price"))
+      .select(col("user_id"), col("time_s"), col("price"),
+        lit("Q").as("typ"), lit(0).as("kind"))
+    val base = trades.unionByName(quotes)
+      .repartition(4, col("user_id"))
+      .sortWithinPartitions(col("time_s"), col("kind"))
+    val lines = tickLines(base, col("price"),
+      floor(col("price")).cast("int"), col("typ"))
+    val work = Files.createTempDirectory("graft_e2e_asof")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None) // preserve per-symbol file locality
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).load()
+    val sinkRoot = work.resolve("sink").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+        .select(col("symbol"), col("time"),
+          when(col("tradeType") === "Q", 0).otherwise(1).as("kind"),
+          col("price"), col("tradeType"))
+        .as[graft.streaming.AsofEnrichProcessor.MarketEv]
+      val q = evs.groupByKey(_.symbol)
+        .transformWithState(new graft.streaming.AsofEnrichProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "asof",
+            Seq("symbol", "time"))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    LwwSink.read(s, sinkRoot, "feed", "asof")
+      .select(col("symbol"), col("time").as("time_s"), col("price"),
+        col("tradeType").as("trade_type"),
+        col("quoteTime").as("quote_time"),
+        col("quotePrice").as("quote_price"))
   }
 
   /** UNBOUNDED streaming aggregation end to end (round-5, seventh
@@ -602,6 +685,31 @@ object StreamE2EQueries extends QueryPack {
         |  c.c_nationkey AS nation,
         |  CAST(floor(c.c_acctbal * 100) AS BIGINT) AS bal_cents
         |FROM base b JOIN customer c ON b.user_id = c.c_custkey""".stripMargin,
+
+    // DuckDB's NATIVE ASOF JOIN as the mirror of the streamed last-quote
+    // state: deduped trades × max-price-per-second quotes, inclusive <=
+    // (a quote at the trade's own second is visible — the processor's
+    // quotes-before-ticks fold order). Inner: a trade before any quote
+    // emits nothing on either engine.
+    "stream_e2e_asof" ->
+      """WITH t AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END AS typ,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+        |    MAX(value) AS qprice
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY 1, 2)
+        |SELECT CAST(t.user_id AS VARCHAR) AS symbol, t.sec AS time_s,
+        |  t.value AS price, t.typ AS trade_type,
+        |  q.sec AS quote_time, q.qprice AS quote_price
+        |FROM t ASOF JOIN q
+        |  ON t.user_id = q.user_id AND q.sec <= t.sec""".stripMargin,
 
     // plain batch GROUP BY mirror of the streamed running totals
     "stream_e2e_counts" ->
