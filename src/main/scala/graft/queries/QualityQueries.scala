@@ -67,35 +67,46 @@ object QualityQueries extends QueryPack {
       col("l_tax").between(0.0, 0.08),
       "l_tax BETWEEN 0.0 AND 0.08"))
 
+  /** `dq_profile`'s body over an arbitrary lineitem-shaped frame —
+    * factored out (round-6) so the weak-scaling probe measures the
+    * SAME plan the registered query runs. The wide aggregate computes
+    * every metric in one pass; `stack` reshapes driver-side-free. The
+    * exact `count_distinct`s are the cost center at scale: each adds
+    * an Expand arm to the single aggregate (no extra scan, one
+    * shuffle), which is the trade this profiler makes for exactness —
+    * the sketch family (agg_approx_distinct_*) is the bounded-state
+    * alternative when a profile-grade estimate suffices.
+    */
+  def profileOf(df: DataFrame): DataFrame = {
+    def numOf(c: String, kind: String): Column = kind match {
+      case "num" => col(c).cast("double")
+      // fixtures carry TIMESTAMP_NTZ; the session zone is pinned UTC,
+      // so the cast is the identity DuckDB's epoch_us applies.
+      case "ts" => unix_micros(col(c).cast("timestamp")).cast("double")
+      case _ => lit(null).cast("double")
+    }
+    val aggs = ProfileCols.flatMap { case (c, kind) =>
+      Seq(
+        count(lit(1)).as(s"${c}__rows"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(numOf(c, kind)).as(s"${c}__min"),
+        max(numOf(c, kind)).as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfileCols.map { case (c, _) =>
+      s"'$c', ${c}__rows, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_null, n_distinct, min_val, max_val)")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-column profile: rows / nulls / exact distinct / numeric
-    // min-max, one row per profiled column. The wide aggregate computes
-    // every metric in one pass; `stack` reshapes driver-side-free.
-    "dq_profile" -> ((s, dir) => {
-      def numOf(c: String, kind: String): Column = kind match {
-        case "num" => col(c).cast("double")
-        // fixtures carry TIMESTAMP_NTZ; the session zone is pinned UTC,
-        // so the cast is the identity DuckDB's epoch_us applies.
-        case "ts" => unix_micros(col(c).cast("timestamp")).cast("double")
-        case _ => lit(null).cast("double")
-      }
-      val aggs = ProfileCols.flatMap { case (c, kind) =>
-        Seq(
-          count(lit(1)).as(s"${c}__rows"),
-          count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-          count_distinct(col(c)).as(s"${c}__distinct"),
-          min(numOf(c, kind)).as(s"${c}__min"),
-          max(numOf(c, kind)).as(s"${c}__max"))
-      }
-      val wide = Tables(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
-      val stackArgs = ProfileCols.map { case (c, _) =>
-        s"'$c', ${c}__rows, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max"
-      }.mkString(", ")
-      wide.selectExpr(
-        s"stack(${ProfileCols.size}, $stackArgs) AS " +
-          "(col_name, n_rows, n_null, n_distinct, min_val, max_val)")
-    }),
+    // min-max, one row per profiled column ([[profileOf]]).
+    "dq_profile" -> ((s, dir) => profileOf(Tables(s, dir, "lineitem"))),
 
     // Constraint-violation audit: one row per rule with violation count
     // and rate. NOT(pred) with null-as-violation on both engines; the
@@ -145,14 +156,18 @@ object QualityQueries extends QueryPack {
     // Exact Pearson correlation per group (quantity vs price) from the
     // five classical sums — the dependence check a feature audit runs
     // before trusting a model input. Same discipline as agg_moments:
-    // fixed-point cents, per-row products that fit int64 stay BIGINT
-    // (x·x ≤ 2.5·10⁷), the ones that don't (y·y ≈ 10¹⁴, x·y) and every
-    // cross-sum combination run in DECIMAL(38,0)/HUGEINT (n·Σyy reaches
-    // ~10²⁴). The three exact combinations convert to double ONCE each;
-    // corr = num/√d1/√d2 is then a fixed 5-op IEEE sequence, with an
-    // exact-integer zero-variance guard (never a float epsilon) so a
-    // degenerate group yields NULL on both engines instead of NaN
-    // roulette. One map-side-partial aggregate, no window, no join.
+    // fixed-point cents; PER-ROW products that overflow int64 (y·y ≈
+    // 10¹⁴, x·y) enter DECIMAL(38,0)/HUGEINT at the row, and every SUM
+    // that is unbounded in row count (Σxx, Σy, Σyy, Σxy — a ~4·10¹¹-row
+    // group at 100 TB pushes Σ(x·x) past int64, where Spark wraps
+    // silently while DuckDB widens; r5 advice) accumulates in
+    // DECIMAL(38,0) too. Σx alone stays BIGINT: x ≤ 5·10³ bounds it to
+    // ~2·10¹⁵ even at 4·10¹¹ rows. The exact combinations convert to
+    // double ONCE each; corr = num/√d1/√d2 is then a fixed 5-op IEEE
+    // sequence, with an exact-integer zero-variance guard (never a
+    // float epsilon) so a degenerate group yields NULL on both engines
+    // instead of NaN roulette. One map-side-partial aggregate, no
+    // window, no join.
     "agg_corr" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .select(col("l_returnflag"),
@@ -160,8 +175,9 @@ object QualityQueries extends QueryPack {
           floor(col("l_extendedprice") * 100).cast("long").as("y"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(expr("x * x")).as("sxx"),
+          sum(col("x")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
           sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
         .select(col("l_returnflag"), col("n"),

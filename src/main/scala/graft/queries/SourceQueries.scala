@@ -65,12 +65,19 @@ object SourceQueries extends QueryPack {
     // PERMISSIVE-mode corrupt-record isolation on the batch JSON path —
     // the batch face of the streaming dead-letter (K5): every 7th line
     // is deterministically mangled into invalid JSON; the reader must
-    // quarantine exactly those rows into the corrupt column (whole
-    // record nulled — no partial salvage for syntactically invalid
-    // lines) while every healthy row parses bit-exactly. The oracle
-    // recomputes both populations from the fixture by the same mod-7
-    // rule; sum_cents is NULL for the corrupt bucket on both engines
-    // (SUM over no non-null values).
+    // quarantine exactly those rows into the corrupt column while every
+    // healthy row parses bit-exactly. NOTE the engine contract (r5
+    // advice): Spark 3.4+ enables spark.sql.json.enablePartialResults
+    // by default, so a mangled line MAY salvage its leading well-formed
+    // fields (here event_id) rather than null the whole record — the
+    // query's output is insensitive either way, because the bucket keys
+    // on event_type (never salvageable: the mangle cuts before it) and
+    // cents stays null. Pipelines that need whole-record nulling as a
+    // hard guarantee must pin that conf false; this one deliberately
+    // relies only on the quarantine column. The oracle recomputes both
+    // populations from the fixture by the same mod-7 rule; sum_cents is
+    // NULL for the corrupt bucket on both engines (SUM over no non-null
+    // values).
     "source_jsonl_corrupt" -> ((s, dir) => {
       val path = work("jsonl_bad")
       val good = to_json(struct(col("event_id"), col("user_id"),

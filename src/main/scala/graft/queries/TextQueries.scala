@@ -247,32 +247,11 @@ object TextQueries extends QueryPack {
     // support floor keeps one-off pairings from topping the chart on
     // spurious 1/1 counts. Corpus-statistics shape: the collocation
     // table a tokenizer or phrase-merger is seeded with.
-    "text_bigram_lift" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val toks = docs.select(explode(TextHash.tokens(col("text"))).as("t"))
-      // vocab-sized; pinned because THREE consumers (two broadcast
-      // sides + the total) would each re-scan the corpus otherwise
-      val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      // total tokens from the vocab-sized rollup, NOT a third corpus
-      // scan (review finding)
-      val nTotal = uni.agg(sum(col("c")).as("n_tok"))
-      val bi = docs
-        .select(explode(
-          TextHash.shingles(TextHash.tokens(col("text")), 2)).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 5)
-        .withColumn("a", split(col("bg"), " ").getItem(0))
-        .withColumn("b", split(col("bg"), " ").getItem(1))
-      bi.join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))), "a")
-        .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))), "b")
-        .crossJoin(broadcast(nTotal))
-        .select(col("bg").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
-          ((col("n_tok") * col("c_ab")).cast("double") /
-            (col("c_a") * col("c_b")).cast("double")).as("lift"))
-        .orderBy(desc("lift"), asc("bigram"))
-        .limit(20)
-    }),
+    "text_bigram_lift" -> ((s, dir) =>
+      // shared op (round-6: also weak-scaling-probed) — see
+      // [[graft.ops.BigramLift]] for the two-rollup plan, the pinned
+      // vocab table, and the no-third-corpus-scan total
+      graft.ops.BigramLift(Tables(s, dir, "documents"), "text")),
 
     // Repetition ratio (Gopher-style quality rule): share of bigrams
     // that are repeats of an earlier bigram in the same doc. Scan-side
