@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.DotRewriteRule)
     // length-guard + banded-DP rewrite for levenshtein(a,b) <= k
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
+    // plan the as-of whole-operator node (AsofJoin.merge)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofMergeJoin.Strategy)
   }
 }
 
@@ -70,5 +72,8 @@ object GraftExtensions {
     if (!em.extraOptimizations.contains(graft.plans.LevenshteinGuardRule))
       em.extraOptimizations =
         em.extraOptimizations :+ graft.plans.LevenshteinGuardRule
+    if (!em.extraStrategies.contains(graft.plans.AsofMergeJoin.Strategy))
+      em.extraStrategies =
+        em.extraStrategies :+ graft.plans.AsofMergeJoin.Strategy
   }
 }

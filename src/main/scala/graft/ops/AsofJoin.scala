@@ -66,4 +66,45 @@ object AsofJoin {
       .select((leftCols.map(col) ++
         payload.map(c => col(s"_p.$c").as(c))): _*)
   }
+
+  /** The whole-operator physical form (round-6): plans through
+    * [[graft.plans.AsofMergeJoin]] — a custom LogicalPlan + Strategy +
+    * SparkPlan doing a per-partition two-pointer merge of the two
+    * sorted sides — instead of the union + running-window rewrite
+    * above. Same semantics and same output schema (the suite asserts
+    * the two forms row-identical); requires
+    * [[graft.GraftExtensions.register]] (or the
+    * `spark.sql.extensions` config) so the planner knows the node.
+    *
+    * The right side is re-aliased behind fresh expression IDs before
+    * the node is built: both sides of an as-of join routinely derive
+    * from the SAME source (trades and quotes are two filters of one
+    * events table), and duplicate attribute IDs across children would
+    * corrupt resolution — the same dedup the analyzer performs for
+    * built-in self-joins, done here at construction.
+    */
+  def merge(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    def attr(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+        name: String) =
+      out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"asof merge: column '$name' not found in " +
+          out.map(_.name).mkString("[", ", ", "]")))
+    val node = graft.plans.AsofMergeJoin.AsofJoinNode(
+      lPlan, rPlan,
+      attr(lPlan.output, key), attr(lPlan.output, time),
+      attr(rPlan.output, key), attr(rPlan.output, time),
+      payload.map(attr(rPlan.output, _)))
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession, node)
+  }
 }

@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+
+/** Whole-operator form of the as-of join — the (c) rung of the
+  * custom-operator ladder (compose < custom Expression < custom
+  * LogicalPlan + Strategy + SparkPlan): a first-class Catalyst node
+  * planned into a per-partition MERGE of the two sorted sides.
+  *
+  * Contrast with [[graft.ops.AsofJoin]] (the (a)-rung union-scan, and
+  * still the default): that form shuffles LEFT+RIGHT TOGETHER into one
+  * exchange and pays a running `last(ignoreNulls)` window over the
+  * union — the right side's payload travels through the window
+  * machinery row by row. This node instead declares SMJ-style
+  * requirements — each side hash-clustered on its key and sorted
+  * (key, time) — and streams the two sorted iterators per partition
+  * with a two-pointer merge holding ONE buffered quote: no unioned
+  * exchange, no window frame state, payload columns never enter a sort
+  * buffer wider than one row.
+  *
+  * Measured honestly (r6, sf0.1 A/B `asof_quote_trade` vs
+  * `asof_merge_quote_trade`: 0.26s vs 0.48s): at fixture scale the
+  * union-scan WINS — the merge pays one more exchange when the right
+  * side arrives partitioned by its dedup key rather than the join key,
+  * and its doExecute is interpreted where the window pipeline is
+  * whole-stage-codegen'd. The union-scan therefore stays the default;
+  * this node is the architecture proof (the engine extends Catalyst at
+  * the operator level, not just the expression level) and the form
+  * whose constant-state merge becomes attractive when the window's
+  * per-key frame state and the unioned exchange of BOTH payload sets
+  * dominate — wide payloads, huge right sides.
+  *
+  * Semantics (pinned to DuckDB `ASOF LEFT JOIN`, same as the union-scan
+  * form): for each left row, the LATEST right row with `right.time <=
+  * left.time` within the same key; unmatched lefts keep null payload;
+  * null keys never match (SQL equality); right rows must be unique per
+  * (key, time) — pre-dedup with [[graft.ops.LwwDedup]].
+  */
+object AsofMergeJoin {
+
+  /** Logical marker node. Analyzer-complete by construction (children
+    * are analyzed plans, output is defined); the optimizer treats it as
+    * an opaque barrier — filters/projections do not push through, which
+    * is safe (a production version would add pruning rules; the
+    * registered query projects before joining instead).
+    */
+  case class AsofJoinNode(
+      left: LogicalPlan, right: LogicalPlan,
+      leftKey: Attribute, leftTime: Attribute,
+      rightKey: Attribute, rightTime: Attribute,
+      payload: Seq[Attribute]) extends BinaryNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ payload.map(_.withNullability(true))
+
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Planner strategy: one logical shape, one physical answer. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsofJoinNode(l, r, lk, lt, rk, rt, payload) =>
+        AsofMergeJoinExec(lk, lt, rk, rt, payload,
+          planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+}
+
+/** Physical as-of merge join. `requiredChildDistribution` +
+  * `requiredChildOrdering` let EnsureRequirements plan the exchanges
+  * and sorts (and AQE coalesce them consistently, co-partitioning the
+  * two sides like any shuffled binary join); `doExecute` is then a pure
+  * per-partition two-pointer merge with O(1) carried state — the last
+  * quote row, copied once when buffered.
+  */
+case class AsofMergeJoinExec(
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression,
+    payload: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ::
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ::
+      Nil
+
+  // streams left through untouched: left's partitioning and (key, time)
+  // order survive — downstream per-key consumers reuse the exchange
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val (lOut, rOut, pay) = (left.output, right.output, payload)
+    val (lk, lt, rk, rt) = (leftKey, leftTime, rightKey, rightTime)
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rk), rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val payloadProj = UnsafeProjection.create(pay, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(
+        Seq(lk.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(
+        Seq(lt.dataType))
+      val nullPayload = new GenericInternalRow(pay.size)
+      val joined = new JoinedRow
+      // bind the result projection against NULLABLE payload attrs: an
+      // unmatched left row carries nulls even where the right column is
+      // non-nullable, and a non-nullable binding would read them as 0
+      val outAttrs = lOut ++ pay.map(_.withNullability(true))
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = if (rIt.hasNext) rIt.next() else null
+        // the single buffered quote: payload + key, copied out of the
+        // reused projection buffers exactly once per replacement
+        private var quote: UnsafeRow = _
+        private var quoteKey: UnsafeRow = _
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lKeyRow = lKeyProj(l)
+          val lNull = lKeyRow.isNullAt(0)
+          if (!lNull) {
+            val lTimeRow = lTimeProj(l)
+            // consume right rows that are now at-or-before this left
+            // row: earlier keys (and null keys, which sort first)
+            // discard; same-key rows with time <= left time become the
+            // buffered quote, later ones wait
+            var advance = true
+            while (advance && rRow != null) {
+              val rKeyRow = rKeyProj(rRow)
+              val c = keyOrd.compare(rKeyRow, lKeyRow)
+              if (c < 0) {
+                rRow = if (rIt.hasNext) rIt.next() else null
+              } else if (c == 0 && !rKeyRow.isNullAt(0) &&
+                  timeOrd.compare(rTimeProj(rRow), lTimeRow) <= 0) {
+                quote = payloadProj(rRow).copy()
+                quoteKey = rKeyRow.copy()
+                rRow = if (rIt.hasNext) rIt.next() else null
+              } else advance = false
+            }
+          }
+          val matched = !lNull && quoteKey != null &&
+            keyOrd.compare(quoteKey, lKeyRow) == 0
+          numOutputRows += 1
+          resultProj(joined(l, if (matched) quote else nullPayload))
+        }
+      }
+    }
+  }
+}

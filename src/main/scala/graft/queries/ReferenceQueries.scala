@@ -177,6 +177,23 @@ object ReferenceQueries extends QueryPack {
           col("q_us"), col("qprice"))
     }),
 
+    // The SAME as-of enrich through the whole-operator physical form
+    // (round-6): [[AsofJoin.merge]] plans graft's own LogicalPlan →
+    // Strategy → AsofMergeJoinExec (per-partition two-pointer merge of
+    // the two sorted sides — no unioned exchange, no running window;
+    // see the op's scaladoc for the cost contrast). Registered against
+    // the IDENTICAL oracle SQL as asof_quote_trade, so the driver
+    // itself certifies the custom operator against DuckDB's native
+    // ASOF LEFT JOIN; PlanAuditSuite pins the plan shape.
+    "asof_merge_quote_trade" -> ((s, dir) => {
+      val (quotes, trades) = quotesAndTrades(s, dir)
+      graft.ops.AsofJoin.merge(trades, quotes, "user_id", "ts",
+          Seq("q_us", "qprice"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("tprice"),
+          col("q_us"), col("qprice"))
+    }),
+
     // Tolerance-bounded as-of: same enrich, but a quote older than 30
     // minutes is STALE and must not be attached — the staleness window
     // every real market-data join carries. Same one-shuffle union-scan
@@ -364,6 +381,23 @@ object ReferenceQueries extends QueryPack {
         |GROUP BY 1""".stripMargin,
 
     "asof_quote_trade" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS q_us, value AS qprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |trades AS (
+        |  SELECT user_id, ts, event_id, value AS tprice
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT t.user_id, t.event_id, epoch_us(t.ts) AS t_us, t.tprice,
+        |       q.q_us, q.qprice
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
+
+    // deliberately the SAME SQL as asof_quote_trade: the custom
+    // physical operator must land on the identical row set
+    "asof_merge_quote_trade" ->
       """WITH quotes AS (
         |  SELECT user_id, ts, epoch_us(ts) AS q_us, value AS qprice
         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts

@@ -14,6 +14,17 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a custom LogicalPlan into a public DataFrame —
+    * `Dataset.ofRows` is `private[sql]`, and building a frame over a
+    * library-defined Catalyst node (graft.plans.AsofMergeJoin) is the
+    * other thing an extension library cannot do from its own package.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Release the storage blocks of a `localCheckpoint()`ed DataFrame.
     *
     * `Dataset.unpersist` only clears CacheManager entries, and a local

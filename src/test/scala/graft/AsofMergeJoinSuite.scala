@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ops.AsofJoin
+import graft.plans.AsofMergeJoinExec
+
+/** The whole-operator physical as-of join ([[AsofJoin.merge]] →
+  * AsofJoinNode → Strategy → AsofMergeJoinExec): semantics must be
+  * row-identical to the union-scan form on every input, and the
+  * executed plan must be the merge (one exchange per side, no window),
+  * co-partitioned correctly under AQE.
+  */
+class AsofMergeJoinSuite extends SparkSpec {
+  import spark.implicits._
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  private def quotes = Seq(
+    ("EURUSD", 100L, 1.10),
+    ("EURUSD", 200L, 1.20),
+    ("GBPUSD", 150L, 2.10))
+    .toDF("symbol", "time", "quote_mid")
+
+  private def trades = Seq(
+    ("EURUSD", 90L, 5),
+    ("EURUSD", 100L, 6),
+    ("EURUSD", 150L, 7),
+    ("EURUSD", 500L, 8),
+    ("GBPUSD", 160L, 9))
+    .toDF("symbol", "time", "qty")
+
+  private def normalize(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq.map(v => Option(v))).sortBy(_.toString)
+
+  test("fixed cases: inclusive tie, pre-first-quote null, per-key isolation") {
+    val out = AsofJoin.merge(trades, quotes, "symbol", "time",
+        Seq("quote_mid"))
+      .orderBy("symbol", "time")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(r.fieldIndex("quote_mid"))) None
+        else Some(r.getDouble(r.fieldIndex("quote_mid")))))
+    assert(out === Seq(
+      ("EURUSD", 90L, None),
+      ("EURUSD", 100L, Some(1.10)),
+      ("EURUSD", 150L, Some(1.10)),
+      ("EURUSD", 500L, Some(1.20)),
+      ("GBPUSD", 160L, Some(2.10))))
+  }
+
+  test("null keys never match (SQL equality), null payload field survives") {
+    val q = Seq(
+      (Option("EURUSD"), 100L, Option(1.10)),
+      (Option.empty[String], 50L, Option(9.99)),
+      (Option("EURUSD"), 200L, Option.empty[Double]))
+      .toDF("symbol", "time", "quote_mid")
+    val t = Seq(
+      (Option("EURUSD"), 250L, 1),
+      (Option.empty[String], 60L, 2))
+      .toDF("symbol", "time", "qty")
+    val out = AsofJoin.merge(t, q, "symbol", "time", Seq("quote_mid"))
+      .collect().map(r => (Option(r.get(0)), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    // EURUSD trade matches the t=200 quote whose mid is genuinely NULL;
+    // the null-key trade matches nothing despite the null-key quote
+    assert(out === Set(
+      (Some("EURUSD"), 1, None),
+      (None, 2, None)))
+  }
+
+  test("property: merge form ≡ union-scan form on random skewed inputs") {
+    val keyGen = Gen.oneOf("A", "A", "A", "B", "C") // deliberate skew
+    val rows = Gen.listOfN(300,
+      for { k <- keyGen; t <- Gen.choose(0L, 40L); v <- Gen.choose(0, 999) }
+        yield (k, t, v))
+    // dense time domain forces many exact-time ties across sides
+    val sample = rows.sample.get
+    val left = sample.take(200).toDF("k", "t", "v")
+    val right = sample.drop(200)
+      .map { case (k, t, v) => (k, t, v.toDouble) }
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, t)
+      .toDF("k", "t", "p")
+    val viaMerge = AsofJoin.merge(left, right, "k", "t", Seq("p"))
+    val viaUnion = AsofJoin(left, right, "k", "t", Seq("p"))
+    assert(normalize(viaMerge) === normalize(viaUnion))
+  }
+
+  test("executed plan: AsofMergeJoinExec, no window, co-partitioned under AQE") {
+    val df = AsofJoin.merge(trades, quotes, "symbol", "time",
+      Seq("quote_mid"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flat(q.plan)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    val nodes = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flat(a.executedPlan)
+      case p => flat(p)
+    }
+    assert(nodes.exists(_.isInstanceOf[AsofMergeJoinExec]),
+      s"expected the custom exec node:\n$plan")
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("window")),
+      s"merge form must not plan a window:\n$plan")
+  }
+
+  test("left cardinality preserved on the merge path") {
+    assert(AsofJoin.merge(trades, quotes, "symbol", "time",
+      Seq("quote_mid")).count() === trades.count())
+  }
+}

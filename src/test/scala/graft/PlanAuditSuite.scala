@@ -635,6 +635,26 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(executed(q("event_attribution"))) === 2)
   }
 
+  test("asof_merge_quote_trade: custom exec node, one exchange per side, no window") {
+    GraftExtensions.register(spark)
+    val p = executed(q("asof_merge_quote_trade"))
+    val nodes = flatten(p)
+    assert(nodes.exists(_.isInstanceOf[graft.plans.AsofMergeJoinExec]),
+      s"expected AsofMergeJoinExec:\n$p")
+    // the only window allowed is quotesAndTrades' row_number dedup —
+    // the as-of itself must NOT plan the union-scan's last(ignoreNulls)
+    // running window
+    val windows = nodes.filter(_.nodeName.toLowerCase.contains("window"))
+      .map(_.toString)
+    assert(!windows.exists(_.contains("last(")),
+      s"the merge form must not fall back to the running-window plan:\n$p")
+    // trades + quotes each shuffle once into their clustered
+    // distribution; the dedup window inside quotesAndTrades shares the
+    // quotes-side exchange (same user_id-prefixed keys)
+    val n = countShuffles(p)
+    assert(n <= 3, s"expected at most 3 exchanges (2 sides + dedup), got $n:\n$p")
+  }
+
   test("join_skew_aqe: AQE splits the hot-key partition (OptimizeSkewedJoin)") {
     // The adversarial distribution: every even l_orderkey collapses onto
     // key 1, so one hash partition holds ~50% of the fact side — the
