@@ -20,8 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.DotRewriteRule)
     // length-guard + banded-DP rewrite for levenshtein(a,b) <= k
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinGuardRule)
-    // plan the as-of whole-operator node (AsofJoin.merge)
+    // plan the as-of whole-operator node (AsofJoin.merge) + prune
+    // columns through it (ColumnPruning skips foreign nodes)
     ext.injectPlannerStrategy(_ => graft.plans.AsofMergeJoin.Strategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofMergeJoin.PruneRule)
   }
 }
 
@@ -75,5 +77,8 @@ object GraftExtensions {
     if (!em.extraStrategies.contains(graft.plans.AsofMergeJoin.Strategy))
       em.extraStrategies =
         em.extraStrategies :+ graft.plans.AsofMergeJoin.Strategy
+    if (!em.extraOptimizations.contains(graft.plans.AsofMergeJoin.PruneRule))
+      em.extraOptimizations =
+        em.extraOptimizations :+ graft.plans.AsofMergeJoin.PruneRule
   }
 }

@@ -45,10 +45,12 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
 object AsofMergeJoin {
 
   /** Logical marker node. Analyzer-complete by construction (children
-    * are analyzed plans, output is defined); the optimizer treats it as
-    * an opaque barrier — filters/projections do not push through, which
-    * is safe (a production version would add pruning rules; the
-    * registered query projects before joining instead).
+    * are analyzed plans, output is defined). Spark's own optimizer
+    * rules leave a foreign node alone (safe but blind); [[PruneRule]]
+    * supplies the column pruning a wide input would otherwise lose —
+    * filters above the node still do not push through (left rows must
+    * all reach the merge for as-of semantics; right-side filters are
+    * the caller's responsibility, as with any quote-set definition).
     */
   case class AsofJoinNode(
       left: LogicalPlan, right: LogicalPlan,
@@ -71,6 +73,47 @@ object AsofMergeJoin {
         AsofMergeJoinExec(lk, lt, rk, rt, payload,
           planLater(l), planLater(r)) :: Nil
       case _ => Nil
+    }
+  }
+
+  /** Column pruning through the custom node — the optimizer
+    * integration Spark's own `ColumnPruning` cannot provide for a
+    * foreign LogicalPlan (it matches known node types only). Two
+    * prunes, both fixpoint-safe: the RIGHT child never contributes
+    * anything beyond (key, time, payload), so any extra column is
+    * dropped unconditionally — at 100 TB this is what keeps a
+    * SELECT-few-columns as-of over a wide quote table from scanning
+    * the full row; the LEFT child prunes to what a parent Project
+    * actually references (plus the join key/time). Inserted Projects
+    * land directly above the children, so V1 file-source planning
+    * still derives a narrow ReadSchema from them.
+    */
+  object PruneRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case p @ Project(list, aj: AsofJoinNode) =>
+        val needed = AttributeSet(list.flatMap(_.references)) ++
+          AttributeSet(Seq(aj.leftKey, aj.leftTime))
+        val keptLeft = aj.left.output.filter(needed.contains)
+        val pruned = pruneRight(aj)
+        if (keptLeft.size < aj.left.output.size)
+          Project(list, pruned.copy(left = Project(keptLeft, pruned.left)))
+        else if (pruned ne aj) Project(list, pruned)
+        else p
+      case aj: AsofJoinNode =>
+        val pruned = pruneRight(aj)
+        if (pruned ne aj) pruned else aj
+    }
+
+    private def pruneRight(aj: AsofJoinNode): AsofJoinNode = {
+      val needed = AttributeSet(
+        Seq(aj.rightKey, aj.rightTime) ++ aj.payload)
+      val kept = aj.right.output.filter(needed.contains)
+      if (kept.size < aj.right.output.size)
+        aj.copy(right = Project(kept, aj.right))
+      else aj
     }
   }
 }

@@ -115,4 +115,34 @@ class AsofMergeJoinSuite extends SparkSpec {
     assert(AsofJoin.merge(trades, quotes, "symbol", "time",
       Seq("quote_mid")).count() === trades.count())
   }
+
+  test("PruneRule: wide right/left columns pruned through the custom node") {
+    import graft.plans.AsofMergeJoin.AsofJoinNode
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    // right carries two columns the join never reads; left carries one
+    // a parent projection never references
+    val wideQuotes = quotes
+      .withColumn("venue", lit("X")).withColumn("junk", lit(42))
+    val wideTrades = trades.withColumn("note", lit("n/a"))
+    val df = AsofJoin.merge(wideTrades, wideQuotes, "symbol", "time",
+        Seq("quote_mid"))
+      .select("symbol", "time", "qty", "quote_mid")
+    val opt = df.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case a: AsofJoinNode => a }.get
+    assert(node.right.output.map(_.name).toSet ===
+      Set("symbol", "time", "quote_mid"),
+      s"right child must prune to key/time/payload:\n$opt")
+    assert(!node.left.output.map(_.name).contains("note"),
+      s"left child must prune to referenced + key/time:\n$opt")
+    // and the inserted Projects must not change the answer
+    val out = df.orderBy("symbol", "time").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out === Seq(
+      ("EURUSD", 90L, None),
+      ("EURUSD", 100L, Some(1.10)),
+      ("EURUSD", 150L, Some(1.10)),
+      ("EURUSD", 500L, Some(1.20)),
+      ("GBPUSD", 160L, Some(2.10))))
+  }
 }
