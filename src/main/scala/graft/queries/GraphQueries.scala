@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.PageRank
+import graft.ops.{GraphIter, PageRank}
 
 /** Graph-shaped operators over the `events` fixture. The bipartite
   * user↔item interaction graph (users purchase items, items are clicked
@@ -52,6 +52,63 @@ object GraphQueries extends QueryPack {
     */
   private val MaxPop = 200
 
+  /** User–user co-engagement edges (low→high, distinct): two users
+    * connect if they bought the SAME item on the SAME day. The (item,
+    * day) blocking keeps the projection sparse (see graph_triangles) and
+    * the MaxPop hub cap bounds the quadratic per-block pairing — this is
+    * the shared substrate for the census (triangles), decomposition
+    * (k-core), community (label propagation), and link-prediction
+    * queries, exactly the graph a co-engagement recommender builds.
+    */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val pur = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("ts").cast("date").as("day"))
+      .distinct()
+    val keep = pur.groupBy("k", "day").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") <= MaxPop)
+    val pi = pur.join(broadcast(keep.select("k", "day")), Seq("k", "day"))
+    pi.select(col("k"), col("day"), col("u").as("ua"))
+      .join(pi.select(col("k"), col("day"), col("u").as("ub")),
+        Seq("k", "day"))
+      .filter(col("ua") < col("ub"))
+      .select("ua", "ub").distinct()
+  }
+
+  /** DuckDB mirror of [[coEdges]] — ends in CTE `e(ua, ub)`. */
+  private val coEdgesDuck: String =
+    s"""pur AS (
+       |  SELECT DISTINCT user_id AS u,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+       |    CAST(ts AS DATE) AS day
+       |  FROM events WHERE event_type = 'purchase'),
+       |keep AS (
+       |  SELECT k, day FROM pur GROUP BY k, day
+       |  HAVING COUNT(*) <= $MaxPop),
+       |pi AS (SELECT u, pur.k, pur.day FROM pur JOIN keep USING (k, day)),
+       |e AS (
+       |  SELECT DISTINCT a.u AS ua, b.u AS ub
+       |  FROM pi a JOIN pi b
+       |    ON a.k = b.k AND a.day = b.day AND a.u < b.u)""".stripMargin
+
+  /** Both orientations of [[coEdges]] — the undirected adjacency. */
+  private def coAdj(s: SparkSession, dir: String): DataFrame = {
+    val e = coEdges(s, dir)
+    e.select(col("ua").as("u"), col("ub").as("v"))
+      .union(e.select(col("ub").as("u"), col("ua").as("v")))
+  }
+
+  private val coAdjDuck: String =
+    """adj AS (
+      |  SELECT ua AS u, ub AS v FROM e
+      |  UNION ALL SELECT ub AS u, ua AS v FROM e)""".stripMargin
+
+  /** Peeling rounds / LPA rounds (unrolled identically in the mirror). */
+  private val CoreK = 3
+  private val Rounds = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
       PageRank(edges(s, dir), Iters)
@@ -75,20 +132,7 @@ object GraphQueries extends QueryPack {
     // everything downstream of the projection is exact integers, and
     // the one double (clustering coefficient) is a single division.
     "graph_triangles" -> ((s, dir) => {
-      val pur = Tables(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("u"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"),
-          col("ts").cast("date").as("day"))
-        .distinct()
-      val keep = pur.groupBy("k", "day").agg(count(lit(1)).as("pop"))
-        .filter(col("pop") <= MaxPop)
-      val pi = pur.join(broadcast(keep.select("k", "day")), Seq("k", "day"))
-      val e = pi.select(col("k"), col("day"), col("u").as("ua"))
-        .join(pi.select(col("k"), col("day"), col("u").as("ub")),
-          Seq("k", "day"))
-        .filter(col("ua") < col("ub"))
-        .select("ua", "ub").distinct()
+      val e = coEdges(s, dir)
       val deg = e.select(col("ua").as("u"))
         .union(e.select(col("ub").as("u")))
         .groupBy("u").agg(count(lit(1)).as("d"))
@@ -171,6 +215,81 @@ object GraphQueries extends QueryPack {
         .select(col("node"), col("deg"), col("sum_nbr_deg"),
           (col("sum_nbr_deg").cast("double") / col("deg").cast("double"))
             .as("mean_nbr_deg"))
+    }),
+
+    // k-core decomposition (k=3) by unrolled peeling over the
+    // co-engagement graph — the density filter a community pipeline
+    // runs before clustering (nodes outside the 3-core are tendrils,
+    // not community members). Each round: degree = one grouped count,
+    // then two semi-joins drop every edge touching a sub-k node —
+    // synchronous peeling, so both engines remove identical node sets
+    // per round regardless of evaluation order. Three rounds unrolled
+    // exactly like the mirror's CTE chain (the graph_bfs_levels
+    // discipline; at scale the loop runs to fixpoint with the
+    // ConnectedComponents checkpoint-per-round pattern — each round
+    // shrinks the edge set, so cost is monotone decreasing). Output:
+    // surviving nodes with their within-core degree.
+    "graph_kcore" -> ((s, dir) => {
+      // 3 rounds × (1 degree rollup + 2 semi-joins) all consume the
+      // adjacency — pin it once (edge-list-sized; reliable-storage
+      // checkpoint at cluster scale).
+      val adj0 = coAdj(s, dir).localCheckpoint()
+      GraphIter.kcoreEdges(adj0, CoreK, Rounds)
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    }),
+
+    // Community detection by synchronous label propagation (3 rounds)
+    // over the co-engagement graph: every node starts as its own
+    // label; each round it adopts the most frequent label among its
+    // neighbors, ties broken by smallest label — the classic LPA step
+    // made fully deterministic (frequency counts are exact integers,
+    // the argmax is ONE struct-min aggregate ((-cnt, label)), so the
+    // async-update nondeterminism the textbook algorithm suffers is
+    // engineered out and the mirror's row_number form picks the
+    // identical winner). Synchronous rounds are also what a
+    // distributed LPA actually runs (per-round scatter/gather, same
+    // message-passing shape as graph_neighbor_agg, one shuffle per
+    // round keyed on node). Output: (node, label) after round 3;
+    // nodes sharing a label are one community.
+    "graph_label_prop" -> ((s, dir) => {
+      // 1 init + 3 scatter rounds consume the adjacency — pin once.
+      val adj = coAdj(s, dir).localCheckpoint()
+      GraphIter.labelProp(adj, Rounds)
+    }),
+
+    // Link prediction by neighbor overlap: for user pairs NOT yet
+    // co-engaged, count common neighbors in the co-engagement graph
+    // and rank by Jaccard overlap cn/(da+db−cn) — the
+    // people-who-bought-what-you-bought candidate generator. Plan:
+    // candidates = one wedge self-join (a–b via shared neighbor,
+    // a < b, quadratic only in per-node degree — bounded upstream by
+    // the MaxPop hub cap), existing edges removed by a pair-keyed anti
+    // join (AQE broadcasts it when the edge set is small; at scale it
+    // hash-shuffles on the pair key — never forced either way),
+    // degrees attach by two node-keyed joins, and the top-50 is
+    // a TakeOrdered (never a global sort materialization). Ties in
+    // the double score are broken by (cn desc, a, b), so the LIMIT is
+    // a total order and the row set is engine-independent.
+    "graph_link_jaccard" -> ((s, dir) => {
+      val e = coEdges(s, dir).localCheckpoint() // 3 consumers: adj, anti, deg
+      val adj = e.select(col("ua").as("u"), col("ub").as("v"))
+        .union(e.select(col("ub").as("u"), col("ua").as("v")))
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+      val cand = adj.select(col("u").as("a"), col("v").as("b"))
+        .join(adj.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+        .filter(col("a") < col("c"))
+        .groupBy("a", "c").agg(count(lit(1)).as("cn"))
+        .join(e, col("a") === col("ua") && col("c") === col("ub"),
+          "left_anti")
+      cand
+        .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("u").as("c"), col("d").as("dc")), Seq("c"))
+        .select(col("a"), col("c"), col("cn"),
+          (col("cn").cast("double") /
+            (col("da") + col("dc") - col("cn")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("cn").desc, col("a"), col("c"))
+        .limit(50)
     })
   )
 
@@ -220,19 +339,7 @@ object GraphQueries extends QueryPack {
          |SELECT node, r FROM r$Iters""".stripMargin,
 
     "graph_triangles" ->
-      s"""WITH pur AS (
-         |  SELECT DISTINCT user_id AS u,
-         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
-         |    CAST(ts AS DATE) AS day
-         |  FROM events WHERE event_type = 'purchase'),
-         |keep AS (
-         |  SELECT k, day FROM pur GROUP BY k, day
-         |  HAVING COUNT(*) <= $MaxPop),
-         |pi AS (SELECT u, pur.k, pur.day FROM pur JOIN keep USING (k, day)),
-         |e AS (
-         |  SELECT DISTINCT a.u AS ua, b.u AS ub
-         |  FROM pi a JOIN pi b
-         |    ON a.k = b.k AND a.day = b.day AND a.u < b.u),
+      s"""WITH $coEdgesDuck,
          |deg AS (
          |  SELECT u, COUNT(*) AS d FROM (
          |    SELECT ua AS u FROM e UNION ALL SELECT ub FROM e)
@@ -251,6 +358,60 @@ object GraphQueries extends QueryPack {
          |    THEN 3e0 * CAST(n_triangles AS DOUBLE)
          |      / CAST(n_wedges AS DOUBLE)
          |  END AS clustering
-         |FROM ne, w, t""".stripMargin
+         |FROM ne, w, t""".stripMargin,
+
+    // identical 3 peeling rounds, unrolled as CTEs
+    "graph_kcore" -> {
+      val rounds = (1 to Rounds).map { i =>
+        s"""n$i AS (SELECT u FROM e${i - 1} GROUP BY u
+           |  HAVING COUNT(*) >= $CoreK),
+           |e$i AS (SELECT x.u, x.v FROM e${i - 1} x
+           |  JOIN n$i a ON x.u = a.u JOIN n$i b ON x.v = b.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coEdgesDuck,
+         |$coAdjDuck,
+         |e0 AS (SELECT u, v FROM adj),
+         |$rounds
+         |SELECT u AS node, COUNT(*) AS deg FROM e$Rounds GROUP BY u""".stripMargin
+    },
+
+    // identical 3 synchronous LPA rounds; the argmax is the window
+    // row_number form — same winner as the Spark struct-min by the
+    // (cnt desc, label asc) total order
+    "graph_label_prop" -> {
+      val rounds = (1 to Rounds).map { i =>
+        s"""m$i AS (SELECT a.u, l.label, COUNT(*) AS c
+           |  FROM adj a JOIN l${i - 1} l ON a.v = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT u AS node, label FROM (
+           |  SELECT u, label, ROW_NUMBER() OVER (
+           |    PARTITION BY u ORDER BY c DESC, label) AS rn FROM m$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coEdgesDuck,
+         |$coAdjDuck,
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+         |$rounds
+         |SELECT node, label FROM l$Rounds""".stripMargin
+    },
+
+    "graph_link_jaccard" ->
+      s"""WITH $coEdgesDuck,
+         |$coAdjDuck,
+         |deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1),
+         |cand AS (
+         |  SELECT x.u AS a, y.v AS c, COUNT(*) AS cn
+         |  FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v
+         |  GROUP BY 1, 2),
+         |new_pairs AS (
+         |  SELECT a, c, cn FROM cand
+         |  WHERE NOT EXISTS (SELECT 1 FROM e
+         |                    WHERE e.ua = cand.a AND e.ub = cand.c))
+         |SELECT a, c, cn,
+         |  CAST(cn AS DOUBLE) / CAST(da.d + dc.d - cn AS DOUBLE) AS jaccard
+         |FROM new_pairs
+         |JOIN deg da ON new_pairs.a = da.u
+         |JOIN deg dc ON new_pairs.c = dc.u
+         |ORDER BY jaccard DESC, cn DESC, a, c
+         |LIMIT 50""".stripMargin
   )
 }

@@ -274,8 +274,53 @@ object QualityQueries extends QueryPack {
           expr("CAST(MAX(mad4) AS DOUBLE) / 4e6").as("mad"),
           sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
             .as("n_outliers"))
+    }),
+
+    // Benford first-digit audit per group — the fraud/synthetic-data
+    // smell test: does the leading digit of the amounts follow
+    // log10(1+1/d)? The first significant digit is pure integer/string
+    // arithmetic (first char of the BIGINT cents — no log10 of a
+    // double anywhere), the 9 reference probabilities are shared
+    // e-notation literals (Spark parses bare `0.301` as DECIMAL —
+    // the HLL lesson), and the output is PER-DIGIT chi² contributions,
+    // never a cross-digit double sum (9 unordered additions would be
+    // the one order-sensitive step; the reader sums 9 rows, or a
+    // pivot folds them in literal order). Plan: one scan, one grouped
+    // count, totals by a 27-row window — nothing corpus-sized past
+    // the first aggregate.
+    "dq_benford" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("digit",
+          substring(col("cents").cast("string"), 1, 1).cast("int"))
+        .groupBy("l_returnflag", "digit").agg(count(lit(1)).as("nd"))
+        .withColumn("n", sum(col("nd")).over(W.partitionBy("l_returnflag")))
+        .withColumn("p", expr(BenfordCase))
+        .select(col("l_returnflag"), col("digit"), col("nd"), col("n"),
+          expr(BenfordObs).as("obs_p"), col("p").as("benford_p"),
+          expr(BenfordChi2).as("chi2_term"))
     })
   )
+
+  /** log10(1 + 1/d), d = 1..9, as e-notation double literals — the
+    * identical token stream parses to the identical IEEE double in
+    * both grammars.
+    */
+  private val BenfordCase: String =
+    (1 to 9).map(d => f"WHEN $d THEN ${math.log10(1 + 1.0 / d)}%.17e")
+      .mkString("CASE digit ", " ", " END")
+
+  private val BenfordObs: String =
+    "CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)"
+
+  /** (nd − n·p)² / (n·p) — one shared token stream (see MomentSqls). */
+  private val BenfordChi2: String =
+    "(CAST(nd AS DOUBLE) - CAST(n AS DOUBLE) * p)" +
+      " * (CAST(nd AS DOUBLE) - CAST(n AS DOUBLE) * p)" +
+      " / (CAST(n AS DOUBLE) * p)"
 
   /** Moment algebra over the exact power sums — (name, expression)
     * pairs applied stepwise, each referencing the previous columns, so
@@ -436,6 +481,27 @@ object QualityQueries extends QueryPack {
         |    AS BIGINT) AS DOUBLE) / (1e2 * CAST(COUNT(*) AS DOUBLE))
         |    AS wins_mean
         |FROM ranked JOIN bounds USING (l_returnflag)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    "dq_benford" ->
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |d AS (
+         |  SELECT l_returnflag,
+         |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM b WHERE cents > 0),
+         |g AS (
+         |  SELECT l_returnflag, digit, COUNT(*) AS nd FROM d GROUP BY 1, 2),
+         |w AS (
+         |  SELECT l_returnflag, digit, nd,
+         |    CAST(SUM(nd) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+         |  FROM g),
+         |p AS (SELECT l_returnflag, digit, nd, n, $BenfordCase AS p FROM w)
+         |SELECT l_returnflag, digit, nd, n,
+         |  $BenfordObs AS obs_p, p AS benford_p,
+         |  $BenfordChi2 AS chi2_term
+         |FROM p""".stripMargin
   )
 }

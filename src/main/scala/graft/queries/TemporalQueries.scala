@@ -123,6 +123,81 @@ object TemporalQueries extends QueryPack {
           count(lit(1)).as("n_ticks"))
     }),
 
+    // Lag-1 autocorrelation per series — the mean-reversion /
+    // momentum diagnostic (and the ACF's first point, which fixes an
+    // AR(1) fit): Pearson over consecutive pairs (x_t, x_{t−1}) in
+    // event-time order. The agg_corr exact-sum discipline applied to
+    // a WINDOWED pair stream: values quantize to fixed-point
+    // millionths, one lag window builds the pairs, and the five
+    // classical sums accumulate in DECIMAL(38,0)/HUGEINT (q ≈ 10⁹ ⇒
+    // q·q ≈ 10¹⁸ per row already brushes int64, and every sum is
+    // unbounded in row count at 100 TB). The correlation is the same
+    // fixed 5-op IEEE sequence with the exact-integer zero-variance
+    // guard. Plan: ONE shuffle on the series key (lag window), then a
+    // map-side-partial aggregate on the same key — no second exchange.
+    "ts_autocorr" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 1e6).cast("long").as("x"))
+        .withColumn("y", lag(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy(col("user_id").as("symbol"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .select(col("symbol"), col("n"),
+          expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0" +
+            " AND CAST(n AS DECIMAL(38,0)) * syy - sy * sy > 0 THEN" +
+            " CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)" +
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx" +
+            " AS DOUBLE))" +
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy" +
+            " AS DOUBLE)) END").as("autocorr"))
+    }),
+
+    // CUSUM change-point statistic per series — where did the level
+    // shift? The classic page test: deviations from the series mean,
+    // cumulated; the one-sided CUSUM at t is S_t − min_{i≤t} S_i (a
+    // running sum minus its running min — two frames over ONE sorted
+    // window, never a recursive state), and the reported change point
+    // is the first (ts, event_id) where the statistic peaks. Exactness:
+    // the mean is never divided out — deviations are scaled through by
+    // n (d_t = n·q_t − Σq, pure integers), so S, its running min, and
+    // the peak comparison are all DECIMAL(38,0)/HUGEINT with no
+    // rounding anywhere; the n-scaled statistic converts to a double
+    // ONCE, divided back by n at the end. The peak pick is a
+    // row_number over (c DESC, ts, event_id) — a total order, so both
+    // engines name the same instant. Plan: all four windows and the
+    // final rank share the series-key partition — ONE shuffle
+    // end-to-end, the frame state O(1) per row.
+    "ts_cusum" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wAll = W.partitionBy("user_id")
+      val wOrd = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 1e6).cast("long").as("q"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(expr("CAST(q AS DECIMAL(38,0))")).over(wAll))
+        .withColumn("d", expr("CAST(n AS DECIMAL(38,0)) * q - tot"))
+        .withColumn("srun", sum(col("d")).over(wRun))
+        .withColumn("c", col("srun") - min(col("srun")).over(wRun))
+        .withColumn("rn", row_number().over(
+          W.partitionBy("user_id")
+            .orderBy(col("c").desc, col("ts"), col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("symbol"), col("n"),
+          expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE) / 1e6")
+            .as("max_cusum"),
+          col("ts").as("at_ts"), col("event_id").as("at_event"))
+    }),
+
     // Exponentially-weighted moving average of per-user spend, the
     // other classic smoothing shape next to the boxcar rolling mean.
     // Finite 8-event horizon with decay α = 1/2, so every weight is a
@@ -536,6 +611,68 @@ object TemporalQueries extends QueryPack {
         |    THEN (runmax - value) / runmax ELSE 0e0 END) AS max_drawdown,
         |  MAX(runmax) AS peak, COUNT(*) AS n_ticks
         |FROM r GROUP BY 1""".stripMargin,
+
+    "ts_autocorr" ->
+      """WITH q AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS x
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, x,
+        |    lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+        |  FROM q),
+        |a AS (
+        |  SELECT user_id AS symbol, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT symbol, n,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+        |  THEN
+        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |      AS DOUBLE)
+        |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+        |      AS VARCHAR) AS DOUBLE))
+        |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+        |      AS VARCHAR) AS DOUBLE))
+        |  END AS autocorr
+        |FROM a""".stripMargin,
+
+    "ts_cusum" ->
+      """WITH q AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS q
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, ts, event_id, q,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    SUM(CAST(q AS HUGEINT)) OVER (PARTITION BY user_id) AS tot
+        |  FROM q),
+        |s AS (
+        |  SELECT user_id, ts, event_id, n,
+        |    SUM(CAST(n AS HUGEINT) * q - tot) OVER win AS srun
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT user_id, ts, event_id, n,
+        |    srun - MIN(srun) OVER win AS c
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (
+        |  SELECT user_id, ts, event_id, n, c,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY c DESC, ts, event_id) AS rn
+        |  FROM c)
+        |SELECT user_id AS symbol, n,
+        |  CAST(CAST(c AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+        |    AS max_cusum,
+        |  ts AS at_ts, event_id AS at_event
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "window_ewma" -> {
       val lagCols = (0 until EwmaK).map { j =>
