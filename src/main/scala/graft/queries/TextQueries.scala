@@ -184,6 +184,26 @@ object TextQueries extends QueryPack {
         length(col("text")).cast("long").as("len"))
     }),
 
+    // Hashing-trick featurizer — the fixed-width sparse bag-of-words a
+    // linear model or gradient-boosted ranker trains on without ever
+    // materializing a vocabulary (the vocabulary IS the hash range, so
+    // the featurizer needs no fitted state and no driver-side dict —
+    // the property that makes it the 100 TB text baseline). Tokens
+    // hash through the shared cross-engine h31 into 32 buckets
+    // scan-side; the only shuffle is the (doc, bucket) count rollup,
+    // and the exchange carries (doc_id, bucket) ints — never text.
+    // Output is the sparse COO form (doc_id, bucket, n_tokens);
+    // downstream training consumes it as-is or pivots per partition.
+    "text_feature_hash" -> ((s, dir) => {
+      val NBuckets = 32
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextHash.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), (TextHash.h31(col("tok")) % NBuckets)
+          .as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n_tokens"))
+    }),
+
     // Language-ID: stopword-profile scores + argmax prediction, plus a
     // per-language corpus rollup against the fixture's labels.
     "text_langid" -> ((s, dir) => {
@@ -765,6 +785,18 @@ object TextQueries extends QueryPack {
         |  1e0 - CAST(CAST(SUM(c * c) AS BIGINT) AS DOUBLE) /
         |    CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE)
         |    AS gini_diversity
-        |FROM tc GROUP BY doc_id""".stripMargin
+        |FROM tc GROUP BY doc_id""".stripMargin,
+
+    "text_feature_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+        |      % 2147483647) % 32 AS bucket
+        |  FROM t)
+        |SELECT doc_id, bucket, COUNT(*) AS n_tokens
+        |FROM h GROUP BY 1, 2""".stripMargin
   )
 }

@@ -263,6 +263,32 @@ object VectorQueries extends QueryPack {
         .select("vec_id", "cell", "dfix", "n_cell")
     }),
 
+    // Per-dimension standardization statistics — the (mean, variance)
+    // table a feature pipeline computes ONCE over the corpus and
+    // broadcasts into every normalizing map stage (z-scoring at 100 TB
+    // is exactly this rollup plus a scan-side apply). posexplode keys
+    // the shuffle on the DIMENSION index (64 keys, embeddings never
+    // travel whole — the exchange carries (dim, q) longs), values
+    // quantize to fixed-point millionths, and Σq / Σq² accumulate in
+    // DECIMAL(38,0)/HUGEINT (unbounded row count; the agg_corr
+    // discipline). Mean and variance convert from the exact sums
+    // once — n·Σq² − (Σq)² stays integer until the final cast.
+    "emb_dim_stats" -> ((s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"),
+          sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sqq"))
+        .select(col("dim"), col("n"),
+          expr("CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1e6").as("mean"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * sqq - sq * sq AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12")
+            .as("variance"))
+    }),
+
     // Hard triplet mining — the metric-learning batch builder: for each
     // anchor (every 10th vector = "the batch"), the HARDEST positive is
     // its nearest same-label vector and the hardest negative its
@@ -480,6 +506,25 @@ object VectorQueries extends QueryPack {
          |  FROM r GROUP BY 1)
          |SELECT vec_id, r.cell, dfix, n_cell
          |FROM r JOIN b ON r.cell = b.cell
-         |WHERE dfix > p99""".stripMargin
+         |WHERE dfix > p99""".stripMargin,
+
+    "emb_dim_stats" ->
+      """WITH x AS (
+        |  SELECT ps.pos AS dim,
+        |    CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS pos) ps),
+        |a AS (
+        |  SELECT dim, COUNT(*) AS n,
+        |    SUM(CAST(q AS HUGEINT)) AS sq,
+        |    SUM(CAST(q AS HUGEINT) * q) AS sqq
+        |  FROM x GROUP BY 1)
+        |SELECT dim, n,
+        |  CAST(CAST(sq AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+        |    AS mean,
+        |  CAST(CAST(CAST(n AS HUGEINT) * sqq - sq * sq AS VARCHAR)
+        |    AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12
+        |    AS variance
+        |FROM a""".stripMargin
   )
 }

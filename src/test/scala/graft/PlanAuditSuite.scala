@@ -689,4 +689,44 @@ class PlanAuditSuite extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("text_feature_hash: one count rollup, text never shuffles") {
+    val p = executed(q("text_feature_hash"))
+    assert(countShuffles(p) <= 1, s"expected one shuffle:\n$p")
+    val exchanges = flatten(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.flatten.forall(n => n != "text" && n != "tok"),
+      s"tokens hash scan-side; only (doc_id, bucket) travel: $exchanges")
+  }
+
+  test("emb_dim_stats: embeddings never shuffle (dim-keyed longs only)") {
+    val p = executed(q("emb_dim_stats"))
+    assert(countShuffles(p) <= 1, s"expected one shuffle:\n$p")
+    val exchanges = flatten(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.flatten.forall(_ != "embedding"),
+      s"the exchange must carry (dim, q), not vectors: $exchanges")
+  }
+
+  test("ts_cusum: all four windows and the rank share ONE series shuffle") {
+    val p = executed(q("ts_cusum"))
+    assert(countShuffles(p) === 1,
+      s"every window is user_id-keyed; one exchange serves all:\n$p")
+  }
+
+  test("ts_autocorr: lag window and aggregate share the series shuffle") {
+    val p = executed(q("ts_autocorr"))
+    assert(countShuffles(p) === 1, s"expected one shuffle:\n$p")
+  }
+
+  test("graph_link_jaccard: top-50 is TakeOrdered, never a global sort") {
+    val p = executed(q("graph_link_jaccard"))
+    assert(p.toString.contains("TakeOrderedAndProject"), s"plan was:\n$p")
+  }
 }
