@@ -198,6 +198,33 @@ object ScaleProbe {
         .count()
     }
 
+    // Graph iteration kernels over the co-engagement projection (the
+    // SAME GraphIter ops the registered queries run). The id-shift
+    // scales USERS 10× while items stay shared, so (item, day) block
+    // population grows 10× and the quadratic pairing is the adversarial
+    // case — the MaxPop hub cap (200, the registered queries' value) is
+    // what holds the edge expansion, exactly the claim under test.
+    // The pin is released after each run — at 10× the adjacency holds
+    // ~13M edge rows (the id-shift keeps ITEMS shared, so block
+    // population grows 10× and the quadratic pairing expands edges
+    // ~100×: the adversarial densification case, like the duplicated
+    // corpus for LSH); leaking three of those across probes would
+    // contaminate every later timing.
+    def withCoAdj(c: Int)(f: DataFrame => Long): Long = {
+      val adj = graft.ops.GraphIter.undirected(
+        graft.ops.GraphIter.coEngagementEdges(
+          scaled("events", "user_id", c), 200)).localCheckpoint()
+      try f(adj)
+      finally org.apache.spark.sql.graftbridge.Bridge
+        .releaseLocalCheckpoint(adj)
+    }
+
+    def graphKcore(c: Int): Long =
+      withCoAdj(c)(adj => graft.ops.GraphIter.kcoreEdges(adj, 3, 3).count())
+
+    def graphLpa(c: Int): Long =
+      withCoAdj(c)(adj => graft.ops.GraphIter.labelProp(adj, 3).count())
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
@@ -206,10 +233,17 @@ object ScaleProbe {
       ("segment_dedup", segmentDedup), ("kmeans_train", kmeansTrain),
       ("bpe_train", bpeTrain), ("prefix_filter", prefixFilter),
       ("winnow_pairs", winnowPairs), ("bigram_lift", bigramLift),
-      ("dq_profile", dqProfile), ("dpp_join", dppJoin))
+      ("dq_profile", dqProfile), ("dpp_join", dppJoin),
+      ("graph_kcore", graphKcore), ("graph_lpa", graphLpa))
+    // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
+    // pattern the bench already has)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) probes else probes.filter(p => only(p._1))
     // warm-up at 1x (codegen/JIT), then measure 1x and 10x
-    probes.foreach { case (_, f) => f(1) }
-    val results = probes.map { case (name, f) =>
+    selected.foreach { case (_, f) => f(1) }
+    val results = selected.map { case (name, f) =>
       val (t1, r1) = time(f(1))
       val (t10, r10) = time(f(10))
       (name, t1, r1, t10, r10, t10 / t1)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{Centroids, CountMin, Decontaminate, Hll, IncrementalRollup, KmvAggregator, Scd2, TextHash, ZOrder}
+import graft.ops.{Centroids, CountMin, Decontaminate, Hilbert, Hll, IncrementalRollup, KmvAggregator, Scd2, TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -279,6 +279,24 @@ object ScaleQueries extends QueryPack {
         col("l_orderkey"), col("l_linenumber"),
         ZOrder.zvalue(col("l_partkey"), col("l_suppkey")).as("z"))
         .withColumn("zbucket", shiftrightunsigned(col("z"), 16))
+    }),
+
+    // Hilbert-curve layout key — the locality upgrade over layout_zorder
+    // (consecutive Hilbert indices are ALWAYS adjacent grid cells;
+    // Morton order teleports at every power-of-two boundary), the same
+    // clustering primitive lakehouse formats offer next to z-order.
+    // Scan-side native expression ([[graft.functions.HilbertF]],
+    // codegen'd); the oracle unrolls the identical 16 arithmetic-only
+    // rounds as a CTE chain (quadrant code and reflection are CASE +
+    // subtraction — no engine-specific bit syntax), so the layout is
+    // cross-engine checkable bit-for-bit. HilbertSuite pins the curve
+    // properties (unit-step adjacency, bijectivity) and measures the
+    // file-skipping win.
+    "layout_hilbert" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Hilbert.hvalue(col("l_partkey"), col("l_suppkey")).as("h"))
+        .withColumn("hbucket", shiftrightunsigned(col("h"), 16))
     }),
 
     // ---- context-window chunking ---------------------------------------
@@ -993,6 +1011,13 @@ object ScaleQueries extends QueryPack {
          |  (xa | (xb << 1)) AS z,
          |  ((xa | (xb << 1)) >> 16) AS zbucket
          |FROM b${ZOrder.SpreadSteps.size}""".stripMargin
-    }
+    },
+
+    "layout_hilbert" ->
+      s"""WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |  l_suppkey FROM lineitem),
+         |${Hilbert.duckSteps("l_orderkey, l_linenumber", "l_partkey", "l_suppkey")}
+         |SELECT l_orderkey, l_linenumber, d AS h, d // 65536 AS hbucket
+         |FROM h${graft.functions.HilbertHelper.Bits}""".stripMargin
   )
 }
