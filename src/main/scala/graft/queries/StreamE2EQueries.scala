@@ -37,7 +37,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_session" -> ((s, dir) => runSession(s, dir)),
     "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)),
     "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)),
-    "stream_e2e_asof" -> ((s, dir) => runAsof(s, dir)))
+    "stream_e2e_asof" -> ((s, dir) => runAsof(s, dir)),
+    "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -192,6 +193,64 @@ object StreamE2EQueries extends QueryPack {
         col("tradeType").as("trade_type"),
         col("quoteTime").as("quote_time"),
         col("quotePrice").as("quote_price"))
+  }
+
+  /** STREAMING TOP-K end to end (round-6, tenth streaming oracle row):
+    * TICK envelopes → envelope source paced to multiple micro-batches
+    * → [[graft.streaming.TopKProcessor]] (transformWithState /
+    * RocksDB, k=5 (price, time) pairs per symbol — the bounded-
+    * priority state shape none of the other nine rows exercise) →
+    * every batch re-emits each touched symbol's full current top-k →
+    * LWW sink keyed (symbol, rank) → read-back vs the batch
+    * row_number top-5. Determinism: the merge is a monotone set fold
+    * over pre-deduped (symbol, second) ticks (see the processor's
+    * Scaladoc), so batching and arrival order are unobservable.
+    */
+  private def runTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
+    val work = Files.createTempDirectory("graft_e2e_topk")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2") // several update emissions
+      .load()
+    val sinkRoot = work.resolve("sink").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ticks = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+        .select(col("symbol"), col("time"), col("price"))
+        .as[graft.streaming.TopKProcessor.TickIn]
+      val q = ticks.groupByKey(_.symbol)
+        .transformWithState(new graft.streaming.TopKProcessor(5),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "topk",
+            Seq("symbol", "rank"))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    LwwSink.read(s, sinkRoot, "feed", "topk")
+      .select(col("symbol"), col("rank"), col("price"),
+        col("time").as("time_s"))
   }
 
   /** UNBOUNDED streaming aggregation end to end (round-5, seventh
@@ -584,6 +643,26 @@ object StreamE2EQueries extends QueryPack {
     s"CAST(SUM(CASE WHEN typ = '$m' THEN CAST(floor(value) AS INT) ELSE 0 END) OVER w AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    // batch mirror of the streamed leaderboard: top-5 by
+    // (price DESC, sec ASC) over the deduped (symbol, second) ticks —
+    // the total order the processor's merge sort uses
+    "stream_e2e_topk" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1),
+        |r AS (
+        |  SELECT user_id, sec, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, sec) AS rank
+        |  FROM base)
+        |SELECT CAST(user_id AS VARCHAR) AS symbol, rank,
+        |  value AS price, sec AS time_s
+        |FROM r WHERE rank <= 5""".stripMargin,
+
     "stream_e2e_cumvol" ->
       s"""WITH base AS (
          |  SELECT * FROM (
