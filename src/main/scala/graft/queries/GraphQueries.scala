@@ -60,22 +60,8 @@ object GraphQueries extends QueryPack {
     * (k-core), community (label propagation), and link-prediction
     * queries, exactly the graph a co-engagement recommender builds.
     */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val pur = Tables(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id").as("u"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
-        col("ts").cast("date").as("day"))
-      .distinct()
-    val keep = pur.groupBy("k", "day").agg(count(lit(1)).as("pop"))
-      .filter(col("pop") <= MaxPop)
-    val pi = pur.join(broadcast(keep.select("k", "day")), Seq("k", "day"))
-    pi.select(col("k"), col("day"), col("u").as("ua"))
-      .join(pi.select(col("k"), col("day"), col("u").as("ub")),
-        Seq("k", "day"))
-      .filter(col("ua") < col("ub"))
-      .select("ua", "ub").distinct()
-  }
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    GraphIter.coEngagementEdges(Tables(s, dir, "events"), MaxPop)
 
   /** DuckDB mirror of [[coEdges]] — ends in CTE `e(ua, ub)`. */
   private val coEdgesDuck: String =
@@ -94,11 +80,8 @@ object GraphQueries extends QueryPack {
        |    ON a.k = b.k AND a.day = b.day AND a.u < b.u)""".stripMargin
 
   /** Both orientations of [[coEdges]] — the undirected adjacency. */
-  private def coAdj(s: SparkSession, dir: String): DataFrame = {
-    val e = coEdges(s, dir)
-    e.select(col("ua").as("u"), col("ub").as("v"))
-      .union(e.select(col("ub").as("u"), col("ua").as("v")))
-  }
+  private def coAdj(s: SparkSession, dir: String): DataFrame =
+    GraphIter.undirected(coEdges(s, dir))
 
   private val coAdjDuck: String =
     """adj AS (
@@ -108,6 +91,23 @@ object GraphQueries extends QueryPack {
   /** Peeling rounds / LPA rounds (unrolled identically in the mirror). */
   private val CoreK = 3
   private val Rounds = 3
+
+  /** The [[GraphIter.labelProp]] mirror: l0 init + `Rounds` synchronous
+    * vote rounds as CTEs, ending in `l$Rounds(node, label)`. Expects
+    * `adj` in scope; shared by the label-prop and modularity oracles.
+    */
+  private val lpaRoundsDuck: String = {
+    val rounds = (1 to Rounds).map { i =>
+      s"""m$i AS (SELECT a.u, l.label, COUNT(*) AS c
+         |  FROM adj a JOIN l${i - 1} l ON a.v = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT u AS node, label FROM (
+         |  SELECT u, label, ROW_NUMBER() OVER (
+         |    PARTITION BY u ORDER BY c DESC, label) AS rn FROM m$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+       |$rounds""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
@@ -272,8 +272,7 @@ object GraphQueries extends QueryPack {
     // a total order and the row set is engine-independent.
     "graph_link_jaccard" -> ((s, dir) => {
       val e = coEdges(s, dir).localCheckpoint() // 3 consumers: adj, anti, deg
-      val adj = e.select(col("ua").as("u"), col("ub").as("v"))
-        .union(e.select(col("ub").as("u"), col("ua").as("v")))
+      val adj = GraphIter.undirected(e)
       val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
       val cand = adj.select(col("u").as("a"), col("v").as("b"))
         .join(adj.select(col("u").as("b"), col("v").as("c")), Seq("b"))
@@ -290,6 +289,44 @@ object GraphQueries extends QueryPack {
             .as("jaccard"))
         .orderBy(col("jaccard").desc, col("cn").desc, col("a"), col("c"))
         .limit(50)
+    }),
+
+    // Newman modularity of the LPA communities — the number that says
+    // whether label propagation found real structure or noise (Q > 0:
+    // denser inside communities than a random graph with the same
+    // degrees). Exactness: the per-community double sum Σ(e_c/m −
+    // (deg_c/2m)²) is algebraically collapsed to
+    // (4m·intra − Σ deg_c²) / (4m²) so every aggregate is an exact
+    // integer (Σ deg_c² in DECIMAL(38,0)/HUGEINT — a hub community's
+    // squared degree mass is unbounded at scale) and the ONE division
+    // happens at the end — no cross-community double accumulation
+    // order to diverge on. Plan: the intra-edge test is two node-keyed
+    // label joins; deg_c is a rollup of the degree rollup; the three
+    // 1-row aggregates cross-join (broadcast).
+    "graph_modularity" -> ((s, dir) => {
+      val e = coEdges(s, dir).localCheckpoint() // consumers: adj, intra
+      val adj = GraphIter.undirected(e).localCheckpoint() // lpa + deg
+      val lab = GraphIter.labelProp(adj, Rounds)
+        .localCheckpoint() // consumers: intra ×2, deg_c, count
+      val m = e.agg(count(lit(1)).as("n_edges"))
+      val intra = e
+        .join(lab.select(col("node").as("ua"), col("label").as("la")),
+          Seq("ua"))
+        .join(lab.select(col("node").as("ub"), col("label").as("lb")),
+          Seq("ub"))
+        .filter(col("la") === col("lb"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val degSq = adj.groupBy("u").agg(count(lit(1)).as("d"))
+        .join(lab.select(col("node").as("u"), col("label")), Seq("u"))
+        .groupBy("label").agg(sum(col("d")).as("deg_c"))
+        .agg(count(lit(1)).as("n_communities"),
+          sum(expr("CAST(deg_c AS DECIMAL(38,0)) * deg_c")).as("sum_degsq"))
+      m.crossJoin(intra).crossJoin(degSq)
+        .select(col("n_edges"), col("n_communities"), col("intra_edges"),
+          expr("CAST(4 * CAST(n_edges AS DECIMAL(38,0)) * intra_edges" +
+            " - sum_degsq AS DOUBLE)" +
+            " / CAST(4 * CAST(n_edges AS DECIMAL(38,0)) * n_edges" +
+            " AS DOUBLE)").as("modularity"))
     })
   )
 
@@ -378,21 +415,11 @@ object GraphQueries extends QueryPack {
     // identical 3 synchronous LPA rounds; the argmax is the window
     // row_number form — same winner as the Spark struct-min by the
     // (cnt desc, label asc) total order
-    "graph_label_prop" -> {
-      val rounds = (1 to Rounds).map { i =>
-        s"""m$i AS (SELECT a.u, l.label, COUNT(*) AS c
-           |  FROM adj a JOIN l${i - 1} l ON a.v = l.node GROUP BY 1, 2),
-           |l$i AS (SELECT u AS node, label FROM (
-           |  SELECT u, label, ROW_NUMBER() OVER (
-           |    PARTITION BY u ORDER BY c DESC, label) AS rn FROM m$i)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
+    "graph_label_prop" ->
       s"""WITH $coEdgesDuck,
          |$coAdjDuck,
-         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
-         |$rounds
-         |SELECT node, label FROM l$Rounds""".stripMargin
-    },
+         |$lpaRoundsDuck
+         |SELECT node, label FROM l$Rounds""".stripMargin,
 
     "graph_link_jaccard" ->
       s"""WITH $coEdgesDuck,
@@ -412,6 +439,33 @@ object GraphQueries extends QueryPack {
          |JOIN deg da ON new_pairs.a = da.u
          |JOIN deg dc ON new_pairs.c = dc.u
          |ORDER BY jaccard DESC, cn DESC, a, c
-         |LIMIT 50""".stripMargin
+         |LIMIT 50""".stripMargin,
+
+    "graph_modularity" ->
+      s"""WITH $coEdgesDuck,
+         |$coAdjDuck,
+         |$lpaRoundsDuck,
+         |m AS (SELECT COUNT(*) AS n_edges FROM e),
+         |intra AS (
+         |  SELECT COUNT(*) AS intra_edges
+         |  FROM e
+         |  JOIN l$Rounds la ON e.ua = la.node
+         |  JOIN l$Rounds lb ON e.ub = lb.node
+         |  WHERE la.label = lb.label),
+         |degc AS (
+         |  SELECT l.label, CAST(SUM(d) AS BIGINT) AS deg_c
+         |  FROM (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1) deg
+         |  JOIN l$Rounds l ON deg.u = l.node
+         |  GROUP BY 1),
+         |ds AS (
+         |  SELECT COUNT(*) AS n_communities,
+         |    SUM(CAST(deg_c AS HUGEINT) * deg_c) AS sum_degsq
+         |  FROM degc)
+         |SELECT n_edges, n_communities, intra_edges,
+         |  CAST(CAST(4 * CAST(n_edges AS HUGEINT) * intra_edges
+         |    - sum_degsq AS VARCHAR) AS DOUBLE)
+         |  / CAST(CAST(4 * CAST(n_edges AS HUGEINT) * n_edges
+         |    AS VARCHAR) AS DOUBLE) AS modularity
+         |FROM m, intra, ds""".stripMargin
   )
 }

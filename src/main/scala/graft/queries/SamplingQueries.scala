@@ -16,7 +16,51 @@ import graft.ops.{TextHash, TextStats}
   */
 object SamplingQueries extends QueryPack {
 
+  /** Poisson(1) inverse-CDF thresholds (cumulative P(0)..P(4), draws
+    * capped at 5 — P(>5) ≈ 6·10⁻⁵), rendered as e-notation double
+    * literals so both grammars parse the identical IEEE values. The
+    * CASE reads a column `u` ∈ [0, 1).
+    */
+  private val PoissonCase: String = {
+    val pmf = (0 to 4).map(k =>
+      math.exp(-1.0) / (1 to k).map(_.toDouble).product)
+    val cum = pmf.scanLeft(0.0)(_ + _).tail
+    cum.zipWithIndex
+      .map { case (c, k) => f"WHEN u < $c%.17e THEN $k" }
+      .mkString("CASE ", " ", " ELSE 5 END")
+  }
+
+  private val BootReps = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Poisson bootstrap — the distributed-resampling standard (each
+    // replicate draws every row Poisson(1) times, which IS the n→∞
+    // multinomial bootstrap, and needs no global row count or shared
+    // RNG state): 8 replicate spend totals per event type, from which
+    // a pipeline reads confidence intervals for its metrics. The draw
+    // count is a pure projection — hash(event_id, replicate) →
+    // uniform → inverse CDF — so the "random" resample is reproducible
+    // cross-engine, cross-rerun, cross-partitioning (the pack's whole
+    // thesis applied to weights instead of membership). The 8× row
+    // explosion is scan-side; ONE aggregate shuffles (event_type, rep)
+    // partials. Sums stay int64: w ≤ 5, cents ≤ ~10⁷ ⇒ headroom to
+    // ~10¹⁰ rows per group; past that the agg_corr DECIMAL discipline
+    // applies.
+    "sample_bootstrap" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_type"), col("event_id"), col("cents"),
+          explode(expr(s"sequence(0, ${BootReps - 1})")).as("rep"))
+        .withColumn("u",
+          TextHash.h31(concat_ws(":", col("event_id"), col("rep")))
+            .cast("double") / lit(TextHash.P31.toDouble))
+        .withColumn("w", expr(PoissonCase))
+        .groupBy("event_type", "rep")
+        .agg(sum(col("w")).as("n_drawn"),
+          sum(col("w") * col("cents")).as("boot_cents"))
+    }),
 
     // Systematic (every k-th) sampling over the GLOBAL event timeline —
     // the evenly-spaced audit sample a data-quality review pulls. The
@@ -192,6 +236,27 @@ object SamplingQueries extends QueryPack {
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) % 2147483647"
 
   def oracles: Map[String, String] = Map(
+
+    "sample_bootstrap" ->
+      s"""WITH b AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |r AS (
+         |  SELECT b.*, reps.rep
+         |  FROM b, (SELECT unnest(range(0, $BootReps)) AS rep) reps),
+         |h AS (
+         |  SELECT event_type, rep, cents,
+         |    CAST(CAST('0x' || substr(md5(
+         |        CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)),
+         |      1, 15) AS BIGINT) % 2147483647 AS DOUBLE)
+         |      / 2147483647e0 AS u
+         |  FROM r),
+         |w AS (SELECT event_type, rep, cents, $PoissonCase AS w FROM h)
+         |SELECT event_type, rep,
+         |  CAST(SUM(w) AS BIGINT) AS n_drawn,
+         |  CAST(SUM(w * cents) AS BIGINT) AS boot_cents
+         |FROM w GROUP BY 1, 2""".stripMargin,
     "sample_systematic" ->
       """SELECT event_id, user_id, rn FROM (
         |  SELECT event_id, user_id,
