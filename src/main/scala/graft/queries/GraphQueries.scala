@@ -291,6 +291,38 @@ object GraphQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Degree assortativity — Pearson correlation of (deg_u, deg_v)
+    // over the directed edge list (both orientations, so the
+    // undirected coefficient) of the co-engagement graph: do heavy
+    // co-buyers pair with heavy co-buyers (r > 0, social-network
+    // texture) or with casual ones (r < 0, hub-and-spoke)? The scalar
+    // companion to graph_neighbor_agg's per-node profile. Same exact
+    // 5-sum discipline as ts_autocorr (degrees are unbounded at scale
+    // ⇒ DECIMAL(38,0)/HUGEINT sums, one fixed IEEE tail); plan is two
+    // node-keyed degree attachments and ONE map-side-partial global
+    // aggregate.
+    "graph_assortativity" -> ((s, dir) => {
+      val adj = coAdj(s, dir).localCheckpoint() // consumers: deg, pairs
+      val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+      adj
+        .join(deg.select(col("u"), col("d").as("x")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("d").as("y")), Seq("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .select(col("n"),
+          expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0" +
+            " AND CAST(n AS DECIMAL(38,0)) * syy - sy * sy > 0 THEN" +
+            " CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)" +
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx" +
+            " AS DOUBLE))" +
+            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy" +
+            " AS DOUBLE)) END").as("assortativity"))
+    }),
+
     // Newman modularity of the LPA communities — the number that says
     // whether label propagation found real structure or noise (Q > 0:
     // denser inside communities than a random graph with the same
@@ -440,6 +472,34 @@ object GraphQueries extends QueryPack {
          |JOIN deg dc ON new_pairs.c = dc.u
          |ORDER BY jaccard DESC, cn DESC, a, c
          |LIMIT 50""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $coEdgesDuck,
+         |$coAdjDuck,
+         |deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1),
+         |p AS (
+         |  SELECT dx.d AS x, dy.d AS y
+         |  FROM adj JOIN deg dx ON adj.u = dx.u
+         |  JOIN deg dy ON adj.v = dy.u),
+         |a AS (
+         |  SELECT COUNT(*) AS n,
+         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM p)
+         |SELECT n,
+         |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+         |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+         |  THEN
+         |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+         |      AS DOUBLE)
+         |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+         |      AS VARCHAR) AS DOUBLE))
+         |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
+         |      AS VARCHAR) AS DOUBLE))
+         |  END AS assortativity
+         |FROM a""".stripMargin,
 
     "graph_modularity" ->
       s"""WITH $coEdgesDuck,

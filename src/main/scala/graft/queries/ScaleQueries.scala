@@ -299,6 +299,39 @@ object ScaleQueries extends QueryPack {
         .withColumn("hbucket", shiftrightunsigned(col("h"), 16))
     }),
 
+    // Binned range join — the scale rewrite for a PURE interval-
+    // containment join (no equi key anywhere: every lineitem shipped
+    // within 2 days of ANY same-quarter order date matches). The naive
+    // plan is a broadcast-nested-loop O(|points|·|windows|) scan; the
+    // rewrite buckets the time axis into bins wider than the interval
+    // (W=4 > len 3, so a window spans ≤ 2 bins), explodes each window
+    // to its bins, and joins on BIN EQUALITY + the exact containment
+    // filter — a shuffled hash join both sides can scale, with no
+    // duplicate pairs to dedup (a point lives in exactly one bin).
+    // The oracle is the plain BETWEEN theta join, so the hash match
+    // proves the rewrite exact; the plan audit pins no-nested-loop.
+    "range_join_binned" -> ((s, dir) => {
+      val W = 4
+      val quarter = "BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'"
+      val pts = t(s, dir, "lineitem")
+        .filter(expr(s"l_shipdate $quarter"))
+        .select(expr("datediff(l_shipdate, DATE '1970-01-01')").as("d"),
+          col("l_quantity"))
+        .withColumn("bin", expr(s"d div $W"))
+      val wins = t(s, dir, "orders")
+        .filter(expr(s"o_orderdate $quarter"))
+        .select(col("o_orderkey"),
+          expr("datediff(o_orderdate, DATE '1970-01-01')").as("lo"))
+        .withColumn("hi", col("lo") + 2)
+      val wex = wins.select(col("o_orderkey"), col("lo"), col("hi"),
+        explode(expr(s"sequence(lo div $W, hi div $W)")).as("bin"))
+      wex.join(pts, Seq("bin"))
+        .filter(col("d") >= col("lo") && col("d") <= col("hi"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    }),
+
     // ---- context-window chunking ---------------------------------------
     // Long documents → overlapping token windows (k=32, stride=24): the
     // shape training pipelines feed tokenizers. Pure scan-side generator
@@ -1012,6 +1045,17 @@ object ScaleQueries extends QueryPack {
          |  ((xa | (xb << 1)) >> 16) AS zbucket
          |FROM b${ZOrder.SpreadSteps.size}""".stripMargin
     },
+
+    "range_join_binned" ->
+      """SELECT o_orderkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 2 DAY
+        |WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |GROUP BY 1""".stripMargin,
 
     "layout_hilbert" ->
       s"""WITH src AS (SELECT l_orderkey, l_linenumber, l_partkey,

@@ -729,4 +729,17 @@ class PlanAuditSuite extends SparkSpec {
     val p = executed(q("graph_link_jaccard"))
     assert(p.toString.contains("TakeOrderedAndProject"), s"plan was:\n$p")
   }
+
+  test("range_join_binned: bin equality makes the theta join a hash join") {
+    // the point of the rewrite: a pure interval-containment join would
+    // plan as BroadcastNestedLoopJoin (O(points × windows) compares);
+    // the bin key must surface as an equi-join
+    val p = executed(q("range_join_binned"))
+    val s = p.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      s"binned rewrite must not nested-loop:\n$s")
+    assert(s.contains("HashJoin") || s.contains("SortMergeJoin"),
+      s"expected an equi join on the bin key:\n$s")
+  }
 }
