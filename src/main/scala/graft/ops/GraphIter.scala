@@ -18,6 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object GraphIter {
 
+  /** User–user co-engagement edges from the events fixture (low→high,
+    * distinct): two users connect if they bought the SAME item on the
+    * SAME day. The (item, day) blocking keeps the projection sparse
+    * and `maxPop` caps the quadratic per-block pairing (blocks more
+    * popular than the cap carry no community signal — the stop-gram
+    * move). ONE definition serves the registered queries and the
+    * weak-scaling probe, so the probe measures the plan it claims to.
+    */
+  def coEngagementEdges(events: DataFrame, maxPop: Int): DataFrame = {
+    val pur = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("ts").cast("date").as("day"))
+      .distinct()
+    val keep = pur.groupBy("k", "day").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") <= maxPop)
+    val pi = pur.join(broadcast(keep.select("k", "day")), Seq("k", "day"))
+    pi.select(col("k"), col("day"), col("u").as("ua"))
+      .join(pi.select(col("k"), col("day"), col("u").as("ub")),
+        Seq("k", "day"))
+      .filter(col("ua") < col("ub"))
+      .select("ua", "ub").distinct()
+  }
+
+  /** Both orientations of a (ua, ub) edge list — the undirected (u, v)
+    * adjacency the iteration kernels consume.
+    */
+  def undirected(e: DataFrame): DataFrame =
+    e.select(col("ua").as("u"), col("ub").as("v"))
+      .union(e.select(col("ub").as("u"), col("ua").as("v")))
+
   /** `rounds` synchronous peeling steps toward the k-core: each round
     * drops every edge touching a node of current degree < k. The
     * surviving edge set after round i is the exact synchronous-peel
