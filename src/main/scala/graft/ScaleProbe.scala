@@ -236,9 +236,14 @@ object ScaleProbe {
       ("dq_profile", dqProfile), ("dpp_join", dppJoin),
       ("graph_kcore", graphKcore), ("graph_lpa", graphLpa))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
-    // pattern the bench already has)
+    // pattern the bench already has — including its fail-fast: a typo
+    // must not silently measure zero probes and emit `{...,}` JSON)
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknown = only.diff(probes.map(_._1).toSet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_PROBE_ONLY: unknown probes ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) probes else probes.filter(p => only(p._1))
     // warm-up at 1x (codegen/JIT), then measure 1x and 10x

@@ -44,11 +44,18 @@ object GraphIter {
   }
 
   /** Both orientations of a (ua, ub) edge list — the undirected (u, v)
-    * adjacency the iteration kernels consume.
+    * adjacency the iteration kernels consume. An EXPLODE, not a
+    * two-branch union: the union form scans its input twice, and when
+    * the input is the un-pinned quadratic co-engagement projection the
+    * whole pairing would run once per branch (review finding) —
+    * ReuseExchange is not guaranteed to dedup the subplans. The
+    * 1→2 generator reads each edge exactly once, scan-side.
     */
   def undirected(e: DataFrame): DataFrame =
-    e.select(col("ua").as("u"), col("ub").as("v"))
-      .union(e.select(col("ub").as("u"), col("ua").as("v")))
+    e.select(explode(array(
+      struct(col("ua").as("u"), col("ub").as("v")),
+      struct(col("ub").as("u"), col("ua").as("v")))).as("uv"))
+      .select(col("uv.u").as("u"), col("uv.v").as("v"))
 
   /** `rounds` synchronous peeling steps toward the k-core: each round
     * drops every edge touching a node of current degree < k. The

@@ -314,13 +314,7 @@ object GraphQueries extends QueryPack {
           sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
         .select(col("n"),
-          expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0" +
-            " AND CAST(n AS DECIMAL(38,0)) * syy - sy * sy > 0 THEN" +
-            " CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)" +
-            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx" +
-            " AS DOUBLE))" +
-            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy" +
-            " AS DOUBLE)) END").as("assortativity"))
+          expr(CorrTail.spark).as("assortativity"))
     }),
 
     // Newman modularity of the LPA communities — the number that says
@@ -489,16 +483,7 @@ object GraphQueries extends QueryPack {
          |    SUM(CAST(x AS HUGEINT) * y) AS sxy
          |  FROM p)
          |SELECT n,
-         |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
-         |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0
-         |  THEN
-         |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
-         |      AS DOUBLE)
-         |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
-         |      AS VARCHAR) AS DOUBLE))
-         |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
-         |      AS VARCHAR) AS DOUBLE))
-         |  END AS assortativity
+         |  ${CorrTail.duck} AS assortativity
          |FROM a""".stripMargin,
 
     "graph_modularity" ->

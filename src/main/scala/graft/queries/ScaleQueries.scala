@@ -312,14 +312,19 @@ object ScaleQueries extends QueryPack {
     // proves the rewrite exact; the plan audit pins no-nested-loop.
     "range_join_binned" -> ((s, dir) => {
       val W = 4
-      val quarter = "BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'"
+      // whole-day semantics THROUGHOUT (filter included): containment
+      // and the quarter window both compare CAST-to-DATE day numbers,
+      // exactly the mirror's math — a fixture with intraday times
+      // changes nothing
+      val quarter =
+        "BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'"
       val pts = t(s, dir, "lineitem")
-        .filter(expr(s"l_shipdate $quarter"))
+        .filter(expr(s"CAST(l_shipdate AS DATE) $quarter"))
         .select(expr("datediff(l_shipdate, DATE '1970-01-01')").as("d"),
           col("l_quantity"))
         .withColumn("bin", expr(s"d div $W"))
       val wins = t(s, dir, "orders")
-        .filter(expr(s"o_orderdate $quarter"))
+        .filter(expr(s"CAST(o_orderdate AS DATE) $quarter"))
         .select(col("o_orderkey"),
           expr("datediff(o_orderdate, DATE '1970-01-01')").as("lo"))
         .withColumn("hi", col("lo") + 2)
@@ -1046,15 +1051,22 @@ object ScaleQueries extends QueryPack {
          |FROM b${ZOrder.SpreadSteps.size}""".stripMargin
     },
 
+    // day distance on CAST(... AS DATE), not raw-timestamp INTERVAL
+    // arithmetic: the Spark side compares datediff-day integers, and a
+    // fixture with intraday time components would diverge under the
+    // timestamp form (review finding; all-midnight today, but the
+    // mirror should encode the same math, not a coincidence)
     "range_join_binned" ->
       """SELECT o_orderkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
         |    AS qty_cents
         |FROM orders JOIN lineitem
-        |  ON l_shipdate >= o_orderdate
-        | AND l_shipdate <= o_orderdate + INTERVAL 2 DAY
-        |WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
-        |  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+        | AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 2
+        |WHERE CAST(o_orderdate AS DATE)
+        |    BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |  AND CAST(l_shipdate AS DATE)
+        |    BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
         |GROUP BY 1""".stripMargin,
 
     "layout_hilbert" ->

@@ -151,13 +151,7 @@ object TemporalQueries extends QueryPack {
           sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
         .select(col("symbol"), col("n"),
-          expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0" +
-            " AND CAST(n AS DECIMAL(38,0)) * syy - sy * sy > 0 THEN" +
-            " CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)" +
-            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx" +
-            " AS DOUBLE))" +
-            " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy" +
-            " AS DOUBLE)) END").as("autocorr"))
+          expr(CorrTail.spark).as("autocorr"))
     }),
 
     // CUSUM change-point statistic per series — where did the level
@@ -613,33 +607,24 @@ object TemporalQueries extends QueryPack {
         |FROM r GROUP BY 1""".stripMargin,
 
     "ts_autocorr" ->
-      """WITH q AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(floor(value * 1e6) AS BIGINT) AS x
-        |  FROM events),
-        |p AS (
-        |  SELECT user_id, x,
-        |    lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
-        |  FROM q),
-        |a AS (
-        |  SELECT user_id AS symbol, COUNT(*) AS n,
-        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
-        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
-        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
-        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
-        |  FROM p WHERE y IS NOT NULL GROUP BY 1)
-        |SELECT symbol, n,
-        |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
-        |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0
-        |  THEN
-        |    CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS VARCHAR)
-        |      AS DOUBLE)
-        |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * sxx - sx * sx
-        |      AS VARCHAR) AS DOUBLE))
-        |    / sqrt(CAST(CAST(CAST(n AS HUGEINT) * syy - sy * sy
-        |      AS VARCHAR) AS DOUBLE))
-        |  END AS autocorr
-        |FROM a""".stripMargin,
+      s"""WITH q AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS x
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id, x,
+         |    lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+         |  FROM q),
+         |a AS (
+         |  SELECT user_id AS symbol, COUNT(*) AS n,
+         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+         |SELECT symbol, n,
+         |  ${CorrTail.duck} AS autocorr
+         |FROM a""".stripMargin,
 
     "ts_cusum" ->
       """WITH q AS (

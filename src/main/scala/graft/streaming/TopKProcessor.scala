@@ -37,8 +37,12 @@ class TopKProcessor(k: Int)
       rows: Iterator[TickIn],
       timerValues: TimerValues): Iterator[TopKRow] = {
     val cur = Option(state.get()).map(_.items).getOrElse(Nil)
+    // distinct makes the documented SET fold literally true: a
+    // redelivered tick (a caller without the dedup pre-pass, or a
+    // source replaying without state rollback) must not occupy two
+    // ranks and evict a real entry
     val merged = (cur ++ rows.map(e => TopItem(e.price, e.time)))
-      .sortBy(i => (-i.price, i.time)).take(k).toList
+      .distinct.sortBy(i => (-i.price, i.time)).take(k).toList
     state.update(TopKState(merged))
     merged.iterator.zipWithIndex.map { case (it, i) =>
       TopKRow(symbol, i + 1, it.price, it.time)
