@@ -263,6 +263,42 @@ object VectorQueries extends QueryPack {
         .select("vec_id", "cell", "dfix", "n_cell")
     }),
 
+    // Int8 symmetric quantization audit — the serving-time compression
+    // check (absmax scaling, the llm.int8/GPTQ-baseline scheme): per
+    // dimension, the scale (absmax), how many values SATURATE at ±127,
+    // and the reconstruction MSE. Exactness: the quantized code is
+    // floor(q·127/absmax + 0.5) — round-half-up in one IEEE sequence
+    // both engines share (the operands are exact in double: |q·127| ≈
+    // 10⁸ ≪ 2⁵³) — and the reconstruction error is kept RATIONAL:
+    // err·127 = 127·q − c·absmax is an exact integer, so SSE sums
+    // exactly in DECIMAL(38,0)/HUGEINT and converts to double once.
+    // A constant-zero dimension quantizes to 0 by the absmax=0 guard,
+    // never a NULL/NaN divide. Plan: same shape as emb_dim_stats (the
+    // exchange carries (dim, q) longs), plus one broadcast of the
+    // 64-row absmax table back onto the scan.
+    "emb_quantize_int8" -> ((s, dir) => {
+      val q = Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+      val am = q.groupBy("dim").agg(max(abs(col("q"))).as("absmax"))
+      q.join(broadcast(am), Seq("dim"))
+        .withColumn("c", expr(
+          "CASE WHEN absmax = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT)," +
+            " CAST(floor(CAST(q AS DOUBLE) * 127e0" +
+            " / CAST(absmax AS DOUBLE) + 5e-1) AS BIGINT))) END"))
+        .withColumn("errs",
+          expr("CAST(127 * q - c * absmax AS DECIMAL(38,0))"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), max(col("absmax")).as("absmax"),
+          sum(when(abs(col("c")) === 127, 1L).otherwise(0L)).as("n_sat"),
+          sum(expr("errs * errs")).as("sse"))
+        .select(col("dim"), col("n"), col("absmax"), col("n_sat"),
+          expr("CAST(sse AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * 127e0 * 127e0 * 1e12)").as("mse"))
+    }),
+
     // Per-dimension standardization statistics — the (mean, variance)
     // table a feature pipeline computes ONCE over the corpus and
     // broadcasts into every normalizing map stage (z-scoring at 100 TB
@@ -507,6 +543,32 @@ object VectorQueries extends QueryPack {
          |SELECT vec_id, r.cell, dfix, n_cell
          |FROM r JOIN b ON r.cell = b.cell
          |WHERE dfix > p99""".stripMargin,
+
+    "emb_quantize_int8" ->
+      """WITH x AS (
+        |  SELECT ps.pos AS dim,
+        |    CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS pos) ps),
+        |am AS (SELECT dim, MAX(abs(q)) AS absmax FROM x GROUP BY 1),
+        |j AS (SELECT x.dim, q, absmax FROM x JOIN am ON x.dim = am.dim),
+        |cq AS (
+        |  SELECT dim, q, absmax,
+        |    CASE WHEN absmax = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+        |           CAST(floor(CAST(q AS DOUBLE) * 127e0
+        |             / CAST(absmax AS DOUBLE) + 5e-1) AS BIGINT))) END AS c
+        |  FROM j),
+        |e AS (
+        |  SELECT dim, absmax, c,
+        |    CAST(127 * q - c * absmax AS HUGEINT) AS errs
+        |  FROM cq)
+        |SELECT dim, COUNT(*) AS n, MAX(absmax) AS absmax,
+        |  CAST(SUM(CASE WHEN abs(c) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sat,
+        |  CAST(CAST(SUM(errs * errs) AS VARCHAR) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 127e0 * 127e0 * 1e12) AS mse
+        |FROM e GROUP BY dim""".stripMargin,
 
     "emb_dim_stats" ->
       """WITH x AS (
