@@ -38,7 +38,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)),
     "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)),
     "stream_e2e_asof" -> ((s, dir) => runAsof(s, dir)),
-    "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)))
+    "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)),
+    "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -193,6 +194,70 @@ object StreamE2EQueries extends QueryPack {
         col("tradeType").as("trade_type"),
         col("quoteTime").as("quote_time"),
         col("quotePrice").as("quote_price"))
+  }
+
+  /** WATERMARKED TUMBLING-WINDOW aggregation end to end (round-6,
+    * eleventh streaming oracle row): the one windowed-agg streaming
+    * family the other rows don't cover — `session_window` merges gaps
+    * (stream_e2e_session), the rolling row is a custom ring, and the
+    * counts row is unbounded update-mode; THIS is the fixed-boundary
+    * append-mode `window()` aggregate every metrics pipeline runs.
+    * Per (symbol, event-time hour): tick count and volume sum, state
+    * expiring by watermark, windows FLUSHED by the same sentinel
+    * trick the session row uses (an envelope 2 days past the data
+    * advances the watermark so the final no-data micro-batch emits
+    * every closed window — without it processAllAvailable drains with
+    * all windows still open in the state store). Append mode means
+    * each window emits EXACTLY ONCE when it closes; the LWW sink
+    * keyed (symbol, h_start) is then a plain insert and the read-back
+    * equals the batch date_trunc rollup.
+    */
+  private def runTumbling(s: SparkSession, dir: String): DataFrame = {
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+    val lines = tickLines(base.orderBy(col("time_s"), col("user_id")),
+      col("value"), stdVolume, stdType)
+    val work = Files.createTempDirectory("graft_e2e_tum")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None)
+    val maxSec = base.agg(max(col("time_s"))).head().getLong(0)
+    val sentinel = s"""{"topic":"feed","frameType":"TICK","payload":""" +
+      s"""{"symbol":"ZZZ","bid":1.0,"price":1.0,"ask":1.0,""" +
+      s""""time":${maxSec + 2 * 86400},"volume":1,"type":"B"}}"""
+    val nFiles = graft.util.Fs.list(Paths.get(spool))
+      .count(_.getFileName.toString.endsWith(".jsonl"))
+    Files.writeString(Paths.get(spool).resolve(f"$nFiles%04d.jsonl"),
+      sentinel + "\n")
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "4") // state lives across batches
+      .load()
+    val agg = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .withColumn("ts", timestamp_seconds(col("time")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("volume").cast("long")).as("sum_vol"))
+      .select(col("symbol"), col("w.start").as("h_start"),
+        col("n_ticks"), col("sum_vol"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(
+          batch.filter(col("symbol") =!= "ZZZ").toDF(),
+          id, sinkRoot, "feed", "tum", Seq("symbol", "h_start"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "tum")
+      .select(col("symbol"), col("h_start"), col("n_ticks"),
+        col("sum_vol"))
   }
 
   /** STREAMING TOP-K end to end (round-6, tenth streaming oracle row):
@@ -662,6 +727,24 @@ object StreamE2EQueries extends QueryPack {
         |SELECT CAST(user_id AS VARCHAR) AS symbol, rank,
         |  value AS price, sec AS time_s
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // batch mirror of the streamed tumbling rollup: hour truncation
+    // over the deduped (symbol, second) ticks — Spark's window() start
+    // is epoch-aligned, which for whole hours IS date_trunc
+    "stream_e2e_tumbling" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1)
+        |SELECT CAST(user_id AS VARCHAR) AS symbol,
+        |  TIMESTAMP '1970-01-01' + (sec // 3600) * 3600 * INTERVAL 1 SECOND
+        |    AS h_start,
+        |  COUNT(*) AS n_ticks,
+        |  CAST(SUM(CAST(floor(value) AS INT)) AS BIGINT) AS sum_vol
+        |FROM base GROUP BY 1, 2""".stripMargin,
 
     "stream_e2e_cumvol" ->
       s"""WITH base AS (
