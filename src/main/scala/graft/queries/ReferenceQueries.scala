@@ -177,6 +177,29 @@ object ReferenceQueries extends QueryPack {
           col("q_us"), col("qprice"))
     }),
 
+    // Trade classification over the as-of enrich — the tick-rule /
+    // Lee-Ready shape the reference's (symbol, time DESC) store exists
+    // to answer: each trade against its prevailing quote → buy (above
+    // quote) / sell (below) / mid (equal) / unquoted (no quote yet),
+    // rolled up per symbol with notional. The comparison is two
+    // unmodified doubles (exact on both engines); the classification
+    // is a pure projection on the one-shuffle as-of plan, and the
+    // rollup re-keys on (symbol, side) with map-side partials — the
+    // order-flow summary every microstructure dashboard starts from.
+    "asof_trade_classify" -> ((s, dir) => {
+      val (quotes, trades) = quotesAndTrades(s, dir)
+      AsofJoin(trades, quotes, "user_id", "ts", Seq("q_us", "qprice"))
+        .withColumn("side",
+          when(col("qprice").isNull, "unquoted")
+            .when(col("tprice") > col("qprice"), "buy")
+            .when(col("tprice") < col("qprice"), "sell")
+            .otherwise("mid"))
+        .groupBy(col("user_id").as("symbol"), col("side"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("tprice") * 100).cast("long"))
+            .as("notional_cents"))
+    }),
+
     // The SAME as-of enrich through the whole-operator physical form
     // (round-6): [[AsofJoin.merge]] plans graft's own LogicalPlan →
     // Strategy → AsofMergeJoinExec (per-partition two-pointer merge of
@@ -394,6 +417,30 @@ object ReferenceQueries extends QueryPack {
         |       q.q_us, q.qprice
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
+
+    "asof_trade_classify" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, value AS qprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |trades AS (
+        |  SELECT user_id, ts, value AS tprice
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT t.user_id, t.tprice, q.qprice
+        |  FROM trades t ASOF LEFT JOIN quotes q
+        |    ON t.user_id = q.user_id AND q.ts <= t.ts)
+        |SELECT user_id AS symbol,
+        |  CASE WHEN qprice IS NULL THEN 'unquoted'
+        |       WHEN tprice > qprice THEN 'buy'
+        |       WHEN tprice < qprice THEN 'sell'
+        |       ELSE 'mid' END AS side,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(tprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS notional_cents
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     // deliberately the SAME SQL as asof_quote_trade: the custom
     // physical operator must land on the identical row set

@@ -57,7 +57,8 @@ class GraphIterSuite extends SparkSpec {
   }
 
   test("fixture queries: deterministic across runs") {
-    for (name <- Seq("graph_kcore", "graph_label_prop", "graph_link_jaccard")) {
+    for (name <- Seq("graph_kcore", "graph_label_prop", "graph_link_jaccard",
+        "graph_modularity", "graph_assortativity")) {
       val q = SparkEntry.queries(name)
       val a = q(spark, "/root/testdata/sf0.001").collect().map(_.toString).sorted
       val b = q(spark, "/root/testdata/sf0.001").collect().map(_.toString).sorted
