@@ -276,6 +276,37 @@ object QualityQueries extends QueryPack {
             .as("n_outliers"))
     }),
 
+    // Referential-integrity audit — the FK coverage report next to
+    // dq_constraints' domain rules: for each declared relationship,
+    // child rows whose key has no parent (orphans) and the coverage
+    // ratio. Each rule is ONE left-anti join on the key (broadcast or
+    // shuffle as the parent side warrants — never a row-by-row
+    // lookup); counts are exact longs and the single division per
+    // rule is the last step. Stacked long so adding a rule adds a
+    // row, not a schema change.
+    "dq_referential" -> ((s, dir) => {
+      def rule(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val c = child.select(col(key))
+        val orphans = c.join(
+          parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        c.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("rule"), col("n_child"), col("n_orphans"),
+            expr("CAST(n_child - n_orphans AS DOUBLE)" +
+              " / CAST(n_child AS DOUBLE)").as("coverage"))
+      }
+      rule("lineitem_orderkey", Tables(s, dir, "lineitem"), "l_orderkey",
+        Tables(s, dir, "orders"), "o_orderkey")
+        .unionByName(rule("orders_custkey", Tables(s, dir, "orders"),
+          "o_custkey", Tables(s, dir, "customer"), "c_custkey"))
+        .unionByName(rule("lineitem_partkey", Tables(s, dir, "lineitem"),
+          "l_partkey", Tables(s, dir, "part"), "p_partkey"))
+        .unionByName(rule("customer_nationkey",
+          Tables(s, dir, "customer"), "c_nationkey",
+          Tables(s, dir, "nation"), "n_nationkey"))
+    }),
+
     // Benford first-digit audit per group — the fraud/synthetic-data
     // smell test: does the leading digit of the amounts follow
     // log10(1+1/d)? The first significant digit is pure integer/string
@@ -482,6 +513,31 @@ object QualityQueries extends QueryPack {
         |    AS wins_mean
         |FROM ranked JOIN bounds USING (l_returnflag)
         |GROUP BY 1""".stripMargin,
+
+    "dq_referential" -> {
+      def rule(name: String, child: String, key: String,
+          parent: String, pkey: String) =
+        s"""SELECT '$name' AS rule,
+           |  (SELECT COUNT(*) FROM $child) AS n_child,
+           |  (SELECT COUNT(*) FROM $child c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |                     WHERE p.$pkey = c.$key)) AS n_orphans,
+           |  CAST((SELECT COUNT(*) FROM $child)
+           |      - (SELECT COUNT(*) FROM $child c
+           |         WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |                           WHERE p.$pkey = c.$key)) AS DOUBLE)
+           |    / CAST((SELECT COUNT(*) FROM $child) AS DOUBLE)
+           |    AS coverage""".stripMargin
+      Seq(
+        rule("lineitem_orderkey", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rule("orders_custkey", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rule("lineitem_partkey", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rule("customer_nationkey", "customer", "c_nationkey",
+          "nation", "n_nationkey")).mkString("\nUNION ALL\n")
+    },
 
     "dq_benford" ->
       s"""WITH b AS (
