@@ -80,7 +80,11 @@ object Bench {
     if (explain) selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.count() // resolve AQE so the printed plan is the executed one
+        // df.count() would build a SEPARATE QueryExecution (the count
+        // aggregate) and leave df's own AQE plan unexecuted; toRdd
+        // executes THIS QueryExecution, so the printed plan is the
+        // AQE-finalized one that actually ran.
+        df.queryExecution.toRdd.count()
         System.err.println(s"==== $name ====")
         System.err.println(df.queryExecution.executedPlan.toString)
       } catch { case e: Throwable =>

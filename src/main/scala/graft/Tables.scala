@@ -2,20 +2,33 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loader. Each driver-provided table is one parquet file under
   * the scale-factor directory (TESTDATA.md); at cluster scale the same call
   * shape points at a partitioned directory tree — nothing else changes.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 refuses
-  * to map to TimestampType ([PARQUET_TYPE_ILLEGAL]). Sessions set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.tune]]), the
-  * file arrives here with `ts: LongType` epoch-nanos, and we normalize to a
-  * micro-precision TimestampType with integer division (a double-precision
-  * divide would corrupt sub-ms digits — 1.7e18 exceeds a double's 53-bit
-  * mantissa). DuckDB performs the same ns->us truncation when it reads the
-  * column, so both engines see identical timestamps.
+  * `events.ts` has shipped under two parquet encodings across fixture
+  * regenerations, and every downstream query assumes a session-zoned
+  * micro-precision TimestampType, so normalization lives here in one place:
+  *
+  *  - TIMESTAMP(NANOS): Spark 4 refuses to map it to TimestampType
+  *    ([PARQUET_TYPE_ILLEGAL]); sessions set
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.tune]]),
+  *    the file arrives as `ts: LongType` epoch-nanos, and we truncate to
+  *    micros with integer division (a double-precision divide would corrupt
+  *    sub-ms digits — 1.7e18 exceeds a double's 53-bit mantissa).
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+  *    which `unix_micros` et al. reject at analysis. Sessions pin the
+  *    session timezone to UTC, so casting NTZ -> TimestampType reattaches
+  *    the instant with zero value shift and restores the exact
+  *    representation the oracle sees (DuckDB reads the same file as plain
+  *    TIMESTAMP and `epoch_us()` is unchanged).
+  *  - TimestampType (MICROS, adjusted to UTC): already canonical.
+  *
+  * Any other encoding fails loudly — a silent schema drift here once cost a
+  * round of correctness coverage (VERDICT r7), so unknown encodings must
+  * throw at first read, not at the 28th query's analysis.
   */
 object Tables {
 
@@ -31,8 +44,20 @@ object Tables {
       (System.identityHashCode(spark), dir, name),
       _ => {
         val df = spark.read.parquet(s"$dir/$name.parquet")
-        if (name == "events" && df.schema("ts").dataType == LongType)
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else df
+        if (name == "events") normalizeTs(df) else df
       })
+
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read via nanosAsLong
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unrecognized type $other — fixture schema " +
+            "drifted again; add a normalization branch in graft.Tables " +
+            "before any query runs")
+    }
 }

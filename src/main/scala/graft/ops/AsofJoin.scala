@@ -100,10 +100,28 @@ object AsofJoin {
       out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"asof merge: column '$name' not found in " +
           out.map(_.name).mkString("[", ", ", "]")))
+    val (lk, lt) = (attr(lPlan.output, key), attr(lPlan.output, time))
+    val (rk, rt) = (attr(rPlan.output, key), attr(rPlan.output, time))
+    // The exec compares key/time slots positionally on UnsafeRows with
+    // no implicit cast insertion (unlike a built-in join, no analyzer
+    // coercion runs over a foreign node) — a long-vs-int key would
+    // silently compare garbage, so mismatches must die at construction.
+    require(lk.dataType == rk.dataType,
+      s"asof merge: key '$key' type mismatch — left ${lk.dataType} vs " +
+        s"right ${rk.dataType}; cast one side before joining")
+    require(lt.dataType == rt.dataType,
+      s"asof merge: time '$time' type mismatch — left ${lt.dataType} vs " +
+        s"right ${rt.dataType}; cast one side before joining")
+    // Output is left.output ++ payload; a payload name already present
+    // on the left would surface duplicate output names (ambiguous to
+    // every downstream resolution) — alias the right column first.
+    val lNames = lPlan.output.map(_.name).toSet
+    val dup = payload.filter(lNames.contains)
+    require(dup.isEmpty,
+      s"asof merge: payload column(s) ${dup.mkString(", ")} collide with " +
+        "left-side names; alias them on the right side before joining")
     val node = graft.plans.AsofMergeJoin.AsofJoinNode(
-      lPlan, rPlan,
-      attr(lPlan.output, key), attr(lPlan.output, time),
-      attr(rPlan.output, key), attr(rPlan.output, time),
+      lPlan, rPlan, lk, lt, rk, rt,
       payload.map(attr(rPlan.output, _)))
     org.apache.spark.sql.graftbridge.Bridge.ofRows(left.sparkSession, node)
   }

@@ -36,9 +36,13 @@ object Hilbert {
     * engine-portable.
     */
   def duckSteps(keyCols: String, x0: String, y0: String): String = {
+    // ((v % 65536) + 65536) % 65536, not plain `% 65536`: SQL modulo
+    // keeps the dividend's sign, so a negative input would diverge from
+    // the native kernel's `& 0xFFFF` (always in [0, 65535]).
     val init =
       s"""h0 AS (SELECT $keyCols,
-         |  ($x0 % 65536) AS x, ($y0 % 65536) AS y,
+         |  ((($x0 % 65536) + 65536) % 65536) AS x,
+         |  ((($y0 % 65536) + 65536) % 65536) AS y,
          |  CAST(0 AS BIGINT) AS d FROM src)""".stripMargin
     val rounds = (HilbertHelper.Bits - 1 to 0 by -1).zipWithIndex.map {
       case (b, i) =>

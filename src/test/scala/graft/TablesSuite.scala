@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins [[Tables]]' `events.ts` normalization across every encoding the
+  * driver's fixture generator has shipped (TIMESTAMP(NANOS) read as long
+  * via nanosAsLong, TIMESTAMP_NTZ micros, plain TimestampType). The r7
+  * regeneration silently switched NANOS -> NTZ and took 28 queries off
+  * the correctness gate (VERDICT r7 §"What's wrong" #1); this suite makes
+  * the next drift a named red test, and the unknown-encoding branch a
+  * loud error instead of 28 downstream analysis failures.
+  */
+class TablesSuite extends SparkSpec {
+
+  // 2024-03-01T12:00:00.123456Z as the three encodings
+  private val micros = 1709294400123456L
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("tables-suite").toString
+
+  private def readBack(dir: String): (DataType, Seq[Long]) = {
+    val df = Tables(spark, dir, "events")
+    (df.schema("ts").dataType,
+      df.select(unix_micros(col("ts"))).collect().toSeq.map(_.getLong(0)))
+  }
+
+  test("LongType epoch-nanos normalizes to micros TimestampType") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // nanos with sub-micro digits that integer division must truncate
+    Seq(micros * 1000L + 789L).toDF("ts")
+      .write.parquet(s"$dir/events.parquet")
+    val (dt, vals) = readBack(dir)
+    assert(dt == TimestampType)
+    assert(vals == Seq(micros))
+  }
+
+  test("TIMESTAMP_NTZ micros casts to TimestampType with zero shift") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // LocalDateTime encodes as parquet TIMESTAMP(MICROS, utc=false) = NTZ
+    Seq(LocalDateTime.of(2024, 3, 1, 12, 0, 0, 123456000))
+      .toDF("ts").write.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType) // fixture shape
+    val (dt, vals) = readBack(dir)
+    assert(dt == TimestampType)
+    assert(vals == Seq(micros)) // session TZ is UTC, so no value shift
+  }
+
+  test("TimestampType passes through untouched") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq(new Timestamp(micros / 1000L)).toDF("ts")
+      .write.parquet(s"$dir/events.parquet")
+    val (dt, vals) = readBack(dir)
+    assert(dt == TimestampType)
+    assert(vals == Seq(micros / 1000L * 1000L))
+  }
+
+  test("unknown ts encoding fails loudly at first read") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq("not-a-timestamp").toDF("ts").write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { Tables(spark, dir, "events") }
+    assert(e.getMessage.contains("unrecognized"))
+  }
+
+  test("live fixture events.ts arrives as a known encoding at sf0.001") {
+    val df = Tables(spark, "/root/testdata/sf0.001", "events")
+    assert(df.schema("ts").dataType == TimestampType)
+    // unix_micros is the call the 28 r7 casualties died on — pin it
+    assert(df.select(unix_micros(col("ts"))).limit(1).count() == 1L)
+  }
+}
