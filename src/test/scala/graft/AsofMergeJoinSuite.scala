@@ -111,6 +111,28 @@ class AsofMergeJoinSuite extends SparkSpec {
       s"merge form must not plan a window:\n$plan")
   }
 
+  test("construction rejects key/time dtype mismatch and payload collision") {
+    // The exec compares UnsafeRow slots positionally with no analyzer
+    // coercion over the foreign node — a long-vs-int key would compare
+    // garbage silently, so merge() must die at construction instead.
+    val intKeyTrades = trades.withColumn("symbol", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.merge(intKeyTrades, quotes, "symbol", "time", Seq("quote_mid"))
+    }
+    assert(e1.getMessage.contains("type mismatch"))
+    val intTimeQuotes = quotes.withColumn("time", col("time").cast("int"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.merge(trades, intTimeQuotes, "symbol", "time", Seq("quote_mid"))
+    }
+    assert(e2.getMessage.contains("type mismatch"))
+    // payload named like a left column → duplicate output names downstream
+    val qtyQuotes = quotes.withColumn("qty", lit(0))
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.merge(trades, qtyQuotes, "symbol", "time", Seq("qty"))
+    }
+    assert(e3.getMessage.contains("collide"))
+  }
+
   test("left cardinality preserved on the merge path") {
     assert(AsofJoin.merge(trades, quotes, "symbol", "time",
       Seq("quote_mid")).count() === trades.count())

@@ -62,6 +62,25 @@ class HilbertSuite extends SparkSpec {
     }
   }
 
+  test("mirror's sign-safe modulo matches the native & 0xFFFF on negatives") {
+    // DuckDB/Spark `%` keeps the dividend's sign, so the mirror's input
+    // fold must be ((v % 65536) + 65536) % 65536, not plain `% 65536` —
+    // pin the emitted text and the arithmetic identity itself.
+    val steps = Hilbert.duckSteps("k", "x0", "y0")
+    assert(steps.contains("+ 65536) % 65536"),
+      "duckSteps h0 must use the sign-safe modulo fold")
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(-1L, -65535L, -65536L, -65537L, -99999L, 0L, 1L,
+      65535L, 65536L, 131071L) ++ Seq.fill(200)(rnd.nextLong() % 1000000L)
+    val rows = vals.toDF("v")
+      .selectExpr("v", "((v % 65536) + 65536) % 65536 AS folded")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === (r.getLong(0) & 65535L),
+        s"sign-safe fold of ${r.getLong(0)} must equal the bitmask")
+    }
+  }
+
   test("bijection: d2xy inverts hilbert on corners and random cells") {
     val rnd = new scala.util.Random(42)
     val cells = Seq((0L, 0L), (65535L, 0L), (0L, 65535L),

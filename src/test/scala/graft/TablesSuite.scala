@@ -71,6 +71,28 @@ class TablesSuite extends SparkSpec {
     assert(e.getMessage.contains("unrecognized"))
   }
 
+  test("tick_cumvol runs green over an NTZ-written events file (e2e)") {
+    // The r7 failure mode end-to-end: a full-schema events table whose ts
+    // lands as TIMESTAMP_NTZ, driven through the actual registered query
+    // (unix_micros caller) rather than just the loader.
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq(
+      (1L, LocalDateTime.of(2024, 3, 1, 10, 0, 0), 7L, "purchase", 5.0, "{}"),
+      (2L, LocalDateTime.of(2024, 3, 1, 10, 0, 1), 7L, "click", 3.0, "{}"),
+      (3L, LocalDateTime.of(2024, 3, 2, 10, 0, 0), 7L, "purchase", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("tick_cumvol")(spark, dir)
+      .orderBy("time_us").collect()
+    assert(out.length == 3)
+    // day-2 purchase restarts the session: cumbuy back to its own volume
+    assert(out(0).getAs[Long]("cumbuy") == 5L)
+    assert(out(1).getAs[Long]("cumsell") == 3L)
+    assert(out(2).getAs[Long]("cumbuy") == 2L)
+    assert(out(0).getAs[Long]("time_us") == 1709287200000000L) // UTC, no shift
+  }
+
   test("live fixture events.ts arrives as a known encoding at sf0.001") {
     val df = Tables(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType == TimestampType)
