@@ -253,8 +253,21 @@ object ScaleProbe {
       val (t10, r10) = time(f(10))
       (name, t1, r1, t10, r10, t10 / t1)
     }
+    // Two ratios per probe, because supralinear TIME and supralinear
+    // OUTPUT are different diagnoses: `ratio` is raw t10/t1;
+    // `adj_ratio` divides out output growth (per-output-row time
+    // ratio, = ratio × rows_1x / rows_10x). A pair-generating probe
+    // (prefix_filter, winnow_pairs, graph_kcore on the densified
+    // projection) whose duplicated-corpus OUTPUT grows ~100×
+    // legitimately shows raw ratio ≫ 10 while adj_ratio ≪ 1 — the
+    // result got bigger, the per-row work got cheaper; that is a
+    // cardinality fact about the adversarial input, not a plan bug. A
+    // fixed-output rollup (dq_profile, bigram_lift) must be judged on
+    // the raw ratio — its adj_ratio is the same number. The red flag
+    // is BOTH ratios high: time outgrowing even the output.
     val json = results.map { case (n, t1, r1, t10, r10, ratio) =>
-      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f}"""
+      val adj = ratio * (r1.max(1L).toDouble / r10.max(1L).toDouble)
+      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f}"""
     }.mkString("{\"metric\":\"weak_scaling\",", ",", "}")
     args.headOption.foreach { f =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")

@@ -126,23 +126,26 @@ object GraphQueries extends QueryPack {
     // while (item, day) blocks stay small and the graph keeps real
     // community texture at every SF.
     // Scale shape: the per-(item, day) pairing is the quadratic term,
-    // bounded by the MaxPop hub cap; edges are oriented low→high so
-    // each triangle is enumerated exactly once by one wedge join plus
-    // one closing semi-join (the standard compact-forward algorithm);
-    // everything downstream of the projection is exact integers, and
-    // the one double (clustering coefficient) is a single division.
+    // bounded by the MaxPop hub cap; triangle enumeration uses
+    // [[GraphIter.triangleCount]]'s DEGREE-ordered orientation (one
+    // wedge join + one closing semi-join, wedge volume bounded m^1.5
+    // independent of hub skew — see its scaladoc for why the earlier
+    // id-ordered orientation loses at hubs); everything downstream of
+    // the projection is exact integers, and the one double (clustering
+    // coefficient) is a single division.
     "graph_triangles" -> ((s, dir) => {
-      val e = coEdges(s, dir)
+      // SIX consumers of the projection across deg/orientation/wedge/
+      // closing/edge-count subtrees — pin it once (the graph_bfs_levels
+      // discipline; edge-list-sized, reliable-storage checkpoint at
+      // scale). Without the pin every subtree re-runs the (item, day)
+      // blocking join.
+      val e = coEdges(s, dir).localCheckpoint()
       val deg = e.select(col("ua").as("u"))
         .union(e.select(col("ub").as("u")))
         .groupBy("u").agg(count(lit(1)).as("d"))
       val wedges = deg.agg(
         sum(expr("CAST(d * (d - 1) DIV 2 AS BIGINT)")).as("n_wedges"))
-      val tri = e.select(col("ua").as("a"), col("ub").as("b"))
-        .join(e.select(col("ua").as("b"), col("ub").as("c")), Seq("b"))
-        .join(e.select(col("ua").as("a"), col("ub").as("c")), Seq("a", "c"),
-          "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
+      val tri = GraphIter.triangleCount(e)
       val nE = e.agg(count(lit(1)).as("n_edges"))
       nE.crossJoin(wedges).crossJoin(tri)
         // explicit CASE: Spark's non-ANSI x/0 -> NULL vs DuckDB's IEEE

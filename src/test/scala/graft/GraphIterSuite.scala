@@ -11,6 +11,41 @@ class GraphIterSuite extends SparkSpec {
   private def adj(pairs: (Long, Long)*): DataFrame =
     pairs.toDF("u", "v").union(pairs.map(_.swap).toDF("u", "v"))
 
+  /** Low→high dedup'd edge list, the [[GraphIter.triangleCount]] input. */
+  private def edgesLoHi(pairs: (Long, Long)*): DataFrame =
+    pairs.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct.toDF("ua", "ub")
+
+  test("triangleCount: fixed shapes — triangle, K4, star, path") {
+    def n(df: DataFrame): Long =
+      GraphIter.triangleCount(df).as[Long].head()
+    assert(n(edgesLoHi((1L, 2L), (2L, 3L), (1L, 3L))) == 1L)
+    // K4 has C(4,3) = 4 triangles
+    assert(n(edgesLoHi((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L))) == 4L)
+    // star and path are triangle-free
+    assert(n(edgesLoHi((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))) == 0L)
+    assert(n(edgesLoHi((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
+  }
+
+  test("triangleCount: degree-ordered ≡ id-ordered enumeration, skewed") {
+    // the orientation swap must not change the count — compare against
+    // the naive id-ordered form on random graphs including a hub (node
+    // 0 connects to everyone: the case the degree order exists for)
+    val rnd = new scala.util.Random(11)
+    val pairs = (Seq.tabulate(40)(i => (0L, i + 1L)) ++
+      Seq.fill(120)((rnd.nextInt(40).toLong + 1L,
+        rnd.nextInt(40).toLong + 1L))).filter(p => p._1 != p._2)
+    val e = edgesLoHi(pairs: _*)
+    val naive = e.select(col("ua").as("a"), col("ub").as("b"))
+      .join(e.select(col("ua").as("b"), col("ub").as("c")), Seq("b"))
+      .join(e.select(col("ua").as("a"), col("ub").as("c")), Seq("a", "c"),
+        "left_semi")
+      .count()
+    assert(GraphIter.triangleCount(e).as[Long].head() == naive)
+    assert(naive > 0L) // the comparison must not be vacuous
+  }
+
   test("kcore: a triangle with a tail peels the tail, keeps the triangle") {
     // triangle 1-2-3, tail 3-4-5: node 5 (deg 1) goes round 1, node 4
     // (deg 1 after) goes round 2; the 2-core is exactly the triangle.
