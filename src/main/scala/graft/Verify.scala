@@ -20,14 +20,25 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark) // native fns + optimizer rewrites
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
       else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // One unmissable summary line: r7's fixture drift failed 28 queries
+    // one at a time, and per-query stderr lines were easy to scroll
+    // past while the driver silently omitted the absent rows. The
+    // outage-shaped signal is the COUNT.
+    val ran = if (only.nonEmpty) only.size else SparkEntry.queries.size
+    if (failed.nonEmpty) System.err.println(
+      s"[verify] SUMMARY: ${failed.size}/$ran FAILED — " +
+        failed.sorted.mkString(", "))
+    else System.err.println(s"[verify] SUMMARY: $ran/$ran ok")
     // full JSON escape (control chars included) — a tab or CR in
     // builder-authored SQL would otherwise make the driver's json.load
     // fail and silently zero the round's correctness.

@@ -202,6 +202,29 @@ object RelationalQueries extends QueryPack {
         .orderBy(desc("revenue"), asc("n_name"))
     }),
 
+    // TPC-H Q6 (forecasting revenue change, dates shifted to the
+    // fixture's 1995–2001 l_shipdate range): the benchmark's pure
+    // scan-kernel query — single table, three row-level predicates,
+    // one global sum, NO join and NO groupBy. At scale this is the
+    // query where pushdown is everything: all three predicates reach
+    // the parquet scan (min/max row-group skipping on l_shipdate), the
+    // ReadSchema is 4 columns of 11, and the aggregate is one
+    // map-side partial per task + a single-row final — no shuffle of
+    // data, only of partial sums. Decimal discipline as q1/q5: sum in
+    // DECIMAL (exact, order-independent), cast to double at the edge.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            col("l_discount").cast("decimal(18,6)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Per-group modal value (most frequent event type per user) with a
     // deterministic tiebreak — the argmax folds as ONE struct-min
     // aggregate over the (user, type) counts (min of (−n, type) ≡
@@ -1050,6 +1073,16 @@ object RelationalQueries extends QueryPack {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "agg_mode" ->
       """WITH c AS (

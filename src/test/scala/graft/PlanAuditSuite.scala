@@ -50,6 +50,25 @@ class PlanAuditSuite extends SparkSpec {
       s"scan should prune unused lineitem columns:\n${scans.mkString}")
   }
 
+  test("q6_forecast_revenue: all predicates pushed, 4-column ReadSchema, no data shuffle") {
+    val plan = executed(q("q6_forecast_revenue"))
+    val scans = flatten(plan).filter(_.nodeName.contains("Scan")).map(_.toString)
+    // the scan-kernel query: every predicate must reach the parquet
+    // scan (shipdate range drives row-group skipping at scale)...
+    assert(scans.exists(s => s.contains("PushedFilters") &&
+      s.contains("l_shipdate") && s.contains("l_discount") &&
+      s.contains("l_quantity")),
+      s"q6 predicates must reach the scan:\n${scans.mkString("\n")}")
+    // ...the ReadSchema is the 4 referenced columns of 11...
+    assert(scans.exists(s => s.contains("ReadSchema") &&
+      s.contains("l_extendedprice") && !s.contains("l_orderkey") &&
+      !s.contains("l_returnflag")),
+      s"q6 scan must prune to referenced columns:\n${scans.mkString("\n")}")
+    // ...and the only exchange moves one partial-sum row per task
+    assert(countShuffles(plan) <= 1,
+      s"q6 must shuffle only partial aggregates:\n$plan")
+  }
+
   test("q3_shipping_priority: predicate pushdown reaches the scans") {
     val scans = flatten(executed(q("q3_shipping_priority")))
       .filter(_.nodeName.contains("Scan")).map(_.toString)
