@@ -222,6 +222,24 @@ object ScaleProbe {
     def graphKcore(c: Int): Long =
       withCoAdj(c)(adj => graft.ops.GraphIter.kcoreEdges(adj, 3, 3).count())
 
+    // round-8: degree-ordered triangle census (the SAME GraphIter op
+    // graph_triangles runs). The 10× user-shift densifies the shared-
+    // item projection ~100× in edges — the adversarial case for the
+    // (deg, id) orientation's m^1.5 wedge bound. "rows" here is the
+    // TRIANGLE COUNT (the census's work unit — a denser graph has
+    // combinatorially more triangles to enumerate, ~1227× measured),
+    // so adj_ratio is the per-triangle cost ratio: the number that
+    // must stay ≤1 for the bound to be holding. Measured: raw ~116×
+    // against 1227× more triangles → adj ~0.1.
+    def graphTriangles(c: Int): Long = {
+      val e = graft.ops.GraphIter.coEngagementEdges(
+        scaled("events", "user_id", c), 200).localCheckpoint()
+      try graft.ops.GraphIter.triangleCount(e)
+        .collect().head.getLong(0)
+      finally org.apache.spark.sql.graftbridge.Bridge
+        .releaseLocalCheckpoint(e)
+    }
+
     def graphLpa(c: Int): Long =
       withCoAdj(c)(adj => graft.ops.GraphIter.labelProp(adj, 3).count())
 
@@ -234,7 +252,8 @@ object ScaleProbe {
       ("bpe_train", bpeTrain), ("prefix_filter", prefixFilter),
       ("winnow_pairs", winnowPairs), ("bigram_lift", bigramLift),
       ("dq_profile", dqProfile), ("dpp_join", dppJoin),
-      ("graph_kcore", graphKcore), ("graph_lpa", graphLpa))
+      ("graph_kcore", graphKcore), ("graph_lpa", graphLpa),
+      ("graph_triangles", graphTriangles))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
     // pattern the bench already has — including its fail-fast: a typo
     // must not silently measure zero probes and emit `{...,}` JSON)
