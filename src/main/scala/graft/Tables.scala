@@ -44,8 +44,34 @@ object Tables {
       (System.identityHashCode(spark), dir, name),
       _ => {
         val df = spark.read.parquet(s"$dir/$name.parquet")
-        if (name == "events") normalizeTs(df) else df
+        name match {
+          case "events" => normalizeTs(df)
+          case "embeddings" => assertEmbedding(df)
+          case _ => df
+        }
       })
+
+  /** Drift tripwire for the other schema the engine is load-bearing
+    * about: the 9 native vector expressions (DotProductF, PqF,
+    * SignBandsF, …) type-check `array<float>` specifically, and the
+    * k-means/PQ training state mirrors that width driver-side. A regen
+    * to `array<double>` would fail ~30 vector queries one analysis
+    * error at a time (the r7 shrinkage shape); fail ONCE here with the
+    * fix location named instead. Not auto-cast: narrowing double→float
+    * would silently diverge from the DuckDB oracle, which reads the
+    * file at full width.
+    */
+  private def assertEmbedding(df: DataFrame): DataFrame =
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => df
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.embedding arrived as $other, expected " +
+            "array<float> — fixture schema drifted; the native vector " +
+            "expressions (graft.functions.DotProductF et al.) must be " +
+            "widened in step with the DuckDB mirrors before queries run")
+    }
 
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {

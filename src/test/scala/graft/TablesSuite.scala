@@ -93,6 +93,21 @@ class TablesSuite extends SparkSpec {
     assert(out(0).getAs[Long]("time_us") == 1709287200000000L) // UTC, no shift
   }
 
+  test("embeddings.embedding drift to array<double> fails loudly") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq((1L, Array(0.1d, 0.2d), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      Tables(spark, dir, "embeddings")
+    }
+    assert(e.getMessage.contains("array<float>"))
+    // the live fixture still passes the guard
+    assert(Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(1).count() == 1L)
+  }
+
   test("live fixture events.ts arrives as a known encoding at sf0.001") {
     val df = Tables(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType == TimestampType)
