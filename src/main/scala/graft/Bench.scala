@@ -20,8 +20,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS); read as epoch-nanos long
-      // (Tables normalizes to micros TimestampType).
+      // events.ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP_NTZ
+      // across fixture regens; this flag serves the NANOS case and
+      // Tables.normalizeTs handles every known encoding.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // parallelismFirst stays at Spark's DEFAULT (true). The closeout

@@ -13,8 +13,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); read as epoch-nanos long
-      // (Tables normalizes to micros TimestampType).
+      // events.ts has shipped as TIMESTAMP(NANOS) and TIMESTAMP_NTZ
+      // across fixture regens; this flag serves the NANOS case and
+      // Tables.normalizeTs handles every known encoding.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
