@@ -229,8 +229,9 @@ object ScaleProbe {
     // TRIANGLE COUNT (the census's work unit — a denser graph has
     // combinatorially more triangles to enumerate, ~1227× measured),
     // so adj_ratio is the per-triangle cost ratio: the number that
-    // must stay ≤1 for the bound to be holding. Measured: raw ~116×
-    // against 1227× more triangles → adj ~0.1.
+    // must stay ≤1 for the bound to be holding. Measured (the run
+    // committed in scale_probe.json): raw 131.7× against 1227× more
+    // triangles → adj 0.107.
     def graphTriangles(c: Int): Long = {
       val e = graft.ops.GraphIter.coEngagementEdges(
         scaled("events", "user_id", c), 200).localCheckpoint()

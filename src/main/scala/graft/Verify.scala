@@ -7,6 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional query-name filter (dev runs)
+    // fail fast on unknown names (the Bench/ScaleProbe discipline): a
+    // typo'd filter would otherwise run zero queries and still print
+    // "1/1 ok" — the silent-shrinkage shape the summary exists to catch
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"Verify: unknown queries ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

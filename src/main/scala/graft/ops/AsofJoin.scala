@@ -120,6 +120,10 @@ object AsofJoin {
     require(dup.isEmpty,
       s"asof merge: payload column(s) ${dup.mkString(", ")} collide with " +
         "left-side names; alias them on the right side before joining")
+    require(payload.distinct.size == payload.size,
+      s"asof merge: payload list repeats ${payload.diff(payload.distinct)
+        .distinct.mkString(", ")} — duplicate output names are ambiguous " +
+        "to every downstream resolution")
     val node = graft.plans.AsofMergeJoin.AsofJoinNode(
       lPlan, rPlan, lk, lt, rk, rt,
       payload.map(attr(rPlan.output, _)))

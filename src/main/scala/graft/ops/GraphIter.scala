@@ -72,10 +72,18 @@ object GraphIter {
     * here, co-partitioned on node id at scale. Output: one row,
     * `n_triangles` BIGINT.
     */
-  def triangleCount(e: DataFrame): DataFrame = {
-    val deg = e.select(col("ua").as("u"))
-      .unionAll(e.select(col("ub").as("u")))
-      .groupBy("u").agg(count(lit(1)).as("d"))
+  def triangleCount(e: DataFrame): DataFrame =
+    triangleCount(e,
+      e.select(col("ua").as("u"))
+        .unionAll(e.select(col("ub").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d")))
+
+  /** As above with a caller-supplied degree table `(u, d)` — callers
+    * that already aggregate degrees (graph_triangles computes the
+    * wedge-count scalar from the same table) pass it in rather than
+    * paying the rollup twice.
+    */
+  def triangleCount(e: DataFrame, deg: DataFrame): DataFrame = {
     val o = e
       .join(deg.select(col("u").as("ua"), col("d").as("da")), Seq("ua"))
       .join(deg.select(col("u").as("ub"), col("d").as("db")), Seq("ub"))

@@ -145,7 +145,7 @@ object GraphQueries extends QueryPack {
         .groupBy("u").agg(count(lit(1)).as("d"))
       val wedges = deg.agg(
         sum(expr("CAST(d * (d - 1) DIV 2 AS BIGINT)")).as("n_wedges"))
-      val tri = GraphIter.triangleCount(e)
+      val tri = GraphIter.triangleCount(e, deg)
       val nE = e.agg(count(lit(1)).as("n_edges"))
       nE.crossJoin(wedges).crossJoin(tri)
         // explicit CASE: Spark's non-ANSI x/0 -> NULL vs DuckDB's IEEE

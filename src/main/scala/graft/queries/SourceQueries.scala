@@ -37,9 +37,13 @@ object SourceQueries extends QueryPack {
   private val Schema =
     "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT"
 
-  // session+dir-memoized DPP fact layout (see join_dpp_runtime)
+  // session+dir-memoized DPP fact layout (see join_dpp_runtime).
+  // Keyed by identityHashCode like the Tables cache, NOT by the
+  // session object — a session-keyed static map would strongly retain
+  // every stopped SparkSession (plus its layout path) for the JVM
+  // lifetime.
   private val dppLayouts =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   private def work(tag: String) = {
     val w = Files.createTempDirectory(s"graft_src_$tag")
@@ -115,7 +119,8 @@ object SourceQueries extends QueryPack {
     // round with identical code); the oracle computes the join from
     // the raw fixture.
     "join_dpp_runtime" -> ((s, dir) => {
-      val path = dppLayouts.getOrElseUpdate((s, dir), {
+      val path = dppLayouts.getOrElseUpdate(
+        (System.identityHashCode(s), dir), {
         val p = work("dpp")
         Tables(s, dir, "lineitem")
           .withColumn("ship_month",

@@ -131,6 +131,12 @@ class AsofMergeJoinSuite extends SparkSpec {
       AsofJoin.merge(trades, qtyQuotes, "symbol", "time", Seq("qty"))
     }
     assert(e3.getMessage.contains("collide"))
+    // a repeated payload name is the same ambiguity, self-inflicted
+    val e4 = intercept[IllegalArgumentException] {
+      AsofJoin.merge(trades, quotes, "symbol", "time",
+        Seq("quote_mid", "quote_mid"))
+    }
+    assert(e4.getMessage.contains("repeats"))
   }
 
   test("left cardinality preserved on the merge path") {

@@ -13,11 +13,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * accidentally rewritten into a non-equi theta) fails by name here
   * instead of surfacing as a bench cliff.
   *
-  * Inspects `sparkPlan` (the pre-AQE physical plan) — planning only,
-  * no execution, so the sweep stays cheap enough to run on every
-  * `sbt test`. `stream_*` entries are excluded: invoking them runs a
-  * whole streaming pipeline, and their micro-batch plans are audited
-  * by their own suites.
+  * Inspects `sparkPlan` (the pre-AQE physical plan). The final plan
+  * is never EXECUTED, but invoking the query BUILDERS is not free:
+  * several run eager side jobs before returning their DataFrame (the
+  * graph pack's localCheckpoint pins, the dpp/roundtrip layout
+  * writes), so the sweep costs tens of seconds at sf0.001 — accepted
+  * as part of `sbt test`. `stream_*` entries are excluded: invoking
+  * them runs a whole streaming pipeline, and their micro-batch plans
+  * are audited by their own suites.
   */
 class CartesianSweepSuite extends AnyFunSuite {
 
