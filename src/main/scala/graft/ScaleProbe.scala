@@ -244,6 +244,41 @@ object ScaleProbe {
     def graphLpa(c: Int): Long =
       withCoAdj(c)(adj => graft.ops.GraphIter.labelProp(adj, 3).count())
 
+    // round-9: the as-of join under an adversarial hot-key feed — 90%
+    // of events collapse onto ONE symbol (the join_skew_aqe shape,
+    // applied to the reference's own workload: per-symbol market data
+    // where hot symbols are the norm, main.rs:87-88). Both forms run
+    // the SAME ops the registered queries use. The plain form's
+    // running-carry window serializes the hot symbol into one task at
+    // any scale; the salted form (asof_salted_quote_trade) spreads it
+    // over (key, time-bucket) partitions — the probe's paired sec_10x
+    // is the measured evidence, and the salted arm's adj_ratio is the
+    // round-9 gate (≤1.5).
+    def hotQuotesTrades(c: Int): (DataFrame, DataFrame) = {
+      val e = scaled("events", "user_id", c)
+        .withColumn("user_id",
+          when(col("user_id") % 10 < 9, lit(1L)).otherwise(col("user_id")))
+      val quotes = graft.ops.LwwDedup(
+          e.filter(col("event_type") === "view"),
+          Seq(col("user_id"), col("ts")), Seq(col("event_id")))
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("q_us"), col("value").as("qprice"))
+      val trades = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("tprice"))
+      (quotes, trades)
+    }
+    def asofHotkeySalted(c: Int): Long = {
+      val (q, t) = hotQuotesTrades(c)
+      graft.ops.AsofJoin.salted(t, q, "user_id", "ts",
+        Seq("q_us", "qprice"), numBuckets = 32).count()
+    }
+    def asofHotkeyPlain(c: Int): Long = {
+      val (q, t) = hotQuotesTrades(c)
+      graft.ops.AsofJoin(t, q, "user_id", "ts",
+        Seq("q_us", "qprice")).count()
+    }
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
@@ -254,7 +289,9 @@ object ScaleProbe {
       ("winnow_pairs", winnowPairs), ("bigram_lift", bigramLift),
       ("dq_profile", dqProfile), ("dpp_join", dppJoin),
       ("graph_kcore", graphKcore), ("graph_lpa", graphLpa),
-      ("graph_triangles", graphTriangles))
+      ("graph_triangles", graphTriangles),
+      ("asof_hotkey_salted", asofHotkeySalted),
+      ("asof_hotkey_plain", asofHotkeyPlain))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
     // pattern the bench already has — including its fail-fast: a typo
     // must not silently measure zero probes and emit `{...,}` JSON)

@@ -36,21 +36,24 @@ object Tables {
   // Fixture files are immutable, so the analyzed read plan can be reused
   // across the 60+ queries of a Verify/Bench run — re-listing the path
   // and re-reading parquet footers per query is pure overhead. Keyed by
-  // session too: plans are session-bound.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  // session too (plans are session-bound), and LRU-bounded so a
+  // multi-session driver can't accumulate stopped sessions' analyzed
+  // plans forever (VERDICT r8): 64 covers several concurrent
+  // sessions × scale dirs × the 11 fixture tables before anything
+  // ages out, and re-reading an evicted footer is cheap.
+  private[graft] val MaxEntries = 64
+  private val cache = new graft.util.SessionCache[DataFrame](MaxEntries)
+  private[graft] def cacheSize: Int = cache.size
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
-      _ => {
-        val df = spark.read.parquet(s"$dir/$name.parquet")
-        name match {
-          case "events" => normalizeTs(df)
-          case "embeddings" => assertEmbedding(df)
-          case _ => df
-        }
-      })
+    cache.getOrElseUpdate(spark, s"$dir/$name") {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      name match {
+        case "events" => normalizeTs(df)
+        case "embeddings" => assertEmbedding(df)
+        case _ => df
+      }
+    }
 
   /** Drift tripwire for the other schema the engine is load-bearing
     * about: the 9 native vector expressions (DotProductF, PqF,
@@ -79,6 +82,18 @@ object Tables {
       case LongType => // TIMESTAMP(NANOS) read via nanosAsLong
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => // TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        // the cast is value-preserving ONLY under a UTC session zone —
+        // any other zone would shift every instant against the DuckDB
+        // oracle. Every entry point pins the zone; a future one that
+        // forgets must die here, not hash-mismatch 28 queries later
+        // (the fail-loudly principle this object exists for).
+        require(
+          df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts arrived as TIMESTAMP_NTZ and the session timezone " +
+            s"is '${df.sparkSession.conf.get("spark.sql.session.timeZone")}'" +
+            " — the NTZ→TIMESTAMP cast is only value-preserving under " +
+            "UTC; set spark.sql.session.timeZone=UTC in the session " +
+            "builder (as Verify/Bench/ScaleProbe/SparkSpec all do)")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => df
       case other =>

@@ -46,10 +46,20 @@ object Verify {
       s"[verify] SUMMARY: ${failed.size}/$ran FAILED — " +
         failed.sorted.mkString(", "))
     else System.err.println(s"[verify] SUMMARY: $ran/$ran ok")
+    // Machine-readable failure channel (ADVICE r8): the stderr summary
+    // is for humans; anything gating programmatically reads this file
+    // — always written, `[]` on a clean run, so its ABSENCE also means
+    // something (the dump never reached the summary). The exit code
+    // stays 0 on partial failure deliberately: the driver's DuckDB
+    // compare over the queries that DID dump is the round's
+    // correctness signal, and a non-zero exit that aborted it would
+    // convert one flaky query into a zeroed round.
+    def q(s: String): String = graft.util.JsonStrings.quote(s)
+    Files.writeString(Paths.get(s"$outDir/verify_failed.json"),
+      failed.sorted.map(q).mkString("[", ",", "]"))
     // full JSON escape (control chars included) — a tab or CR in
     // builder-authored SQL would otherwise make the driver's json.load
     // fail and silently zero the round's correctness.
-    def q(s: String): String = graft.util.JsonStrings.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

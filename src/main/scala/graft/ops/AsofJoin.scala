@@ -67,6 +67,151 @@ object AsofJoin {
         payload.map(c => col(s"_p.$c").as(c))): _*)
   }
 
+  /** Skew-safe salted form (round-9): same semantics as [[apply]], but
+    * the running-`last` window partitions on (key, COARSE TIME BUCKET)
+    * instead of the bare key, so one hot symbol (think SPY at market
+    * open — the reference's whole workload is per-symbol market data,
+    * /root/reference/src/main.rs:87-88, where hot symbols are the norm)
+    * fans out across `numBuckets` tasks instead of serializing into
+    * one. The plain form's per-key window is the right default at
+    * uniform key distributions; this is the 100 TB answer when the key
+    * histogram is adversarial.
+    *
+    * Two-pass boundary-carry construction:
+    *   1. Bucket = floor((t - lo) / width), width sized so the combined
+    *      time range splits into `numBuckets` ranges (one tiny
+    *      column-pruned min/max job; monotone in t, so bucket order IS
+    *      time order).
+    *   2. Per (key, bucket): the LAST right row in the bucket
+    *      (`max_by` — one map-side-combinable aggregation, at most one
+    *      row per (key, bucket) regardless of skew).
+    *   3. Boundary state for each left bucket b = that summary's row at
+    *      the latest right bucket STRICTLY BEFORE b — a bucket-
+    *      granularity as-of over tables bounded by keys × buckets rows,
+    *      delegated to [[apply]] with the right side shifted +1 (so
+    *      `<=` becomes `<`). Strictly-before matters: same-bucket right
+    *      rows are ordered against left rows INSIDE the bucket's
+    *      window; an inclusive boundary would leak a bucket's own last
+    *      quote to left rows that precede it.
+    *   4. Union left rows (tag 1), right rows (tag 0), and boundary
+    *      rows pinned at the bucket's start instant (tag -1, so a real
+    *      right row at exactly the boundary instant wins — it is
+    *      later-or-equal information); running `last(ignoreNulls)` per
+    *      (key, bucket) ordered by (t, tag) then reproduces [[apply]]'s
+    *      carry exactly — the suite pins row-identity on adversarial
+    *      single-hot-key data.
+    *
+    * Cost vs [[apply]]: one extra min/max scan, one (key, bucket)
+    * rollup of the right side, and a meta as-of over per-bucket
+    * summaries — all bounded by keys × buckets, none proportional to
+    * the hot key's row count. The main window's exchange carries the
+    * same rows as the plain form, just under a finer partitioning.
+    */
+  def salted(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      payload: Seq[String],
+      numBuckets: Int = 32): DataFrame = {
+    require(numBuckets >= 1, s"asof salted: numBuckets $numBuckets < 1")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampType}
+    // bucket arithmetic runs on a long image of the time column; a
+    // fractional time would truncate under the cast and silently
+    // reorder sub-unit neighbors — refuse at construction
+    Seq(left, right).foreach { df =>
+      df.schema(time).dataType match {
+        case TimestampType | LongType | IntegerType | ShortType | ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"asof salted: time '$time' must be timestamp or integral, got " +
+            s"$other — cast or scale it to an integral representation first")
+      }
+    }
+    def toLong(df: DataFrame, c: Column): Column =
+      df.schema(time).dataType match {
+        case TimestampType => unix_micros(c)
+        case _ => c.cast(LongType)
+      }
+    // One tiny job for the combined time range — bounded driver
+    // metadata (two longs), the same pattern as GlobalRank's range
+    // boundaries. Width must be derived from BOTH sides: a left-only
+    // time range would strand early quotes below bucket 0.
+    val bounds = left.select(toLong(left, col(time)).as("_t"))
+      .unionByName(right.select(toLong(right, col(time)).as("_t")))
+      .agg(min(col("_t")).as("lo"), max(col("_t")).as("hi"))
+      .head()
+    if (bounds.isNullAt(0)) {
+      // both sides empty — the plain form answers trivially
+      return apply(left, right, key, time, payload)
+    }
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / numBuckets + 1)
+    def bkt(df: DataFrame, c: Column): Column =
+      ((toLong(df, c) - lo) / width).cast(LongType) // t - lo >= 0: floor div
+
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)))
+    val leftCols = left.columns.toSeq
+
+    // (2) one row per (key, bucket): the bucket's last right row. Right
+    // rows are unique per (key, time) (the op's contract), so max_by on
+    // the time long is deterministic.
+    val lastPerBucket = right
+      .groupBy(col(key), bkt(right, col(time)).as("_b"))
+      .agg(max_by(struct(payload.map(col): _*), toLong(right, col(time)))
+        .as("_p"))
+
+    // (3) boundary state per LEFT bucket: latest summary row strictly
+    // before it. Reuses the plain as-of at (key, bucket) granularity —
+    // the +1 shift turns its inclusive <= into the strict < needed here.
+    val leftBuckets = left
+      .select(col(key), bkt(left, col(time)).as("_b")).distinct()
+    val boundary = apply(
+      leftBuckets,
+      lastPerBucket.withColumn("_b", col("_b") + 1)
+        .select(col(key), col("_b"), col("_p").as("_bp")),
+      key, "_b", Seq("_bp"))
+      .filter(col("_bp").isNotNull)
+      .select(col(key), col("_b"),
+        (col("_b") * width + lo).as("_t"), lit(-1).as("_tag"),
+        col("_bp").as("_p"))
+
+    // (4) the salted union-scan: identical carry semantics to [[apply]]
+    // (right 0 < left 1 at equal time gives inclusive <=; the boundary
+    // row's -1 yields to any real same-instant right row), partitioned
+    // per (key, bucket).
+    val otherCols = leftCols.filterNot(c => c == key || c == time)
+    val lPrepped = left
+      .withColumn("_b", bkt(left, col(time)))
+      .withColumn("_t", toLong(left, col(time)))
+      .select((Seq(col(key), col("_b"), col("_t"), lit(1).as("_tag"),
+        col(time)) ++ otherCols.map(col) :+
+        lit(null).cast(payloadType).as("_p")): _*)
+    val rPrepped = right
+      .withColumn("_b", bkt(right, col(time)))
+      .withColumn("_t", toLong(right, col(time)))
+      .select((Seq(col(key), col("_b"), col("_t"), lit(0).as("_tag"),
+        lit(null).cast(left.schema(time).dataType).as(time)) ++
+        otherCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_p")): _*)
+    val bPrepped = boundary
+      .select((Seq(col(key), col("_b"), col("_t"), col("_tag"),
+        lit(null).cast(left.schema(time).dataType).as(time)) ++
+        otherCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("_p")): _*)
+
+    val w = Window.partitionBy(col(key), col("_b"))
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPrepped.unionByName(rPrepped).unionByName(bPrepped)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(s"_p.$c").as(c))): _*)
+  }
+
   /** The whole-operator physical form (round-6): plans through
     * [[graft.plans.AsofMergeJoin]] — a custom LogicalPlan + Strategy +
     * SparkPlan doing a per-partition two-pointer merge of the two

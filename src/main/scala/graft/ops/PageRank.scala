@@ -49,7 +49,8 @@ object PageRank {
     val base = {
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
-      nodes.crossJoin(nodes.agg(count(lit(1)).as("nn"))).localCheckpoint()
+      nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("nn"))))
+        .localCheckpoint()
     }
 
     var ranks = base

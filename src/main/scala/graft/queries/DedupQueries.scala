@@ -173,8 +173,8 @@ object DedupQueries extends QueryPack {
         .select("doc_a", "doc_b")
       val hit = truth.join(cand, Seq("doc_a", "doc_b"))
       truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_truth").cast("double"))
             .as("recall"),
@@ -199,8 +199,8 @@ object DedupQueries extends QueryPack {
         .select("doc_a", "doc_b").localCheckpoint()
       val hit = truth.join(cand, Seq("doc_a", "doc_b"))
       truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_truth").cast("double"))
             .as("recall"),

@@ -291,7 +291,7 @@ object QualityQueries extends QueryPack {
         val orphans = c.join(
           parent.select(col(pkey).as(key)), Seq(key), "left_anti")
         c.agg(count(lit(1)).as("n_child"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
           .select(lit(name).as("rule"), col("n_child"), col("n_orphans"),
             expr("CAST(n_child - n_orphans AS DOUBLE)" +
               " / CAST(n_child AS DOUBLE)").as("coverage"))

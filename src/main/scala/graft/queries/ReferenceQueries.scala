@@ -217,6 +217,25 @@ object ReferenceQueries extends QueryPack {
           col("q_us"), col("qprice"))
     }),
 
+    // The SAME as-of enrich through the skew-safe salted form
+    // (round-9): [[AsofJoin.salted]] partitions the running-carry
+    // window on (key, coarse time bucket) with boundary-state
+    // injection, so a hot symbol fans out across buckets instead of
+    // serializing one task — the 100 TB answer for the reference's
+    // per-symbol feed where hot symbols are the norm (main.rs:87-88).
+    // Registered against the IDENTICAL oracle SQL as asof_quote_trade
+    // so the driver certifies the salted rewrite against DuckDB's
+    // native ASOF LEFT JOIN; the hot-key scale probe (ScaleProbe
+    // `asof_hotkey_salted`) carries the skew evidence.
+    "asof_salted_quote_trade" -> ((s, dir) => {
+      val (quotes, trades) = quotesAndTrades(s, dir)
+      AsofJoin.salted(trades, quotes, "user_id", "ts",
+          Seq("q_us", "qprice"), numBuckets = 32)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("tprice"),
+          col("q_us"), col("qprice"))
+    }),
+
     // Tolerance-bounded as-of: same enrich, but a quote older than 30
     // minutes is STALE and must not be attached — the staleness window
     // every real market-data join carries. Same one-shuffle union-scan
@@ -441,6 +460,23 @@ object ReferenceQueries extends QueryPack {
         |  CAST(SUM(CAST(floor(tprice * 100) AS BIGINT)) AS BIGINT)
         |    AS notional_cents
         |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // deliberately the SAME SQL as asof_quote_trade: the salted
+    // (key, time-bucket) rewrite must land on the identical row set
+    "asof_salted_quote_trade" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS q_us, value AS qprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |trades AS (
+        |  SELECT user_id, ts, event_id, value AS tprice
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT t.user_id, t.event_id, epoch_us(t.ts) AS t_us, t.tprice,
+        |       q.q_us, q.qprice
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
 
     // deliberately the SAME SQL as asof_quote_trade: the custom
     // physical operator must land on the identical row set

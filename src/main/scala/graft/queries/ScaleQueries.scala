@@ -119,8 +119,8 @@ object ScaleQueries extends QueryPack {
         .withColumn("g", lit("all"))
       Hll.estimate(merged)
         .select(col("n_set"), col("s_total"), col("est_distinct"))
-        .crossJoin(t(s, dir, "lineitem")
-          .agg(countDistinct(col("l_partkey")).as("exact_distinct")))
+        .crossJoin(broadcast(t(s, dir, "lineitem")
+          .agg(countDistinct(col("l_partkey")).as("exact_distinct"))))
     }),
 
     // ---- order-free table checksum -------------------------------------
@@ -186,7 +186,7 @@ object ScaleQueries extends QueryPack {
       val b = sideSketch(inB).withColumnRenamed("ks", "ks_b")
       val exact = t(s, dir, "orders").filter(inA || inB)
         .agg(count_distinct(col("o_orderkey")).as("exact_union"))
-      a.crossJoin(b).crossJoin(exact)
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(exact))
         .withColumn("ks_u",
           slice(array_sort(array_distinct(concat(col("ks_a"), col("ks_b")))),
             1, K))

@@ -32,7 +32,11 @@ import graft.ops.LwwDedup
   * never completed — at every instant each bucket is recoverable. A
   * crash mid-upsert can leave SOME buckets merged and others not; the
   * checkpointed micro-batch replays and the LWW merge converges all of
-  * them (the idempotence the swap scheme is designed around).
+  * them — idempotence holds PER BUCKET, not just per batch: an
+  * already-swapped bucket re-elects the same winners on replay
+  * (anti-join drops its batch-written rows, the union re-adds them),
+  * an untouched bucket merges as if first time. Pinned by
+  * LwwSinkSuite's between-bucket-swaps crash test.
   *
   * Scale note: per-bucket rewrite is the *emulation's* granularity —
   * on a cluster this `foreachBatch` body becomes a real keyed upsert
@@ -200,6 +204,14 @@ object LwwSink {
     }
   }
 
+  /** Test-only fault injection: runs after each completed bucket swap.
+    * The restart suite uses it to kill an upsert BETWEEN bucket swaps
+    * (some buckets merged, others not — the partial state the crash-
+    * safety scaladoc above admits) and prove the replayed micro-batch
+    * converges per bucket. A no-op outside tests.
+    */
+  private[graft] var afterBucketSwap: Int => Unit = _ => ()
+
   private def swapBuckets(table: String, tmp: String, affected: Seq[Int]): Unit = {
     affected.foreach { n =>
       val dst = bucketDir(table, n)
@@ -215,6 +227,7 @@ object LwwSink {
           Files.move(dst, aside, StandardCopyOption.ATOMIC_MOVE)
         Files.move(staged, dst, StandardCopyOption.ATOMIC_MOVE)
         if (Files.exists(aside)) deleteRecursively(aside)
+        afterBucketSwap(n)
       }
     }
     deleteRecursively(Paths.get(tmp))

@@ -108,6 +108,44 @@ class TablesSuite extends SparkSpec {
       .limit(1).count() == 1L)
   }
 
+  test("NTZ under a non-UTC session timezone fails loudly, not value-shifted") {
+    // the NTZ→TIMESTAMP cast silently shifts every instant unless the
+    // session zone is UTC; a future entry point that forgets the pin
+    // must die at first read (ADVICE r8)
+    import spark.implicits._
+    val dir = tmpDir()
+    Seq(LocalDateTime.of(2024, 3, 1, 12, 0, 0, 123456000))
+      .toDF("ts").write.parquet(s"$dir/events.parquet")
+    val drifted = spark.newSession()
+    drifted.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalArgumentException] {
+      Tables(drifted, dir, "events")
+    }
+    assert(e.getMessage.contains("UTC"))
+  }
+
+  test("plan cache stays bounded across created-and-stopped sessions") {
+    // the cache keys on session identity; without the LRU bound a
+    // multi-session driver would retain stopped sessions' analyzed
+    // plans forever (VERDICT r8 nit #2). Three sessions × tables must
+    // never push the cache past its bound, and repeated loads reuse
+    // entries rather than grow.
+    val dir = "/root/testdata/sf0.001"
+    (1 to 3).foreach { _ =>
+      val s = spark.newSession()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach(tbl => Tables(s, dir, tbl))
+      // a stopped/abandoned session's entries age out under the bound
+    }
+    assert(Tables.cacheSize <= Tables.MaxEntries,
+      s"cache grew to ${Tables.cacheSize} > bound ${Tables.MaxEntries}")
+    val before = Tables.cacheSize
+    Tables(spark, dir, "region") // shared-session entry: reuse, not growth
+    Tables(spark, dir, "region")
+    assert(Tables.cacheSize <= before + 1)
+  }
+
   test("live fixture events.ts arrives as a known encoding at sf0.001") {
     val df = Tables(spark, "/root/testdata/sf0.001", "events")
     assert(df.schema("ts").dataType == TimestampType)
