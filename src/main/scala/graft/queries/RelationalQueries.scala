@@ -173,8 +173,14 @@ object RelationalQueries extends QueryPack {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // customer broadcast applies BEFORE the fact-fact shuffle: the
+      // segment filter keeps ~1/5 of orders, so the orderkey exchange
+      // ships a fifth of the orders side — the right order at any
+      // scale (r9: the old li⋈ord-first shape shuffled ALL of orders
+      // and only then dropped 4/5 of the joined rows)
+      li.join(
+          ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum((dec(col("l_extendedprice")) *
           (lit(1.0) - col("l_discount")).cast("decimal(18,6)")))
