@@ -37,9 +37,48 @@ object ScaleProbe {
         .map(i => df.withColumn(idCol, col(idCol) + lit(i * 100000000L)))
         .reduce(_ unionByName _)
     }
-    def time(f: => Long): (Double, Long) = {
+    // round-9 (verdict ask #3): split each probe's wall time into the
+    // span with ≥1 Spark job RUNNING (cluster compute) vs the residue
+    // (driver floor: analysis, optimization, codegen compile, driver-
+    // side post-processing between jobs). The two diagnose differently
+    // at 10×: a growing JOB span is a plan problem (more per-row work
+    // than the data growth explains); a constant FLOOR is fixed
+    // per-query overhead that amortizes to zero at real scale and must
+    // be divided out before reading a fixed-output probe's raw ratio.
+    // Union-of-intervals, not sum-of-durations — AQE stages overlap and
+    // summing would double-count wall time.
+    final class JobClock extends org.apache.spark.scheduler.SparkListener {
+      private[this] var running = 0
+      private[this] var spanStart = 0L
+      private[this] var busyNs = 0L
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized {
+          if (running == 0) spanStart = System.nanoTime()
+          running += 1
+        }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        synchronized {
+          running -= 1
+          if (running == 0) busyNs += System.nanoTime() - spanStart
+        }
+      def snapshotNs: Long = synchronized {
+        if (running > 0) busyNs + (System.nanoTime() - spanStart)
+        else busyNs
+      }
+    }
+    val jobClock = new JobClock
+    spark.sparkContext.addSparkListener(jobClock)
+    def time(f: => Long): (Double, Long, Double) = {
+      // fence the async bus on BOTH sides, else the counter races the
+      // last job's end event and under-counts it
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+      val b0 = jobClock.snapshotNs
       val s = System.nanoTime(); val rows = f
-      ((System.nanoTime() - s) / 1e9, rows)
+      val wall = (System.nanoTime() - s) / 1e9
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+      ((wall, rows, (jobClock.snapshotNs - b0) / 1e9))
     }
 
     def cumvol(c: Int): Long =
@@ -279,6 +318,28 @@ object ScaleProbe {
         Seq("q_us", "qprice")).count()
     }
 
+    // round-9: CumVol under the same adversarial hot-key feed — the
+    // r8 scale audit's SECOND hot-key window (per-(symbol, day)
+    // running cumulative on a hot day). Plain serializes the hot
+    // symbol-day into one task; salted fans it across (key, day,
+    // intra-day bucket) with per-bucket offset injection. Same ops as
+    // tick_cumvol / tick_cumvol_salted.
+    def hotTicks(c: Int): DataFrame =
+      scaled("events", "user_id", c)
+        .withColumn("user_id",
+          when(col("user_id") % 10 < 9, lit(1L)).otherwise(col("user_id")))
+    def cumvolHotkeyPlain(c: Int): Long =
+      CumVol(hotTicks(c), col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), floor(col("value")).cast("int"),
+          buyMark = "purchase", sellMark = "click")
+        .count()
+    def cumvolHotkeySalted(c: Int): Long =
+      CumVol.salted(hotTicks(c), col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          floor(col("value")).cast("int"),
+          buyMark = "purchase", sellMark = "click", numBuckets = 32)
+        .count()
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
@@ -291,7 +352,9 @@ object ScaleProbe {
       ("graph_kcore", graphKcore), ("graph_lpa", graphLpa),
       ("graph_triangles", graphTriangles),
       ("asof_hotkey_salted", asofHotkeySalted),
-      ("asof_hotkey_plain", asofHotkeyPlain))
+      ("asof_hotkey_plain", asofHotkeyPlain),
+      ("cumvol_hotkey_salted", cumvolHotkeySalted),
+      ("cumvol_hotkey_plain", cumvolHotkeyPlain))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
     // pattern the bench already has — including its fail-fast: a typo
     // must not silently measure zero probes and emit `{...,}` JSON)
@@ -306,9 +369,9 @@ object ScaleProbe {
     // warm-up at 1x (codegen/JIT), then measure 1x and 10x
     selected.foreach { case (_, f) => f(1) }
     val results = selected.map { case (name, f) =>
-      val (t1, r1) = time(f(1))
-      val (t10, r10) = time(f(10))
-      (name, t1, r1, t10, r10, t10 / t1)
+      val (t1, r1, j1) = time(f(1))
+      val (t10, r10, j10) = time(f(10))
+      (name, t1, r1, t10, r10, t10 / t1, j1, j10)
     }
     // Two ratios per probe, because supralinear TIME and supralinear
     // OUTPUT are different diagnoses: `ratio` is raw t10/t1;
@@ -322,9 +385,14 @@ object ScaleProbe {
     // fixed-output rollup (dq_profile, bigram_lift) must be judged on
     // the raw ratio — its adj_ratio is the same number. The red flag
     // is BOTH ratios high: time outgrowing even the output.
-    val json = results.map { case (n, t1, r1, t10, r10, ratio) =>
+    // job_* is the with-jobs-running span; floor_* = wall − job_* (the
+    // driver residue). A fixed-output probe is judged on the JOB ratio:
+    // raw 2.1× over a ~0.2s wall is meaningless if 0.15s of it is a
+    // constant driver floor the 10× run pays identically.
+    val json = results.map { case (n, t1, r1, t10, r10, ratio, j1, j10) =>
       val adj = ratio * (r1.max(1L).toDouble / r10.max(1L).toDouble)
-      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f}"""
+      val (f1, f10) = (math.max(0.0, t1 - j1), math.max(0.0, t10 - j10))
+      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f,"job_1x":$j1%.2f,"floor_1x":$f1%.2f,"job_10x":$j10%.2f,"floor_10x":$f10%.2f}"""
     }.mkString("{\"metric\":\"weak_scaling\",", ",", "}")
     args.headOption.foreach { f =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")

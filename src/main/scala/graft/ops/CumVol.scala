@@ -52,4 +52,103 @@ object CumVol {
           .over(w).cast("long").as("cumsell"))
       .withColumn("cumdelta", col("cumbuy") - col("cumsell")) // F6, main.rs:130
   }
+
+  private val DayUs = 86400000000L
+
+  /** Skew-safe salted form (round-9): same output contract as [[apply]]
+    * — every input row, plus cumbuy/cumsell/cumdelta — but the running
+    * sum is a two-pass distributed prefix scan over (key, day, COARSE
+    * INTRA-DAY TIME BUCKET) partitions instead of one per-(key, day)
+    * window. [[apply]]'s skew ceiling is max rows per key-DAY; one hot
+    * symbol on one hot day (the r8 verdict's "SPY at the open" case,
+    * same family as [[AsofJoin.salted]]) still serializes that whole
+    * day into a single task. Here it fans out across `numBuckets`
+    * tasks:
+    *
+    *   1. Per (key, day, bucket): LOCAL running sums — the same
+    *      single-accumulator WindowExec streaming pass as [[apply]],
+    *      over a partition bounded by one bucket's rows.
+    *   2. Per (key, day, bucket): bucket TOTALS — one map-side-
+    *      combinable aggregation, one row per bucket regardless of
+    *      skew.
+    *   3. Per (key, day): exclusive prefix of the totals over bucket
+    *      order — a window over ≤ numBuckets rows per partition, so
+    *      the serial step is bounded by the salt, never by the data.
+    *   4. cum = local + own bucket's exclusive prefix, attached by a
+    *      broadcast join on (key, day, bucket). The big side arrives
+    *      ALREADY hash-partitioned on exactly those keys from step 1's
+    *      window exchange, so the join adds no shuffle; the offsets
+    *      side is bounded by distinct(key, day) × numBuckets (symbols
+    *      × days × salt — broadcastable for any real market-data
+    *      cardinality; if a deployment ever exceeds the broadcast
+    *      budget, dropping the hint degrades to a co-partitioned
+    *      shuffle join with no big-side re-exchange).
+    *
+    * Bucket = floor(micros-since-UTC-midnight / ceil(day/numBuckets)):
+    * monotone in time within a day, so concatenating buckets in bucket
+    * order IS the (time, tiebreak) order — rows with equal time share
+    * a bucket by construction, and the within-bucket (time, tiebreak)
+    * sort settles them exactly as [[apply]] does. The suite pins
+    * row-identity with [[apply]] on an adversarial 90%-one-key-one-day
+    * feed across bucket counts; the registered `tick_cumvol_salted`
+    * certifies against the same DuckDB oracle as `tick_cumvol`.
+    *
+    * Like [[AsofJoin.salted]], this is the documented escape hatch for
+    * adversarial key histograms, not the default: it pays two extra
+    * small jobs (totals + prefix) that only amortize once a key-day
+    * holds millions of rows.
+    */
+  def salted(
+      df: DataFrame,
+      key: Column,
+      time: Column,
+      tiebreak: Column,
+      side: Column,
+      volume: Column,
+      buyMark: String = "B",
+      sellMark: String = "S",
+      numBuckets: Int = 32): DataFrame = {
+    require(numBuckets >= 1, s"cumvol salted: numBuckets $numBuckets < 1")
+    val inCols = df.columns.toSeq
+    val width = (DayUs + numBuckets - 1) / numBuckets
+    // pmod, not %: a pre-1970 timestamp has negative unix_micros, and
+    // the bucket must stay the [0, numBuckets) offset-in-day that
+    // to_date's floor semantics imply
+    val base = df.select(col("*"),
+      key.as("_cv_k"), to_date(time).as("_cv_d"),
+      (pmod(unix_micros(time), lit(DayUs)) / lit(width))
+        .cast("long").as("_cv_b"),
+      when(side === buyMark, volume).otherwise(lit(0))
+        .cast("long").as("_cv_bv"),
+      when(side === sellMark, volume).otherwise(lit(0))
+        .cast("long").as("_cv_sv"))
+    val wLocal = Window
+      .partitionBy(col("_cv_k"), col("_cv_d"), col("_cv_b"))
+      .orderBy(time, tiebreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.select(col("*"),
+      sum(col("_cv_bv")).over(wLocal).as("_cv_lb"),
+      sum(col("_cv_sv")).over(wLocal).as("_cv_ls"))
+    val wOff = Window.partitionBy(col("_cv_k"), col("_cv_d"))
+      .orderBy(col("_cv_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy(col("_cv_k"), col("_cv_d"), col("_cv_b"))
+      .agg(sum(col("_cv_bv")).as("_tb"), sum(col("_cv_sv")).as("_ts"))
+      .select(col("_cv_k").as("_cv_ok"), col("_cv_d").as("_cv_od"),
+        col("_cv_b").as("_cv_obk"),
+        coalesce(sum(col("_tb")).over(wOff), lit(0L)).as("_cv_ob"),
+        coalesce(sum(col("_ts")).over(wOff), lit(0L)).as("_cv_os"))
+    // null-safe equality: a null key (or null time → null day/bucket)
+    // is a real window partition in the plain form — a plain equi-join
+    // would silently DROP those rows
+    local.join(broadcast(offsets),
+        col("_cv_k") <=> col("_cv_ok") &&
+        col("_cv_d") <=> col("_cv_od") &&
+        col("_cv_b") <=> col("_cv_obk"))
+      .select(inCols.map(col) ++ Seq(
+        (col("_cv_lb") + col("_cv_ob")).cast("long").as("cumbuy"),
+        (col("_cv_ls") + col("_cv_os")).cast("long").as("cumsell")): _*)
+      .withColumn("cumdelta", col("cumbuy") - col("cumsell"))
+  }
 }

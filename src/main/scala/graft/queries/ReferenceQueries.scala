@@ -52,6 +52,29 @@ object ReferenceQueries extends QueryPack {
           col("cumbuy"), col("cumsell"), col("cumdelta"))
     }),
 
+    // The SAME running cumulative through the skew-safe salted form
+    // (round-9): [[CumVol.salted]] runs a two-pass distributed prefix
+    // scan over (key, day, intra-day time bucket) with per-bucket
+    // offset injection, so one hot symbol-day fans out across buckets
+    // instead of serializing one task — the CumVol analog of
+    // AsofJoin.salted, closing the r8 scale audit's second hot-key
+    // window. Registered against the IDENTICAL oracle SQL as
+    // tick_cumvol so the driver certifies the rewrite lands on the
+    // same rows; the hot-key probe (ScaleProbe `cumvol_hotkey_salted`)
+    // carries the skew evidence.
+    "tick_cumvol_salted" -> ((s, dir) => {
+      CumVol.salted(ticks(s, dir), col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), col("volume"),
+          buyMark = "purchase", sellMark = "click", numBuckets = 32)
+        .select(
+          col("symbol"),
+          to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("time_us"),
+          col("event_type"),
+          col("volume"),
+          col("cumbuy"), col("cumsell"), col("cumdelta"))
+    }),
+
     // F3+F4+R3: book branch batch analog (main.rs:95-104) — project events
     // into book shape, synthesize the reference's raw order_type vocabulary,
     // then strip the BOOK_TYPE_ prefix globally (Rust str::replace is
@@ -345,20 +368,26 @@ object ReferenceQueries extends QueryPack {
   private def sideSumSql(mark: String) =
     s"CAST(SUM(CASE WHEN event_type = '$mark' THEN $volumeSql ELSE 0 END) OVER w AS BIGINT)"
 
+  private val cumvolSql: String =
+    s"""SELECT CAST(user_id AS VARCHAR) AS symbol,
+       |  CAST(ts AS DATE) AS day,
+       |  epoch_us(ts) AS time_us,
+       |  event_type,
+       |  $volumeSql AS volume,
+       |  ${sideSumSql("purchase")} AS cumbuy,
+       |  ${sideSumSql("click")} AS cumsell,
+       |  ${sideSumSql("purchase")} - ${sideSumSql("click")} AS cumdelta
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+       |             ORDER BY ts, event_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "tick_cumvol" ->
-      s"""SELECT CAST(user_id AS VARCHAR) AS symbol,
-         |  CAST(ts AS DATE) AS day,
-         |  epoch_us(ts) AS time_us,
-         |  event_type,
-         |  $volumeSql AS volume,
-         |  ${sideSumSql("purchase")} AS cumbuy,
-         |  ${sideSumSql("click")} AS cumsell,
-         |  ${sideSumSql("purchase")} - ${sideSumSql("click")} AS cumdelta
-         |FROM events
-         |WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
-         |             ORDER BY ts, event_id
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "tick_cumvol" -> cumvolSql,
+    // deliberately the SAME SQL as tick_cumvol: the salted
+    // (key, day, time-bucket) prefix scan must land on the identical
+    // row set
+    "tick_cumvol_salted" -> cumvolSql,
 
     "symbol_timerange_scan" ->
       """SELECT CAST(user_id AS VARCHAR) AS symbol, epoch_us(ts) AS time_us,

@@ -45,4 +45,16 @@ object Bridge {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Block until the listener bus has delivered every queued event.
+    *
+    * Listener delivery is asynchronous; a timing harness that reads a
+    * listener-accumulated counter right after an action returns races
+    * the bus and under-counts the last job. `LiveListenerBus
+    * .waitUntilEmpty` is the precise fence but `private[spark]` —
+    * this is the one-line visibility shim (no internals
+    * re-implemented).
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
