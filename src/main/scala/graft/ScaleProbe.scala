@@ -81,12 +81,22 @@ object ScaleProbe {
       ((wall, rows, (jobClock.snapshotNs - b0) / 1e9))
     }
 
+    // Execute the frame's OWN physical plan (round-9): `df.count()`
+    // builds a separate count QueryExecution in which Catalyst prunes
+    // every column nothing references — a window-topped plan loses the
+    // WHOLE window (verified: count over a running-sum frame optimizes
+    // to Aggregate over the bare scan), so a count-timed window probe
+    // measures a scan. toRdd runs this frame's executed plan with all
+    // output columns materialized, no driver transfer — the same
+    // discipline Bench's EXPLAIN path adopted in r8 for plans, applied
+    // here to timing.
+    def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
     def cumvol(c: Int): Long =
-      CumVol(scaled("events", "user_id", c), col("user_id"), col("ts"),
+      exec(CumVol(scaled("events", "user_id", c), col("user_id"), col("ts"),
           col("event_id"), col("event_type"),
           floor(col("value")).cast("int"),
-          buyMark = "purchase", sellMark = "click")
-        .count()
+          buyMark = "purchase", sellMark = "click"))
 
     def textDedup(c: Int): Long = {
       val pairs = MinHashLSH.candidatePairs(
@@ -309,13 +319,13 @@ object ScaleProbe {
     }
     def asofHotkeySalted(c: Int): Long = {
       val (q, t) = hotQuotesTrades(c)
-      graft.ops.AsofJoin.salted(t, q, "user_id", "ts",
-        Seq("q_us", "qprice"), numBuckets = 32).count()
+      exec(graft.ops.AsofJoin.salted(t, q, "user_id", "ts",
+        Seq("q_us", "qprice"), numBuckets = 32))
     }
     def asofHotkeyPlain(c: Int): Long = {
       val (q, t) = hotQuotesTrades(c)
-      graft.ops.AsofJoin(t, q, "user_id", "ts",
-        Seq("q_us", "qprice")).count()
+      exec(graft.ops.AsofJoin(t, q, "user_id", "ts",
+        Seq("q_us", "qprice")))
     }
 
     // round-9: CumVol under the same adversarial hot-key feed — the
@@ -329,16 +339,14 @@ object ScaleProbe {
         .withColumn("user_id",
           when(col("user_id") % 10 < 9, lit(1L)).otherwise(col("user_id")))
     def cumvolHotkeyPlain(c: Int): Long =
-      CumVol(hotTicks(c), col("user_id"), col("ts"), col("event_id"),
+      exec(CumVol(hotTicks(c), col("user_id"), col("ts"), col("event_id"),
           col("event_type"), floor(col("value")).cast("int"),
-          buyMark = "purchase", sellMark = "click")
-        .count()
+          buyMark = "purchase", sellMark = "click"))
     def cumvolHotkeySalted(c: Int): Long =
-      CumVol.salted(hotTicks(c), col("user_id"), col("ts"),
+      exec(CumVol.salted(hotTicks(c), col("user_id"), col("ts"),
           col("event_id"), col("event_type"),
           floor(col("value")).cast("int"),
-          buyMark = "purchase", sellMark = "click", numBuckets = 32)
-        .count()
+          buyMark = "purchase", sellMark = "click", numBuckets = 32))
 
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),

@@ -277,15 +277,25 @@ object TextQueries extends QueryPack {
     // that are repeats of an earlier bigram in the same doc. Scan-side
     // only — the shingle array never leaves the projection.
     "text_repetition" -> ((s, dir) => {
+      // Three chained projections, not one: the shingle build is an
+      // interpreted higher-order transform (slice+concat per gram) and
+      // the single-select form evaluated it FOUR times per row (twice
+      // more under array_distinct) — no CSE reaches across interpreted
+      // HOFs, and the r9 bench-method fix surfaced the 4x as the
+      // slowest line of the whole bench. CollapseProject keeps the
+      // stages apart (the alias is non-cheap and referenced twice), so
+      // grams and the distinct each evaluate exactly once.
       val grams = TextHash.shingles(TextHash.tokens(col("text")), 2)
-      Tables(s, dir, "documents").select(
-        col("doc_id"),
-        size(grams).cast("long").as("n_bigrams"),
-        size(array_distinct(grams)).cast("long").as("n_distinct"),
-        when(size(grams) > 0,
-          lit(1.0) - size(array_distinct(grams)).cast("double") /
-            size(grams).cast("double"))
-          .otherwise(0.0).as("rep_ratio"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), grams.as("_g"))
+        .select(col("doc_id"),
+          size(col("_g")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("_g"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          when(col("n_bigrams") > 0,
+            lit(1.0) - col("n_distinct").cast("double") /
+              col("n_bigrams").cast("double"))
+            .otherwise(0.0).as("rep_ratio"))
     }),
 
     // Order-sensitive rolling-hash fingerprint + duplicate-cluster size.
@@ -444,12 +454,18 @@ object TextQueries extends QueryPack {
         regexp_replace(lower(col("msg")), "[^a-z0-9 ]", " "),
         " +", " ")
       val toks = split(trim(canon, " "), " ")
-      val kept = filter(toks, t =>
-        !t.isin(Stopwords: _*) && length(t) > 0)
-      raw.select(col("event_id"),
-        array_join(kept, " ").as("norm_text"),
-        size(toks).cast("long").as("n_raw_tokens"),
-        size(kept).cast("long").as("n_kept_tokens"))
+      // staged projections so the regex+split chain and the stopword
+      // filter each evaluate ONCE per row (the text_repetition lesson:
+      // no CSE reaches across interpreted HOFs, and CollapseProject
+      // keeps stages apart when a non-cheap alias is referenced twice)
+      raw.select(col("event_id"), toks.as("_toks"))
+        .select(col("event_id"), col("_toks"),
+          filter(col("_toks"), t =>
+            !t.isin(Stopwords: _*) && length(t) > 0).as("_kept"))
+        .select(col("event_id"),
+          array_join(col("_kept"), " ").as("norm_text"),
+          size(col("_toks")).cast("long").as("n_raw_tokens"),
+          size(col("_kept")).cast("long").as("n_kept_tokens"))
     }),
 
     // Token-level Gini–Simpson diversity (1 − Σ pᵢ²): the probability
