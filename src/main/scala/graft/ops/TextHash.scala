@@ -67,6 +67,17 @@ object TextHash {
     Bridge.column(graft.functions.ShingleHash60F(Bridge.expression(text), k))
   }
 
+  /** Fused text -> struct(n_bigrams, n_distinct) (single byte-pass
+    * kernel; bit-identical to `size(shingles(tokens(text), 2))` paired
+    * with `size(array_distinct(shingles(tokens(text), 2)))` — the
+    * distinct count is exact, via zero-copy byte-span set membership,
+    * not a hash sketch).
+    */
+  def bigramStats(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.BigramStatsF(Bridge.expression(text)))
+  }
+
   /** Rolling polynomial fingerprint over a hashed-token array:
     * fold(xs, 0, (acc, x) -> (acc*31 + x) mod P31). Order-sensitive by
     * design (document fingerprint, not a bag hash).

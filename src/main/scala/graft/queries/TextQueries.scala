@@ -277,20 +277,21 @@ object TextQueries extends QueryPack {
     // that are repeats of an earlier bigram in the same doc. Scan-side
     // only — the shingle array never leaves the projection.
     "text_repetition" -> ((s, dir) => {
-      // Three chained projections, not one: the shingle build is an
-      // interpreted higher-order transform (slice+concat per gram) and
-      // the single-select form evaluated it FOUR times per row (twice
-      // more under array_distinct) — no CSE reaches across interpreted
-      // HOFs, and the r9 bench-method fix surfaced the 4x as the
-      // slowest line of the whole bench. CollapseProject keeps the
-      // stages apart (the alias is non-cheap and referenced twice), so
-      // grams and the distinct each evaluate exactly once.
-      val grams = TextHash.shingles(TextHash.tokens(col("text")), 2)
+      // Fused native kernel (round-9): the r9 bench-method fix exposed
+      // this query's single-select HOF shape evaluating the interpreted
+      // shingle build FOUR times per row (10.75s — the bench's slowest
+      // line); staged projections cut it to one evaluation (~1.8s), and
+      // [[TextHash.bigramStats]] removes the array materialization
+      // entirely — one byte pass per doc, exact distinct via zero-copy
+      // span set (BigramStatsSuite pins bit-identity with the HOF
+      // form). Staged select still required: the struct alias is
+      // non-cheap and referenced twice, which keeps CollapseProject
+      // from inlining (= re-evaluating) the kernel per field.
       Tables(s, dir, "documents")
-        .select(col("doc_id"), grams.as("_g"))
+        .select(col("doc_id"), TextHash.bigramStats(col("text")).as("_s"))
         .select(col("doc_id"),
-          size(col("_g")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("_g"))).cast("long").as("n_distinct"))
+          col("_s.n_bigrams").as("n_bigrams"),
+          col("_s.n_distinct").as("n_distinct"))
         .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
           when(col("n_bigrams") > 0,
             lit(1.0) - col("n_distinct").cast("double") /
