@@ -60,6 +60,39 @@ object ShingleHashHelper {
     }
     new GenericArrayData(out)
   }
+
+  /** All k-token shingle STRINGS of a document in one pass — the same
+    * byte-span identity as [[shingleHashes]], but returning the spans
+    * themselves as zero-copy [[UTF8String]] views instead of hashing
+    * them. Bit-identical to `shingles(split(text,' '), k)`'s
+    * transform(slice+concat) chain with none of its per-gram array and
+    * string allocations.
+    */
+  def shingleSpans(s: UTF8String, k: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    if (nTokens < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTokens + 1)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = bytes.length + 1
+    val out = new Array[Any](nTokens - k + 1)
+    var j = 0
+    while (j + k <= nTokens) {
+      val from = starts(j)
+      val until = starts(j + k) - 1 // end of token j+k-1
+      out(j) = UTF8String.fromBytes(bytes, from, until - from)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Fused tokenize → k-shingle → 60-bit-hash kernel: string → array<long>
@@ -69,6 +102,34 @@ object ShingleHashHelper {
   * chain, which allocates every shingle as a UTF8String first. k=1
   * degenerates to per-token hashing (the simhash/fingerprint input).
   */
+/** Fused tokenize → k-shingle kernel: string → array<string> of the
+  * shingle byte spans in a single pass (see
+  * [[ShingleHashHelper.shingleSpans]]). Drop-in for
+  * `shingles(split(text, ' '), k)` wherever the token array came
+  * straight from a single-space split of the text — every repo call
+  * site (ShingleSpansSuite pins bit-identity with the HOF form).
+  */
+case class ShingleSpansF(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_spans"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashHelper.shingleSpans(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashHelper.shingleSpans($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSpansF =
+    copy(child = newChild)
+}
+
 case class ShingleHash60F(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1)
 

@@ -34,7 +34,7 @@ object BigramLift {
     val nTotal = uni.agg(sum(col("c")).as("n_tok"))
     val bi = docs
       .select(explode(
-        TextHash.shingles(TextHash.tokens(col(textCol)), 2)).as("bg"))
+        TextHash.shinglesText(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
       .withColumn("a", split(col("bg"), " ").getItem(0))

@@ -125,7 +125,7 @@ object BpeTrain {
     while (remaining > 0 && !halted) {
       val ranked = docs
         .select(explode(
-          TextHash.shingles(TextHash.tokens(col("text")), 2)).as("g"))
+          TextHash.shinglesText(col("text"), 2)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("g")) // TakeOrdered, no global sort
         .limit(TopM)

@@ -85,7 +85,7 @@ object JaccardPairs {
       hashedKeys: Boolean): DataFrame = {
     val gramArr =
       if (hashedKeys) TextHash.shingleHashes(col(textCol), gramK)
-      else TextHash.shingles(TextHash.tokens(col(textCol)), gramK)
+      else TextHash.shinglesText(col(textCol), gramK)
     val postings = docs
       .select(col(idCol).as("doc"),
         explode(array_distinct(gramArr)).as("gram"))

@@ -67,6 +67,17 @@ object TextHash {
     Bridge.column(graft.functions.ShingleHash60F(Bridge.expression(text), k))
   }
 
+  /** Fused text -> k-shingle STRING array (single byte-pass kernel;
+    * bit-identical to `shingles(tokens(text), k)`). Use wherever the
+    * token array comes straight from [[tokens]] — i.e. every current
+    * call site; a transformed token array (lowercased, filtered) still
+    * needs the HOF [[shingles]].
+    */
+  def shinglesText(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.ShingleSpansF(Bridge.expression(text), k))
+  }
+
   /** Fused text -> struct(n_bigrams, n_distinct) (single byte-pass
     * kernel; bit-identical to `size(shingles(tokens(text), 2))` paired
     * with `size(array_distinct(shingles(tokens(text), 2)))` — the

@@ -347,7 +347,7 @@ object TextQueries extends QueryPack {
       // zero rows on BOTH engines, never a NULL-row divergence
       val top = docs
         .select(explode(
-          TextHash.shingles(TextHash.tokens(col("text")), 2)).as("g"))
+          TextHash.shinglesText(col("text"), 2)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("n"))
         .agg(min(struct((-col("n")).as("neg"), col("g").as("p"))).as("m"))
         .select(col("m.p").as("pair"), (-col("m.neg")).as("pair_n"))

@@ -61,6 +61,21 @@ class BigramStatsSuite extends SparkSpec {
     assert(rows(fused(docs)) === rows(hof(docs)))
   }
 
+  test("shinglesText is bit-identical to the HOF shingles across k") {
+    val rng = new scala.util.Random(11)
+    val docs = (Seq("", "solo", "a b", "a  b", " a b ", "é ü é",
+      "the the the") ++ Seq.fill(100) {
+      Seq.fill(rng.nextInt(12))(s"t${rng.nextInt(6)}").mkString(" ")
+    }).toDF("t")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val hofK = docs.select(col("t").as("k"),
+        TextHash.shingles(TextHash.tokens(col("t")), k).as("g"))
+      val fusedK = docs.select(col("t").as("k"),
+        TextHash.shinglesText(col("t"), k).as("g"))
+      assert(rows(fusedK) === rows(hofK), s"k=$k diverged")
+    }
+  }
+
   test("null text yields null struct, like any null-in unary expression") {
     val df = Seq(Some("a b"), None).toDF("t")
     val out = df.select(TextHash.bigramStats(col("t")).as("s"))
