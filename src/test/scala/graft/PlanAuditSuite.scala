@@ -105,6 +105,30 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(executed(q("tick_cumvol"))) === 1)
   }
 
+  test("text_repetition: shuffle-free scan with the fused kernel inside codegen") {
+    val plan = executed(q("text_repetition"))
+    assert(countShuffles(plan) === 0,
+      "repetition ratio is a pure projection — any shuffle is a regression")
+    // the kernel must ride INSIDE a WholeStageCodegen project, not fall
+    // back to an interpreted path
+    val codegen = flatten(plan).filter(_.nodeName.contains("WholeStageCodegen"))
+      .map(_.toString)
+    assert(codegen.exists(_.contains("graft_bigram_stats")),
+      s"BigramStatsF should appear inside a codegen span:\n${plan.toString}")
+  }
+
+  test("tick_cumvol_salted: big side shuffles ONCE; offsets attach by broadcast") {
+    val plan = executed(q("tick_cumvol_salted"))
+    // exchanges: the (key, day, bucket) window on the BIG side, plus the
+    // bounded offsets rollup's own two small exchanges (groupBy + bucket-
+    // prefix window over <= keys x days x buckets rows). What must never
+    // appear: a second big-side exchange for the offsets join.
+    val shuffles = countShuffles(plan)
+    assert(shuffles <= 3, s"salted cumvol grew a big-side re-shuffle: $shuffles")
+    assert(flatten(plan).exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"offsets must attach via broadcast hash join:\n${plan.toString}")
+  }
+
   test("dedup_exact: exactly one shuffle (the groupBy on content)") {
     assert(countShuffles(executed(q("dedup_exact"))) === 1)
   }
