@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, Hash60F, RollingFpF, SimHashF, ZValueF}
+import graft.functions.{BigramStatsF, DotProductF, Hash60F, RollingFpF, SimHashF, ZValueF}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Activate with
@@ -54,7 +54,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_zvalue"),
       info("graft_zvalue",
         "graft_zvalue(a, b) - Z-order (Morton) interleave of two bigint keys"),
-      (args: Seq[Expression]) => ZValueF(args(0), args(1))))
+      (args: Seq[Expression]) => ZValueF(args(0), args(1))),
+    (FunctionIdentifier("graft_bigram_stats"),
+      info("graft_bigram_stats",
+        "graft_bigram_stats(s) - struct(n_bigrams, n_distinct) of the " +
+          "2-token shingles of a single-space-tokenized string"),
+      (args: Seq[Expression]) => BigramStatsF(args(0))))
 
   /** Idempotent registration on a live session (for sessions not started
     * with spark.sql.extensions).

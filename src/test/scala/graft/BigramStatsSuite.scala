@@ -76,6 +76,15 @@ class BigramStatsSuite extends SparkSpec {
     }
   }
 
+  test("registered as a SQL function via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val out = Seq("a b a b").toDF("t")
+      .selectExpr("graft_bigram_stats(t) AS s")
+      .select(col("s.n_bigrams"), col("s.n_distinct"))
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1)) === ((3L, 2L)))
+  }
+
   test("null text yields null struct, like any null-in unary expression") {
     val df = Seq(Some("a b"), None).toDF("t")
     val out = df.select(TextHash.bigramStats(col("t")).as("s"))
