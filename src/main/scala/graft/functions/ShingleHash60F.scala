@@ -95,19 +95,12 @@ object ShingleHashHelper {
   }
 }
 
-/** Fused tokenize → k-shingle → 60-bit-hash kernel: string → array<long>
-  * in a single pass over the document's bytes (see
-  * [[ShingleHashHelper.shingleHashes]]). Replaces the
-  * `transform(sequence…, concat_ws(slice…))` + per-shingle [[Hash60F]]
-  * chain, which allocates every shingle as a UTF8String first. k=1
-  * degenerates to per-token hashing (the simhash/fingerprint input).
-  */
 /** Fused tokenize → k-shingle kernel: string → array<string> of the
   * shingle byte spans in a single pass (see
   * [[ShingleHashHelper.shingleSpans]]). Drop-in for
   * `shingles(split(text, ' '), k)` wherever the token array came
   * straight from a single-space split of the text — every repo call
-  * site (ShingleSpansSuite pins bit-identity with the HOF form).
+  * site (BigramStatsSuite pins bit-identity with the HOF form).
   */
 case class ShingleSpansF(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1)
@@ -130,6 +123,13 @@ case class ShingleSpansF(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused tokenize → k-shingle → 60-bit-hash kernel: string → array<long>
+  * in a single pass over the document's bytes (see
+  * [[ShingleHashHelper.shingleHashes]]). Replaces the
+  * `transform(sequence…, concat_ws(slice…))` + per-shingle [[Hash60F]]
+  * chain, which allocates every shingle as a UTF8String first. k=1
+  * degenerates to per-token hashing (the simhash/fingerprint input).
+  */
 case class ShingleHash60F(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1)
 

@@ -146,8 +146,18 @@ object AsofJoin {
     }
     val lo = bounds.getLong(0)
     val width = math.max(1L, (bounds.getLong(1) - lo) / numBuckets + 1)
+    // TRUE integral division, not Column./ (which casts both operands to
+    // double): a nanosecond feed's (t - lo) spans ~3e16 over a year —
+    // past 2^52 the double image rounds, and a right row within a few
+    // units of a bucket boundary lands in the WRONG bucket, where it
+    // either misses the boundary carry or leaks into it (r9 review)
+    def divL(a: Column, b: Long): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.Bridge.expression(a),
+          org.apache.spark.sql.catalyst.expressions.Literal(b)))
     def bkt(df: DataFrame, c: Column): Column =
-      ((toLong(df, c) - lo) / width).cast(LongType) // t - lo >= 0: floor div
+      divL(toLong(df, c) - lo, width) // t - lo >= 0: floor div
 
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(c => right.schema(c)))

@@ -119,6 +119,12 @@ object BpeTrain {
   private def merges(docsIn: DataFrame, idCol: String, textCol: String,
       rounds: Int, safePairRe: String): Seq[(Long, String, Long)] = {
     var docs = docsIn.select(col(idCol), col(textCol).as("text"))
+    // FIND semantics (rlike / DuckDB regexp_matches), not String.matches'
+    // anchored full match: the single-merge loop guarded with rlike and
+    // the oracle mirrors with regexp_matches, so an unanchored
+    // safePairRe must behave identically here (r9 review). All repo
+    // callers pass ^...$-anchored patterns, where the two coincide.
+    val safePair = java.util.regex.Pattern.compile(safePairRe)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var remaining = rounds
     var halted = false
@@ -144,7 +150,7 @@ object BpeTrain {
         while (bound < 0 && i < ranked.length) {
           val (g, n) = ranked(i)
           val ts = g.split(' ')
-          if (ts.exists(toks.contains) || !g.matches(safePairRe)) bound = n
+          if (ts.exists(toks.contains) || !safePair.matcher(g).find()) bound = n
           else if (accepted.size < remaining) {
             accepted += ((g, n)); ts.foreach(toks += _)
           }

@@ -84,14 +84,27 @@ object CumVol {
     *      budget, dropping the hint degrades to a co-partitioned
     *      shuffle join with no big-side re-exchange).
     *
-    * Bucket = floor(micros-since-UTC-midnight / ceil(day/numBuckets)):
-    * monotone in time within a day, so concatenating buckets in bucket
-    * order IS the (time, tiebreak) order — rows with equal time share
-    * a bucket by construction, and the within-bucket (time, tiebreak)
-    * sort settles them exactly as [[apply]] does. The suite pins
-    * row-identity with [[apply]] on an adversarial 90%-one-key-one-day
-    * feed across bucket counts; the registered `tick_cumvol_salted`
+    * Bucket = (t − session-tz midnight of t's day) div
+    * ceil(day/numBuckets) — the SAME clock `to_date` partitions by, so
+    * bucket order is time order inside every (key, day) partition in
+    * ANY session timezone (a UTC-midnight offset would wrap around the
+    * local day under a non-UTC zone and reorder the prefix — r9
+    * review). On a 25-hour DST fall-back day the offset can exceed one
+    * standard day and mint bucket ids ≥ numBuckets; harmless — still
+    * monotone, just one extra bucket. Monotone bucketing means
+    * concatenating buckets in bucket order IS the (time, tiebreak)
+    * order — rows with equal time share a bucket by construction, and
+    * the within-bucket (time, tiebreak) sort settles them exactly as
+    * [[apply]] does. The suite pins row-identity with [[apply]] on an
+    * adversarial 90%-one-key-one-day feed across bucket counts and
+    * under a non-UTC session zone; the registered `tick_cumvol_salted`
     * certifies against the same DuckDB oracle as `tick_cumvol`.
+    *
+    * `volume` must be integral: the plain form's single sequential
+    * running sum and this form's bucket-partials-plus-offset produce
+    * identical results only when addition is associative — exact for
+    * integers, ULP-order-dependent for floats. A fractional volume
+    * fails at construction rather than diverging silently.
     *
     * Like [[AsofJoin.salted]], this is the documented escape hatch for
     * adversarial key histograms, not the default: it pays two extra
@@ -109,14 +122,27 @@ object CumVol {
       sellMark: String = "S",
       numBuckets: Int = 32): DataFrame = {
     require(numBuckets >= 1, s"cumvol salted: numBuckets $numBuckets < 1")
+    // Integral volumes only: bucket partials + offset must equal the
+    // plain form's sequential running sum EXACTLY, which needs
+    // associative addition (see scaladoc). Checked on the analyzed
+    // type so a double sneaks past neither as a column nor expression.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.select(volume.as("_v")).schema("_v").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"cumvol salted: volume must be integral, got $other — floor/cast " +
+          "it first (fractional sums are order-dependent and cannot match " +
+          "the plain form bit-for-bit)")
+    }
     val inCols = df.columns.toSeq
     val width = (DayUs + numBuckets - 1) / numBuckets
-    // pmod, not %: a pre-1970 timestamp has negative unix_micros, and
-    // the bucket must stay the [0, numBuckets) offset-in-day that
-    // to_date's floor semantics imply
+    // offset within the SESSION-TZ day that to_date partitions by; the
+    // subtraction is day-bounded (< 2^38 µs even on a DST 25h day), so
+    // the double division below cannot round across a bucket boundary
+    val dayStart = unix_micros(to_date(time).cast("timestamp"))
     val base = df.select(col("*"),
       key.as("_cv_k"), to_date(time).as("_cv_d"),
-      (pmod(unix_micros(time), lit(DayUs)) / lit(width))
+      ((unix_micros(time) - dayStart) / lit(width))
         .cast("long").as("_cv_b"),
       when(side === buyMark, volume).otherwise(lit(0))
         .cast("long").as("_cv_bv"),

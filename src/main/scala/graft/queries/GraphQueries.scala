@@ -93,6 +93,15 @@ object GraphQueries extends QueryPack {
     * projections before anything ages out. Fixture inputs are
     * immutable, so reuse is sound; at cluster scale the same memo
     * holds reliable-storage checkpoints.
+    *
+    * Bench-semantics consequence, stated openly (r9 review): queries
+    * built on these memos amortize the pinned substrate across the
+    * bench's two runs — graph_label_prop's min-of-two number prices a
+    * memo read plus its own tail, not a fresh LPA; this is what a
+    * long-lived session sees (the join_dpp_runtime precedent: one-time
+    * substrate cost excluded by design, documented). The un-amortized
+    * cost lives in ScaleProbe's graph probes, which rebuild and
+    * release the projection per run.
     */
   private val pinned = new graft.util.SessionCache[DataFrame](16,
     df => org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(df))

@@ -20,16 +20,33 @@ final class SessionCache[V <: AnyRef](maxEntries: Int,
     onEvict: V => Unit = (_: V) => ()) {
   require(maxEntries >= 1, s"SessionCache: maxEntries $maxEntries < 1")
 
+  /** Reference-identity key: `identityHashCode` alone is a 32-bit hash,
+    * not an identity — two live sessions CAN collide and would then
+    * hand one session a DataFrame bound to the other (r9 review). The
+    * wrapper keeps identityHashCode for bucketing but compares with
+    * `eq`, so a collision degrades to a bucket neighbor, never a wrong
+    * hit. The strong ref to a stopped owner lives only until its entry
+    * ages out of the LRU — the same bounded retention as before.
+    */
+  private final class IdKey(val ref: AnyRef, val name: String) {
+    override def hashCode: Int =
+      System.identityHashCode(ref) * 31 + name.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => (k.ref eq ref) && k.name == name
+      case _ => false
+    }
+  }
+
   private val m =
-    new java.util.LinkedHashMap[(Int, String), V](16, 0.75f, true) {
+    new java.util.LinkedHashMap[IdKey, V](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), V]): Boolean =
+          e: java.util.Map.Entry[IdKey, V]): Boolean =
         if (size > maxEntries) { onEvict(e.getValue); true } else false
     }
 
   def getOrElseUpdate(owner: AnyRef, key: String)(v: => V): V =
     m.synchronized {
-      val k = (System.identityHashCode(owner), key)
+      val k = new IdKey(owner, key)
       val existing = m.get(k)
       if (existing != null) existing
       else { val computed = v; m.put(k, computed); computed }

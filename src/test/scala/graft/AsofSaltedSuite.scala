@@ -126,6 +126,32 @@ class AsofSaltedSuite extends SparkSpec {
         === sortedRows(AsofJoin(t, q, "symbol", "ts", Seq("quote_mid"))))
   }
 
+  test("nanosecond-epoch longs bucket exactly (integral division, no double rounding)") {
+    // (t - lo) spans ~3.2e16 here — past 2^52, where a double-division
+    // bucket index rounds and mis-files boundary-adjacent rows (r9
+    // review). Includes rows pinned EXACTLY one unit around the bucket
+    // width multiples, the cases double rounding flips first.
+    val lo = 1700000000000000000L
+    val span = 32000000000000000L // ~1 year of nanos
+    val rng = new scala.util.Random(5)
+    val width = span / 8 + 1 // mirrors the op's width for numBuckets=8
+    val edgy = Seq.tabulate(7)(i => lo + (i + 1) * width) ++
+      Seq.tabulate(7)(i => lo + (i + 1) * width - 1) ++
+      Seq.tabulate(7)(i => lo + (i + 1) * width + 1)
+    val qTimes = (Seq.fill(150)(lo + (rng.nextDouble() * span).toLong) ++ edgy)
+      .distinct
+    val q = qTimes.zipWithIndex
+      .map { case (t, i) => ("HOT", t, i / 100.0) }
+      .toDF("symbol", "time", "quote_mid")
+    val t = (Seq.fill(200)(lo + (rng.nextDouble() * span).toLong) ++
+      edgy.map(_ + 1))
+      .zipWithIndex.map { case (tm, i) => ("HOT", tm, i) }
+      .toDF("symbol", "time", "qty")
+    assert(
+      sortedRows(AsofJoin.salted(t, q, "symbol", "time", Seq("quote_mid"), 8))
+        === sortedRows(AsofJoin(t, q, "symbol", "time", Seq("quote_mid"))))
+  }
+
   test("fractional time type is refused at construction") {
     val q = Seq(("A", 1.5, 1.0)).toDF("symbol", "time", "quote_mid")
     val t = Seq(("A", 2.5, 1)).toDF("symbol", "time", "qty")

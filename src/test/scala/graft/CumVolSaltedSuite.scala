@@ -105,6 +105,40 @@ class CumVolSaltedSuite extends SparkSpec {
     assert(runSalted(df, 8).count() === 4)
   }
 
+  test("row-identical to plain under a non-UTC session timezone") {
+    // the bucket offset must share to_date's clock: a UTC-midnight
+    // offset wraps around the LOCAL day under a non-UTC zone, reorders
+    // the bucket prefix, and corrupts the running sums (r9 review).
+    // Times straddle the UTC midnight inside one New York day.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // instants pinned by epoch (tz-independent construction): all
+      // three are NY 2024-01-01 (05:00Z Jan1 .. 05:00Z Jan2) but the
+      // last two sit in the NEXT UTC day — the wrap case
+      def at(hoursFromJan1Z: Long) =
+        new java.sql.Timestamp(1704067200000L + hoursFromJan1Z * 3600000L)
+      val df = Seq(
+        ("A", at(15), 1L, "B", 10), // NY 10:00
+        ("A", at(25), 2L, "B", 5), // NY 20:00, Jan 2 UTC
+        ("A", at(28), 3L, "S", 2)) // NY 23:00, Jan 2 UTC
+        .toDF("sym", "t", "id", "side", "vol")
+      assert(sortedRows(runSalted(df, 32)) === sortedRows(runPlain(df)))
+      val byId = runSalted(df, 32).orderBy("id")
+        .select("cumbuy").as[Long].collect().toSeq
+      assert(byId === Seq(10L, 15L, 15L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("fractional volume is refused at construction") {
+    // bucket partials + offsets only equal the plain form's sequential
+    // sum when addition is associative — exact for integers only
+    val df = Seq(("A", ts("2024-01-01 01:00:00"), 1L, "B", 1.5))
+      .toDF("sym", "t", "id", "side", "vol")
+    val e = intercept[IllegalArgumentException] { runSalted(df, 8) }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("invalid bucket count is refused at construction") {
     val df = Seq(("A", ts("2024-01-01 01:00:00"), 1L, "B", 1))
       .toDF("sym", "t", "id", "side", "vol")
