@@ -66,6 +66,13 @@ object Schemas {
     StructField("frameType", StringType),
     StructField("payload", StringType)))
 
+  /** DOC-frame payload: a document riding the same envelope wire the
+    * market frames use (stream_e2e_neardup ingests the corpus this way).
+    */
+  val docJsonSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
   /** JSON-side field names (pre-rename): `type`, not `orderType`. */
   val bookJsonSchema: StructType = StructType(Seq(
     StructField("symbol", StringType),

@@ -384,6 +384,14 @@ object DedupQueries extends QueryPack {
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The full candidate-pairs oracle, shared verbatim with
+    * `stream_e2e_neardup`: the streaming LSH arm must land on exactly
+    * the batch arm's pair set, so both certify against ONE query.
+    */
+  private[queries] val minhashPairsOracle: String =
+    s"""WITH $minhashPairsWith
+       |SELECT doc_a, doc_b FROM pairs""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "dedup_url_canonical" ->
       s"""WITH ev AS (
@@ -425,9 +433,7 @@ object DedupQueries extends QueryPack {
          |  ${h31duckOf("text")} AS h
          |FROM documents GROUP BY text""".stripMargin,
 
-    "dedup_minhash_pairs" ->
-      s"""WITH $minhashPairsWith
-         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "dedup_minhash_pairs" -> minhashPairsOracle,
 
     "dedup_winnow_pairs" ->
       s"""WITH ${graft.ops.Winnow.duckCtes(h31duck)},

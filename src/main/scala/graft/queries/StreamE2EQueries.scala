@@ -39,7 +39,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)),
     "stream_e2e_asof" -> ((s, dir) => runAsof(s, dir)),
     "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)),
-    "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)))
+    "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)),
+    "stream_e2e_neardup" -> ((s, dir) => runNearDup(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -704,10 +705,82 @@ object StreamE2EQueries extends QueryPack {
         col("volume"), col("orderType").as("order_type"))
   }
 
+  /** STREAMING NEAR-DUP end to end (round-9, twelfth streaming oracle
+    * row): the `documents` corpus as DOC envelopes → envelope source
+    * paced to multiple micro-batches → stateless MinHash band
+    * signatures (the SAME native kernel as the batch arm,
+    * [[graft.ops.MinHashLSH.signatures]]) → [[graft.streaming
+    * .LshBucketProcessor]] (transformWithState / RocksDB, keyed by
+    * (band, signature) bucket — incremental dedup at ingest: each new
+    * doc pairs against its bucket's live membership, never the corpus)
+    * → LWW sink keyed (doc_a, doc_b), whose PK upsert collapses
+    * multi-band re-emissions exactly as the batch arm's `distinct()`
+    * does → read-back vs the batch MinHash-LSH oracle — shared
+    * VERBATIM with `dedup_minhash_pairs`, so the streaming and batch
+    * arms certify against one query. Determinism: the processor's
+    * emission union is C(final bucket membership, 2) under any
+    * file→batch grouping (see its scaladoc), and signatures are pure
+    * per-document functions, so pacing is unobservable.
+    */
+  private def runNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val lines = docs.select(to_json(struct(
+      lit("docs").as("topic"),
+      lit("DOC").as("frameType"),
+      struct(col("doc_id"), col("text")).as("payload"))).as("value"))
+    val work = Files.createTempDirectory("graft_e2e_nd")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "1") // buckets fill across batches
+      .load()
+    val parsed = env.filter(col("frameType") === "DOC")
+      .select(from_json(col("payload"),
+        graft.model.Schemas.docJsonSchema).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+    val hits = graft.ops.MinHashLSH
+      .signatures(parsed, "doc_id", "text", shingleK = 3,
+        perms = 16, bands = 4)
+      .select(concat_ws("|", col("band"), col("sig")).as("bucket"),
+        col("doc_id").cast("long").as("docId"))
+      .as[graft.streaming.LshBucketProcessor.BandHit]
+    val sinkRoot = work.resolve("sink").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = hits.groupByKey(_.bucket)
+        .transformWithState(new graft.streaming.LshBucketProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "docs",
+            "neardup", Seq("doc_a", "doc_b"))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    } finally saved match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    LwwSink.read(s, sinkRoot, "docs", "neardup")
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   private val cumvolSide = (m: String) =>
     s"CAST(SUM(CASE WHEN typ = '$m' THEN CAST(floor(value) AS INT) ELSE 0 END) OVER w AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
+    // the batch MinHash-LSH pairs oracle, shared verbatim — streaming
+    // ingest must land on exactly the batch arm's candidate-pair set
+    "stream_e2e_neardup" -> DedupQueries.minhashPairsOracle,
+
     // batch mirror of the streamed leaderboard: top-5 by
     // (price DESC, sec ASC) over the deduped (symbol, second) ticks —
     // the total order the processor's merge sort uses
