@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * as of round 6 ([[AudioCodec]] on `javax.sound.sampled`: WAV/PCM) —
   * both ship with the JRE, no native dependency. [[decodeFeatures]]
   * tries them in order and falls back to the deterministic [[StubCodec]]
-  * only for payloads no installed reader accepts — now video only, for
-  * which this container has no codec. Swapping in libavcodec changes
-  * only that fallback — no plan shape, schema, or partitioning changes.
+  * only for payloads no installed reader accepts — now video PIXELS
+  * only, for which this container has no codec: the video CONTAINER
+  * layer (ISO-BMFF box parsing, track metadata, sample-table demux) is
+  * real as of round 9, see [[VideoContainer]]. Swapping in libavcodec
+  * changes only that pixel fallback — no plan shape, schema, or
+  * partitioning changes.
   */
 object Multimodal {
 

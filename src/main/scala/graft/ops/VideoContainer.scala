@@ -1,0 +1,300 @@
+package graft.ops
+
+import java.nio.ByteBuffer
+
+/** Real ISO-BMFF (MP4) container handling — the DEMUX layer of the video
+  * path, in pure JVM. The carried "video stub" gap is really two layers:
+  * pixel DECODE needs a codec this container doesn't ship (still stubbed,
+  * honestly, in [[Multimodal.StubCodec]]), but the CONTAINER — box
+  * structure, track metadata, and the sample tables that locate every
+  * frame's byte range — is plain big-endian binary parsing, the part of
+  * a video pipeline that determines scan/partition behavior at 100 TB
+  * (you demux once to know what to ship to GPU decoders; the demux is
+  * the Spark-side work). So: [[encodeMp4]] writes a minimal VALID MP4
+  * (ftyp/mdat/moov with a full stbl) whose payload follows a pure
+  * integer law, [[parse]] is a real recursive box walker extracting
+  * mvhd/tkhd/stsd/stts/stsz/stco, and [[demuxSamples]] resolves each
+  * sample's (offset, size) from the tables — all oracle-mirrorable in
+  * SQL because the law is integer arithmetic, exactly the
+  * [[Multimodal.ImageCodec]] / [[Multimodal.AudioCodec]] contract.
+  *
+  * Reference scope note: the reference pipeline carries no media at all
+  * (market data only); this belongs to the LLM-training-data pack, where
+  * multimodal corpora are first-class.
+  */
+object VideoContainer {
+
+  /** Fixed law constants: 25 fps on a millisecond timescale. */
+  val Timescale = 1000L
+  val FrameDelta = 40L
+
+  /** Sample i's payload size under the law. */
+  def sampleSize(mediaId: Long, i: Int): Int =
+    (((mediaId * 31 + i * 7) % 64) + 8).toInt
+
+  /** Byte j of sample i under the law. */
+  def sampleByte(mediaId: Long, i: Int, j: Int): Byte =
+    ((mediaId + i + j) % 256).toByte
+
+  private def box(name: String, payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length)
+    b.put(name.getBytes("US-ASCII"))
+    b.put(payload)
+    b.array()
+  }
+
+  private def concat(parts: Array[Byte]*): Array[Byte] = {
+    val out = ByteBuffer.allocate(parts.map(_.length).sum)
+    parts.foreach(out.put)
+    out.array()
+  }
+
+  /** Minimal valid MP4: `ftyp` + `mdat` (the samples, concatenated in
+    * index order at a known offset) + `moov` with one video track and a
+    * complete sample table. Layout puts `mdat` SECOND so the single
+    * `stco` chunk offset is a constant (20-byte ftyp + 8-byte mdat
+    * header = 28) rather than a moov-size fixpoint.
+    */
+  def encodeMp4(mediaId: Long, nFrames: Int, width: Int, height: Int): Array[Byte] = {
+    require(nFrames >= 1 && width >= 1 && height >= 1,
+      s"mp4 law: nFrames/width/height must be positive, got " +
+        s"($nFrames, $width, $height)")
+    val sizes = (0 until nFrames).map(sampleSize(mediaId, _))
+    val mdatPayload = ByteBuffer.allocate(sizes.sum)
+    (0 until nFrames).foreach { i =>
+      (0 until sizes(i)).foreach(j => mdatPayload.put(sampleByte(mediaId, i, j)))
+    }
+    val ftyp = box("ftyp", {
+      val p = ByteBuffer.allocate(12)
+      p.put("isom".getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII"))
+      p.array()
+    })
+    val mdat = box("mdat", mdatPayload.array())
+    val duration = FrameDelta * nFrames
+
+    val mvhd = box("mvhd", {
+      val p = ByteBuffer.allocate(100)
+      p.putInt(0) // version 0 + flags
+      p.putInt(0).putInt(0) // ctime, mtime
+      p.putInt(Timescale.toInt).putInt(duration.toInt)
+      p.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      p.putLong(0) // reserved
+      unityMatrix(p)
+      p.position(p.position() + 24) // pre_defined
+      p.putInt(2) // next_track_ID
+      p.array()
+    })
+    val tkhd = box("tkhd", {
+      val p = ByteBuffer.allocate(84)
+      p.putInt(0x000007) // v0 + enabled|in_movie|in_preview
+      p.putInt(0).putInt(0) // ctime, mtime
+      p.putInt(1).putInt(0) // track_ID, reserved
+      p.putInt(duration.toInt)
+      p.putLong(0) // reserved
+      p.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/resv
+      unityMatrix(p)
+      p.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      p.array()
+    })
+    val mdhd = box("mdhd", {
+      val p = ByteBuffer.allocate(24)
+      p.putInt(0).putInt(0).putInt(0)
+      p.putInt(Timescale.toInt).putInt(duration.toInt)
+      p.putShort(0x55C4.toShort).putShort(0) // 'und', pre_defined
+      p.array()
+    })
+    val hdlr = box("hdlr", {
+      val p = ByteBuffer.allocate(25)
+      p.putInt(0).putInt(0)
+      p.put("vide".getBytes("US-ASCII"))
+      p.array() // 12 reserved + empty name already zeroed
+    })
+    val vmhd = box("vmhd", {
+      val p = ByteBuffer.allocate(12)
+      p.putInt(0x000001) // flags: no-lean-ahead
+      p.array()
+    })
+    val dinf = box("dinf", box("dref", {
+      val p = ByteBuffer.allocate(8 + 12)
+      p.putInt(0).putInt(1) // entry_count
+      p.putInt(12).put("url ".getBytes("US-ASCII")).putInt(0x000001)
+      p.array()
+    }))
+    val stsd = box("stsd", {
+      val entry = ByteBuffer.allocate(86) // VisualSampleEntry 'mp4v'
+      entry.putInt(86).put("mp4v".getBytes("US-ASCII"))
+      entry.position(entry.position() + 6) // reserved
+      entry.putShort(1) // data_reference_index
+      entry.position(entry.position() + 16) // pre_defined/reserved
+      entry.putShort(width.toShort).putShort(height.toShort)
+      entry.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+      entry.putInt(0).putShort(1) // reserved, frame_count
+      entry.position(entry.position() + 32) // compressorname
+      entry.putShort(0x0018).putShort(-1) // depth, pre_defined
+      val p = ByteBuffer.allocate(8 + 86)
+      p.putInt(0).putInt(1).put(entry.array())
+      p.array()
+    })
+    val stts = box("stts", {
+      val p = ByteBuffer.allocate(16)
+      p.putInt(0).putInt(1).putInt(nFrames).putInt(FrameDelta.toInt)
+      p.array()
+    })
+    val stsc = box("stsc", {
+      val p = ByteBuffer.allocate(20)
+      p.putInt(0).putInt(1).putInt(1).putInt(nFrames).putInt(1)
+      p.array()
+    })
+    val stsz = box("stsz", {
+      val p = ByteBuffer.allocate(12 + 4 * nFrames)
+      p.putInt(0).putInt(0).putInt(nFrames)
+      sizes.foreach(p.putInt)
+      p.array()
+    })
+    val stco = box("stco", {
+      val p = ByteBuffer.allocate(12)
+      p.putInt(0).putInt(1).putInt(ftyp.length + 8) // mdat payload start
+      p.array()
+    })
+    val stbl = box("stbl", concat(stsd, stts, stsc, stsz, stco))
+    val minf = box("minf", concat(vmhd, dinf, stbl))
+    val mdia = box("mdia", concat(mdhd, hdlr, minf))
+    val trak = box("trak", concat(tkhd, mdia))
+    val moov = box("moov", concat(mvhd, trak))
+    concat(ftyp, mdat, moov)
+  }
+
+  private def unityMatrix(p: ByteBuffer): Unit = {
+    p.putInt(0x00010000).putInt(0).putInt(0)
+    p.putInt(0).putInt(0x00010000).putInt(0)
+    p.putInt(0).putInt(0).putInt(0x40000000)
+  }
+
+  /** Parsed container metadata — everything the sample tables declare,
+    * before any codec runs.
+    */
+  case class Mp4Meta(
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      width: Int,
+      height: Int,
+      codec: String,
+      nSamples: Int,
+      sampleSizes: Array[Int],
+      chunkOffset: Long)
+
+  private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** Real box walker: recursively visits ISO-BMFF boxes and extracts
+    * the metadata + sample tables. None ⇔ structurally not an MP4 this
+    * demuxer accepts (missing ftyp, truncated box, absent tables) —
+    * the same deterministic reject signal the image/audio codecs give,
+    * so a mixed binary column routes each payload to its real parser.
+    */
+  def parse(bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      var brand: Option[String] = None
+      var timescale = 0L
+      var duration = 0L
+      var width = 0
+      var height = 0
+      var codec: Option[String] = None
+      var sizes: Option[Array[Int]] = None
+      var declaredCount = -1
+      var chunkOffset = -1L
+
+      def walk(lo: Int, hi: Int): Unit = {
+        var pos = lo
+        while (pos + 8 <= hi) {
+          val b = ByteBuffer.wrap(bytes, pos, hi - pos)
+          val size = b.getInt()
+          val name = {
+            val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII")
+          }
+          if (size < 8 || pos + size > hi)
+            throw new IllegalArgumentException(s"truncated box $name")
+          val payload = pos + 8
+          name match {
+            case "ftyp" =>
+              val t = new Array[Byte](4)
+              ByteBuffer.wrap(bytes, payload, 4).get(t)
+              brand = Some(new String(t, "US-ASCII"))
+            case "mvhd" =>
+              val p = ByteBuffer.wrap(bytes, payload, size - 8)
+              p.getInt(); p.getInt(); p.getInt() // verflags, ctime, mtime
+              timescale = p.getInt().toLong
+              duration = p.getInt().toLong
+            case "tkhd" =>
+              val p = ByteBuffer.wrap(bytes, payload, size - 8)
+              // verflags + ctime/mtime/track/reserved/duration/reserved
+              // + layer/alt/volume/reserved + matrix = 76 bytes to width
+              p.position(p.position() + 76)
+              width = p.getInt() >>> 16
+              height = p.getInt() >>> 16
+            case "stsd" =>
+              val p = ByteBuffer.wrap(bytes, payload, size - 8)
+              p.getInt() // verflags
+              if (p.getInt() >= 1) { // entry_count
+                p.getInt() // entry size
+                val t = new Array[Byte](4); p.get(t)
+                codec = Some(new String(t, "US-ASCII"))
+              }
+            case "stsz" =>
+              val p = ByteBuffer.wrap(bytes, payload, size - 8)
+              p.getInt() // verflags
+              val fixed = p.getInt()
+              val n = p.getInt()
+              sizes = Some(
+                if (fixed != 0) Array.fill(n)(fixed)
+                else Array.fill(n)(p.getInt()))
+            case "stts" =>
+              val p = ByteBuffer.wrap(bytes, payload, size - 8)
+              p.getInt() // verflags
+              var total = 0
+              (0 until p.getInt()).foreach { _ =>
+                total += p.getInt(); p.getInt() // count, delta
+              }
+              declaredCount = total
+            case "stco" =>
+              val p = ByteBuffer.wrap(bytes, payload, size - 8)
+              p.getInt() // verflags
+              if (p.getInt() >= 1) chunkOffset = p.getInt().toLong
+            case n if Containers(n) => walk(payload, pos + size)
+            case _ => () // mdat, hdlr, vmhd, dinf: no metadata to pull
+          }
+          pos += size
+        }
+        if (pos != hi)
+          throw new IllegalArgumentException("trailing bytes after last box")
+      }
+
+      walk(0, bytes.length)
+      for {
+        b <- brand
+        c <- codec
+        sz <- sizes
+        // cross-table consistency: stts and stsz must agree, exactly
+        // the check a production demuxer runs before trusting offsets
+        if declaredCount == sz.length && chunkOffset >= 0 &&
+          timescale > 0 && width > 0 && height > 0
+      } yield Mp4Meta(b, timescale, duration, width, height, c,
+        sz.length, sz, chunkOffset)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Demux: each sample's (index, absolute byte offset, size) resolved
+    * from stsz + stco under the single-chunk stsc this encoder writes —
+    * the byte ranges a frame-level decoder (or a GPU decode service)
+    * would be handed. Pure table arithmetic; no payload scan.
+    */
+  def demuxSamples(meta: Mp4Meta): Seq[(Int, Long, Int)] = {
+    var off = meta.chunkOffset
+    meta.sampleSizes.zipWithIndex.map { case (sz, i) =>
+      val r = (i, off, sz)
+      off += sz
+      r
+    }.toSeq
+  }
+}

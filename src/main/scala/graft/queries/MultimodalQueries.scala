@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.Multimodal
+import graft.ops.{Multimodal, VideoContainer}
 
 /** Multimodal-column queries over the `documents`-derived media table
   * ([[Multimodal.fromDocuments]]: text bytes as the opaque payload, typed
@@ -27,6 +27,64 @@ object MultimodalQueries extends QueryPack {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"))
+    }),
+
+    // REAL MP4 container round-trip (round-9: the video DEMUX layer,
+    // retiring half the "video is stubbed" gap — only pixel decode
+    // remains codec-blocked): encode a valid ISO-BMFF file under the
+    // integer law, then PARSE it back with the recursive box walker
+    // (ftyp/mvhd/tkhd/stsd/stts/stsz/stco) and emit what the container
+    // declares. Same contract as media_decode_wav/imageio: the real
+    // parser's output is oracle-checked against the law's arithmetic.
+    "media_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.fromDocuments(Tables(s, dir, "documents"))
+        .filter(col("mime") === "video/mp4")
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"))
+        .as[(Long, Int, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, w, h, nf) =>
+            val bytes = VideoContainer.encodeMp4(id, nf, w, h)
+            val m = VideoContainer.parse(bytes).getOrElse(
+              throw new IllegalStateException(
+                s"box walker rejected its own MP4 for media $id"))
+            (id, m.brand, m.duration, m.width.toLong, m.height.toLong,
+              m.codec, m.nSamples.toLong,
+              m.sampleSizes.map(_.toLong).sum)
+          }
+        }
+        .toDF("media_id", "brand", "duration_ms", "width", "height",
+          "codec", "n_samples", "data_bytes")
+    }),
+
+    // REAL MP4 demux: resolve every sample's byte range from the
+    // parsed stsz+stco tables, slice the ACTUAL container bytes, and
+    // emit per-frame size + payload byte sum — proving the offsets
+    // point at the true sample data, not just echoing the tables. This
+    // is the Spark-side work of a video pipeline at 100 TB: demux
+    // locates frames, a decoder fleet (env-blocked here) consumes the
+    // ranges.
+    "media_video_demux" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.fromDocuments(Tables(s, dir, "documents"))
+        .filter(col("mime") === "video/mp4")
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"))
+        .as[(Long, Int, Int, Int)]
+        .flatMap { case (id, w, h, nf) =>
+          val bytes = VideoContainer.encodeMp4(id, nf, w, h)
+          val m = VideoContainer.parse(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"box walker rejected its own MP4 for media $id"))
+          VideoContainer.demuxSamples(m).map { case (i, off, sz) =>
+            var sum = 0L
+            var j = 0
+            while (j < sz) { sum += bytes(off.toInt + j) & 0xff; j += 1 }
+            (id, i.toLong, sz.toLong, sum)
+          }
+        }
+        .toDF("media_id", "frame_idx", "n_bytes", "sum_bytes")
     }),
 
     // 1 video → N frames generator; per-frame digest of the byte slice.
@@ -190,6 +248,36 @@ object MultimodalQueries extends QueryPack {
         |  n_chars % 480 + 1 AS height,
         |  n_chars % 7 + 1 AS n_frames
         |FROM documents""".stripMargin,
+
+    // the container-law mirror of the real MP4 box-walker round-trip:
+    // what the parser extracts from mvhd/tkhd/stsd/stts/stsz must equal
+    // the law's arithmetic (40 ms frames, the stsz size law summed)
+    "media_video_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  40 * (n_chars % 7 + 1) AS duration_ms,
+        |  n_chars % 640 + 1 AS width,
+        |  n_chars % 480 + 1 AS height,
+        |  'mp4v' AS codec,
+        |  n_chars % 7 + 1 AS n_samples,
+        |  CAST(list_sum([(doc_id * 31 + i * 7) % 64 + 8
+        |                 for i in range(0, n_chars % 7 + 1)]) AS BIGINT)
+        |    AS data_bytes
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // the sample-law mirror of the real demux: per-frame payload sums
+    // recomputed from the SLICED container bytes must match the byte
+    // law — the proof the stco/stsz offsets landed on the real data
+    "media_video_demux" ->
+      """WITH v AS (
+        |  SELECT doc_id, n_chars % 7 + 1 AS nf FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |s AS (
+        |  SELECT doc_id, f.i, (doc_id * 31 + f.i * 7) % 64 + 8 AS sz
+        |  FROM v, LATERAL (SELECT unnest(range(0, nf)) AS i) f)
+        |SELECT doc_id AS media_id, i AS frame_idx, sz AS n_bytes,
+        |  CAST(list_sum([(doc_id + i + j) % 256
+        |                 for j in range(0, sz)]) AS BIGINT) AS sum_bytes
+        |FROM s""".stripMargin,
 
     "media_frame_sample" ->
       """WITH vids AS (

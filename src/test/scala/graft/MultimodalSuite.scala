@@ -118,4 +118,58 @@ class MultimodalSuite extends SparkSpec {
     val p = StubCodec.resize("ab".getBytes, 2, 2)
     assert(p.length === 4 && p(2) === 0 && p(3) === 0)
   }
+
+  test("VideoContainer: box-walker round-trip recovers the container law exactly") {
+    import graft.ops.VideoContainer
+    val (id, nf, w, h) = (42L, 5, 320, 240)
+    val bytes = VideoContainer.encodeMp4(id, nf, w, h)
+    assert(new String(bytes.slice(4, 8), "US-ASCII") === "ftyp")
+    val m = VideoContainer.parse(bytes).getOrElse(
+      fail("parser rejected its own MP4"))
+    assert(m.brand === "isom" && m.codec === "mp4v")
+    assert(m.timescale === 1000L && m.duration === 40L * nf)
+    assert(m.width === w && m.height === h)
+    assert(m.nSamples === nf)
+    assert(m.sampleSizes.toSeq ===
+      (0 until nf).map(VideoContainer.sampleSize(id, _)))
+  }
+
+  test("VideoContainer: demuxed sample ranges cover the mdat payload exactly") {
+    import graft.ops.VideoContainer
+    val bytes = VideoContainer.encodeMp4(7L, 4, 64, 48)
+    val m = VideoContainer.parse(bytes).get
+    val samples = VideoContainer.demuxSamples(m)
+    // contiguous coverage from the chunk offset
+    assert(samples.head._2 === m.chunkOffset)
+    samples.sliding(2).foreach {
+      case Seq((_, o1, s1), (_, o2, _)) => assert(o2 === o1 + s1)
+      case _ => ()
+    }
+    // every sliced byte matches the payload law — the offsets point at
+    // real data, not just self-consistent arithmetic
+    samples.foreach { case (i, off, sz) =>
+      (0 until sz).foreach { j =>
+        assert(bytes(off.toInt + j) === VideoContainer.sampleByte(7L, i, j),
+          s"sample $i byte $j")
+      }
+    }
+    // mdat payload is exactly the samples, nothing more: mdat box size
+    // = 8 + sum(sizes) (mdat starts right after the 20-byte ftyp)
+    val mdatSize = java.nio.ByteBuffer.wrap(bytes, 20, 4).getInt
+    assert(mdatSize === 8 + m.sampleSizes.sum)
+  }
+
+  test("VideoContainer: structurally broken payloads reject as None, never throw") {
+    import graft.ops.VideoContainer
+    val good = VideoContainer.encodeMp4(3L, 2, 16, 16)
+    assert(VideoContainer.parse(Array[Byte]()) === None)
+    assert(VideoContainer.parse("not a video".getBytes) === None)
+    assert(VideoContainer.parse(good.dropRight(10)) === None) // truncated moov
+    assert(VideoContainer.parse(good.drop(20)) === None) // no ftyp brand
+    // image/audio payloads route to their own codecs, not this one
+    assert(VideoContainer.parse(
+      Multimodal.ImageCodec.encodeGradientBmp(4, 4, 0)) === None)
+    assert(VideoContainer.parse(
+      Multimodal.AudioCodec.encodePcmWav(16, 1)) === None)
+  }
 }
