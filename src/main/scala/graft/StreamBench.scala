@@ -76,14 +76,89 @@ object StreamBench {
     // drains the spool. Wall-clock covers pump start → drain end, so
     // the number includes frame decode + spool sealing.
     val (sRows, sSec, wireSec) = socketRun(spark, work, nRows)
+
+    // near-dup ingest variant — the stream_e2e_neardup dataflow at
+    // volume: DOC envelopes → native band signatures →
+    // LshBucketProcessor (RocksDB) → LWW pair sink. Docs/sec is the
+    // corpus ingest rate WITH incremental LSH dedup running, the
+    // number a crawl pipeline sizes against.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "20000").toInt
+    val (dPairs, dSec) = neardupRun(spark, work, nDocs)
     val json =
       f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus,""" +
-        f""""socket":{"rows_per_sec":${sRows / sSec}%.1f,"rows":$sRows,"sec":$sSec%.3f,"wire_sec":$wireSec%.3f}}"""
+        f""""socket":{"rows_per_sec":${sRows / sSec}%.1f,"rows":$sRows,"sec":$sSec%.3f,"wire_sec":$wireSec%.3f},""" +
+        f""""neardup":{"docs_per_sec":${nDocs / dSec}%.1f,"docs":$nDocs,"pairs":$dPairs,"sec":$dSec%.3f}}"""
     val outFile = args.headOption.getOrElse("stream_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     println(json)
     spark.stop()
+  }
+
+  /** Near-dup ingest run: doc envelopes (every 10th doc repeats one of
+    * 37 shared texts, the rest unique — buckets actually fill) drained
+    * through signature → bucket state → pair sink. Returns (distinct
+    * pairs landed, sec). Multiple micro-batches via maxFilesPerTrigger
+    * so bucket state is exercised ACROSS batches, as at ingest.
+    */
+  private def neardupRun(spark: SparkSession,
+      work: java.nio.file.Path, nDocs: Int): (Long, Double) = {
+    import spark.implicits._
+    val lines = spark.range(nDocs).select(concat(
+      lit("""{"topic": "docs", "frameType": "DOC", "payload": {"doc_id": """),
+      col("id").cast("string"),
+      lit(""", "text": """"),
+      // token laws chosen so UNIQUE docs share zero shingles (the id
+      // rides in every token) and dup groups are disjoint — otherwise
+      // shared filler tokens give all "unique" pairs J≈0.45 and LSH
+      // (correctly) explodes them into millions of candidate pairs:
+      // the measured number would be a worst-case pair storm, not
+      // corpus ingest
+      when(col("id") % 10 === 0,
+        concat(lit("g"), (col("id") % 37).cast("string"),
+          lit("a g"), (col("id") % 37).cast("string"),
+          lit("b g"), (col("id") % 37).cast("string"),
+          lit("c g"), (col("id") % 37).cast("string"),
+          lit("d g"), (col("id") % 37).cast("string"), lit("e")))
+        .otherwise(
+          concat(lit("u"), col("id").cast("string"),
+            lit("a u"), col("id").cast("string"),
+            lit("b u"), col("id").cast("string"),
+            lit("c u"), col("id").cast("string"),
+            lit("d u"), col("id").cast("string"), lit("e"))),
+      lit(""""}}""")).as("value"))
+    val sub = work.resolve("nd_spool")
+    Files.createDirectories(sub)
+    val spool = graft.source.SpoolWriter.write(lines, sub, Some(10))
+    val sinkRoot = work.resolve("nd_sink").toString
+    val tStart = System.nanoTime()
+    val env = spark.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).option("maxFilesPerTrigger", "3").load()
+    val parsed = env.filter(col("frameType") === "DOC")
+      .select(from_json(col("payload"),
+        graft.model.Schemas.docJsonSchema).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+    val hits = graft.ops.MinHashLSH.signatures(parsed, "doc_id", "text",
+        shingleK = 3, perms = 16, bands = 4)
+      .select(concat_ws("|", col("band"), col("sig")).as("bucket"),
+        col("doc_id").cast("long").as("docId"))
+      .as[graft.streaming.LshBucketProcessor.BandHit]
+    val q = hits.groupByKey(_.bucket)
+      .transformWithState(new graft.streaming.LshBucketProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", work.resolve("nd_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "docs", "nd",
+          Seq("doc_a", "doc_b"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val sec = (System.nanoTime() - tStart) / 1e9
+    val pairs = LwwSink.read(spark, sinkRoot, "docs", "nd").count()
+    (pairs, sec)
   }
 
   /** Wire-path run: loopback ServerSocket feeder → multipart frame

@@ -58,6 +58,31 @@ object SourceQueries extends QueryPack {
       rollup(s.read.schema(Schema).json(path))
     }),
 
+    // SCHEMA EVOLUTION across file "eras" (round-9): at 100 TB a lake
+    // holds years of writers, and columns appear mid-history — the read
+    // path must union schemas across files, with pre-evolution rows
+    // surfacing NULL for columns they predate. Two parquet batches
+    // (old era: no `cents`; new era: with it) under one root, read via
+    // mergeSchema; the rollup separates row counts from cents coverage
+    // so a silently-dropped era (or a zero-filled column) hash-fails.
+    // The oracle recomputes both eras from the fixture by the same
+    // even/odd rule.
+    "source_schema_evolution" -> ((s, dir) => {
+      val root = work("evolve")
+      val all = base(s, dir)
+      all.filter(col("event_id") % 2 === 0)
+        .drop("cents")
+        .write.mode("overwrite").parquet(s"$root/era=old")
+      all.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$root/era=new")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("cents")).as("n_with_cents"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("event_id")).as("min_id"))
+    }),
+
     "source_csv_roundtrip" -> ((s, dir) => {
       val path = work("csv")
       base(s, dir).write.mode("overwrite").option("header", "true").csv(path)
@@ -155,6 +180,17 @@ object SourceQueries extends QueryPack {
     "source_jsonl_roundtrip" -> mirror,
     "source_csv_roundtrip" -> mirror,
     "source_orc_roundtrip" -> mirror,
+
+    // both eras recomputed from the fixture by the same even/odd rule;
+    // pre-evolution rows contribute to n but never to cents
+    "source_schema_evolution" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_cents,
+        |  CAST(SUM(CASE WHEN event_id % 2 = 1
+        |    THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
+        |    AS sum_cents,
+        |  MIN(event_id) AS min_id
+        |FROM events GROUP BY 1""".stripMargin,
 
     "source_jsonl_corrupt" ->
       """SELECT bucket, COUNT(*) AS n,
