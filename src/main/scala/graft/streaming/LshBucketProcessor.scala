@@ -1,9 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
-import graft.streaming.LshBucketProcessor.{BandHit, BucketIds, PairRow}
+import graft.streaming.LshBucketProcessor.{BandHit, PairRow}
 
 /** Streaming MinHash-LSH near-duplicate pair emission — incremental
   * dedup at INGEST, the state shape a training-data pipeline runs so a
@@ -40,17 +40,20 @@ import graft.streaming.LshBucketProcessor.{BandHit, BucketIds, PairRow}
 class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, BandHit, PairRow] {
 
-  @transient private var state: ValueState[BucketIds] = _
+  // ListState, not ValueState[List]: membership only ever GROWS, and
+  // RocksDB's list append is a merge operand — each batch writes O(new
+  // ids), where a value rewrite writes O(total membership) per touch
+  // (quadratic state I/O over a hot bucket's lifetime)
+  @transient private var state: ListState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[BucketIds](
-      "bucket", Encoders.product[BucketIds], ttl)
+    state = getHandle.getListState[Long]("bucket", Encoders.scalaLong, ttl)
 
   override def handleInputRows(
       bucket: String,
       rows: Iterator[BandHit],
       timerValues: TimerValues): Iterator[PairRow] = {
-    val seen = Option(state.get()).map(_.ids).getOrElse(Nil)
+    val seen = state.get().toArray
     val seenSet = seen.toSet
     // sorted + deduped so the new-new walk emits each in-batch pair once
     val fresh = rows.map(_.docId).toArray.distinct.sorted
@@ -71,7 +74,7 @@ class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
         }
         i += 1
       }
-      state.update(BucketIds((seen ++ fresh).sorted))
+      state.appendList(fresh)
       out.result().iterator
     }
   }
@@ -81,9 +84,6 @@ object LshBucketProcessor {
 
   /** One (band, signature) collision: `bucket` = "band|sig". */
   case class BandHit(bucket: String, docId: Long)
-
-  /** Bucket membership so far, kept sorted. */
-  case class BucketIds(ids: List[Long])
 
   /** One candidate near-dup pair, doc_a < doc_b. */
   case class PairRow(doc_a: Long, doc_b: Long)
