@@ -214,6 +214,10 @@ object VideoContainer {
           val name = {
             val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII")
           }
+          // size==1 (64-bit largesize) and size==0 (to-end-of-file)
+          // fall into this reject: both are legal ISO-BMFF but only
+          // appear on >4 GiB boxes this demuxer never produces; a
+          // foreign file using them parses as None, not wrong offsets
           if (size < 8 || pos + size > hi)
             throw new IllegalArgumentException(s"truncated box $name")
           val payload = pos + 8

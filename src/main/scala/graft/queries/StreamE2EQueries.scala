@@ -40,7 +40,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_asof" -> ((s, dir) => runAsof(s, dir)),
     "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)),
     "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)),
-    "stream_e2e_neardup" -> ((s, dir) => runNearDup(s, dir)))
+    "stream_e2e_neardup" -> ((s, dir) => runNearDup(s, dir)),
+    "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -773,6 +774,57 @@ object StreamE2EQueries extends QueryPack {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** STREAMING HLL SKETCH end to end (round-9, thirteenth streaming
+    * oracle row): raw TICK envelopes → envelope source paced to
+    * multiple micro-batches → the SAME register pipeline as the batch
+    * arm ([[graft.ops.Hll.registers]]: native raw60 hash → bucket →
+    * max-ρ, an update-mode streaming aggregation, state bounded at
+    * M registers × groups) → LWW sink keyed (g, bucket) → read-back
+    * registers folded by [[graft.ops.Hll.estimate]] vs the batch
+    * DuckDB HLL mirror. Cardinality monitoring AT INGEST — the
+    * 100 TB shape: leaf registers maintained streaming, estimates
+    * read off the register table without ever re-scanning data.
+    *
+    * Determinism needs NO pre-dedup, NO sorting, NO sentinel — the
+    * only e2e row with zero determinism scaffolding — because HLL
+    * registers are max-merged: duplication, arrival order, and
+    * file→batch grouping are all absorbed by the algebra (max is
+    * idempotent, commutative, associative), and update-mode re-emits
+    * each touched register's CURRENT max, which the PK upsert
+    * converges to the global max. That algebraic absorption is the
+    * point being certified.
+    */
+  private def runHll(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("time_s", expr("unix_micros(ts) div 1000000"))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
+    val work = Files.createTempDirectory("graft_e2e_hll")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2") // registers build across batches
+      .load()
+    val ticks = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+    val regs = graft.ops.Hll.registers(
+      ticks.toDF(), col("tradeType"), col("symbol"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = regs.writeStream.outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "hll",
+          Seq("g", "bucket"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    graft.ops.Hll.estimate(
+        LwwSink.read(s, sinkRoot, "feed", "hll")
+          .select(col("g"), col("bucket"), col("m_j")))
+      .select(col("g").as("trade_type"), col("n_set"), col("s_total"),
+        col("est_distinct"))
+  }
+
   private val cumvolSide = (m: String) =>
     s"CAST(SUM(CASE WHEN typ = '$m' THEN CAST(floor(value) AS INT) ELSE 0 END) OVER w AS BIGINT)"
 
@@ -780,6 +832,21 @@ object StreamE2EQueries extends QueryPack {
     // the batch MinHash-LSH pairs oracle, shared verbatim — streaming
     // ingest must land on exactly the batch arm's candidate-pair set
     "stream_e2e_neardup" -> DedupQueries.minhashPairsOracle,
+
+    // the batch HLL mirror over the same (type, symbol) derivation: the
+    // streamed register table max-merged across micro-batches must fold
+    // to EXACTLY the sketch built from the full row set in one pass
+    "stream_e2e_hll" ->
+      s"""WITH hashed AS (
+         |  SELECT CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END
+         |    AS g,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |${graft.ops.Hll.duckCtes}
+         |SELECT g AS trade_type, n_set, s_total,
+         |  ${graft.ops.Hll.estSql("s_total")} AS est_distinct
+         |FROM hlls""".stripMargin,
 
     // batch mirror of the streamed leaderboard: top-5 by
     // (price DESC, sec ASC) over the deduped (symbol, second) ticks —

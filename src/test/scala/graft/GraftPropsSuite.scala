@@ -282,6 +282,31 @@ class GraftPropsSuite extends SparkSpec {
       assert(agg.finish(merged) === xs.distinct.sorted.take(k))
     }
   }
+
+  test("property: MP4 encode→parse→demux round-trips the container law, any shape") {
+    import graft.ops.VideoContainer
+    val g = Gen.zip(Gen.choose(0L, 1000000L), Gen.choose(1, 40),
+      Gen.choose(1, 4096), Gen.choose(1, 2160))
+    forAllSeeded(g, n = 40) { case (id, nf, w, h) =>
+      val bytes = VideoContainer.encodeMp4(id, nf, w, h)
+      val m = VideoContainer.parse(bytes).getOrElse(
+        fail(s"walker rejected its own MP4 (id=$id nf=$nf w=$w h=$h)"))
+      assert(m.width === w && m.height === h && m.nSamples === nf)
+      assert(m.duration === VideoContainer.FrameDelta * nf)
+      val samples = VideoContainer.demuxSamples(m)
+      // contiguous, law-sized, and the last byte of every sample obeys
+      // the byte law (spot-checking ends catches off-by-one slicing)
+      assert(samples.map(_._3) ===
+        (0 until nf).map(VideoContainer.sampleSize(id, _)))
+      samples.foreach { case (i, off, sz) =>
+        assert(bytes(off.toInt) === VideoContainer.sampleByte(id, i, 0))
+        assert(bytes(off.toInt + sz - 1) ===
+          VideoContainer.sampleByte(id, i, sz - 1))
+      }
+      // truncation anywhere inside moov must reject, never mis-parse
+      assert(VideoContainer.parse(bytes.dropRight(1 + (nf % 7))) === None)
+    }
+  }
 }
 
 /** Minimal in-memory GroupState for exercising the pure update function
