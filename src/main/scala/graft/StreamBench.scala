@@ -83,7 +83,11 @@ object StreamBench {
     // corpus ingest rate WITH incremental LSH dedup running, the
     // number a crawl pipeline sizes against.
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOCS", "20000").toInt
-    val (dPairs, dSec) = neardupRun(spark, work, nDocs)
+    // same discipline as the tick path: a small warm pass pays the
+    // signature-kernel codegen + transformWithState class loading
+    // outside the measured run
+    neardupRun(spark, work, 1000, "ndwarm")
+    val (dPairs, dSec) = neardupRun(spark, work, nDocs, "nd")
     val json =
       f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus,""" +
         f""""socket":{"rows_per_sec":${sRows / sSec}%.1f,"rows":$sRows,"sec":$sSec%.3f,"wire_sec":$wireSec%.3f},""" +
@@ -102,7 +106,7 @@ object StreamBench {
     * so bucket state is exercised ACROSS batches, as at ingest.
     */
   private def neardupRun(spark: SparkSession,
-      work: java.nio.file.Path, nDocs: Int): (Long, Double) = {
+      work: java.nio.file.Path, nDocs: Int, tag: String): (Long, Double) = {
     import spark.implicits._
     val lines = spark.range(nDocs).select(concat(
       lit("""{"topic": "docs", "frameType": "DOC", "payload": {"doc_id": """),
@@ -127,30 +131,22 @@ object StreamBench {
             lit("c u"), col("id").cast("string"),
             lit("d u"), col("id").cast("string"), lit("e"))),
       lit(""""}}""")).as("value"))
-    val sub = work.resolve("nd_spool")
+    val sub = work.resolve(s"${tag}_spool")
     Files.createDirectories(sub)
     val spool = graft.source.SpoolWriter.write(lines, sub, Some(10))
-    val sinkRoot = work.resolve("nd_sink").toString
+    val sinkRoot = work.resolve(s"${tag}_sink").toString
     val tStart = System.nanoTime()
     val env = spark.readStream
       .format(classOf[graft.source.EnvelopeSourceProvider].getName)
       .option("path", spool).option("maxFilesPerTrigger", "3").load()
-    val parsed = env.filter(col("frameType") === "DOC")
-      .select(from_json(col("payload"),
-        graft.model.Schemas.docJsonSchema).as("d"))
-      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
-    val hits = graft.ops.MinHashLSH.signatures(parsed, "doc_id", "text",
-        shingleK = 3, perms = 16, bands = 4)
-      .select(concat_ws("|", col("band"), col("sig")).as("bucket"),
-        col("doc_id").cast("long").as("docId"))
-      .as[graft.streaming.LshBucketProcessor.BandHit]
+    val hits = graft.streaming.LshBucketProcessor.bandHits(env)
     val q = hits.groupByKey(_.bucket)
       .transformWithState(new graft.streaming.LshBucketProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF()
       .writeStream.outputMode("update")
-      .option("checkpointLocation", work.resolve("nd_ckpt").toString)
+      .option("checkpointLocation", work.resolve(s"${tag}_ckpt").toString)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "docs", "nd",
           Seq("doc_a", "doc_b"))

@@ -186,13 +186,20 @@ object VideoContainer {
       sampleSizes: Array[Int],
       chunkOffset: Long)
 
-  private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+  // trak is handled explicitly (single-track enforcement)
+  private val Containers = Set("moov", "mdia", "minf", "stbl")
 
   /** Real box walker: recursively visits ISO-BMFF boxes and extracts
     * the metadata + sample tables. None ⇔ structurally not an MP4 this
-    * demuxer accepts (missing ftyp, truncated box, absent tables) —
-    * the same deterministic reject signal the image/audio codecs give,
-    * so a mixed binary column routes each payload to its real parser.
+    * demuxer accepts — missing ftyp, truncated box, absent tables, OR
+    * any layout whose offsets it cannot model faithfully: multi-track,
+    * multi-chunk (stsc/stco beyond one chunk), version-1 boxes. The
+    * reject-don't-misread rule is what makes the None signal safe for
+    * routing a mixed binary column: a real-world interleaved MP4 parses
+    * as None rather than yielding silently wrong frame ranges. Declared
+    * counts are bounded against the backing bytes before any allocation
+    * and nesting depth is capped, so crafted headers reject instead of
+    * raising fatal OOM/StackOverflow past the NonFatal catch.
     */
   def parse(bytes: Array[Byte]): Option[Mp4Meta] =
     try {
@@ -205,8 +212,22 @@ object VideoContainer {
       var sizes: Option[Array[Int]] = None
       var declaredCount = -1
       var chunkOffset = -1L
+      var nTraks = 0
 
-      def walk(lo: Int, hi: Int): Unit = {
+      def reject(why: String): Nothing =
+        throw new IllegalArgumentException(why)
+
+      // version-0 full box only: v1 variants carry 64-bit times and
+      // would shift every later field under the fixed skips below —
+      // reject rather than misread
+      def v0(p: ByteBuffer, name: String): Unit =
+        if ((p.getInt() >>> 24) != 0) reject(s"$name version != 0")
+
+      def walk(lo: Int, hi: Int, depth: Int): Unit = {
+        // a crafted file of nested 8-byte containers must bound at an
+        // IllegalArgumentException, not a StackOverflowError (fatal,
+        // escapes the NonFatal catch); real files nest 5 deep
+        if (depth > 8) reject("box nesting > 8")
         var pos = lo
         while (pos + 8 <= hi) {
           val b = ByteBuffer.wrap(bytes, pos, hi - pos)
@@ -218,8 +239,7 @@ object VideoContainer {
           // fall into this reject: both are legal ISO-BMFF but only
           // appear on >4 GiB boxes this demuxer never produces; a
           // foreign file using them parses as None, not wrong offsets
-          if (size < 8 || pos + size > hi)
-            throw new IllegalArgumentException(s"truncated box $name")
+          if (size < 8 || pos + size > hi) reject(s"truncated box $name")
           val payload = pos + 8
           name match {
             case "ftyp" =>
@@ -228,14 +248,22 @@ object VideoContainer {
               brand = Some(new String(t, "US-ASCII"))
             case "mvhd" =>
               val p = ByteBuffer.wrap(bytes, payload, size - 8)
-              p.getInt(); p.getInt(); p.getInt() // verflags, ctime, mtime
+              v0(p, name)
+              p.getInt(); p.getInt() // ctime, mtime
               timescale = p.getInt().toLong
               duration = p.getInt().toLong
+            case "trak" =>
+              // a second track would overwrite the first's tables and
+              // demux garbage — this demuxer handles exactly one
+              nTraks += 1
+              if (nTraks > 1) reject("more than one trak")
+              walk(payload, pos + size, depth + 1)
             case "tkhd" =>
               val p = ByteBuffer.wrap(bytes, payload, size - 8)
-              // verflags + ctime/mtime/track/reserved/duration/reserved
-              // + layer/alt/volume/reserved + matrix = 76 bytes to width
-              p.position(p.position() + 76)
+              v0(p, name)
+              // ctime/mtime/track/reserved/duration/reserved
+              // + layer/alt/volume/reserved + matrix = 72 bytes to width
+              p.position(p.position() + 72)
               width = p.getInt() >>> 16
               height = p.getInt() >>> 16
             case "stsd" =>
@@ -251,31 +279,51 @@ object VideoContainer {
               p.getInt() // verflags
               val fixed = p.getInt()
               val n = p.getInt()
+              // bound the allocation by what the FILE can back: a
+              // crafted 20-byte stsz declaring 2^30 samples must not
+              // attempt a 4 GB array (OutOfMemoryError is fatal and
+              // escapes the NonFatal catch). Var-size entries must fit
+              // the box; fixed-size samples must fit the file.
+              if (n < 0) reject("negative stsz count")
+              if (fixed == 0 && 12L + 4L * n > size - 8)
+                reject("stsz entries exceed box")
+              if (fixed != 0 && n.toLong * math.max(fixed, 1) > bytes.length)
+                reject("stsz samples exceed file")
               sizes = Some(
                 if (fixed != 0) Array.fill(n)(fixed)
                 else Array.fill(n)(p.getInt()))
             case "stts" =>
               val p = ByteBuffer.wrap(bytes, payload, size - 8)
               p.getInt() // verflags
+              val entries = p.getInt()
+              if (entries < 0 || 8L + 8L * entries > size - 8)
+                reject("stts entries exceed box")
               var total = 0
-              (0 until p.getInt()).foreach { _ =>
+              (0 until entries).foreach { _ =>
                 total += p.getInt(); p.getInt() // count, delta
               }
               declaredCount = total
+            case "stsc" =>
+              val p = ByteBuffer.wrap(bytes, payload, size - 8)
+              p.getInt() // verflags
+              // single chunk only: multi-chunk layouts interleave
+              // samples across mdat ranges demuxSamples doesn't model
+              if (p.getInt() != 1 || p.getInt() != 1)
+                reject("stsc: not a single-chunk layout")
             case "stco" =>
               val p = ByteBuffer.wrap(bytes, payload, size - 8)
               p.getInt() // verflags
-              if (p.getInt() >= 1) chunkOffset = p.getInt().toLong
-            case n if Containers(n) => walk(payload, pos + size)
+              if (p.getInt() != 1) reject("stco: not exactly one chunk")
+              chunkOffset = p.getInt().toLong
+            case n if Containers(n) => walk(payload, pos + size, depth + 1)
             case _ => () // mdat, hdlr, vmhd, dinf: no metadata to pull
           }
           pos += size
         }
-        if (pos != hi)
-          throw new IllegalArgumentException("trailing bytes after last box")
+        if (pos != hi) reject("trailing bytes after last box")
       }
 
-      walk(0, bytes.length)
+      walk(0, bytes.length, 0)
       for {
         b <- brand
         c <- codec

@@ -738,16 +738,7 @@ object StreamE2EQueries extends QueryPack {
       .option("path", spool)
       .option("maxFilesPerTrigger", "1") // buckets fill across batches
       .load()
-    val parsed = env.filter(col("frameType") === "DOC")
-      .select(from_json(col("payload"),
-        graft.model.Schemas.docJsonSchema).as("d"))
-      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
-    val hits = graft.ops.MinHashLSH
-      .signatures(parsed, "doc_id", "text", shingleK = 3,
-        perms = 16, bands = 4)
-      .select(concat_ws("|", col("band"), col("sig")).as("bucket"),
-        col("doc_id").cast("long").as("docId"))
-      .as[graft.streaming.LshBucketProcessor.BandHit]
+    val hits = graft.streaming.LshBucketProcessor.bandHits(env)
     val sinkRoot = work.resolve("sink").toString
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val saved = s.conf.getOption(providerKey)

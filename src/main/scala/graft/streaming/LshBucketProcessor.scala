@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 import graft.streaming.LshBucketProcessor.{BandHit, PairRow}
@@ -87,4 +88,29 @@ object LshBucketProcessor {
 
   /** One candidate near-dup pair, doc_a < doc_b. */
   case class PairRow(doc_a: Long, doc_b: Long)
+
+  /** Shared DOC-envelope → band-hit projection — the ONE place the
+    * parse schema, LSH parameters, and bucket encoding live. The
+    * registered query, StreamBench's ingest arm, and the restart suite
+    * all call this; a parameter drift in one copy would silently
+    * desynchronize the bench and the restart proof from the certified
+    * query (same lesson as StreamE2EQueries.tickLines).
+    */
+  def bandHits(
+      env: DataFrame,
+      shingleK: Int = 3,
+      perms: Int = 16,
+      bands: Int = 4): Dataset[BandHit] = {
+    val sp = env.sparkSession
+    import sp.implicits._
+    val parsed = env.filter(col("frameType") === "DOC")
+      .select(from_json(col("payload"),
+        graft.model.Schemas.docJsonSchema).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+    graft.ops.MinHashLSH
+      .signatures(parsed, "doc_id", "text", shingleK, perms, bands)
+      .select(concat_ws("|", col("band"), col("sig")).as("bucket"),
+        col("doc_id").cast("long").as("docId"))
+      .as[BandHit]
+  }
 }

@@ -46,15 +46,7 @@ class StreamingNearDupRestartSuite extends SparkSpec {
     def run(): Unit = {
       val env = spark.readStream.format(fmt)
         .option("path", spool.toString).load()
-      val parsed = env.filter(col("frameType") === "DOC")
-        .select(from_json(col("payload"),
-          graft.model.Schemas.docJsonSchema).as("d"))
-        .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
-      val hits = MinHashLSH.signatures(parsed, "doc_id", "text",
-          shingleK = 3, perms = 16, bands = 4)
-        .select(concat_ws("|", col("band"), col("sig")).as("bucket"),
-          col("doc_id").as("docId"))
-        .as[LshBucketProcessor.BandHit]
+      val hits = LshBucketProcessor.bandHits(env)
       val q = hits.groupByKey(_.bucket)
         .transformWithState(new LshBucketProcessor(),
           TimeMode.None(), OutputMode.Update())
