@@ -693,7 +693,8 @@ object ScaleQueries extends QueryPack {
     * generated from [[CountMin.A]]/[[CountMin.B]] so the two engines can
     * never drift.
     */
-  private def cmsRowsDuck: String =
+  /** Shared with `stream_e2e_cms`: one coefficient table, zero drift. */
+  private[queries] def cmsRowsDuck: String =
     (0 until CountMin.Depth)
       .map(d => s"(${d}, ${CountMin.A(d)}, ${CountMin.B(d)})")
       .mkString("(VALUES ", ", ", ") AS v(d, a, b)")

@@ -41,7 +41,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)),
     "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)),
     "stream_e2e_neardup" -> ((s, dir) => runNearDup(s, dir)),
-    "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)))
+    "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)),
+    "stream_e2e_cms" -> ((s, dir) => runCms(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -816,6 +817,68 @@ object StreamE2EQueries extends QueryPack {
         col("est_distinct"))
   }
 
+  /** STREAMING COUNT-MIN SKETCH end to end (round-9, fourteenth
+    * streaming oracle row): raw TICK envelopes → Depth×Width register
+    * COUNTS maintained as an update-mode streaming aggregation → LWW
+    * sink keyed (d, cell) → read-back registers probed with the top-10
+    * symbols (batch side, same derivation) vs the batch CMS mirror.
+    * The complement of `stream_e2e_hll`'s determinism leg: HLL's
+    * register max is IDEMPOTENT (duplication is absorbed by algebra),
+    * while CMS registers are SUMS — every envelope row must count
+    * exactly once across micro-batches and restarts, so this row
+    * certifies the engine's checkpointed exactly-once aggregation
+    * rather than algebraic absorption. State is bounded at
+    * Depth × Width cells regardless of stream length — frequency
+    * monitoring at ingest with estimates probed off the register
+    * table, never re-scanning data.
+    */
+  private def runCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{CountMin, TextHash}
+    val base = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("time_s", expr("unix_micros(ts) div 1000000"))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
+    val work = Files.createTempDirectory("graft_e2e_cms")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2") // counts accumulate across batches
+      .load()
+    val regs = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .select(TextHash.h31(col("symbol")).as("h"))
+      .select(posexplode(CountMin.cells(col("h"))).as(Seq("i", "dc")))
+      .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = regs.writeStream.outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "cms",
+          Seq("d", "cell"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // probe side (batch, same symbol derivation): top-10 true counts,
+    // estimate = min over the symbol's Depth cells in the STREAMED
+    // register table
+    val top = base
+      .select(col("user_id").cast("string").as("symbol"))
+      .groupBy("symbol").agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("symbol")).limit(10)
+      .withColumn("h", TextHash.h31(col("symbol")))
+    val probes = top
+      .select(col("symbol"), col("n_true"),
+        posexplode(CountMin.cells(col("h"))).as(Seq("i", "dc")))
+      .select(col("symbol"), col("n_true"),
+        col("dc.d").as("d"), col("dc.cell").as("cell"))
+    LwwSink.read(s, sinkRoot, "feed", "cms")
+      .select(col("d"), col("cell"), col("n"))
+      .join(broadcast(probes), Seq("d", "cell"))
+      .groupBy("symbol", "n_true")
+      .agg(min(col("n")).as("est"))
+  }
+
   private val cumvolSide = (m: String) =>
     s"CAST(SUM(CASE WHEN typ = '$m' THEN CAST(floor(value) AS INT) ELSE 0 END) OVER w AS BIGINT)"
 
@@ -823,6 +886,35 @@ object StreamE2EQueries extends QueryPack {
     // the batch MinHash-LSH pairs oracle, shared verbatim — streaming
     // ingest must land on exactly the batch arm's candidate-pair set
     "stream_e2e_neardup" -> DedupQueries.minhashPairsOracle,
+
+    // the batch CMS mirror over the same symbol derivation: streamed
+    // register SUMS (exactly-once across batches) probed at the top-10
+    // true frequencies
+    "stream_e2e_cms" ->
+      s"""WITH sy AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS symbol,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % ${graft.ops.TextHash.P31} AS h
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |rws AS (SELECT * FROM ${ScaleQueries.cmsRowsDuck}),
+         |sk AS (
+         |  SELECT d, cell, COUNT(*) AS n FROM (
+         |    SELECT r.d, ((t.h * r.a + r.b) % ${graft.ops.TextHash.P31})
+         |      % ${graft.ops.CountMin.Width} AS cell
+         |    FROM sy t, rws r)
+         |  GROUP BY d, cell),
+         |tops AS (
+         |  SELECT symbol, h, COUNT(*) AS n_true FROM sy GROUP BY symbol, h
+         |  ORDER BY n_true DESC, symbol LIMIT 10),
+         |pr AS (
+         |  SELECT t.symbol, t.n_true, r.d,
+         |    ((t.h * r.a + r.b) % ${graft.ops.TextHash.P31})
+         |      % ${graft.ops.CountMin.Width} AS cell
+         |  FROM tops t, rws r)
+         |SELECT p.symbol, CAST(p.n_true AS BIGINT) AS n_true,
+         |  CAST(MIN(s.n) AS BIGINT) AS est
+         |FROM pr p JOIN sk s ON p.d = s.d AND p.cell = s.cell
+         |GROUP BY p.symbol, p.n_true""".stripMargin,
 
     // the batch HLL mirror over the same (type, symbol) derivation: the
     // streamed register table max-merged across micro-batches must fold
