@@ -365,10 +365,11 @@ object DedupQueries extends QueryPack {
     s"sqrt(list_reduce([CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE) for i in range(1, len($v)+1)], (acc, x) -> acc + x))"
 
   /** MinHash→banded-LSH candidate pairs as a reusable WITH body ending
-    * in a `pairs(doc_a, doc_b)` CTE (shared by the pairs oracle and the
-    * component-closure oracle).
+    * in a `pairs(doc_a, doc_b)` CTE (shared by the pairs oracle, the
+    * component-closure oracle, and SamplingQueries'
+    * `split_leakage_audit` mirror).
     */
-  private val minhashPairsWith =
+  private[queries] val minhashPairsWith =
     s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id,
        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS sh

@@ -215,6 +215,93 @@ object SamplingQueries extends QueryPack {
       rates.join(sampled, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("thresh_micro"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    }),
+
+    // Leakage-safe split: split_train_test keys membership on doc_id,
+    // so two byte-identical copies of a document can land on opposite
+    // sides — the textbook train/test contamination. Here the split is
+    // keyed on the DUPLICATE CLUSTER's representative (min doc_id of
+    // the exact-dup group), so a whole cluster moves as one unit and
+    // exact duplicates can never straddle the boundary. Grouping by
+    // `text` is the dedup_exact shape (at 100 TB: group by a content
+    // hash — one shuffle of (hash, metadata) pairs, never the bodies);
+    // the rollup after it is per-cluster rows, already tiny.
+    "split_cluster_safe" -> ((s, dir) => {
+      val clusters = Tables(s, dir, "documents")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("rep"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+      val slot = pmod(TextHash.h31(col("rep").cast("string")), lit(100))
+      clusters
+        .withColumn("split",
+          when(slot < 80, "train").when(slot < 90, "valid").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("chars")).as("total_chars"))
+    }),
+
+    // Split-leakage AUDIT: how many NEAR-duplicate pairs does the
+    // doc_id-keyed split cut across the train/valid/test boundary?
+    // (split_cluster_safe fixes exact dups; near-dups need the MinHash
+    // candidate pairs.) Membership is the same pure hash of doc_id as
+    // split_train_test, so each pair's two sides are scan-side
+    // projections of the pair row itself — no join back to the corpus.
+    // Pair volume is the LSH-bounded candidate set (quadratic only in
+    // true cluster size), and the rollup is 6 rows. The `leaked` flag
+    // aggregates to the one number a pipeline gates on: non-zero means
+    // eval rows have a near-copy in train.
+    "split_leakage_audit" -> ((s, dir) => {
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val slot = pmod(TextHash.h31(c.cast("string")), lit(100))
+        when(slot < 80, "train").when(slot < 90, "valid").otherwise("test")
+      }
+      graft.ops.MinHashLSH.candidatePairs(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .withColumn("sa", splitOf(col("doc_a")))
+        .withColumn("sb", splitOf(col("doc_b")))
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaked", (col("split_lo") =!= col("split_hi")).cast("int"))
+    }),
+
+    // Token-budget allocation: fill 30 % of the corpus token budget with
+    // an equal per-source share (capped at what each source has) — the
+    // "mix N sources into one training budget" step downstream of
+    // temperature weighting. Selection inside a source is a greedy
+    // prefix in deterministic hash order: a doc is in iff its running
+    // token total fits the target, so the kept set is a pure function
+    // of (corpus, budget) — rerunnable anywhere. All arithmetic is
+    // integer (token counts, DIV), no float thresholds. Plan: one
+    // scan-side token count, a tiny per-source rollup broadcast back,
+    // one window shuffle on source for the running sum, then a 5-row
+    // rollup riding the same partitioning.
+    "sample_token_budget" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_tok", size(TextHash.tokens(col("text"))).cast("long"))
+      val per = docs.groupBy("source").agg(sum(col("n_tok")).as("src_tok"))
+      val tot = per.agg(sum(col("src_tok")).as("all_tok"),
+        count(lit(1)).as("n_src"))
+      val targets = per.crossJoin(broadcast(tot))
+        .withColumn("target_tok",
+          least(col("src_tok"), expr("all_tok * 3 DIV 10 DIV n_src")))
+        .select("source", "src_tok", "target_tok")
+      val w = W.partitionBy("source")
+        .orderBy(TextHash.h31(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      docs
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .join(broadcast(targets), Seq("source"))
+        .groupBy("source")
+        .agg(count(when(col("cum_tok") <= col("target_tok"), 1)).as("n_sel"),
+          coalesce(sum(when(col("cum_tok") <= col("target_tok"),
+            col("n_tok"))), lit(0L)).as("tok_sel"),
+          min(col("target_tok")).as("target_tok"),
+          min(col("src_tok")).as("src_tok"))
     })
   )
 
@@ -364,6 +451,65 @@ object SamplingQueries extends QueryPack {
          |  GROUP BY 1)
          |SELECT r.source, r.n_docs, r.thresh_micro,
          |  COALESCE(n_sampled, 0) AS n_sampled
-         |FROM rates r LEFT JOIN samp USING (source)""".stripMargin
+         |FROM rates r LEFT JOIN samp USING (source)""".stripMargin,
+
+    "split_cluster_safe" ->
+      s"""WITH c AS (
+         |  SELECT min(doc_id) AS rep, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars
+         |  FROM documents GROUP BY text)
+         |SELECT CASE WHEN slot < 80 THEN 'train'
+         |            WHEN slot < 90 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  COUNT(*) AS n_clusters,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(chars) AS BIGINT) AS total_chars
+         |FROM (SELECT n_docs, chars,
+         |        ${h("CAST(rep AS VARCHAR)")} % 100 AS slot
+         |      FROM c)
+         |GROUP BY 1""".stripMargin,
+
+    "split_leakage_audit" -> {
+      def splitOf(e: String) =
+        s"""CASE WHEN ${h(s"CAST($e AS VARCHAR)")} % 100 < 80 THEN 'train'
+           |     WHEN ${h(s"CAST($e AS VARCHAR)")} % 100 < 90 THEN 'valid'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH ${DedupQueries.minhashPairsWith},
+         |sp AS (
+         |  SELECT ${splitOf("doc_a")} AS sa, ${splitOf("doc_b")} AS sb
+         |  FROM pairs)
+         |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(least(sa, sb) <> greatest(sa, sb) AS INTEGER) AS leaked
+         |FROM sp GROUP BY 1, 2""".stripMargin
+    },
+
+    "sample_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+         |        FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(src_tok) AS BIGINT) AS all_tok,
+         |          COUNT(*) AS n_src FROM per),
+         |tg AS (SELECT source, src_tok,
+         |         least(src_tok, all_tok * 3 // 10 // n_src) AS target_tok
+         |       FROM per, tot),
+         |c AS (
+         |  SELECT source, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY source
+         |      ORDER BY ${h("CAST(doc_id AS VARCHAR)")}, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tok
+         |  FROM d)
+         |SELECT c.source,
+         |  COUNT(CASE WHEN cum_tok <= target_tok THEN 1 END) AS n_sel,
+         |  COALESCE(CAST(SUM(CASE WHEN cum_tok <= target_tok
+         |    THEN n_tok END) AS BIGINT), 0) AS tok_sel,
+         |  MIN(target_tok) AS target_tok,
+         |  MIN(tg.src_tok) AS src_tok
+         |FROM c JOIN tg ON c.source = tg.source
+         |GROUP BY 1""".stripMargin
   )
 }

@@ -176,6 +176,41 @@ object SimilarityQueries extends QueryPack {
           .filter(col("q_id") < 5).select(col("q_id"), col("n_id"))))
     }),
 
+    // Rank-QUALITY gate: recall counts how many true neighbors an
+    // approximate index returns; NDCG@k also scores WHERE it puts them
+    // (a hit buried at rank 10 is worth less than one at rank 1).
+    // Graded relevance of an approx result = K+1−(its exact brute
+    // rank), 0 for non-neighbors; discount 1/log₂(p+1) comes from a
+    // literal table (the dq_benford convention — both engines parse
+    // identical IEEE doubles, no runtime transcendentals), and each
+    // gain is micro-floored to an exact integer BEFORE the sum so the
+    // aggregation is order-free (float Σ is not). dcg_micro is the
+    // exact integer; ndcg its one IEEE division by the same-floored
+    // ideal. Scale: |Q|·K rows joined against the brute top-k — the
+    // metric costs nothing beyond the probes it grades.
+    "ann_eval_ndcg" -> ((s, dir) => {
+      val brute = queries("ann_brute_topk")(s, dir)
+        .select(col("q_id"), col("n_id"), col("rnk").as("brute_rnk"))
+      def ndcgOf(name: String, probe: DataFrame): DataFrame = {
+        val gains = probe.join(brute, Seq("q_id", "n_id"), "left")
+          .withColumn("rel",
+            coalesce(lit(K + 1) - col("brute_rnk"), lit(0L)).cast("long"))
+          .withColumn("gain_micro", expr(
+            s"CAST(floor(CAST(rel AS DOUBLE) * ($NdcgDiscCase) * 1e6) AS BIGINT)"))
+          .groupBy("q_id").agg(sum(col("gain_micro")).as("dcg_micro"))
+        brute.select("q_id").distinct()
+          .join(gains, Seq("q_id"), "left")
+          .select(lit(name).as("method"), col("q_id"),
+            coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+            (coalesce(col("dcg_micro"), lit(0L)).cast("double") /
+              lit(IdcgMicro.toDouble)).as("ndcg"))
+      }
+      ndcgOf("lsh", queries("ann_lsh_topk")(s, dir)
+          .filter(col("q_id") < 5).select("q_id", "n_id", "rnk"))
+        .union(ndcgOf("ivf", queries("ann_ivf_topk")(s, dir)
+          .filter(col("q_id") < 5).select("q_id", "n_id", "rnk")))
+    }),
+
     "knn_label_vote" -> ((s, dir) => {
       val votes = topk(scored(s, dir))
         .groupBy(col("q_id"), col("label"))
@@ -219,6 +254,24 @@ object SimilarityQueries extends QueryPack {
         .select("q_id", "n_id", "cos", "rnk")
     })
   )
+
+  /** 1/log₂(p+1) for p = 1..K as a simple-CASE over a column `rnk`,
+    * rendered as e-notation literals (the dq_benford convention) so
+    * both grammars parse the identical IEEE doubles.
+    */
+  private val NdcgDiscCase: String =
+    (1 to K).map { p =>
+      f"WHEN $p THEN ${1.0 / (math.log(p + 1.0) / math.log(2.0))}%.17e"
+    }.mkString("CASE rnk ", " ", " ELSE 0e0 END")
+
+  /** Ideal DCG in micro units: the same per-position micro-floor the
+    * engines apply, summed exactly in Scala — one shared integer.
+    */
+  private val IdcgMicro: Long =
+    (1 to K).map { p =>
+      val disc = 1.0 / (math.log(p + 1.0) / math.log(2.0))
+      math.floor((K + 1 - p).toDouble * disc * 1e6).toLong
+    }.sum
 
   // ---- DuckDB mirrors --------------------------------------------------
   private def dotOf(a: String, b: String) =
@@ -269,48 +322,93 @@ object SimilarityQueries extends QueryPack {
        |  WHERE r = 1)"""
       .stripMargin
 
+  /** LSH approximate top-k as a CTE chain ending in
+    * `ltk(q_id, n_id, rnk)` — shared by the recall and NDCG oracles.
+    * Expects the `bands` CTE (signBandsDuckCte) in scope.
+    */
+  private val lshTopkCtes: String =
+    s"""lcand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM (SELECT * FROM bands WHERE vec_id < 50) q
+       |  JOIN bands c
+       |    ON q.band = c.band AND q.bucket = c.bucket
+       |   AND q.vec_id <> c.vec_id),
+       |lsc AS (
+       |  SELECT q_id, n_id, $cosAB AS cos
+       |  FROM lcand
+       |  JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+       |    ON q.vec_id = q_id
+       |  JOIN (SELECT vec_id, embedding AS nv FROM embeddings) c
+       |    ON c.vec_id = n_id),
+       |ltk AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |      AS rnk
+       |  FROM lsc)""".stripMargin
+
+  /** Flat-IVF approximate top-k as a CTE chain ending in
+    * `itk(q_id, n_id, rnk)` — shared by the recall and NDCG oracles.
+    */
+  private val ivfTopkCtes: String =
+    s"""icents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id % 101 = 0),
+       |iassign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cent_id) AS r
+       |    FROM embeddings e CROSS JOIN icents c)
+       |  WHERE r = 1),
+       |isc AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosAB AS cos
+       |  FROM (SELECT vec_id, embedding AS qv, cell FROM iassign
+       |        WHERE vec_id < 20) q
+       |  JOIN (SELECT vec_id, embedding AS nv, cell FROM iassign) c
+       |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+       |itk AS (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |      AS rnk
+       |  FROM isc)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "ann_eval_ndcg" -> {
+      def gainsOf(tkName: String) =
+        s"""SELECT l.q_id,
+           |    CAST(floor(CAST(CASE WHEN t.brnk IS NOT NULL
+           |        THEN ${K + 1} - t.brnk ELSE 0 END AS DOUBLE)
+           |      * ($NdcgDiscCase) * 1e6) AS BIGINT) AS gm
+           |  FROM (SELECT q_id, n_id, rnk FROM $tkName
+           |        WHERE rnk <= $K AND q_id < 5) l
+           |  LEFT JOIN bt t ON t.q_id = l.q_id AND t.n_id = l.n_id""".stripMargin
+      s"""WITH ${VectorOps.signBandsDuckCte()},
+         |$lshTopkCtes,
+         |$ivfTopkCtes,
+         |$bruteTopkCte,
+         |bt AS (SELECT q_id, n_id, rnk AS brnk FROM tk WHERE rnk <= $K),
+         |gl AS (${gainsOf("ltk")}),
+         |gi AS (${gainsOf("itk")}),
+         |dl AS (SELECT q_id, CAST(SUM(gm) AS BIGINT) AS dcg_micro
+         |       FROM gl GROUP BY 1),
+         |di AS (SELECT q_id, CAST(SUM(gm) AS BIGINT) AS dcg_micro
+         |       FROM gi GROUP BY 1),
+         |qs AS (SELECT DISTINCT q_id FROM bt)
+         |SELECT 'lsh' AS method, qs.q_id,
+         |  COALESCE(dcg_micro, 0) AS dcg_micro,
+         |  CAST(COALESCE(dcg_micro, 0) AS DOUBLE) / ${IdcgMicro}e0 AS ndcg
+         |FROM qs LEFT JOIN dl ON qs.q_id = dl.q_id
+         |UNION ALL
+         |SELECT 'ivf' AS method, qs.q_id,
+         |  COALESCE(dcg_micro, 0) AS dcg_micro,
+         |  CAST(COALESCE(dcg_micro, 0) AS DOUBLE) / ${IdcgMicro}e0 AS ndcg
+         |FROM qs LEFT JOIN di ON qs.q_id = di.q_id""".stripMargin
+    },
+
     "ann_eval_recall" ->
       s"""WITH ${VectorOps.signBandsDuckCte()},
-         |lcand AS (
-         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
-         |  FROM (SELECT * FROM bands WHERE vec_id < 50) q
-         |  JOIN bands c
-         |    ON q.band = c.band AND q.bucket = c.bucket
-         |   AND q.vec_id <> c.vec_id),
-         |lsc AS (
-         |  SELECT q_id, n_id, $cosAB AS cos
-         |  FROM lcand
-         |  JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
-         |    ON q.vec_id = q_id
-         |  JOIN (SELECT vec_id, embedding AS nv FROM embeddings) c
-         |    ON c.vec_id = n_id),
-         |ltk AS (
-         |  SELECT q_id, n_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
-         |      AS rnk
-         |  FROM lsc),
-         |icents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-         |  WHERE vec_id % 101 = 0),
-         |iassign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosOf("e.embedding", "c.cv")} DESC, c.cent_id) AS r
-         |    FROM embeddings e CROSS JOIN icents c)
-         |  WHERE r = 1),
-         |isc AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosAB AS cos
-         |  FROM (SELECT vec_id, embedding AS qv, cell FROM iassign
-         |        WHERE vec_id < 20) q
-         |  JOIN (SELECT vec_id, embedding AS nv, cell FROM iassign) c
-         |    ON q.cell = c.cell AND q.vec_id <> c.vec_id),
-         |itk AS (
-         |  SELECT q_id, n_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
-         |      AS rnk
-         |  FROM isc),
+         |$lshTopkCtes,
+         |$ivfTopkCtes,
          |$bruteTopkCte,
          |b AS (SELECT q_id, COUNT(*) AS n_brute FROM tk
          |      WHERE rnk <= $K GROUP BY 1),

@@ -34,6 +34,21 @@ object TextQueries extends QueryPack {
     */
   private val BpeTrainRounds = 3
 
+  /** text_bm25_topk query terms (fixture-vocabulary tokens). */
+  private val Bm25Terms = Seq("spark", "join", "table")
+  private val Bm25TermsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
+
+  /** The BM25 tf-saturation factor tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with k1 = 1.2, b = 0.75, avgdl = tot_tok/n_docs — one shared
+    * left-associated expression over exact integer columns (tf, dl,
+    * tot_tok, n_docs), parsed by both grammars into the identical IEEE
+    * evaluation.
+    */
+  private val Bm25TfSatSql =
+    "CAST(tf AS DOUBLE) * 2.2e0 / (CAST(tf AS DOUBLE) + 1.2e0 * " +
+      "(2.5e-1 + 7.5e-1 * CAST(dl AS DOUBLE) / " +
+      "(CAST(tot_tok AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+
   /** The unrolled BPE merge cascade as a WITH body: d0 = corpus, then
     * per round a bigram rollup, safe-winner pick, and corpus rewrite —
     * ends at `d$BpeTrainRounds` (the fully merged corpus) and `top$r`
@@ -254,6 +269,43 @@ object TextQueries extends QueryPack {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(desc("n"), asc("token"))
         .limit(100)
+    }),
+
+    // BM25 term-at-a-time retrieval: per query term, the top-10 docs by
+    // the BM25 term score (k1 = 1.2, b = 0.75). Within one term the idf
+    // factor is a positive constant, so the per-term ranking IS the
+    // ranking by the tf-saturation component — computed here as one
+    // shared rational expression over exact integer inputs (tf, dl,
+    // corpus totals), no transcendental for the engines to round apart
+    // (the text_bigram_lift discipline); df ships in the output so the
+    // downstream combiner applies whichever idf variant it wants when
+    // summing terms (the document-at-a-time accumulate is a groupBy on
+    // doc over these postings). Plan: dl is a scan-side projection
+    // carried through the explode, the term filter cuts the posting
+    // explode to the query's terms before the one (doc, term) rollup,
+    // df and the corpus totals are tiny broadcasts, and the top-10 is
+    // a per-term window over only the matched postings.
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("dl", size(TextHash.tokens(col("text"))).cast("long"))
+      val stats = docs.agg(sum(col("dl")).as("tot_tok"),
+        count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"),
+          explode(TextHash.tokens(col("text"))).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))
+        .orderBy(desc("tf_sat"), asc("doc_id"))
+      tf.join(broadcast(dfc), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("tf_sat", expr(Bm25TfSatSql))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("term", "doc_id", "rnk", "tf", "dl", "df", "tf_sat")
     }),
 
     // Collocation mining by LIFT: bigram strength as the exact rational
@@ -623,6 +675,29 @@ object TextQueries extends QueryPack {
              s"CASE WHEN 2 * len(list_filter(xs, x -> (x >> $i) & 1 = 1)) > len(xs) THEN ${1L << i} ELSE 0 END")
              .mkString(" + ")} AS sketch
          |FROM hx""".stripMargin,
+
+    "text_bm25_topk" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    string_split(text, ' ') AS w
+         |  FROM documents),
+         |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot_tok,
+         |         COUNT(*) AS n_docs FROM dd),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl FROM (
+         |    SELECT doc_id, dl, unnest(w) AS term FROM dd)
+         |  WHERE term IN ($Bm25TermsSql) GROUP BY 1, 2),
+         |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, tf.dl, df,
+         |    $Bm25TfSatSql AS tf_sat
+         |  FROM tf JOIN dfc USING (term), st)
+         |SELECT term, doc_id, rnk, tf, dl, df, tf_sat FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY term
+         |    ORDER BY tf_sat DESC, doc_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 10""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
