@@ -95,6 +95,37 @@ object SourceQueries extends QueryPack {
       rollup(s.read.orc(path))
     }),
 
+    // Avro roundtrip WITHOUT the spark-avro DataSource (absent offline;
+    // the avro core library is on the classpath): each task encodes its
+    // partition as one complete OCF via [[graft.source.AvroCodec]] and
+    // writes it through the Hadoop FileSystem seam (the cluster-correct
+    // path — local FS here, HDFS/S3A by config there); the read side is
+    // a binaryFile scan + per-file decode, schema-on-read from the
+    // embedded writer schema. Whole-file decode is the honest current
+    // shape; sync-marker block splitting is the documented DSv2 upgrade
+    // for multi-GB files (AvroCodec scaladoc).
+    "source_avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = work("avro")
+      base(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("cents"))
+        .as[(Long, Long, String, Long)]
+        .rdd.repartition(8)
+        .mapPartitionsWithIndex { (i, it) =>
+          val bytes = graft.source.AvroCodec.encode(it)
+          val p = new org.apache.hadoop.fs.Path(s"$path/part-$i.avro")
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val os = fs.create(p, true)
+          try os.write(bytes) finally os.close()
+          Iterator.single(i)
+        }.count()
+      rollup(s.read.format("binaryFile").load(path)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(graft.source.AvroCodec.decode)
+        .toDF("event_id", "user_id", "event_type", "cents"))
+    }),
+
     // PERMISSIVE-mode corrupt-record isolation on the batch JSON path —
     // the batch face of the streaming dead-letter (K5): every 7th line
     // is deterministically mangled into invalid JSON; the reader must
@@ -180,6 +211,7 @@ object SourceQueries extends QueryPack {
     "source_jsonl_roundtrip" -> mirror,
     "source_csv_roundtrip" -> mirror,
     "source_orc_roundtrip" -> mirror,
+    "source_avro_roundtrip" -> mirror,
 
     // both eras recomputed from the fixture by the same even/odd rule;
     // pre-evolution rows contribute to n but never to cents

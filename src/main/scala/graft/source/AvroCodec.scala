@@ -1,0 +1,93 @@
+package graft.source
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+
+/** Avro Object Container File codec for the source-roundtrip family.
+  *
+  * The environment ships the Avro CORE library (`avro-1.12.1.jar` on the
+  * Spark classpath) but not the `spark-avro` DataSource, so — like the
+  * ISO-BMFF work in [[graft.ops.VideoContainer]] — the CONTAINER layer is
+  * made real by hand: OCF header (magic, schema JSON, sync marker),
+  * snappy-compressed blocks, schema-on-read from the embedded writer
+  * schema. Spark-side plumbing stays distributed: partitions encode
+  * independently (one OCF per task), and the read path decodes whole
+  * files from a `binaryFile` scan. At 100 TB the one extra step is block
+  * SPLITTING — OCF sync markers let a DSv2 reader assign byte ranges and
+  * `DataFileReader.sync(start)` to them — while this per-file decode
+  * kernel is unchanged.
+  *
+  * Events projection only (the exactly-representable columns the other
+  * roundtrips share): `event_id/user_id/cents` long, `event_type` string.
+  */
+object AvroCodec {
+
+  val SchemaJson: String =
+    """{"type":"record","name":"Event","fields":[
+      |  {"name":"event_id","type":"long"},
+      |  {"name":"user_id","type":"long"},
+      |  {"name":"event_type","type":"string"},
+      |  {"name":"cents","type":"long"}
+      |]}""".stripMargin
+
+  // parsed per-JVM (Schema is not serializable; executors re-parse from
+  // the literal on first use)
+  private lazy val schema: Schema = new Schema.Parser().parse(SchemaJson)
+
+  /** Encode one partition's rows as a complete OCF byte stream
+    * (snappy-coded blocks). An empty iterator yields a valid
+    * header-only file that decodes to zero rows — empty partitions
+    * must not produce corrupt output.
+    */
+  def encode(rows: Iterator[(Long, Long, String, Long)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(CodecFactory.snappyCodec())
+    w.create(schema, out)
+    rows.foreach { case (eventId, userId, eventType, cents) =>
+      val r = new GenericData.Record(schema)
+      r.put("event_id", eventId)
+      r.put("user_id", userId)
+      r.put("event_type", eventType)
+      r.put("cents", cents)
+      w.append(r)
+    }
+    w.close()
+    out.toByteArray
+  }
+
+  /** Decode a complete OCF byte stream. Schema-on-read: the embedded
+    * writer schema drives decoding, then is CHECKED against the
+    * expected field layout — a foreign-but-valid Avro file must fail
+    * loudly here, not mis-map fields positionally. Non-Avro bytes fail
+    * in `openReader` with the magic-number error.
+    */
+  def decode(bytes: Array[Byte]): Iterator[(Long, Long, String, Long)] = {
+    val reader = DataFileReader.openReader(
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord]())
+    val got = reader.getSchema
+    require(got.getType == Schema.Type.RECORD &&
+      Seq("event_id", "user_id", "event_type", "cents")
+        .forall(f => got.getField(f) != null),
+      s"AvroCodec.decode: writer schema $got does not carry the Event fields")
+    new Iterator[(Long, Long, String, Long)] {
+      def hasNext: Boolean = {
+        val h = reader.hasNext
+        if (!h) reader.close()
+        h
+      }
+      def next(): (Long, Long, String, Long) = {
+        val r = reader.next()
+        (r.get("event_id").asInstanceOf[Long],
+          r.get("user_id").asInstanceOf[Long],
+          r.get("event_type").toString, // Utf8 -> String
+          r.get("cents").asInstanceOf[Long])
+      }
+    }
+  }
+}
