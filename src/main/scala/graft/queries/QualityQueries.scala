@@ -333,6 +333,25 @@ object QualityQueries extends QueryPack {
         .select(col("l_returnflag"), col("digit"), col("nd"), col("n"),
           expr(BenfordObs).as("obs_p"), col("p").as("benford_p"),
           expr(BenfordChi2).as("chi2_term"))
+    }),
+
+    // k-anonymity audit over the quasi-identifier tuple (lang, source):
+    // before a corpus slice ships, how many QI groups have fewer than
+    // k=10 members, and how many rows sit in them? (A row in a small
+    // group is re-identifiable by its QI combination alone — the
+    // release gate is n_below_k = 0, usually reached by suppressing or
+    // coarsening those groups.) One grouped count with map-side
+    // partials, then a rollup of the group table — which is bounded by
+    // QI-domain cardinality, not corpus size, so nothing row-scale
+    // survives the first aggregate.
+    "dq_k_anonymity" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("n") < 10, 1)).as("n_below_k"),
+          coalesce(sum(when(col("n") < 10, col("n"))), lit(0L))
+            .as("rows_at_risk"),
+          min(col("n")).as("min_group"))
     })
   )
 
@@ -558,6 +577,16 @@ object QualityQueries extends QueryPack {
          |SELECT l_returnflag, digit, nd, n,
          |  $BenfordObs AS obs_p, p AS benford_p,
          |  $BenfordChi2 AS chi2_term
-         |FROM p""".stripMargin
+         |FROM p""".stripMargin,
+
+    "dq_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |  COUNT(CASE WHEN n < 10 THEN 1 END) AS n_below_k,
+        |  COALESCE(CAST(SUM(CASE WHEN n < 10 THEN n END) AS BIGINT), 0)
+        |    AS rows_at_risk,
+        |  MIN(n) AS min_group
+        |FROM g""".stripMargin
   )
 }

@@ -34,6 +34,11 @@ object TextQueries extends QueryPack {
     */
   private val BpeTrainRounds = 3
 
+  /** text_vocab_coverage checkpoint sizes (the fixture vocabulary is
+    * ~31 tokens, so the curve bends inside this range).
+    */
+  private val VocabKs = Seq(5, 10, 20)
+
   /** text_bm25_topk query terms (fixture-vocabulary tokens). */
   private val Bm25Terms = Seq("spark", "join", "table")
   private val Bm25TermsSql = Bm25Terms.map(t => s"'$t'").mkString(", ")
@@ -255,6 +260,36 @@ object TextQueries extends QueryPack {
           |  graft_simhash(
           |    transform(split(text, ' '), t -> graft_hash60(t))) AS sketch
           |FROM docs_sqlfn""".stripMargin)
+    }),
+
+    // Vocabulary coverage curve — the tokenizer-sizing question: what
+    // fraction of all corpus token OCCURRENCES do the top-k vocabulary
+    // entries cover, for each candidate k? Tokens rank globally by
+    // (count desc, token) via ops/GlobalRank (range-partitioned
+    // parallel rank — the vocab table at 100 TB is itself large, and a
+    // single-partition ROW_NUMBER window would serialize it); each k's
+    // covered mass is then a conditional aggregate over the ranked
+    // table, NOT a running-sum window — the curve needs only the |K|
+    // checkpoint values. The division is the one double op, over exact
+    // integer counts.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(explode(TextHash.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total_tokens"))
+      val ranked = graft.ops.GlobalRank.withRowNumber(counts, "rn",
+        Seq(col("n").desc, col("token")))
+      ranked
+        .select(explode(array(VocabKs.map(lit): _*)).as("k"),
+          col("rn"), col("n"))
+        .filter(col("rn") <= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_vocab"), sum(col("n")).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_vocab"), col("covered_tokens"),
+          col("total_tokens"),
+          (col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double")).as("coverage"))
     }),
 
     // Corpus vocabulary, top-k by frequency: the classic wide wordcount.
@@ -698,6 +733,24 @@ object TextQueries extends QueryPack {
          |    ORDER BY tf_sat DESC, doc_id) AS rnk
          |  FROM sc)
          |WHERE rnk <= 10""".stripMargin,
+
+    "text_vocab_coverage" ->
+      s"""WITH c AS (
+         |  SELECT token, COUNT(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY 1),
+         |r AS (SELECT token, n,
+         |        row_number() OVER (ORDER BY n DESC, token) AS rn FROM c),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM c),
+         |x AS (SELECT k, rn, n
+         |      FROM r, (SELECT unnest([${VocabKs.mkString(", ")}]) AS k) ks
+         |      WHERE rn <= k)
+         |SELECT k, COUNT(*) AS n_vocab,
+         |  CAST(SUM(n) AS BIGINT) AS covered_tokens, total_tokens,
+         |  CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+         |    / CAST(total_tokens AS DOUBLE) AS coverage
+         |FROM x, t
+         |GROUP BY k, total_tokens""".stripMargin,
 
     "text_vocab_topk" ->
       """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs

@@ -95,6 +95,33 @@ class RetrievalSplitSuite extends SparkSpec {
     }
   }
 
+  test("text_vocab_coverage: monotone non-decreasing curve, bounded by 1") {
+    val out = SparkEntry.queries("text_vocab_coverage")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(5, 10, 20))
+    out.foreach { case (k, nVocab, covered, total, cov) =>
+      assert(nVocab <= k)
+      assert(covered <= total)
+      assert(cov > 0.0 && cov <= 1.0)
+    }
+    // more vocabulary can never cover fewer occurrences
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
+  }
+
+  test("dq_k_anonymity: internally consistent rollup") {
+    val docs = Tables(spark, sf, "documents")
+    val r = SparkEntry.queries("dq_k_anonymity")(spark, sf).head()
+    val (nGroups, below, atRisk, minG) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nGroups ===
+      docs.select("lang", "source").distinct().count())
+    assert(below <= nGroups)
+    // every below-k group contributes 1..9 rows
+    assert(atRisk >= below && atRisk <= below * 9)
+    assert((minG < 10) === (below > 0))
+  }
+
   test("sample_token_budget: never exceeds target or supply") {
     val out = SparkEntry.queries("sample_token_budget")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
