@@ -252,8 +252,53 @@ object SimilarityQueries extends QueryPack {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= K)
         .select("q_id", "n_id", "cos", "rnk")
+    }),
+
+    // Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) over
+    // the two approximate arms that share a query space (LSH and flat
+    // IVF, q_id < 20): score(d) = Σ_arms 1/(60 + rank_arm(d)), the
+    // standard hybrid-retrieval combiner — rank-based, so arms with
+    // incomparable score scales (cosine vs BM25 vs anything) fuse
+    // without calibration. Determinism: 1/(60+r) for r ≤ K are
+    // rationals with denominators 61..70, so scores are kept as EXACT
+    // integer numerators over the shared denominator lcm(61..70) —
+    // the fused order is exact integer comparison, never a float sum
+    // whose associativity the two engines could exercise differently.
+    // Scale: input is |Q|·K rows PER ARM (the probes' outputs, already
+    // paid for); the fusion itself is one narrow groupBy — free at any
+    // corpus size.
+    "ann_rrf_fusion" -> ((s, dir) => {
+      val arms =
+        queries("ann_lsh_topk")(s, dir).select("q_id", "n_id", "rnk")
+          .unionByName(
+            queries("ann_ivf_topk")(s, dir).select("q_id", "n_id", "rnk"))
+          .filter(col("q_id") < RrfQ)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf_num").desc, col("n_id"))
+      arms
+        .withColumn("contrib", expr(s"CAST($RrfLcm AS BIGINT) div (60 + rnk)"))
+        .groupBy("q_id", "n_id")
+        .agg(sum(col("contrib")).as("rrf_num"),
+          count(lit(1)).as("n_arms"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select("q_id", "n_id", "n_arms", "rrf_num", "rnk")
     })
   )
+
+  /** Fusion query space: the intersection of the arms' probe sets
+    * (LSH probes q_id < 50, IVF q_id < 20).
+    */
+  private val RrfQ = 20
+
+  /** lcm(61..70) — the shared denominator that makes RRF's
+    * Σ 1/(60+rank) an exact int64 sum for ranks 1..K.
+    */
+  private val RrfLcm: Long = (61L to 70L).foldLeft(1L) { (a, b) =>
+    @annotation.tailrec def gcd(x: Long, y: Long): Long =
+      if (y == 0) x else gcd(y, x % y)
+    a / gcd(a, b) * b
+  }
 
   /** 1/log₂(p+1) for p = 1..K as a simple-CASE over a column `rnk`,
     * rendered as e-notation literals (the dq_benford convention) so
@@ -373,6 +418,26 @@ object SimilarityQueries extends QueryPack {
        |  FROM isc)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "ann_rrf_fusion" ->
+      s"""WITH ${VectorOps.signBandsDuckCte()},
+         |$lshTopkCtes,
+         |$ivfTopkCtes,
+         |u AS (SELECT q_id, n_id, rnk FROM ltk
+         |      WHERE rnk <= $K AND q_id < $RrfQ
+         |      UNION ALL
+         |      SELECT q_id, n_id, rnk FROM itk
+         |      WHERE rnk <= $K AND q_id < $RrfQ),
+         |f AS (SELECT q_id, n_id, COUNT(*) AS n_arms,
+         |        CAST(SUM(CAST($RrfLcm AS BIGINT) // (60 + rnk))
+         |          AS BIGINT) AS rrf_num
+         |      FROM u GROUP BY 1, 2),
+         |r AS (SELECT q_id, n_id, n_arms, rrf_num,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY rrf_num DESC, n_id) AS rnk
+         |      FROM f)
+         |SELECT q_id, n_id, n_arms, rrf_num, rnk FROM r
+         |WHERE rnk <= $K""".stripMargin,
+
     "ann_eval_ndcg" -> {
       def gainsOf(tkName: String) =
         s"""SELECT l.q_id,

@@ -195,6 +195,52 @@ object TextQueries extends QueryPack {
           col("n_oov").cast("double") / col("n_tokens").cast("double"))
     }),
 
+    // Bigram-LM cross-entropy scoring in EXACT INTEGER BITS — the
+    // CCNet-shape quality filter (score each document under a language
+    // model trained on the corpus itself; outliers are boilerplate,
+    // gibberish, or wrong-language text). The add-one-smoothed bigram
+    // probability p(w2|w1) = (c12+1)/(c1+V) is a rational, and its
+    // -log2 is approximated as floor(log2 den) - floor(log2 num) — each
+    // floor-log2 computed EXACTLY as length(bin(n))-1, pure integer
+    // domain. That forfeits sub-bit precision (each term is within 1
+    // bit of true -log2 p) but buys engine-portable determinism: no
+    // libm log whose last ulp differs between JVM and C, and the
+    // per-doc total is an order-free int64 sum, never a float Σ whose
+    // associativity the engines could exercise differently (the
+    // agg_corr convention applied to LM scoring).
+    // Scale: gram stats are one map-side-combinable rollup each; the
+    // per-occurrence bits attach by a shuffle join on the gram (stats
+    // side is one row per bigram TYPE — AQE handles hot-gram skew);
+    // V is a broadcast scalar. Nothing is ever all-pairs.
+    "text_lm_bits" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        TextHash.tokens(col("text")).as("w"))
+      val grams = tok.select(col("doc_id"),
+        explode(TextHash.shingles(col("w"), 2)).as("g"))
+      val cg = grams.groupBy("g").agg(count(lit(1)).as("c_g"))
+      val ctx = cg.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+        .agg(sum(col("c_g")).as("c_1"))
+      val v = tok.select(explode(col("w")).as("t"))
+        .agg(countDistinct(col("t")).as("vn"))
+      val bits = cg.withColumn("w1", substring_index(col("g"), " ", 1))
+        .join(ctx, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("g"),
+          ((length(bin(col("c_1") + col("vn"))) - 1) -
+            (length(bin(col("c_g") + 1)) - 1)).cast("long").as("b"))
+      val perDoc = grams.join(bits, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("total_bits"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+          when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+            col("total_bits").cast("double") /
+              col("n_bigrams").cast("double")).as("bits_per_bigram"))
+    }),
+
     // Whitespace + BPE-ish token counts per document.
     "text_token_counts" -> ((s, dir) => {
       Tables(s, dir, "documents").select(
@@ -233,6 +279,37 @@ object TextQueries extends QueryPack {
         TextStats.langId(toks).as("pred"),
         TextStats.profileScore(toks, TextStats.LangProfiles.head._2)
           .cast("long").as("s_en"))
+    }),
+
+    // Cohen's κ of the langid classifier against the gold `lang`
+    // column — agreement corrected for chance, the number that says
+    // whether a cheap heuristic labeler is trustworthy enough to GATE
+    // data on (raw accuracy flatters any classifier on a skewed label
+    // mix). Everything up to the statistic is exact: the confusion
+    // matrix is one grouped count (map-side combinable; |classes|²
+    // rows regardless of corpus size), marginal products ride in
+    // DECIMAL(38,0) so n² survives corpus counts past int64, and κ =
+    // (n·agree − Σ ng·np) / (n² − Σ ng·np) is ONE IEEE division of the
+    // two exact operands (the agg_corr convention). Degenerate case
+    // (all mass in one class, pe = n²) yields NULL, never NaN.
+    "text_langid_kappa" -> ((s, dir) => {
+      val pred = queries("text_langid")(s, dir).select("label", "pred")
+      val conf = pred.groupBy("label", "pred").agg(count(lit(1)).as("nc"))
+      val g = conf.groupBy(col("label").as("cls")).agg(sum("nc").as("ng"))
+      val pm = conf.groupBy(col("pred").as("cls")).agg(sum("nc").as("np"))
+      val pe = g.join(pm, Seq("cls"))
+        .agg(coalesce(sum(expr("CAST(ng AS DECIMAL(38,0)) * np")),
+          expr("CAST(0 AS DECIMAL(38,0))")).as("pe_num"))
+      val t = pred.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("label") === col("pred"), lit(1L))), lit(0L))
+          .as("n_agree"))
+      t.crossJoin(broadcast(pe))
+        .select(col("n"), col("n_agree"),
+          (col("n_agree").cast("double") / col("n").cast("double")).as("po"),
+          expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - pe_num > 0 THEN" +
+            " CAST(CAST(n AS DECIMAL(38,0)) * n_agree - pe_num AS DOUBLE)" +
+            " / CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num AS DOUBLE)" +
+            " END").as("kappa"))
     }),
 
     // Composite quality score with its component signals.
@@ -585,7 +662,58 @@ object TextQueries extends QueryPack {
     s"len(list_filter(w, t -> list_contains(${inList(prof)}, t)))"
   }
 
+  /** The text_langid oracle body, shared verbatim with the kappa
+    * oracle's prediction CTE so the two can never drift apart.
+    */
+  private lazy val langidOracleSql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |             FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  ${TextStats.LangProfiles.map { case (l, _) => s"${score(l)} AS s_$l" }.mkString(", ")}
+       |  FROM tok)
+       |SELECT doc_id, lang AS label,
+       |  CASE
+       |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       |    WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+       |    ELSE 'und' END AS pred,
+       |  s_en
+       |FROM sc""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "text_lm_bits" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |      THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |      ELSE [] END) AS g
+        |  FROM tok),
+        |cg AS (SELECT g, COUNT(*) AS c_g FROM grams GROUP BY 1),
+        |ctx AS (SELECT string_split(g, ' ')[1] AS w1,
+        |         CAST(SUM(c_g) AS BIGINT) AS c_1
+        |       FROM cg GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT t) AS vn FROM (
+        |        SELECT unnest(w) AS t FROM tok)),
+        |bits AS (
+        |  SELECT g, CAST((len(bin(c_1 + vn)) - 1)
+        |    - (len(bin(c_g + 1)) - 1) AS BIGINT) AS b
+        |  FROM cg JOIN ctx ON string_split(cg.g, ' ')[1] = ctx.w1
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(b) AS BIGINT) AS total_bits
+        |  FROM grams JOIN bits USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(total_bits, 0) AS total_bits,
+        |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+        |    THEN CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |  END AS bits_per_bigram
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "text_oov_rate" ->
       """WITH vc AS (
         |  SELECT t FROM (
@@ -663,22 +791,38 @@ object TextQueries extends QueryPack {
          |  len(text) AS len
          |FROM documents""".stripMargin,
 
-    "text_langid" ->
-      s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-         |             FROM documents),
-         |sc AS (SELECT doc_id, lang,
-         |  ${TextStats.LangProfiles.map { case (l, _) => s"${score(l)} AS s_$l" }.mkString(", ")}
-         |  FROM tok)
-         |SELECT doc_id, lang AS label,
-         |  CASE
-         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |    WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-         |    WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
-         |    ELSE 'und' END AS pred,
-         |  s_en
-         |FROM sc""".stripMargin,
+    "text_langid" -> langidOracleSql,
+
+    // Classifier-vs-gold agreement corrected for chance. κ's marginals
+    // (per-class gold/pred counts and their products) stay exact
+    // integers — DECIMAL(38)/HUGEINT for the products, so the formula
+    // survives corpus counts whose square overflows int64 — and the
+    // statistic is ONE IEEE division of the two exact operands (the
+    // agg_corr convention). The HUGEINT→VARCHAR→DOUBLE hop mirrors
+    // Spark's DECIMAL→DOUBLE rounding exactly, as agg_corr pinned.
+    "text_langid_kappa" ->
+      s"""WITH p AS ($langidOracleSql),
+         |conf AS (SELECT label, pred, COUNT(*) AS nc FROM p GROUP BY 1, 2),
+         |g AS (SELECT label AS cls, CAST(SUM(nc) AS BIGINT) AS ng
+         |      FROM conf GROUP BY 1),
+         |pm AS (SELECT pred AS cls, CAST(SUM(nc) AS BIGINT) AS np
+         |       FROM conf GROUP BY 1),
+         |pe AS (SELECT COALESCE(SUM(CAST(ng AS HUGEINT) * np),
+         |         CAST(0 AS HUGEINT)) AS pe_num
+         |       FROM g JOIN pm USING (cls)),
+         |t AS (SELECT COUNT(*) AS n,
+         |        CAST(COALESCE(SUM(CASE WHEN label = pred THEN 1 END), 0)
+         |          AS BIGINT) AS n_agree
+         |      FROM p)
+         |SELECT n, n_agree,
+         |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |  CASE WHEN CAST(n AS HUGEINT) * n - pe_num > 0 THEN
+         |    CAST(CAST(CAST(n AS HUGEINT) * n_agree - pe_num AS VARCHAR)
+         |      AS DOUBLE)
+         |    / CAST(CAST(CAST(n AS HUGEINT) * n - pe_num AS VARCHAR)
+         |      AS DOUBLE)
+         |  END AS kappa
+         |FROM t CROSS JOIN pe""".stripMargin,
 
     "text_quality" ->
       s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w
