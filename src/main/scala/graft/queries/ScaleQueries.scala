@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{Centroids, CountMin, Decontaminate, Hilbert, Hll, IncrementalRollup, KmvAggregator, Scd2, TextHash, ZOrder}
+import graft.ops.{Centroids, CountMin, Decontaminate, Hilbert, Hll, IncrementalRollup, KmvAggregator, LwwDedup, Scd2, TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -299,6 +299,39 @@ object ScaleQueries extends QueryPack {
         .withColumn("hbucket", shiftrightunsigned(col("h"), 16))
     }),
 
+    // Small-file compaction PLANNER — the bin-packing that decides
+    // which files merge into which target-size output before a
+    // rewrite job runs (the operational answer to the small-files
+    // problem every streaming sink creates). Files (documents stand
+    // in: doc_id the file, n_chars its bytes, source its partition)
+    // sort size-DESC within their partition — the first-fit-decreasing
+    // flavor, large files seed bins and small ones fill gaps — and
+    // assign by running-sum division: bin = floor(bytes-before /
+    // target), so every bin is filled to the target before the next
+    // opens (overflow bounded by one file). Scale: this runs over the
+    // FILE MANIFEST — one row per file, millions of rows at 100 TB,
+    // metadata-scale by construction; the per-partition window
+    // serializes per source, so parallelism = partition count (for a
+    // few-huge-partition manifest, sub-split by date first — the
+    // planner's input is already (partition, file) shaped for that).
+    "layout_compaction_bins" -> ((s, dir) => {
+      val target = 2000L
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("bin", expr(s"(cum - n_chars) div $target"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("bytes"),
+          min(col("n_chars")).as("min_file"),
+          max(col("n_chars")).as("max_file"))
+        .withColumn("fill",
+          col("bytes").cast("double") / lit(target.toDouble))
+    }),
+
     // Binned range join — the scale rewrite for a PURE interval-
     // containment join (no equi key anywhere: every lineitem shipped
     // within 2 days of ANY same-quarter order date matches). The naive
@@ -474,6 +507,51 @@ object ScaleQueries extends QueryPack {
         .groupBy("ver")
         .agg(count(lit(1)).as("n_orders"),
           sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+    }),
+
+    // CDC apply — changelog → snapshot, the MERGE INTO every lakehouse
+    // compaction runs (Debezium-style I/U/D ops; the reference's
+    // Cassandra upsert generalized with DELETE tombstones,
+    // /root/reference/src/main.rs:87 — an upsert-only sink can never
+    // retract a row; this is the op that can). Events replay as a
+    // changelog on user_id: signup→I, error→D (tombstone), rest→U,
+    // totally ordered by (ts, event_id); base = the snapshot as of
+    // 2024-01-15, merged with everything after. Scale shape: BOTH
+    // rollups are LwwDedup.argmax — max_by map-side partials reduce
+    // each task to one candidate per key BEFORE the exchange (shuffle
+    // is O(distinct keys), the property that matters when one hot key
+    // has a million updates) — then ONE full-outer shuffle join on the
+    // key resolves base-vs-changelog, with tombstones dropped last so
+    // a D whose key re-inserts later inside the changelog window is
+    // already superseded by the rollup, never resurrected here.
+    "cdc_merge_apply" -> ((s, dir) => {
+      val t0 = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("k"), col("ts"), col("event_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        col("value"))
+      def latest(df: DataFrame): DataFrame =
+        LwwDedup.argmax(df, Seq(col("k")), Seq(col("ts"), col("event_id")))
+      val base = latest(ev.filter(col("ts") <= t0))
+        .filter(col("op") =!= "D")
+        .select(col("k"), col("ts").as("b_ts"),
+          col("event_id").as("b_eid"), col("value").as("b_value"))
+      val chgAll = ev.filter(col("ts") > t0)
+      val chg = latest(chgAll).select(col("k"), col("op").as("c_op"),
+        col("ts").as("c_ts"), col("event_id").as("c_eid"),
+        col("value").as("c_value"))
+      val chgN = chgAll.groupBy("k").agg(count(lit(1)).as("n_chg_ops"))
+      base.join(chg, Seq("k"), "full_outer")
+        .join(chgN, Seq("k"), "left")
+        .filter(coalesce(col("c_op"), lit("U")) =!= "D")
+        .select(col("k").as("user_id"),
+          coalesce(col("c_value"), col("b_value")).as("last_value"),
+          coalesce(col("c_ts"), col("b_ts")).as("last_ts"),
+          coalesce(col("c_eid"), col("b_eid")).as("last_event_id"),
+          when(col("c_op").isNotNull, "chg").otherwise("base").as("src"),
+          coalesce(col("n_chg_ops"), lit(0L)).as("n_chg_ops"))
     }),
 
     // ---- approximate quantiles via fixed-bin histogram -----------------
@@ -983,6 +1061,41 @@ object ScaleQueries extends QueryPack {
         |  ON f.o_custkey = s.c_custkey AND f.ver = s.ver
         |GROUP BY 1""".stripMargin,
 
+    "cdc_merge_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id AS k, ts, event_id,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    value
+        |  FROM events),
+        |base AS (
+        |  SELECT k, ts AS b_ts, event_id AS b_eid, value AS b_value
+        |  FROM (SELECT k, ts, event_id, value, op,
+        |          row_number() OVER (PARTITION BY k
+        |            ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1 AND op <> 'D'),
+        |chg AS (
+        |  SELECT k, op AS c_op, ts AS c_ts, event_id AS c_eid,
+        |    value AS c_value
+        |  FROM (SELECT k, ts, event_id, value, op,
+        |          row_number() OVER (PARTITION BY k
+        |            ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev WHERE ts > TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1),
+        |cn AS (SELECT k, COUNT(*) AS n_chg_ops FROM ev
+        |       WHERE ts > TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1)
+        |SELECT COALESCE(b.k, c.k) AS user_id,
+        |  COALESCE(c_value, b_value) AS last_value,
+        |  COALESCE(c_ts, b_ts) AS last_ts,
+        |  COALESCE(c_eid, b_eid) AS last_event_id,
+        |  CASE WHEN c_op IS NOT NULL THEN 'chg' ELSE 'base' END AS src,
+        |  COALESCE(n_chg_ops, 0) AS n_chg_ops
+        |FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+        |LEFT JOIN cn ON cn.k = COALESCE(b.k, c.k)
+        |WHERE COALESCE(c_op, 'U') <> 'D'""".stripMargin,
+
     "dim_scd2" ->
       """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer
         |            WHERE c_custkey % 10 <> 0),
@@ -1033,6 +1146,22 @@ object ScaleQueries extends QueryPack {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "layout_compaction_bins" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT source, (cum - n_chars) // 2000 AS bin,
+        |  COUNT(*) AS n_files,
+        |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        |  MIN(n_chars) AS min_file,
+        |  MAX(n_chars) AS max_file,
+        |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / 2000e0 AS fill
+        |FROM f GROUP BY 1, 2""".stripMargin,
 
     "layout_zorder" -> {
       // chained CTEs running the SAME dilation masks as ZValueF
