@@ -554,6 +554,37 @@ object ScaleQueries extends QueryPack {
           coalesce(col("n_chg_ops"), lit(0L)).as("n_chg_ops"))
     }),
 
+    // Incremental view maintenance — the join-delta rule
+    // ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (Blakeley et al.'s classic): the rows
+    // a materialized join view GAINS from one ingest batch, computed
+    // WITHOUT rescanning the view or re-joining the full bases — the
+    // only shape that keeps a 100 TB materialized view maintainable,
+    // since cost is |Δ|·fanout instead of |A⋈B|. Deltas are one
+    // batch's arrivals (orders % 5 = 0 / lineitems % 7 = 0 stand in),
+    // batch-sized by construction, so they ride broadcast: all three
+    // delta joins are map-side, zero shuffle of the big bases (a
+    // delta too big to broadcast degrades to a shuffle join — the
+    // rule is unchanged). The ORACLE is the independent DEFINITION,
+    // new-join minus old-join per key — a hash match proves the
+    // algebra, not just the arithmetic.
+    "ivm_join_delta" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val aOld = ord.filter(col("o_orderkey") % 5 =!= 0)
+      val aDel = ord.filter(col("o_orderkey") % 5 === 0)
+      val bOld = li.filter(col("l_orderkey") % 7 =!= 0)
+      val bDel = li.filter(col("l_orderkey") % 7 === 0)
+      val on = col("o_orderkey") === col("l_orderkey")
+      val d1 = bOld.join(broadcast(aDel), on)
+      val d2 = aOld.join(broadcast(bDel), on)
+      val d3 = aDel.join(broadcast(bDel), on)
+      d1.unionByName(d2).unionByName(d3)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_delta_rows"),
+          sum(col("cents")).as("delta_rev_cents"))
+    }),
+
     // ---- approximate quantiles via fixed-bin histogram -----------------
     // Percentiles at 100 TB without a global sort: pass 1 takes exact
     // per-group extents (min/max/count — order-independent, bit-exact),
@@ -1060,6 +1091,25 @@ object ScaleQueries extends QueryPack {
         |FROM facts f JOIN snaps s
         |  ON f.o_custkey = s.c_custkey AND f.ver = s.ver
         |GROUP BY 1""".stripMargin,
+
+    "ivm_join_delta" ->
+      """WITH b AS (SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |jn AS (SELECT o_orderkey, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS c
+        |  FROM orders JOIN b ON o_orderkey = l_orderkey GROUP BY 1),
+        |jo AS (SELECT o_orderkey, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS c
+        |  FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 <> 0)
+        |  JOIN (SELECT l_orderkey, cents FROM b WHERE l_orderkey % 7 <> 0)
+        |    ON o_orderkey = l_orderkey
+        |  GROUP BY 1)
+        |SELECT jn.o_orderkey,
+        |  jn.n - COALESCE(jo.n, 0) AS n_delta_rows,
+        |  jn.c - COALESCE(jo.c, 0) AS delta_rev_cents
+        |FROM jn LEFT JOIN jo USING (o_orderkey)
+        |WHERE jn.n - COALESCE(jo.n, 0) > 0""".stripMargin,
 
     "cdc_merge_apply" ->
       """WITH ev AS (

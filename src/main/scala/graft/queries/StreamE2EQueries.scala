@@ -42,7 +42,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)),
     "stream_e2e_neardup" -> ((s, dir) => runNearDup(s, dir)),
     "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)),
-    "stream_e2e_cms" -> ((s, dir) => runCms(s, dir)))
+    "stream_e2e_cms" -> ((s, dir) => runCms(s, dir)),
+    "stream_e2e_cdc" -> ((s, dir) => runCdc(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -786,6 +787,61 @@ object StreamE2EQueries extends QueryPack {
     * converges to the global max. That algebraic absorption is the
     * point being certified.
     */
+  /** STREAMING CDC APPLY (round-9, fifteenth streaming oracle row):
+    * I/U/D change ops at ingest — the streaming face of
+    * `cdc_merge_apply`. Ops ride the envelope's type field
+    * (signup→I, error→D tombstone, rest→U); an update-mode argmax per
+    * key (max_by over the unique (time) version after per-(key,
+    * second) pre-dedup) keeps ONE latest-op row per key in the state
+    * store, each micro-batch upserting only touched keys; tombstones
+    * are RETAINED in the register table and dropped at READ — exactly
+    * the Cassandra model the reference writes into (a delete IS a
+    * tombstone write that wins by timestamp and disappears at
+    * compaction; /root/reference/src/main.rs:87 can only ever upsert,
+    * so this is the op it cannot express). Determinism: argmax over a
+    * totally ordered version is pacing- and restart-independent — the
+    * final upsert for a key is its global latest op however the spool
+    * files batch. State is one row per live key; nothing rescans.
+    */
+  private def runCdc(s: SparkSession, dir: String): DataFrame = {
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")), Seq(col("event_id")))
+      .withColumn("pseudo_price",
+        ((col("user_id") * 31 + col("time_s") % 86400L) % 1000L)
+          .cast("double") / 10.0)
+    val op = when(col("event_type") === "signup", "I")
+      .when(col("event_type") === "error", "D").otherwise("U")
+    val lines = tickLines(base, col("pseudo_price"), stdVolume, op)
+    val work = Files.createTempDirectory("graft_e2e_cdc")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2") // ops fold across batches
+      .load()
+    val latest = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .groupBy(col("symbol"))
+      .agg(max_by(struct(col("time"), col("price"), col("tradeType")),
+        col("time")).as("w"))
+      .select(col("symbol"), col("w.time").as("time"),
+        col("w.price").as("price"), col("w.tradeType").as("op"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = latest.writeStream.outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "cdc",
+          Seq("symbol"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "cdc")
+      .filter(col("op") =!= "D") // tombstone purge at compaction/read
+      .select(col("symbol"), col("time").as("time_s"), col("price"),
+        col("op"))
+  }
+
   private def runHll(s: SparkSession, dir: String): DataFrame = {
     val base = Tables(s, dir, "events")
       .filter(col("event_type").isin("purchase", "click"))
@@ -1134,6 +1190,28 @@ object StreamE2EQueries extends QueryPack {
 
     // plain DISTINCT over the same pure-function-of-key payload: the
     // streamed dropDuplicates must land on exactly this set
+    "stream_e2e_cdc" ->
+      """WITH dd AS (
+        |  SELECT user_id, time_s, event_type FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS time_s, event_type,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, epoch_us(ts) // 1000000
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |last AS (
+        |  SELECT user_id, time_s, event_type FROM (
+        |    SELECT user_id, time_s, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY time_s DESC) AS rn
+        |    FROM dd) WHERE rn = 1)
+        |SELECT CAST(user_id AS VARCHAR) AS symbol, time_s,
+        |  CAST((user_id * 31 + time_s % 86400) % 1000 AS DOUBLE) / 10.0
+        |    AS price,
+        |  CASE WHEN event_type = 'signup' THEN 'I'
+        |       WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |FROM last
+        |WHERE event_type <> 'error'""".stripMargin,
+
     "stream_e2e_dedup" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS symbol,
         |  epoch_us(ts) // 1000000 AS time_s,
