@@ -108,6 +108,30 @@ object QualityQueries extends QueryPack {
     // min-max, one row per profiled column ([[profileOf]]).
     "dq_profile" -> ((s, dir) => profileOf(Tables(s, dir, "lineitem"))),
 
+    // Freshness audit — per-pipeline staleness against the fleet
+    // watermark (max event time over ALL pipelines), the SLO check a
+    // data platform runs before declaring a partition consumable: a
+    // feed whose last event lags the watermark by hours is silently
+    // dropping or stuck upstream, and a row-count audit can't see it.
+    // Lag is exact integer seconds (epoch-µs subtraction, integer
+    // division); the fresh/lagging/stale thresholds (1 h / 24 h) are
+    // integer compares. Scale: one grouped max/count (map-side
+    // combinable) + a broadcast 1-row watermark — nothing row-scale
+    // survives the first aggregate.
+    "dq_freshness" -> ((s, dir) => {
+      val per = Tables(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      val g = per.agg(max(col("last_ts")).as("wm"))
+      per.crossJoin(broadcast(g))
+        .withColumn("lag_s",
+          expr("(unix_micros(wm) - unix_micros(last_ts)) div 1000000"))
+        .withColumn("status",
+          when(col("lag_s") < 3600, "fresh")
+            .when(col("lag_s") < 86400, "lagging")
+            .otherwise("stale"))
+        .select("event_type", "n_events", "last_ts", "lag_s", "status")
+    }),
+
     // Constraint-violation audit: one row per rule with violation count
     // and rate. NOT(pred) with null-as-violation on both engines; the
     // rate is one double division of identical exact integers.
@@ -394,6 +418,20 @@ object QualityQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "dq_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT MAX(last_ts) AS wm FROM per)
+        |SELECT event_type, n_events, last_ts,
+        |  (epoch_us(wm) - epoch_us(last_ts)) // 1000000 AS lag_s,
+        |  CASE
+        |    WHEN (epoch_us(wm) - epoch_us(last_ts)) // 1000000 < 3600
+        |      THEN 'fresh'
+        |    WHEN (epoch_us(wm) - epoch_us(last_ts)) // 1000000 < 86400
+        |      THEN 'lagging'
+        |    ELSE 'stale' END AS status
+        |FROM per CROSS JOIN g""".stripMargin,
     "agg_corr" ->
       """WITH b AS (
         |  SELECT l_returnflag,

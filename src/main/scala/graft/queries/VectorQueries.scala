@@ -85,6 +85,67 @@ object VectorQueries extends QueryPack {
     VectorOps.l2Cells(Tables(s, dir, "embeddings"), "vec_id", "embedding",
       seedPred)
 
+  /** Rerank slate width for ann_ivfpq_rerank: candidates nominated by
+    * the compressed index before exact re-scoring.
+    */
+  private val RerankR = 30
+
+  /** The IVF-PQ asymmetric-distance pipeline through the full ranking
+    * (q_id, n_id, afix, rnk) — shared by the top-k cut and the
+    * rerank's candidate slate.
+    */
+  private def ivfpqRanked(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val assigned = assignCells(s, dir)
+    val cbr = Pq.codebookRow(e)
+    val codes = assigned.crossJoin(broadcast(cbr))
+      .select(col("vec_id"), col("cell"),
+        Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
+    val luts = assigned.filter(col("vec_id") < 20)
+      .crossJoin(broadcast(cbr))
+      .select(col("vec_id").as("q_id"), col("cell"),
+        Pq.lutCol(col("embedding"), col("cvs")).as("lut"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("afix"), col("n_id"))
+    codes.join(broadcast(luts), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Pq.adistFix(col("codes"), col("lut")).as("afix"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** DuckDB mirror of [[ivfpqRanked]] minus the final window: a WITH
+    * body ending in `ad(q_id, n_id, afix)` — shared by the top-k and
+    * rerank oracles so the asymmetric-distance math exists once.
+    */
+  private lazy val ivfpqAdCtes: String =
+    s"""$assignCellsDuck,
+       |cb AS (
+       |  SELECT CAST(vec_id // 31 AS INT) AS cent_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < ${31 * Pq.KC}),
+       |sub AS (
+       |  SELECT e.vec_id, c.cent_id, ms.m,
+       |    ${Pq.subDistFixDuck("e.embedding", "c.cv", "ms.m")} AS dfix
+       |  FROM embeddings e, cb c,
+       |       (SELECT unnest(range(0, ${Pq.M})) AS m) ms),
+       |codes AS (
+       |  SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT vec_id, m, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dfix, cent_id) AS r
+       |    FROM sub) WHERE r = 1),
+       |lutq AS (
+       |  SELECT vec_id AS q_id, m, cent_id, dfix FROM sub
+       |  WHERE vec_id < 20),
+       |ad AS (
+       |  SELECT l.q_id, c.vec_id AS n_id, CAST(SUM(l.dfix) AS BIGINT) AS afix
+       |  FROM codes c
+       |  JOIN assign ca ON ca.vec_id = c.vec_id
+       |  JOIN lutq l ON l.m = c.m AND l.cent_id = c.code
+       |   AND l.q_id <> c.vec_id
+       |  JOIN assign qa ON qa.vec_id = l.q_id AND qa.cell = ca.cell
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB mirror of [[assignCells]] as a WITH body ending in
     * `assign(vec_id, embedding, cell)`.
     */
@@ -137,26 +198,36 @@ object VectorQueries extends QueryPack {
     // the probe joins codes to broadcast LUTs ON THE CELL KEY. Integer
     // distances end to end → hash-exact oracle.
     "ann_ivfpq_topk" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val assigned = assignCells(s, dir)
-      val cbr = Pq.codebookRow(e)
-      val codes = assigned.crossJoin(broadcast(cbr))
-        .select(col("vec_id"), col("cell"),
-          Pq.codesCol(col("embedding"), col("cvs")).as("codes"))
-      val luts = assigned.filter(col("vec_id") < 20)
-        .crossJoin(broadcast(cbr))
-        .select(col("vec_id").as("q_id"), col("cell"),
-          Pq.lutCol(col("embedding"), col("cvs")).as("lut"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("afix"), col("n_id"))
-      codes.join(broadcast(luts), Seq("cell"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          Pq.adistFix(col("codes"), col("lut")).as("afix"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
+      ivfpqRanked(s, dir)
         .filter(col("rnk") <= K)
         .select(col("q_id"), col("n_id"),
           (col("afix").cast("double") / Pq.Scale).as("adist"), col("rnk"))
+    }),
+
+    // Two-stage IVF-PQ: the production ANN serving shape (Jégou et
+    // al.'s IVFADC + rerank) — the compressed index NOMINATES a wide
+    // candidate slate (PQ asymmetric distance, top-30), then the
+    // EXACT cosine re-scores only those 30 full vectors per query.
+    // This is the answer to PQ's honest limitation (quantization
+    // error reorders close neighbors): full-precision vectors are
+    // touched for |Q|·R rows total instead of the whole corpus, so
+    // the rerank costs nothing at 100 TB while recovering
+    // full-precision ORDER within the slate. Candidates re-attach
+    // vectors by id join; queries broadcast.
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cand = ivfpqRanked(s, dir)
+        .filter(col("rnk") <= RerankR).select("q_id", "n_id")
+      val qv = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val nv = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      cand.join(nv, Seq("n_id")).join(broadcast(qv), Seq("q_id"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= K)
+        .select("q_id", "n_id", "cos", "rnk")
     }),
 
     // SemDeDup (Abbas et al. 2023): cluster the corpus into coarse cells,
@@ -434,36 +505,30 @@ object VectorQueries extends QueryPack {
          |  FROM ad) WHERE rnk <= $K""".stripMargin,
 
     "ann_ivfpq_topk" ->
-      s"""WITH $assignCellsDuck,
-         |cb AS (
-         |  SELECT CAST(vec_id // 31 AS INT) AS cent_id, embedding AS cv
-         |  FROM embeddings WHERE vec_id % 31 = 0 AND vec_id < ${31 * Pq.KC}),
-         |sub AS (
-         |  SELECT e.vec_id, c.cent_id, ms.m,
-         |    ${Pq.subDistFixDuck("e.embedding", "c.cv", "ms.m")} AS dfix
-         |  FROM embeddings e, cb c,
-         |       (SELECT unnest(range(0, ${Pq.M})) AS m) ms),
-         |codes AS (
-         |  SELECT vec_id, m, cent_id AS code FROM (
-         |    SELECT vec_id, m, cent_id,
-         |      row_number() OVER (PARTITION BY vec_id, m
-         |        ORDER BY dfix, cent_id) AS r
-         |    FROM sub) WHERE r = 1),
-         |lutq AS (
-         |  SELECT vec_id AS q_id, m, cent_id, dfix FROM sub
-         |  WHERE vec_id < 20),
-         |ad AS (
-         |  SELECT l.q_id, c.vec_id AS n_id, CAST(SUM(l.dfix) AS BIGINT) AS afix
-         |  FROM codes c
-         |  JOIN assign ca ON ca.vec_id = c.vec_id
-         |  JOIN lutq l ON l.m = c.m AND l.cent_id = c.code
-         |   AND l.q_id <> c.vec_id
-         |  JOIN assign qa ON qa.vec_id = l.q_id AND qa.cell = ca.cell
-         |  GROUP BY 1, 2)
+      s"""WITH $ivfpqAdCtes
          |SELECT q_id, n_id, afix / 1e9 AS adist, rnk FROM (
          |  SELECT q_id, n_id, afix,
          |    row_number() OVER (PARTITION BY q_id ORDER BY afix, n_id) AS rnk
          |  FROM ad) WHERE rnk <= $K""".stripMargin,
+
+    "ann_ivfpq_rerank" ->
+      s"""WITH $ivfpqAdCtes,
+         |cand AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY afix, n_id) AS r
+         |    FROM ad) WHERE r <= $RerankR),
+         |rr AS (
+         |  SELECT c.q_id, c.n_id,
+         |    ${VectorOps.cosDuck("q.embedding", "n.embedding")} AS cos
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.q_id
+         |  JOIN embeddings n ON n.vec_id = c.n_id)
+         |SELECT q_id, n_id, cos, rnk FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+         |      AS rnk
+         |  FROM rr) WHERE rnk <= $K""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $assignCellsDuck,

@@ -66,4 +66,42 @@ class VectorQueriesSuite extends SparkSpec {
       s"Lloyd step increased cost: $before -> $after")
     assert(after < before * 0.99, "step should meaningfully reduce cost")
   }
+
+  test("ann_ivfpq_rerank: exact-cosine order inside the slate; recall >= PQ cut") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // the exact fold VectorOps.dot performs: sequential index-order
+    // double accumulation — the rerank's cos must match bit-for-bit
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (emb(a), emb(b))
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    val rr = SparkEntry.queries("ann_ivfpq_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rr.nonEmpty)
+    rr.foreach { case (q, n, c, _) =>
+      assert(c === cos(q, n), s"cos not bit-exact at ($q,$n)")
+    }
+    rr.groupBy(_._1).foreach { case (q, rows) =>
+      val byCos = rows.sortBy(r => (-r._3, r._2)).map(_._4).toSeq
+      assert(byCos === (1L to rows.size).toSeq,
+        s"rerank ranks disagree with exact-cosine order for q=$q")
+    }
+    // the whole point of the rerank: measured recall against the exact
+    // brute top-k must not fall below the PQ-order cut's
+    val brute = SparkEntry.queries("ann_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(name: String): Int =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .count(p => p._1 < 5 && brute.contains(p))
+    assert(hits("ann_ivfpq_rerank") >= hits("ann_ivfpq_topk"),
+      "exact rerank must not lose brute-top-k hits the PQ cut had")
+  }
 }
