@@ -348,6 +348,19 @@ object ScaleProbe {
           floor(col("value")).cast("int"),
           buyMark = "purchase", sellMark = "click", numBuckets = 32))
 
+    // round-9 additions: the two new corpus-scale pipelines, measured
+    // on the registered queries' OWN code paths (shared helpers).
+    // lm_bits: occurrences 10×, bigram-TYPE stats table ~constant —
+    // the occurrence↔stats join must scale with occurrences, never
+    // types². cdc_apply: keys 10×, ops/key constant — argmax rollups
+    // must keep shuffle O(distinct keys).
+    def lmBits(c: Int): Long =
+      exec(graft.queries.TextQueries.lmBits(
+        scaled("documents", "doc_id", c)))
+    def cdcApply(c: Int): Long =
+      exec(graft.queries.ScaleQueries.cdcSnapshot(
+        scaled("events", "user_id", c)))
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
@@ -362,7 +375,8 @@ object ScaleProbe {
       ("asof_hotkey_salted", asofHotkeySalted),
       ("asof_hotkey_plain", asofHotkeyPlain),
       ("cumvol_hotkey_salted", cumvolHotkeySalted),
-      ("cumvol_hotkey_plain", cumvolHotkeyPlain))
+      ("cumvol_hotkey_plain", cumvolHotkeyPlain),
+      ("lm_bits", lmBits), ("cdc_apply", cdcApply))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
     // pattern the bench already has — including its fail-fast: a typo
     // must not silently measure zero probes and emit `{...,}` JSON)

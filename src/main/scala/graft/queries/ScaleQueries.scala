@@ -524,35 +524,7 @@ object ScaleQueries extends QueryPack {
     // key resolves base-vs-changelog, with tombstones dropped last so
     // a D whose key re-inserts later inside the changelog window is
     // already superseded by the rollup, never resurrected here.
-    "cdc_merge_apply" -> ((s, dir) => {
-      val t0 = lit("2024-01-15 00:00:00").cast("timestamp")
-      val ev = t(s, dir, "events").select(
-        col("user_id").as("k"), col("ts"), col("event_id"),
-        when(col("event_type") === "signup", "I")
-          .when(col("event_type") === "error", "D")
-          .otherwise("U").as("op"),
-        col("value"))
-      def latest(df: DataFrame): DataFrame =
-        LwwDedup.argmax(df, Seq(col("k")), Seq(col("ts"), col("event_id")))
-      val base = latest(ev.filter(col("ts") <= t0))
-        .filter(col("op") =!= "D")
-        .select(col("k"), col("ts").as("b_ts"),
-          col("event_id").as("b_eid"), col("value").as("b_value"))
-      val chgAll = ev.filter(col("ts") > t0)
-      val chg = latest(chgAll).select(col("k"), col("op").as("c_op"),
-        col("ts").as("c_ts"), col("event_id").as("c_eid"),
-        col("value").as("c_value"))
-      val chgN = chgAll.groupBy("k").agg(count(lit(1)).as("n_chg_ops"))
-      base.join(chg, Seq("k"), "full_outer")
-        .join(chgN, Seq("k"), "left")
-        .filter(coalesce(col("c_op"), lit("U")) =!= "D")
-        .select(col("k").as("user_id"),
-          coalesce(col("c_value"), col("b_value")).as("last_value"),
-          coalesce(col("c_ts"), col("b_ts")).as("last_ts"),
-          coalesce(col("c_eid"), col("b_eid")).as("last_event_id"),
-          when(col("c_op").isNotNull, "chg").otherwise("base").as("src"),
-          coalesce(col("n_chg_ops"), lit(0L)).as("n_chg_ops"))
-    }),
+    "cdc_merge_apply" -> ((s, dir) => cdcSnapshot(t(s, dir, "events"))),
 
     // Incremental view maintenance — the join-delta rule
     // ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (Blakeley et al.'s classic): the rows
@@ -815,6 +787,40 @@ object ScaleQueries extends QueryPack {
     s"""CASE WHEN len($ks) < $K THEN CAST(len($ks) AS DOUBLE)
        |     ELSE ${(K - 1).toDouble * TextHash.P31.toDouble}
        |          / CAST(($ks)[-1] AS DOUBLE) END""".stripMargin
+
+  /** The cdc_merge_apply pipeline over an explicit events frame —
+    * shared with ScaleProbe's weak-scaling arm so the probe measures
+    * the registered query's own plan, not a reimplementation.
+    */
+  private[graft] def cdcSnapshot(events: DataFrame): DataFrame = {
+    val t0 = lit("2024-01-15 00:00:00").cast("timestamp")
+    val ev = events.select(
+      col("user_id").as("k"), col("ts"), col("event_id"),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as("op"),
+      col("value"))
+    def latest(df: DataFrame): DataFrame =
+      LwwDedup.argmax(df, Seq(col("k")), Seq(col("ts"), col("event_id")))
+    val base = latest(ev.filter(col("ts") <= t0))
+      .filter(col("op") =!= "D")
+      .select(col("k"), col("ts").as("b_ts"),
+        col("event_id").as("b_eid"), col("value").as("b_value"))
+    val chgAll = ev.filter(col("ts") > t0)
+    val chg = latest(chgAll).select(col("k"), col("op").as("c_op"),
+      col("ts").as("c_ts"), col("event_id").as("c_eid"),
+      col("value").as("c_value"))
+    val chgN = chgAll.groupBy("k").agg(count(lit(1)).as("n_chg_ops"))
+    base.join(chg, Seq("k"), "full_outer")
+      .join(chgN, Seq("k"), "left")
+      .filter(coalesce(col("c_op"), lit("U")) =!= "D")
+      .select(col("k").as("user_id"),
+        coalesce(col("c_value"), col("b_value")).as("last_value"),
+        coalesce(col("c_ts"), col("b_ts")).as("last_ts"),
+        coalesce(col("c_eid"), col("b_eid")).as("last_event_id"),
+        when(col("c_op").isNotNull, "chg").otherwise("base").as("src"),
+        coalesce(col("n_chg_ops"), lit(0L)).as("n_chg_ops"))
+  }
 
   def oracles: Map[String, String] = Map(
     "agg_kmv_setops" -> {

@@ -212,34 +212,7 @@ object TextQueries extends QueryPack {
     // per-occurrence bits attach by a shuffle join on the gram (stats
     // side is one row per bigram TYPE — AQE handles hot-gram skew);
     // V is a broadcast scalar. Nothing is ever all-pairs.
-    "text_lm_bits" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val tok = docs.select(col("doc_id"),
-        TextHash.tokens(col("text")).as("w"))
-      val grams = tok.select(col("doc_id"),
-        explode(TextHash.shingles(col("w"), 2)).as("g"))
-      val cg = grams.groupBy("g").agg(count(lit(1)).as("c_g"))
-      val ctx = cg.groupBy(substring_index(col("g"), " ", 1).as("w1"))
-        .agg(sum(col("c_g")).as("c_1"))
-      val v = tok.select(explode(col("w")).as("t"))
-        .agg(countDistinct(col("t")).as("vn"))
-      val bits = cg.withColumn("w1", substring_index(col("g"), " ", 1))
-        .join(ctx, Seq("w1"))
-        .crossJoin(broadcast(v))
-        .select(col("g"),
-          ((length(bin(col("c_1") + col("vn"))) - 1) -
-            (length(bin(col("c_g") + 1)) - 1)).cast("long").as("b"))
-      val perDoc = grams.join(bits, Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("total_bits"))
-      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("total_bits"), lit(0L)).as("total_bits"),
-          when(coalesce(col("n_bigrams"), lit(0L)) > 0,
-            col("total_bits").cast("double") /
-              col("n_bigrams").cast("double")).as("bits_per_bigram"))
-    }),
+    "text_lm_bits" -> ((s, dir) => lmBits(Tables(s, dir, "documents"))),
 
     // Whitespace + BPE-ish token counts per document.
     "text_token_counts" -> ((s, dir) => {
@@ -653,6 +626,45 @@ object TextQueries extends QueryPack {
             .as("gini_diversity"))
     })
   )
+
+  /** The text_lm_bits pipeline over an explicit documents frame —
+    * shared with ScaleProbe's weak-scaling arm so the probe measures
+    * the registered query's own plan, not a reimplementation.
+    */
+  private[graft] def lmBits(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      TextHash.tokens(col("text")).as("w"))
+    val grams = tok.select(col("doc_id"),
+      explode(TextHash.shingles(col("w"), 2)).as("g"))
+    val cg = grams.groupBy("g").agg(count(lit(1)).as("c_g"))
+    val v = tok.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).as("vn"))
+    // c_1 as a WINDOW over the gram-type rollup, not a groupBy joined
+    // back: the join form duplicated the whole corpus-explode subtree
+    // in the plan (cg appears once directly and once under ctx — Spark
+    // has no cross-stage CSE), which the weak-scaling probe caught as
+    // a 2.4 adj_ratio. The window reads cg's 1-row-per-TYPE output
+    // once; its partition key w1 is type-cardinality, never corpus-
+    // cardinality, so the sort is over the stats table only.
+    val w1Win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+    val bits = cg.withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("c_1", sum(col("c_g")).over(w1Win))
+      .crossJoin(broadcast(v))
+      .select(col("g"),
+        ((length(bin(col("c_1") + col("vn"))) - 1) -
+          (length(bin(col("c_g") + 1)) - 1)).cast("long").as("b"))
+    val perDoc = grams.join(bits, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("b")).as("total_bits"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("total_bits").cast("double") /
+            col("n_bigrams").cast("double")).as("bits_per_bigram"))
+  }
 
   // ---- DuckDB mirrors --------------------------------------------------
   private def inList(words: Seq[String]) =
