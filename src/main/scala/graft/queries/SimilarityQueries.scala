@@ -283,8 +283,62 @@ object SimilarityQueries extends QueryPack {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= K)
         .select("q_id", "n_id", "n_arms", "rrf_num", "rnk")
+    }),
+
+    // Maximal Marginal Relevance (Carbonell/Goldstein, SIGIR'98):
+    // diversified selection from the exact top-k pool — pick 5 of 10,
+    // each round taking argmax of λ·rel − (1−λ)·max-sim-to-selected
+    // (λ = 0.5). The de-dup a retrieval feed runs so five near-copies
+    // of one answer don't crowd out the second topic. Iterative by
+    // definition (greedy over a growing selected set), so this is a
+    // 5-round DRIVER LOOP over broadcast-joined slates — the
+    // BpeTrain/KmeansTrain pattern: per round ONE distributed
+    // argmax-per-query over |Q|·pool rows, never a per-query driver
+    // collect, so a million queries diversify as one plan. Float
+    // discipline: rel and sim are the engines' bit-identical cosines,
+    // the score is the fixed op sequence 5e-1·rel − 5e-1·msim parsed
+    // from the same text on both sides, max over identical doubles is
+    // order-free — the pick argmax compares equal bits.
+    "ann_mmr_rerank" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val vecs = e.select(col("vec_id").as("n_id"),
+        col("embedding").as("nv"))
+      val poolV = queries("ann_brute_topk")(s, dir)
+        .select(col("q_id"), col("n_id"), col("cos").as("rel"))
+        .join(broadcast(vecs), Seq("n_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id"))
+      var selected = poolV
+        .withColumn("score", expr("5e-1 * rel"))
+        .withColumn("rr", row_number().over(w))
+        .filter(col("rr") === 1)
+        .select(col("q_id"), col("n_id"), lit(1L).as("pick"),
+          col("score"), col("nv").as("selv"))
+      for (r <- 2 to MmrM) {
+        val remaining = poolV.join(
+          selected.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
+        val scored = remaining
+          .join(broadcast(selected.select(col("q_id"), col("selv"))),
+            Seq("q_id"))
+          .withColumn("sim", VectorOps.cosine(col("nv"), col("selv")))
+          .groupBy("q_id", "n_id")
+          .agg(min(col("rel")).as("rel"), max(col("sim")).as("msim"))
+          .withColumn("score", expr("5e-1 * rel - 5e-1 * msim"))
+          .withColumn("rr", row_number().over(w))
+          .filter(col("rr") === 1)
+          .select(col("q_id"), col("n_id"), lit(r.toLong).as("pick"),
+            col("score"))
+        selected = selected.unionByName(
+          scored.join(broadcast(vecs), Seq("n_id"))
+            .select(col("q_id"), col("n_id"), col("pick"), col("score"),
+              col("nv").as("selv")))
+      }
+      selected.select("q_id", "n_id", "pick", "score")
     })
   )
+
+  /** MMR rounds: diversified picks per query from the 10-deep pool. */
+  private val MmrM = 5
 
   /** Fusion query space: the intersection of the arms' probe sets
     * (LSH probes q_id < 50, IVF q_id < 20).
@@ -418,6 +472,48 @@ object SimilarityQueries extends QueryPack {
        |  FROM isc)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // The greedy selection unrolled: per round, a NOT-EXISTS prune of
+    // already-picked candidates, a MAX over pairwise cosines to the
+    // selected set, and an argmax window — the bpeTrainCtes convention
+    // (iterative op ⇒ generated round CTEs) applied to retrieval.
+    "ann_mmr_rerank" -> {
+      val rounds = (2 to MmrM).map { r =>
+        val selu = (1 until r).map(i =>
+          s"SELECT q_id, n_id FROM s$i").mkString(" UNION ALL ")
+        s"""selu${r - 1} AS ($selu),
+           |m$r AS (
+           |  SELECT c.q_id, c.n_id, c.rel,
+           |    MAX(${cosOf("c.nv", "sv.sv")}) AS msim
+           |  FROM bv c
+           |  JOIN (SELECT s.q_id, v.embedding AS sv FROM selu${r - 1} s
+           |        JOIN embeddings v ON v.vec_id = s.n_id) sv
+           |    ON sv.q_id = c.q_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} x
+           |                    WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+           |  GROUP BY c.q_id, c.n_id, c.rel),
+           |s$r AS (
+           |  SELECT q_id, n_id, $r AS pick, score FROM (
+           |    SELECT q_id, n_id, 5e-1 * rel - 5e-1 * msim AS score,
+           |      row_number() OVER (PARTITION BY q_id
+           |        ORDER BY 5e-1 * rel - 5e-1 * msim DESC, n_id) AS rr
+           |    FROM m$r) WHERE rr = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bruteTopkCte,
+         |base AS (SELECT q_id, n_id, cos AS rel FROM tk WHERE rnk <= $K),
+         |bv AS (SELECT b.q_id, b.n_id, b.rel, e.embedding AS nv
+         |       FROM base b JOIN embeddings e ON e.vec_id = b.n_id),
+         |s1 AS (
+         |  SELECT q_id, n_id, 1 AS pick, 5e-1 * rel AS score FROM (
+         |    SELECT q_id, n_id, rel,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY rel DESC, n_id) AS r
+         |    FROM base) WHERE r = 1),
+         |$rounds
+         |SELECT q_id, n_id, pick, score
+         |FROM (${(1 to MmrM).map(i => s"SELECT * FROM s$i")
+                  .mkString(" UNION ALL ")})""".stripMargin
+    },
+
     "ann_rrf_fusion" ->
       s"""WITH ${VectorOps.signBandsDuckCte()},
          |$lshTopkCtes,
