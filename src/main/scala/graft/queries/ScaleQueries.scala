@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{Centroids, CountMin, Decontaminate, Hilbert, Hll, IncrementalRollup, KmvAggregator, LwwDedup, Scd2, TextHash, ZOrder}
+import graft.ops.{Centroids, CountMin, Decontaminate, GlobalRank, Hilbert, Hll, IncrementalRollup, KmvAggregator, LwwDedup, Scd2, TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -525,6 +525,50 @@ object ScaleQueries extends QueryPack {
     // a D whose key re-inserts later inside the changelog window is
     // already superseded by the rollup, never resurrected here.
     "cdc_merge_apply" -> ((s, dir) => cdcSnapshot(t(s, dir, "events"))),
+
+    // Data-skipping EFFECTIVENESS audit — the measurement that closes
+    // the layout family's loop: layout_zorder/layout_hilbert COMPUTE
+    // clustering keys; this query quantifies what they BUY. Rows pack
+    // into fixed-size "files" under two orderings (natural write order
+    // vs z-order), each file keeps per-column min/max — exactly the
+    // footer stats parquet/Iceberg manifests carry — and a 2-D range
+    // predicate counts files whose stat intervals intersect it. The
+    // z-order layout's files_hit collapse vs natural is the measured
+    // scan-pruning win a lakehouse OPTIMIZE would report. Global
+    // numbering via GlobalRank (range exchange + parallel sort), never
+    // a single-partition window; per-file stats are one grouped
+    // min/max, file-cardinality output.
+    "layout_skipping_audit" -> ((s, dir) => {
+      val rowsPerFile = 512
+      val (pLo, pHi, sLo, sHi) = (100, 199, 10, 19)
+      val withZ = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        .withColumn("z", ZOrder.zvalue(col("l_partkey"), col("l_suppkey")))
+      def audit(name: String, sort: Seq[org.apache.spark.sql.Column]) = {
+        val files = GlobalRank.withRowNumber(withZ, "rn", sort)
+          .withColumn("f", expr(s"(rn - 1) div $rowsPerFile"))
+          .groupBy("f").agg(
+            min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+            min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
+            sum(when(col("l_partkey").between(pLo, pHi) &&
+              col("l_suppkey").between(sLo, sHi), 1L).otherwise(0L))
+              .as("m"))
+        files.agg(
+          count(lit(1)).as("n_files"),
+          sum(when(col("pmin") <= pHi && col("pmax") >= pLo &&
+            col("smin") <= sHi && col("smax") >= sLo, 1L).otherwise(0L))
+            .as("files_hit"),
+          sum(col("m")).as("rows_match"))
+          .select(lit(name).as("layout"), col("n_files"),
+            col("files_hit"), col("rows_match"),
+            (col("files_hit").cast("double") /
+              col("n_files").cast("double")).as("hit_ratio"))
+      }
+      audit("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+        .unionByName(audit("zorder",
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+    }),
 
     // Incremental view maintenance — the join-delta rule
     // ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (Blakeley et al.'s classic): the rows
@@ -1097,6 +1141,49 @@ object ScaleQueries extends QueryPack {
         |FROM facts f JOIN snaps s
         |  ON f.o_custkey = s.c_custkey AND f.ver = s.ver
         |GROUP BY 1""".stripMargin,
+
+    "layout_skipping_audit" -> {
+      val steps = ZOrder.SpreadSteps.zipWithIndex.map {
+        case ((sh, mask), i) =>
+          s"""z${i + 1} AS (SELECT l_orderkey, l_linenumber, l_partkey,
+             |  l_suppkey,
+             |  ((xa | (xa << $sh)) & $mask) AS xa,
+             |  ((xb | (xb << $sh)) & $mask) AS xb FROM z$i)""".stripMargin
+      }.mkString(",\n")
+      def arm(name: String, rnCol: String) =
+        s"""SELECT '$name' AS layout, COUNT(*) AS n_files,
+           |  CAST(SUM(CASE WHEN pmin <= 199 AND pmax >= 100
+           |    AND smin <= 19 AND smax >= 10 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS files_hit,
+           |  CAST(SUM(m) AS BIGINT) AS rows_match,
+           |  CAST(SUM(CASE WHEN pmin <= 199 AND pmax >= 100
+           |    AND smin <= 19 AND smax >= 10 THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hit_ratio
+           |FROM (
+           |  SELECT ($rnCol - 1) // 512 AS f,
+           |    MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+           |    MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+           |    CAST(SUM(CASE WHEN l_partkey BETWEEN 100 AND 199
+           |      AND l_suppkey BETWEEN 10 AND 19 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS m
+           |  FROM rn GROUP BY 1)""".stripMargin
+      s"""WITH z0 AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |  l_suppkey,
+         |  (l_partkey & 2147483647) AS xa,
+         |  (l_suppkey & 2147483647) AS xb FROM lineitem),
+         |$steps,
+         |zt AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  (xa | (xb << 1)) AS z FROM z${ZOrder.SpreadSteps.size}),
+         |rn AS (SELECT l_partkey, l_suppkey,
+         |  row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+         |    AS rn_nat,
+         |  row_number() OVER (ORDER BY z, l_orderkey, l_linenumber)
+         |    AS rn_z
+         |  FROM zt)
+         |${arm("natural", "rn_nat")}
+         |UNION ALL
+         |${arm("zorder", "rn_z")}""".stripMargin
+    },
 
     "ivm_join_delta" ->
       """WITH b AS (SELECT l_orderkey,

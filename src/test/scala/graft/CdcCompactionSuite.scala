@@ -111,4 +111,19 @@ class CdcCompactionSuite extends SparkSpec {
         s"bin ($src,$bin) overflows target by more than one file")
     }
   }
+
+  test("layout_skipping_audit: layout changes pruning, never the answer") {
+    val rows = SparkEntry.queries("layout_skipping_audit")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("natural", "zorder"))
+    val (nat, zo) = (rows("natural"), rows("zorder"))
+    assert(nat._1 === zo._1, "file count is layout-independent")
+    assert(nat._3 === zo._3, "matching ROWS are layout-independent")
+    assert(zo._2 <= nat._2, "z-order must never prune worse than natural")
+    rows.values.foreach { case (nf, fh, _) =>
+      assert(fh >= 0 && fh <= nf)
+    }
+  }
 }
