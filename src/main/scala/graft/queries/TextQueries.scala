@@ -214,6 +214,37 @@ object TextQueries extends QueryPack {
     // V is a broadcast scalar. Nothing is ever all-pairs.
     "text_lm_bits" -> ((s, dir) => lmBits(Tables(s, dir, "documents"))),
 
+    // Marginal-diversity curve: per document (in doc_id ingest order),
+    // how many bigram TYPES it introduces that no earlier document
+    // contains — the novelty signal a curation pass reads to find the
+    // point where a crawl stops adding information (near-duplicate
+    // tails introduce ~0 new types; fresh domains spike). first_doc
+    // per type is one min-rollup (map-side combinable, one row per
+    // TYPE); the per-doc share is distinct-types-in-doc vs
+    // first-introduced — exact integers, one final division. Nothing
+    // compares documents pairwise: novelty is a corpus-rollup join,
+    // type-cardinality throughout.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val dg = docs.select(col("doc_id"),
+          explode(TextHash.shingles(TextHash.tokens(col("text")), 2))
+            .as("g"))
+        .distinct()
+      val firstDoc = dg.groupBy("g").agg(min(col("doc_id")).as("fd"))
+      val perDoc = dg.join(firstDoc, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_new"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          when(coalesce(col("n_types"), lit(0L)) > 0,
+            col("n_new").cast("double") / col("n_types").cast("double"))
+            .as("novelty"))
+    }),
+
     // Whitespace + BPE-ish token counts per document.
     "text_token_counts" -> ((s, dir) => {
       Tables(s, dir, "documents").select(
@@ -725,6 +756,29 @@ object TextQueries extends QueryPack {
         |    THEN CAST(total_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
         |  END AS bits_per_bigram
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |        ELSE [] END) AS g
+        |    FROM tok)),
+        |fd AS (SELECT g, MIN(doc_id) AS fd FROM dg GROUP BY 1),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_types,
+        |    CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM dg JOIN fd USING (g) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_types, 0) AS n_types,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  CASE WHEN COALESCE(n_types, 0) > 0
+        |    THEN CAST(n_new AS DOUBLE) / CAST(n_types AS DOUBLE)
+        |  END AS novelty
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "text_oov_rate" ->
       """WITH vc AS (
