@@ -88,10 +88,18 @@ object StreamBench {
     // outside the measured run
     neardupRun(spark, work, 1000, "ndwarm")
     val (dPairs, dSec) = neardupRun(spark, work, nDocs, "nd")
+
+    // CDC-apply variant — the stream_e2e_cdc dataflow at volume:
+    // I/U/D ops → update-mode per-key argmax → tombstone-retaining
+    // LWW register table. Ops/sec is the changelog apply rate WITH
+    // keyed state running — the number a CDC ingest sizes against.
+    cdcRun(spark, work, 5000, "cdcwarm")
+    val (cdcKeys, cdcSec) = cdcRun(spark, work, nRows, "cdc")
     val json =
       f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus,""" +
         f""""socket":{"rows_per_sec":${sRows / sSec}%.1f,"rows":$sRows,"sec":$sSec%.3f,"wire_sec":$wireSec%.3f},""" +
-        f""""neardup":{"docs_per_sec":${nDocs / dSec}%.1f,"docs":$nDocs,"pairs":$dPairs,"sec":$dSec%.3f}}"""
+        f""""neardup":{"docs_per_sec":${nDocs / dSec}%.1f,"docs":$nDocs,"pairs":$dPairs,"sec":$dSec%.3f},""" +
+        f""""cdc":{"ops_per_sec":${nRows / cdcSec}%.1f,"ops":$nRows,"live_keys":$cdcKeys,"sec":$cdcSec%.3f}}"""
     val outFile = args.headOption.getOrElse("stream_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
@@ -155,6 +163,52 @@ object StreamBench {
     val sec = (System.nanoTime() - tStart) / 1e9
     val pairs = LwwSink.read(spark, sinkRoot, "docs", "nd").count()
     (pairs, sec)
+  }
+
+  /** CDC-apply run: tick envelopes whose type field carries I/U/D ops
+    * (10% inserts, 10% tombstones, 80% updates over 1000 keys —
+    * genuine update-storm shape: each key sees ~ops/1000 revisions)
+    * drained through the stream_e2e_cdc aggregation into the LWW
+    * register table. Returns (live keys after tombstone purge, sec).
+    */
+  private def cdcRun(spark: SparkSession,
+      work: java.nio.file.Path, nOps: Int, tag: String): (Long, Double) = {
+    val t0 = 1687176000L
+    val lines = spark.range(nOps).select(concat(
+      lit("""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "K"""),
+      (col("id") % 1000).cast("string"),
+      lit("""", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": """),
+      (lit(t0) + col("id")).cast("string"),
+      lit(""", "volume": 1, "type": """"),
+      when(col("id") % 10 === 0, "I")
+        .when(col("id") % 10 === 9, "D").otherwise("U"),
+      lit(""""}}""")).as("value"))
+    val sub = work.resolve(s"${tag}_spool")
+    Files.createDirectories(sub)
+    val spool = graft.source.SpoolWriter.write(lines, sub, Some(10))
+    val sinkRoot = work.resolve(s"${tag}_sink").toString
+    val tStart = System.nanoTime()
+    val env = spark.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).option("maxFilesPerTrigger", "3").load()
+    val latest = graft.streaming.Pipelines.parseTicks(env)
+      .filter(!col("_corrupt"))
+      .groupBy(col("symbol"))
+      .agg(max_by(struct(col("time"), col("price"), col("tradeType")),
+        col("time")).as("w"))
+      .select(col("symbol"), col("w.time").as("time"),
+        col("w.price").as("price"), col("w.tradeType").as("op"))
+    val q = latest.writeStream.outputMode("update")
+      .option("checkpointLocation", work.resolve(s"${tag}_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "cdc",
+          Seq("symbol"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val sec = (System.nanoTime() - tStart) / 1e9
+    val live = LwwSink.read(spark, sinkRoot, "feed", "cdc")
+      .filter(col("op") =!= "D").count()
+    (live, sec)
   }
 
   /** Wire-path run: loopback ServerSocket feeder → multipart frame
