@@ -987,6 +987,53 @@ object RelationalQueries extends QueryPack {
           "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // Market-basket association rules: pairwise co-occurrence of parts
+    // within an order → support / confidence / lift, top-50 by lift.
+    // The frequent-itemset shape a training-data pipeline runs for
+    // co-occurrence mining (tag pairs, domain pairs, dataset-mixture
+    // diagnostics). Scale design: the pair generator is a SELF-JOIN ON
+    // THE BASKET KEY — cost Σ sz², so one hot basket (a crawl dump
+    // where one "order" holds 10⁵ items) would go quadratic. The
+    // window-counted basket-size cap (32; TPC-H maxes at 17, so a
+    // fixture no-op — the guard is for the 100 TB tail) bounds every
+    // basket's pair fan-out before the join; supports and N stay
+    // measured over ALL baskets so capping only prunes pair
+    // GENERATION, never biases a denominator. Item supports are
+    // dim-scale (one row per part) → broadcast to the pair stream; the
+    // scalar N rides the pack's crossJoin(broadcast) convention.
+    // Determinism: conf/lift are single IEEE divisions of exact int64
+    // products (n_orders·supp ≤ 2⁶³ until well past 10¹² baskets), and
+    // the top-50 carries the unique (pa, pb) tie-break.
+    "basket_pair_rules" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sized = items
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("ok")))
+        .filter(col("bsz") <= 32)
+      val pairs = sized.select(col("ok"), col("pk").as("pa"))
+        .join(sized.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
+      val item = items.groupBy("pk").agg(count(lit(1)).as("supp"))
+      val n = items.select(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(broadcast(item.select(col("pk").as("pa"),
+          col("supp").as("supp_a"))), Seq("pa"))
+        .join(broadcast(item.select(col("pk").as("pb"),
+          col("supp").as("supp_b"))), Seq("pb"))
+        .crossJoin(broadcast(n))
+        .filter(col("supp_ab") >= 2)
+        .select(col("pa"), col("pb"), col("supp_ab"),
+          col("supp_a"), col("supp_b"),
+          (col("supp_ab").cast("double") / col("supp_a").cast("double"))
+            .as("conf_ab"),
+          ((col("n_orders") * col("supp_ab")).cast("double") /
+            (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(50)
     })
   )
 
@@ -1587,6 +1634,30 @@ object RelationalQueries extends QueryPack {
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "basket_pair_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (
+        |  SELECT ok, pk FROM (
+        |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items)
+        |  WHERE bsz <= 32),
+        |pairs AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS supp_ab
+        |  FROM sized a JOIN sized b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |item AS (SELECT pk, COUNT(*) AS supp FROM items GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items)
+        |SELECT pa, pb, supp_ab, ia.supp AS supp_a, ib.supp AS supp_b,
+        |  CAST(supp_ab AS DOUBLE) / CAST(ia.supp AS DOUBLE) AS conf_ab,
+        |  CAST(n.n_orders * supp_ab AS DOUBLE)
+        |    / CAST(ia.supp * ib.supp AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN item ia ON pa = ia.pk
+        |JOIN item ib ON pb = ib.pk
+        |CROSS JOIN n
+        |WHERE supp_ab >= 2
+        |ORDER BY lift DESC, pa, pb LIMIT 50""".stripMargin
   )
 }
