@@ -396,6 +396,57 @@ object VectorQueries extends QueryPack {
             .as("variance"))
     }),
 
+    // Embedding-distribution drift between two corpus snapshots —
+    // the re-embed / re-crawl monitoring check: did the vector
+    // distribution move? Linear-kernel MMD² reduces to
+    // ‖mean_a − mean_b‖², which needs only PER-GROUP MEAN VECTORS —
+    // O(labels · 2 · dim) aggregation state, one narrow shuffle on
+    // (label, grp, dim), never a pairwise kernel matrix (the quadratic
+    // general-kernel estimator is exactly what a 100 TB monitor can't
+    // run; the linear kernel is the standard production fallback and
+    // detects any mean shift). Snapshots are the vec_id parity halves.
+    // Determinism: numerators are exact integers end to end — per-dim
+    // fixed sums (q = floor(v·1e6), the emb_dim_stats convention),
+    // cross-multiplied diff = sq_a·n_b − sq_b·n_a in DECIMAL(38,0)
+    // (≈1e14 at sf0.1; Σ diff² ≈ 6e29 ≪ 10³⁸ — at 10¹² rows/group
+    // normalize per-snapshot counts first), then ONE double division
+    // with textually identical association on both engines, and sqrt
+    // (IEEE-correctly-rounded in both JVM and C). top_dim is the
+    // exact-integer argmax drift dimension, tie-broken to the lowest
+    // dim on both sides.
+    "emb_drift_mmd" -> ((s, dir) => {
+      val sums = Tables(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("grp"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("grp"), col("dim"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+        .groupBy("label", "grp", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"))
+      val a = sums.filter(col("grp") === 0).select(col("label"),
+        col("dim"), col("n").as("n_a"), col("sq").as("sq_a"))
+      val b = sums.filter(col("grp") === 1).select(col("label"),
+        col("dim"), col("n").as("n_b"), col("sq").as("sq_b"))
+      a.join(b, Seq("label", "dim"))
+        .withColumn("diff", expr("sq_a * n_b - sq_b * n_a"))
+        .withColumn("d2", expr("diff * diff"))
+        .groupBy("label")
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          sum(col("d2")).as("num"),
+          // composite argmax key in ONE exact integer — (d2, lowest
+          // dim) lexicographic, since 63−dim < 64 (DuckDB 1.0's
+          // arg_max has no multi-key form)
+          max_by(col("dim"), expr("d2 * 64 + (63 - dim)")).as("top_dim"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          expr("CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE)" +
+            " * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)" +
+            " * CAST(n_b AS DOUBLE) * 1e12)").as("mmd2"),
+          sqrt(expr("CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE)" +
+            " * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)" +
+            " * CAST(n_b AS DOUBLE) * 1e12)")).as("shift_l2"),
+          col("top_dim"))
+    }),
+
     // Hard triplet mining — the metric-learning batch builder: for each
     // anchor (every 10th vector = "the batch"), the HARDEST positive is
     // its nearest same-label vector and the hardest negative its
@@ -652,6 +703,36 @@ object VectorQueries extends QueryPack {
         |  CAST(CAST(CAST(n AS HUGEINT) * sqq - sq * sq AS VARCHAR)
         |    AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12
         |    AS variance
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "emb_drift_mmd" ->
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 AS grp, ps.pos AS dim,
+        |    CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS pos) ps),
+        |s AS (
+        |  SELECT label, grp, dim, COUNT(*) AS n,
+        |    SUM(CAST(q AS HUGEINT)) AS sq
+        |  FROM x GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label AS label, a.dim AS dim, a.n AS n_a, b.n AS n_b,
+        |    a.sq * b.n - b.sq * a.n AS diff
+        |  FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+        |  WHERE a.grp = 0 AND b.grp = 1),
+        |g AS (
+        |  SELECT label, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |    SUM(diff * diff) AS num,
+        |    arg_max(dim, diff * diff * 64 + (63 - dim)) AS top_dim
+        |  FROM j GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / (CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE) * 1e12) AS mmd2,
+        |  sqrt(CAST(CAST(num AS VARCHAR) AS DOUBLE) / (CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE) * 1e12)) AS shift_l2,
+        |  top_dim
+        |FROM g""".stripMargin
   )
 }
