@@ -41,6 +41,7 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)),
     "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)),
     "stream_e2e_neardup" -> ((s, dir) => runNearDup(s, dir)),
+    "stream_e2e_late" -> ((s, dir) => runLate(s, dir)),
     "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)),
     "stream_e2e_cms" -> ((s, dir) => runCms(s, dir)),
     "stream_e2e_cdc" -> ((s, dir) => runCdc(s, dir)))
@@ -216,6 +217,99 @@ object StreamE2EQueries extends QueryPack {
     * keyed (symbol, h_start) is then a plain insert and the read-back
     * equals the batch date_trunc rollup.
     */
+  /** WATERMARK LATE-DATA DROP end to end (16th streaming oracle row).
+    * Every other watermark row only certifies that on-time data
+    * SURVIVES; this one certifies the drop itself — the semantics that
+    * bound state at 100 TB (without eviction, a year-long feed's
+    * window state grows forever; the reference's daily HashMap reset,
+    * /root/reference/src/main.rs:207-208, is its crude version of the
+    * same contract). Spool layout makes the drop deterministic by
+    * construction: time-RANGE-partitioned era files (so no era row is
+    * ever behind an earlier file's watermark), then ONE far-future
+    * advancer file, then straggler files that byte-for-byte re-send
+    * the purchase rows with perturbed volumes (×10+7). With
+    * maxFilesPerTrigger=1 the advancer COMMITS (watermark update is
+    * batch-end) before any straggler enters a batch. Spark keeps TWO
+    * watermarks per trigger — late-row FILTERING uses the previous
+    * batch's watermark (eventTimeWatermarkForLateEvents) while
+    * eviction/emission uses the current one — so one advancer is not
+    * enough: the batch right after it still filters with the
+    * pre-advancer watermark (measured: exactly the last era day's
+    * stragglers leaked). A second advancer file sits between, putting
+    * the stragglers TWO batch-generations behind; they then arrive
+    * ~99 days behind even the lagging filter watermark and must be
+    * dropped before the window state — if the engine admits even one,
+    * n_ticks and the perturbed sums shift and the oracle (computed
+    * from the on-time era only) hash-fails.
+    */
+  private def runLate(s: SparkSession, dir: String): DataFrame = {
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+    // bounded file count at any SF (4 range files, sorted within):
+    // per-batch overhead is ~constant, so era batches stay O(1)
+    val lines = tickLines(
+      base.repartitionByRange(4, col("time_s"), col("user_id"))
+        .sortWithinPartitions("time_s", "user_id"),
+      col("value"), stdVolume, stdType)
+    val work = Files.createTempDirectory("graft_e2e_late")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None)
+    val maxSec = base.agg(max(col("time_s"))).head().getLong(0)
+    val nFiles = graft.util.Fs.list(Paths.get(spool))
+      .count(_.getFileName.toString.endsWith(".jsonl"))
+    def advancer(t: Long) =
+      s"""{"topic":"feed","frameType":"TICK","payload":""" +
+        s"""{"symbol":"ZZZ","bid":1.0,"price":1.0,"ask":1.0,""" +
+        s""""time":$t,"volume":1,"type":"B"}}"""
+    // two advancer batches: the second exists solely so the straggler
+    // batch's LAGGING filter watermark already includes the first
+    Files.writeString(Paths.get(spool).resolve(f"$nFiles%04d.jsonl"),
+      advancer(maxSec + 100 * 86400) + "\n")
+    Files.writeString(Paths.get(spool).resolve(f"${nFiles + 1}%04d.jsonl"),
+      advancer(maxSec + 100 * 86400 + 60) + "\n")
+    val lateLines = tickLines(
+      base.filter(col("event_type") === "purchase"),
+      col("value"), (floor(col("value")) * 10 + 7).cast("int"), stdType)
+    val lateSpool = graft.source.SpoolWriter.write(lateLines,
+      work.resolve("late"), repartitionTo = Some(1))
+    graft.util.Fs.list(Paths.get(lateSpool))
+      .filter(_.getFileName.toString.endsWith(".jsonl"))
+      .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, Paths.get(spool).resolve(f"${nFiles + 2 + i}%04d.jsonl"))
+      }
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      // load-bearing: one file per micro-batch, see scaladoc
+      .option("maxFilesPerTrigger", "1")
+      .load()
+    val agg = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .withColumn("ts", timestamp_seconds(col("time")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "30 minutes").as("w"), col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("volume").cast("long")).as("sum_vol"))
+      .select(col("symbol"), col("w.start").as("w_start"),
+        col("n_ticks"), col("sum_vol"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(
+          batch.filter(col("symbol") =!= "ZZZ").toDF(),
+          id, sinkRoot, "feed", "late", Seq("symbol", "w_start"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "late")
+      .select(col("symbol"), col("w_start"), col("n_ticks"),
+        col("sum_vol"))
+  }
+
   private def runTumbling(s: SparkSession, dir: String): DataFrame = {
     val base = LwwDedup(
       Tables(s, dir, "events")
@@ -1010,6 +1104,23 @@ object StreamE2EQueries extends QueryPack {
     // batch mirror of the streamed tumbling rollup: hour truncation
     // over the deduped (symbol, second) ticks — Spark's window() start
     // is epoch-aligned, which for whole hours IS date_trunc
+    // the on-time era ONLY — no straggler term appears anywhere: the
+    // hash match IS the proof the engine dropped them
+    "stream_e2e_late" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1)
+        |SELECT CAST(user_id AS VARCHAR) AS symbol,
+        |  TIMESTAMP '1970-01-01' + (sec // 1800) * 1800 * INTERVAL 1 SECOND
+        |    AS w_start,
+        |  COUNT(*) AS n_ticks,
+        |  CAST(SUM(CAST(floor(value) AS INT)) AS BIGINT) AS sum_vol
+        |FROM base GROUP BY 1, 2""".stripMargin,
+
     "stream_e2e_tumbling" ->
       """WITH base AS (
         |  SELECT * FROM (
