@@ -361,6 +361,22 @@ object ScaleProbe {
       exec(graft.queries.ScaleQueries.cdcSnapshot(
         scaled("events", "user_id", c)))
 
+    // round-9 continuation: the session's two new corpus-scale
+    // queries, on their registered code paths. basket_rules: baskets
+    // 10× with basket sizes constant (the id-shift scales l_orderkey,
+    // never basket width), so the capped pair self-join must scale
+    // with baskets — output is the fixed top-50, making this a
+    // fixed-output probe judged on the JOB ratio. emb_drift: rows per
+    // (label, grp, dim) cell grow 10×, state stays the 1,280-cell
+    // rollup and output the fixed 10 labels — map-side partials must
+    // absorb the growth.
+    def basketRules(c: Int): Long =
+      exec(graft.queries.RelationalQueries.basketRules(
+        scaled("lineitem", "l_orderkey", c)))
+    def embDrift(c: Int): Long =
+      exec(graft.queries.VectorQueries.driftMmd(
+        scaled("embeddings", "vec_id", c)))
+
     val probes = Seq[(String, Int => Long)](
       ("cumvol", cumvol), ("text_dedup_cc", textDedup),
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
@@ -376,7 +392,8 @@ object ScaleProbe {
       ("asof_hotkey_plain", asofHotkeyPlain),
       ("cumvol_hotkey_salted", cumvolHotkeySalted),
       ("cumvol_hotkey_plain", cumvolHotkeyPlain),
-      ("lm_bits", lmBits), ("cdc_apply", cdcApply))
+      ("lm_bits", lmBits), ("cdc_apply", cdcApply),
+      ("basket_rules", basketRules), ("emb_drift", embDrift))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
     // pattern the bench already has — including its fail-fast: a typo
     // must not silently measure zero probes and emit `{...,}` JSON)

@@ -1006,36 +1006,43 @@ object RelationalQueries extends QueryPack {
     // Determinism: conf/lift are single IEEE divisions of exact int64
     // products (n_orders·supp ≤ 2⁶³ until well past 10¹² baskets), and
     // the top-50 carries the unique (pa, pb) tie-break.
-    "basket_pair_rules" -> ((s, dir) => {
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val sized = items
-        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("ok")))
-        .filter(col("bsz") <= 32)
-      val pairs = sized.select(col("ok"), col("pk").as("pa"))
-        .join(sized.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-        .filter(col("pa") < col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
-      val item = items.groupBy("pk").agg(count(lit(1)).as("supp"))
-      val n = items.select(countDistinct(col("ok")).as("n_orders"))
-      pairs
-        .join(broadcast(item.select(col("pk").as("pa"),
-          col("supp").as("supp_a"))), Seq("pa"))
-        .join(broadcast(item.select(col("pk").as("pb"),
-          col("supp").as("supp_b"))), Seq("pb"))
-        .crossJoin(broadcast(n))
-        .filter(col("supp_ab") >= 2)
-        .select(col("pa"), col("pb"), col("supp_ab"),
-          col("supp_a"), col("supp_b"),
-          (col("supp_ab").cast("double") / col("supp_a").cast("double"))
-            .as("conf_ab"),
-          ((col("n_orders") * col("supp_ab")).cast("double") /
-            (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
-        .orderBy(col("lift").desc, col("pa"), col("pb"))
-        .limit(50)
-    })
+    "basket_pair_rules" -> ((s, dir) =>
+      basketRules(t(s, dir, "lineitem")))
   )
+
+  /** `basket_pair_rules` body on an explicit lineitem frame — shared
+    * with ScaleProbe's weak-scaling arm (the probe must measure the
+    * registered query's own plan).
+    */
+  def basketRules(li: DataFrame): DataFrame = {
+    val items = li
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val sized = items
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("ok")))
+      .filter(col("bsz") <= 32)
+    val pairs = sized.select(col("ok"), col("pk").as("pa"))
+      .join(sized.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
+    val item = items.groupBy("pk").agg(count(lit(1)).as("supp"))
+    val n = items.select(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(broadcast(item.select(col("pk").as("pa"),
+        col("supp").as("supp_a"))), Seq("pa"))
+      .join(broadcast(item.select(col("pk").as("pb"),
+        col("supp").as("supp_b"))), Seq("pb"))
+      .crossJoin(broadcast(n))
+      .filter(col("supp_ab") >= 2)
+      .select(col("pa"), col("pb"), col("supp_ab"),
+        col("supp_a"), col("supp_b"),
+        (col("supp_ab").cast("double") / col("supp_a").cast("double"))
+          .as("conf_ab"),
+        ((col("n_orders") * col("supp_ab")).cast("double") /
+          (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(50)
+  }
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

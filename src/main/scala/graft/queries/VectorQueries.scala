@@ -414,38 +414,8 @@ object VectorQueries extends QueryPack {
     // (IEEE-correctly-rounded in both JVM and C). top_dim is the
     // exact-integer argmax drift dimension, tie-broken to the lowest
     // dim on both sides.
-    "emb_drift_mmd" -> ((s, dir) => {
-      val sums = Tables(s, dir, "embeddings")
-        .select(col("label"), (col("vec_id") % 2).as("grp"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
-        .select(col("label"), col("grp"), col("dim"),
-          floor(col("v").cast("double") * 1e6).cast("long").as("q"))
-        .groupBy("label", "grp", "dim")
-        .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"))
-      val a = sums.filter(col("grp") === 0).select(col("label"),
-        col("dim"), col("n").as("n_a"), col("sq").as("sq_a"))
-      val b = sums.filter(col("grp") === 1).select(col("label"),
-        col("dim"), col("n").as("n_b"), col("sq").as("sq_b"))
-      a.join(b, Seq("label", "dim"))
-        .withColumn("diff", expr("sq_a * n_b - sq_b * n_a"))
-        .withColumn("d2", expr("diff * diff"))
-        .groupBy("label")
-        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          sum(col("d2")).as("num"),
-          // composite argmax key in ONE exact integer — (d2, lowest
-          // dim) lexicographic, since 63−dim < 64 (DuckDB 1.0's
-          // arg_max has no multi-key form)
-          max_by(col("dim"), expr("d2 * 64 + (63 - dim)")).as("top_dim"))
-        .select(col("label"), col("n_a"), col("n_b"),
-          expr("CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE)" +
-            " * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)" +
-            " * CAST(n_b AS DOUBLE) * 1e12)").as("mmd2"),
-          sqrt(expr("CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE)" +
-            " * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)" +
-            " * CAST(n_b AS DOUBLE) * 1e12)")).as("shift_l2"),
-          col("top_dim"))
-    }),
+    "emb_drift_mmd" -> ((s, dir) =>
+      driftMmd(Tables(s, dir, "embeddings"))),
 
     // Hard triplet mining — the metric-learning batch builder: for each
     // anchor (every 10th vector = "the batch"), the HARDEST positive is
@@ -492,6 +462,44 @@ object VectorQueries extends QueryPack {
           (col("neg.dfix") - col("pos.dfix")).as("margin"))
     })
   )
+
+  /** `emb_drift_mmd` body on an explicit embeddings frame — shared
+    * with ScaleProbe's weak-scaling arm (the probe must measure the
+    * registered query's own plan). See the query entry's scaladoc for
+    * the determinism discipline.
+    */
+  def driftMmd(e: DataFrame): DataFrame = {
+    val sums = e
+      .select(col("label"), (col("vec_id") % 2).as("grp"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("grp"), col("dim"),
+        floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+      .groupBy("label", "grp", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"))
+    val a = sums.filter(col("grp") === 0).select(col("label"),
+      col("dim"), col("n").as("n_a"), col("sq").as("sq_a"))
+    val b = sums.filter(col("grp") === 1).select(col("label"),
+      col("dim"), col("n").as("n_b"), col("sq").as("sq_b"))
+    a.join(b, Seq("label", "dim"))
+      .withColumn("diff", expr("sq_a * n_b - sq_b * n_a"))
+      .withColumn("d2", expr("diff * diff"))
+      .groupBy("label")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("d2")).as("num"),
+        // composite argmax key in ONE exact integer — (d2, lowest
+        // dim) lexicographic, since 63−dim < 64 (DuckDB 1.0's
+        // arg_max has no multi-key form)
+        max_by(col("dim"), expr("d2 * 64 + (63 - dim)")).as("top_dim"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE)" +
+          " * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)" +
+          " * CAST(n_b AS DOUBLE) * 1e12)").as("mmd2"),
+        sqrt(expr("CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE)" +
+          " * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)" +
+          " * CAST(n_b AS DOUBLE) * 1e12)")).as("shift_l2"),
+        col("top_dim"))
+  }
 
   def oracles: Map[String, String] = Map(
     // argmins as row_number ranks — a different algorithm than the
