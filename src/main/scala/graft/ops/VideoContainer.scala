@@ -57,14 +57,33 @@ object VideoContainer {
     * header = 28) rather than a moov-size fixpoint.
     */
   def encodeMp4(mediaId: Long, nFrames: Int, width: Int, height: Int): Array[Byte] = {
+    require(nFrames >= 1,
+      s"mp4 law: nFrames must be positive, got $nFrames")
+    encodeSamples((0 until nFrames).map { i =>
+      val a = new Array[Byte](sampleSize(mediaId, i))
+      var j = 0
+      while (j < a.length) { a(j) = sampleByte(mediaId, i, j); j += 1 }
+      a
+    }, width, height)
+  }
+
+  /** Same container, arbitrary codec payloads — one sample per array,
+    * concatenated into `mdat` in index order with stsz carrying the
+    * real lengths. This is the Motion-JPEG shape (every sample a
+    * complete still image the JDK can decode) that lets the video
+    * pipeline run END TO END offline: [[Multimodal.Image]] BMP frames
+    * in, [[parse]]+[[demuxSamples]] slicing them back out, ImageIO
+    * decoding real pixels — no external codec anywhere.
+    */
+  def encodeSamples(payloads: Seq[Array[Byte]], width: Int,
+      height: Int): Array[Byte] = {
+    val nFrames = payloads.length
     require(nFrames >= 1 && width >= 1 && height >= 1,
       s"mp4 law: nFrames/width/height must be positive, got " +
         s"($nFrames, $width, $height)")
-    val sizes = (0 until nFrames).map(sampleSize(mediaId, _))
+    val sizes = payloads.map(_.length)
     val mdatPayload = ByteBuffer.allocate(sizes.sum)
-    (0 until nFrames).foreach { i =>
-      (0 until sizes(i)).foreach(j => mdatPayload.put(sampleByte(mediaId, i, j)))
-    }
+    payloads.foreach(mdatPayload.put)
     val ftyp = box("ftyp", {
       val p = ByteBuffer.allocate(12)
       p.put("isom".getBytes("US-ASCII")).putInt(0)

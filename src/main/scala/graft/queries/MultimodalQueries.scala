@@ -87,6 +87,47 @@ object MultimodalQueries extends QueryPack {
         .toDF("media_id", "frame_idx", "n_bytes", "sum_bytes")
     }),
 
+    // The END-TO-END video pixel path, fully offline: BMP frames under
+    // the gradient pixel law (v = (x+y+media+13·frame) % 256) packed
+    // as REAL MP4 samples (the Motion-JPEG shape — every sample a
+    // complete still image), then parse → demux → slice → ImageIO
+    // decode → per-frame exact pixel stats. This closes the carried
+    // "video decode" gap for the one codec family the JDK ships:
+    // container real, frame extraction real, pixel decode real; only
+    // inter-frame codecs (H.264 et al.) remain env-blocked, and at
+    // 100 TB they'd consume the same demuxed ranges on a decoder
+    // fleet. The law mirror bounds the oracle grid: doc_id % 15 media
+    // subset, ≤23×15 px, 2–6 frames.
+    "media_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 15 === 2)
+        .select(col("doc_id"),
+          (col("n_chars") % 16 + 8).cast("int").as("w"),
+          (col("n_chars") % 8 + 8).cast("int").as("h"),
+          (col("n_chars") % 5 + 2).cast("int").as("nf"))
+        .as[(Long, Int, Int, Int)]
+        .flatMap { case (id, w, h, nf) =>
+          val frames = (0 until nf).map(f =>
+            Multimodal.ImageCodec.encodeGradientBmp(w, h, id + 13L * f))
+          val bytes = VideoContainer.encodeSamples(frames, w, h)
+          val m = VideoContainer.parse(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"box walker rejected its own BMP-MP4 for media $id"))
+          VideoContainer.demuxSamples(m).map { case (i, off, sz) =>
+            val st = Multimodal.ImageCodec.decodeStats(
+              java.util.Arrays.copyOfRange(
+                bytes, off.toInt, off.toInt + sz))
+              .getOrElse(throw new IllegalStateException(
+                s"ImageIO rejected demuxed BMP frame $i of media $id"))
+            (id, i.toLong, st.width.toLong, st.height.toLong,
+              st.sumGray, st.minGray.toLong, st.maxGray.toLong)
+          }
+        }
+        .toDF("media_id", "frame_idx", "width", "height",
+          "sum_gray", "min_gray", "max_gray")
+    }),
+
     // 1 video → N frames generator; per-frame digest of the byte slice.
     "media_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(
@@ -278,6 +319,29 @@ object MultimodalQueries extends QueryPack {
         |  CAST(list_sum([(doc_id + i + j) % 256
         |                 for j in range(0, sz)]) AS BIGINT) AS sum_bytes
         |FROM s""".stripMargin,
+
+    // the pixel-law mirror of the decoded frames: if demux sliced the
+    // wrong ranges or ImageIO mis-decoded, the per-frame sums diverge
+    "media_video_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, n_chars % 16 + 8 AS w, n_chars % 8 + 8 AS h,
+        |    n_chars % 5 + 2 AS nf
+        |  FROM documents WHERE doc_id % 15 = 2),
+        |fr AS (
+        |  SELECT doc_id, w, h, f.i
+        |  FROM m, LATERAL (SELECT unnest(range(0, nf)) AS i) f),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |    CAST((gx.x + gy.y + doc_id + 13 * i) % 256 AS BIGINT) AS v
+        |  FROM fr,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x) gx,
+        |    LATERAL (SELECT unnest(range(0, h)) AS y) gy)
+        |SELECT doc_id AS media_id, i AS frame_idx, w AS width,
+        |  h AS height,
+        |  CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(MIN(v) AS BIGINT) AS min_gray,
+        |  CAST(MAX(v) AS BIGINT) AS max_gray
+        |FROM px GROUP BY doc_id, i, w, h""".stripMargin,
 
     "media_frame_sample" ->
       """WITH vids AS (

@@ -159,6 +159,32 @@ class MultimodalSuite extends SparkSpec {
     assert(mdatSize === 8 + m.sampleSizes.sum)
   }
 
+  test("VideoContainer: BMP samples round-trip byte-exact and pixel-exact") {
+    import graft.ops.VideoContainer
+    // real variable-size payloads (BMP row padding makes widths differ
+    // in encoded size), not the formulaic byte law — stsz must carry
+    // the true lengths for the slices to land
+    val frames = (0 until 3).map(f =>
+      Multimodal.ImageCodec.encodeGradientBmp(13, 7, 5L + 13 * f))
+    val bytes = VideoContainer.encodeSamples(frames, 13, 7)
+    val m = VideoContainer.parse(bytes).getOrElse(fail("parse rejected"))
+    assert(m.sampleSizes.toSeq === frames.map(_.length))
+    val samples = VideoContainer.demuxSamples(m)
+    samples.foreach { case (i, off, sz) =>
+      val slice = java.util.Arrays.copyOfRange(
+        bytes, off.toInt, off.toInt + sz)
+      assert(slice.sameElements(frames(i)), s"frame $i slice differs")
+      // and the slice DECODES: ImageIO accepts the demuxed range
+      val st = Multimodal.ImageCodec.decodeStats(slice)
+        .getOrElse(fail(s"ImageIO rejected demuxed frame $i"))
+      assert(st.width === 13 && st.height === 7)
+      // pixel law on frame i: v = (x + y + 5 + 13*i) % 256
+      val expect = (for { y <- 0 until 7; x <- 0 until 13 }
+        yield (x + y + 5 + 13 * i) % 256).map(_.toLong).sum
+      assert(st.sumGray === expect, s"frame $i pixel sum")
+    }
+  }
+
   test("VideoContainer: structurally broken payloads reject as None, never throw") {
     import graft.ops.VideoContainer
     val good = VideoContainer.encodeMp4(3L, 2, 16, 16)
