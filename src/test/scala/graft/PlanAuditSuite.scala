@@ -40,6 +40,23 @@ class PlanAuditSuite extends SparkSpec {
   private def countShuffles(p: SparkPlan): Int =
     flatten(p).count(_.isInstanceOf[ShuffleExchangeLike])
 
+  test("basket_pair_rules: supports broadcast, top-50 never global-sorts") {
+    val plan = executed(q("basket_pair_rules"))
+    val nodes = flatten(plan)
+    // both item-support attachments and the scalar N ride broadcast —
+    // the pair stream (the big side at scale) is never re-shuffled for
+    // them
+    assert(nodes.count(_.nodeName.contains("BroadcastHashJoin")) >= 2,
+      s"item supports must attach by broadcast:\n$plan")
+    assert(nodes.exists(_.nodeName.contains("BroadcastNestedLoopJoin")) ||
+      nodes.count(_.nodeName.contains("BroadcastHashJoin")) >= 3,
+      s"scalar N must ride broadcast:\n$plan")
+    // the top-50 is TakeOrdered (per-partition k + driver merge of
+    // 50), not a global Sort of every surviving pair
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"top-50 must be TakeOrderedAndProject:\n$plan")
+  }
+
   test("q1_pricing_summary: column pruning reaches the parquet scan") {
     val scans = flatten(executed(q("q1_pricing_summary")))
       .filter(_.nodeName.contains("Scan")).map(_.toString)
