@@ -1013,20 +1013,37 @@ object RelationalQueries extends QueryPack {
   /** `basket_pair_rules` body on an explicit lineitem frame — shared
     * with ScaleProbe's weak-scaling arm (the probe must measure the
     * registered query's own plan).
+    *
+    * Pair generation is WITHIN-GROUP ARRAY EXPANSION, not a self-join:
+    * one groupBy(ok) builds each basket's sorted item set, the size
+    * cap filters whole baskets, and a codegen'd
+    * transform/slice/flatten expands the ≤C(cap,2) ordered pairs
+    * scan-side — one pass over lineitem and three shuffles total
+    * (basket build, pair rollup, item rollup) versus the self-join
+    * form's five with a doubled basket subtree. The aggregation
+    * buffer holds one basket's distinct items, so like any
+    * collect-based basket build a DEGENERATE basket (10⁹ items) needs
+    * a count-and-anti-join pre-pass before this operator; the cap
+    * then bounds the quadratic expansion itself.
     */
   def basketRules(li: DataFrame): DataFrame = {
-    val items = li
+    val baskets = li
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val sized = items
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("ok")))
-      .filter(col("bsz") <= 32)
-    val pairs = sized.select(col("ok"), col("pk").as("pa"))
-      .join(sized.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-      .filter(col("pa") < col("pb"))
+      .groupBy("ok")
+      .agg(sort_array(collect_set(col("pk"))).as("arr"))
+    val pairs = baskets
+      .filter(size(col("arr")) <= 32)
+      .select(explode(expr(
+        "flatten(transform(arr, (x, i) -> " +
+          "transform(slice(arr, i + 2, size(arr)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("supp_ab"))
-    val item = items.groupBy("pk").agg(count(lit(1)).as("supp"))
-    val n = items.select(countDistinct(col("ok")).as("n_orders"))
+    // supports and the transaction total over ALL baskets (capping
+    // prunes pair generation, never a denominator)
+    val item = baskets.select(explode(col("arr")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("supp"))
+    val n = baskets.select(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(item.select(col("pk").as("pa"),
         col("supp").as("supp_a"))), Seq("pa"))
