@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{GraphIter, PageRank}
+import graft.ops.{ConnectedComponents, GraphIter, PageRank}
 
 /** Graph-shaped operators over the `events` fixture. The bipartite
   * user↔item interaction graph (users purchase items, items are clicked
@@ -207,6 +207,26 @@ object GraphQueries extends QueryPack {
               col("n_wedges").cast("double")))
     }),
 
+    // Connected components over the co-engagement projection — the
+    // equivalence-class member of the graph family, and the standalone
+    // oracle anchor for [[graft.ops.ConnectedComponents]] (previously
+    // certified only inside the dedup pack, where it clusters near-dup
+    // PAIRS; here it answers the community question directly: how
+    // fragmented is the co-engagement graph?). Output is the component
+    // SIZE HISTOGRAM (size, count) — a fixed-size result whatever the
+    // graph, so the probe-visible cost is the CC loop itself.
+    // Scale shape: hash-to-min with pointer jumping — O(log n) rounds,
+    // each one node-keyed shuffle of O(V + E) rows, per-round
+    // localCheckpoint (→ reliable checkpoint on a cluster); the mirror
+    // is the definitional transitive closure, so the hash match proves
+    // the iterated propagation computes true reachability classes.
+    "graph_components" -> ((s, dir) => {
+      val comp = ConnectedComponents(coEdgesPinned(s, dir), "ua", "ub")
+      comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("num_components"))
+    }),
+
     // Breadth-first reachability levels — the traversal family next to
     // PageRank (diffusion), connected components (equivalence), and
     // triangles (census): hop distance from a seed set (users 0..4)
@@ -405,6 +425,24 @@ object GraphQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     // same 3 relaxation rounds, unrolled as CTEs
+    // definitional mirror: transitive closure by recursive CTE (UNION
+    // dedups, so the fixpoint is exact reachability), component = min
+    // reachable node — feasible because the projection is hub-capped
+    // (closure rows ≤ Σ |component|²); the engine side never builds
+    // the closure, that asymmetry is the point of the anchor
+    "graph_components" ->
+      s"""WITH RECURSIVE $coEdgesDuck,
+         |$coAdjDuck,
+         |reach(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM adj)
+         |  UNION
+         |  SELECT reach.n, adj.v FROM reach JOIN adj ON reach.r = adj.u),
+         |comp AS (SELECT n, MIN(r) AS component FROM reach GROUP BY n),
+         |sz AS (
+         |  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+         |SELECT sz AS component_size, COUNT(*) AS num_components
+         |FROM sz GROUP BY sz""".stripMargin,
+
     "graph_bfs_levels" ->
       s"""WITH $edgesDuck,
          |adj AS (
