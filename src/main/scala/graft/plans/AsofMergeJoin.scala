@@ -191,27 +191,44 @@ case class AsofMergeJoinExec(
           val l = lIt.next()
           val lKeyRow = lKeyProj(l)
           val lNull = lKeyRow.isNullAt(0)
+          // SQL comparison semantics for the time bound: `r.time <=
+          // l.time` is NULL (never true) when either side is null, but
+          // the natural ascending ordering used for the merge sorts
+          // null FIRST (smallest) — so nulls must be handled explicitly
+          // or a null-time quote would buffer as "before everything"
+          // and a null-time left row would reuse an earlier buffered
+          // quote, both diverging from the composed-operator form and
+          // the pinned DuckDB ASOF contract.
+          var lTimeNull = false
           if (!lNull) {
             val lTimeRow = lTimeProj(l)
+            lTimeNull = lTimeRow.isNullAt(0)
             // consume right rows that are now at-or-before this left
             // row: earlier keys (and null keys, which sort first)
-            // discard; same-key rows with time <= left time become the
-            // buffered quote, later ones wait
+            // discard; same-key null-time rows discard (matchable by no
+            // left row, and they sort first within the key); same-key
+            // rows with time <= left time become the buffered quote,
+            // later ones wait
             var advance = true
             while (advance && rRow != null) {
               val rKeyRow = rKeyProj(rRow)
               val c = keyOrd.compare(rKeyRow, lKeyRow)
               if (c < 0) {
                 rRow = if (rIt.hasNext) rIt.next() else null
-              } else if (c == 0 && !rKeyRow.isNullAt(0) &&
-                  timeOrd.compare(rTimeProj(rRow), lTimeRow) <= 0) {
-                quote = payloadProj(rRow).copy()
-                quoteKey = rKeyRow.copy()
-                rRow = if (rIt.hasNext) rIt.next() else null
+              } else if (c == 0 && !rKeyRow.isNullAt(0)) {
+                val rTimeRow = rTimeProj(rRow)
+                if (rTimeRow.isNullAt(0)) {
+                  rRow = if (rIt.hasNext) rIt.next() else null
+                } else if (!lTimeNull &&
+                    timeOrd.compare(rTimeRow, lTimeRow) <= 0) {
+                  quote = payloadProj(rRow).copy()
+                  quoteKey = rKeyRow.copy()
+                  rRow = if (rIt.hasNext) rIt.next() else null
+                } else advance = false
               } else advance = false
             }
           }
-          val matched = !lNull && quoteKey != null &&
+          val matched = !lNull && !lTimeNull && quoteKey != null &&
             keyOrd.compare(quoteKey, lKeyRow) == 0
           numOutputRows += 1
           resultProj(joined(l, if (matched) quote else nullPayload))

@@ -121,9 +121,10 @@ object LwwSink {
   private def asideDir(table: String, n: Int) = Paths.get(s"$table/_old_kb=$n")
 
   /** Merge one micro-batch into the emulated table. `keys` is the PK;
-    * `batchId` is the version (later batch wins; within a batch,
-    * [[LwwDedup]]'s deterministic tiebreak applies). Buckets hash on
-    * `keys.head` (the partition-key analog).
+    * `batchId` is the version (later batch wins; within a batch, the
+    * payload columns complete the version tuple so [[LwwDedup]]'s
+    * winner is deterministic even for same-PK rows — see the call
+    * site). Buckets hash on `keys.head` (the partition-key analog).
     */
   def upsertBatch(
       batch: DataFrame,
@@ -150,7 +151,21 @@ object LwwSink {
     // cost at 200k rows). The winners are pinned: three consumers
     // (bucket metadata, broadcast key set, union) would otherwise each
     // re-run the batch dedup.
-    val winners = LwwDedup(tagged, keys.map(col), Seq(col("_batch_id")))
+    // Version tuple = (_batch_id, every non-key payload column). The
+    // batch id alone is CONSTANT within one micro-batch, so two rows
+    // with the same PK in one batch would tie and row_number would
+    // elect a shuffle-fetch-order-dependent winner — the original run
+    // and a crash replay of the same batch could store DIFFERENT rows,
+    // breaking the idempotent-replay claim this sink is built on
+    // (LwwDedup's determinism precondition is a per-key-unique version
+    // tuple). Payload columns complete the tuple: distinct payloads
+    // order deterministically (arbitrary but stable — the reference's
+    // Cassandra upsert is arrival-order-dependent here, so any stable
+    // total order is a strict improvement), and byte-identical
+    // duplicates tie harmlessly.
+    val payloadCols = batch.columns.filterNot(keys.contains).toSeq
+    val winners = LwwDedup(tagged, keys.map(col),
+        col("_batch_id") +: payloadCols.map(col))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the affected-bucket set is metadata (≤ NumBuckets ints), not data

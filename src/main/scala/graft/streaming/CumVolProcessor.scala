@@ -37,23 +37,15 @@ object CumVolProcessor {
       symbol: String,
       rows: Iterator[Tick],
       state: GroupState[CumState]): Iterator[EnrichedTick] = {
-    var st = state.getOption.getOrElse(CumState(Long.MinValue, 0L, 0L))
-    val out = rows.toSeq.sortBy(_.time).map { t =>
-      val day = Math.floorDiv(t.time, 86400L) // F5, main.rs:109-110
-      if (day > st.day && st.day != Long.MinValue)
-        st = CumState(day, 0L, 0L) // A2 daily reset, main.rs:112-118
-      else if (st.day == Long.MinValue)
-        st = CumState(day, 0L, 0L) // first-ever row seeds state, main.rs:122
-      // R4 conditional contribution, main.rs:124-128: non-B/S rows pass
-      // through with unchanged counters, they are NOT dropped.
-      st = t.tradeType match {
-        case "B" => st.copy(cumbuy = st.cumbuy + t.volume)
-        case "S" => st.copy(cumsell = st.cumsell + t.volume)
-        case _   => st
-      }
-      EnrichedTick(t.symbol, t.bid, t.price, t.ask, t.time, t.volume,
-        t.tradeType, st.cumbuy, st.cumsell, st.cumbuy - st.cumsell)
-    }
+    // ONE copy of the golden per-row arithmetic (day bucket F5
+    // main.rs:109-110, daily reset A2 main.rs:112-118, conditional B/S
+    // contribution R4 main.rs:124-128 — non-B/S rows pass through with
+    // unchanged counters, NOT dropped): both state backends delegate to
+    // [[CumVolStatefulProcessor.fold]], so a semantics tweak cannot
+    // desynchronize the flatMapGroupsWithState and transformWithState
+    // paths (their equivalence used to hold only by parallel edits).
+    val st0 = state.getOption.getOrElse(CumState(Long.MinValue, 0L, 0L))
+    val (st, out) = CumVolStatefulProcessor.fold(st0, rows)
     state.update(st)
     out.iterator
   }

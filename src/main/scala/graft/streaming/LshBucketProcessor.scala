@@ -107,6 +107,13 @@ object LshBucketProcessor {
       .select(from_json(col("payload"),
         graft.model.Schemas.docJsonSchema).as("d"))
       .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+      // a DOC with a missing/mistyped doc_id (PERMISSIVE from_json
+      // nulls just that field) must drop HERE: it would survive the
+      // signature stage's text-length filter and then kill the whole
+      // ingest query at `.as[BandHit]` (docId is a primitive Long) —
+      // a poison-pill crash loop on replay, with no tick-style
+      // dead-letter branch on this path to absorb it
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
     graft.ops.MinHashLSH
       .signatures(parsed, "doc_id", "text", shingleK, perms, bands)
       .select(concat_ws("|", col("band"), col("sig")).as("bucket"),

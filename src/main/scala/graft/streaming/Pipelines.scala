@@ -42,10 +42,18 @@ object Pipelines {
       .select(col("topic"), col("payload"),
         explode_outer(col("_levels")).as("l"))
       // corrupt AFTER the explode: a null ARRAY and an empty array both
-      // explode_outer to one null `l` row, and a level missing its
-      // symbol would otherwise reach the sink as an all-null-PK row
-      // that the keyed upsert can never replace (null-unsafe keys)
-      .withColumn("_corrupt", col("l").isNull || col("l.symbol").isNull)
+      // explode_outer to one null `l` row. A level missing ANY field is
+      // corrupt — the reference's serde parse is strict (main.rs:40-48:
+      // no Option fields, a missing/mistyped key fails the whole
+      // message), and the lenient alternative is worse on both axes a
+      // sink cares about: a null PK component (symbol/time/price) makes
+      // a row the null-unsafe keyed upsert can never replace (left_anti
+      // on keys never matches NULL, so every replay APPENDS another
+      // copy), and a null payload field would crash a typed consumer's
+      // primitive encoder mid-batch instead of at the quarantine line.
+      .withColumn("_corrupt", col("l").isNull ||
+        Seq("symbol", "price", "time", "volume", "type")
+          .map(f => col(s"l.$f").isNull).reduce(_ || _))
       .select(col("topic"), col("payload"), col("_corrupt"),
         col("l.symbol").as("symbol"), col("l.price").as("price"),
         col("l.time").as("time"), col("l.volume").as("volume"),
@@ -56,9 +64,20 @@ object Pipelines {
     tickEnvelopes(env)
       .withColumn("_t", from_json(col("payload"), Schemas.tickJsonSchema))
       // PERMISSIVE from_json yields a struct of nulls (not a null struct)
-      // on malformed input; a real tick always carries its symbol.
+      // on malformed input. Any null field is corrupt, not just symbol:
+      // PERMISSIVE also nulls a single MISTYPED field while the rest
+      // parse ({"time":"oops",...} arrives with time=null, symbol
+      // intact), and such a row would pass a symbol-only check and then
+      // kill the query inside `.as[Tick]` (primitive Long/Double fields
+      // reject null at deserialization) — a poison-pill crash loop on
+      // checkpoint replay, the exact fatality the dead-letter path
+      // exists to absorb. Strict-all-fields is also the reference's
+      // contract: serde has no Option fields, so one bad key fails the
+      // whole message into the error path (main.rs:50-60, 224-229).
       .withColumn("_corrupt",
-        col("_t").isNull || col("_t.symbol").isNull)
+        col("_t").isNull ||
+          Seq("symbol", "bid", "price", "ask", "time", "volume", "type")
+            .map(f => col(s"_t.$f").isNull).reduce(_ || _))
       .select(col("topic"), col("payload"), col("_corrupt"),
         col("_t.symbol").as("symbol"), col("_t.bid").as("bid"),
         col("_t.price").as("price"), col("_t.ask").as("ask"),
@@ -139,11 +158,14 @@ object Pipelines {
           LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "tick",
             Seq("symbol", "time", "price"))
         }.start()
-      // Hive-style kind=… subdirectories: the tick and book dead-letter
-      // queries run concurrently, and two jobs appending to ONE parquet
-      // dir race on the shared _temporary committer dir; per-kind dirs
-      // isolate them and read back as a partitioned table with a `kind`
-      // column.
+      // The tick dead-letter is a SEPARATE query (unlike book, which
+      // splits inside its own foreachBatch): the typed stateful
+      // enrichment sits between parse and sink here, and corrupt rows
+      // cannot pass through `.as[Tick]` — the cost is one extra source
+      // scan + parse on the tick path, paid for crash isolation.
+      // Hive-style kind=… subdirectories keep concurrent dead-letter
+      // writers off each other's _temporary committer dirs and read
+      // back as a partitioned table with a `kind` column.
       queries += parseTicks(env).filter(col("_corrupt"))
         .select(col("topic"), col("payload"))
         .writeStream.outputMode("append")
@@ -160,39 +182,46 @@ object Pipelines {
       // branch stays single-table: its keyed state is per-symbol like
       // the reference, which runs one topic prefix per process
       // (start.sh:3-14) — topic fan-out there is deployment-level.
+      // ONE query carries both the upserts and the dead-letter split:
+      // unlike the tick branch (whose typed stateful operator sits
+      // between parse and sink, so corrupt rows cannot ride), nothing
+      // stateful separates the book parse from its sink — splitting
+      // inside foreachBatch quarantines corrupt rows from the SAME
+      // parsed micro-batch, where a second streaming query would read
+      // and JSON-parse the whole source again (at ingest scale the
+      // double parse was the book path's largest avoidable cost).
+      // Corrupt units: a null/empty/unparseable payload explodes to one
+      // null row; a parseable array contributes one row per level
+      // missing any field (strict serde contract, see parseBooks).
       queries += parseBooks(env)
         .observe("graft_books",
           count(lit(1)).as("rows"),
           count(when(col("_corrupt"), lit(1))).as("corrupt"))
-        .filter(!col("_corrupt"))
-        .select("topic", "symbol", "price", "time", "volume", "orderType")
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$checkpointRoot/book")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          // pin the batch: the topic scan and each per-topic upsert are
-          // separate actions — unpinned they would re-parse the whole
-          // micro-batch per topic (and re-fire the observe metrics)
+          // pin the batch: the quarantine write, topic scan, and each
+          // per-topic upsert are separate actions — unpinned they would
+          // re-parse the whole micro-batch per consumer (and re-fire
+          // the observe metrics)
           val b = batch.toDF().persist()
           try {
-            val topics = b.select("topic").distinct()
+            val corrupt = b.filter(col("_corrupt"))
+              .select(col("topic"), col("payload"))
+            // write even when empty: the quarantine dir is overwritten
+            // per (kind, batch), and skipping empties would leave a
+            // previous partial write of this batch id in place
+            quarantine(corrupt, id, sinkRoot, "BOOK")
+            val clean = b.filter(!col("_corrupt"))
+            val topics = clean.select("topic").distinct()
               .collect().map(_.getString(0)).sorted
             topics.foreach { t =>
               LwwSink.upsertBatch(
-                b.filter(col("topic") === t).drop("topic"),
+                clean.filter(col("topic") === t)
+                  .drop("topic", "payload", "_corrupt"),
                 id, sinkRoot, t, "book", Seq("symbol", "time", "price"))
             }
           } finally b.unpersist()
-        }.start()
-      // corrupt BOOK envelopes quarantine like corrupt TICKs do — one
-      // dead-letter row per corrupt unit: a null/empty/unparseable
-      // payload explodes to one null row; a parseable array contributes
-      // one row per level that lacks its PK symbol
-      queries += parseBooks(env).filter(col("_corrupt"))
-        .select(col("topic"), col("payload"))
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", s"$checkpointRoot/book_dl")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          quarantine(batch.toDF(), id, sinkRoot, "BOOK")
         }.start()
     }
     queries.toSeq

@@ -3,9 +3,15 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Stream-stream joins with bounded state: enrich each TICK with the
+/** Stream-stream joins with bounded state: correlate each TICK with the
   * BOOK activity observed for the same symbol in the preceding
-  * `lagSeconds` of event time. The reference cannot express this at all
+  * `lagSeconds` of event time — one output row per (tick, book-row)
+  * pair, INNER semantics: a tick with no book activity in its window is
+  * absent from the output (this is a correlation join, not a left
+  * enrichment; consumers counting ticks must count the tick stream, not
+  * this join — the pinned stream_e2e_join oracle mirrors the inner
+  * form; `leftOuter` with the same watermarks would be the
+  * null-padding variant). The reference cannot express this at all
   * — its two pipelines share nothing but Cassandra, so correlating a
   * trade with the quote ladder around it is an offline job there
   * (/root/reference/src/main.rs:95-130: independent BOOK and TICK

@@ -72,6 +72,27 @@ class AsofMergeJoinSuite extends SparkSpec {
       (None, 2, None)))
   }
 
+  test("null times never match: null-time quote skipped, null-time trade unmatched") {
+    // SQL semantics: `r.time <= l.time` is NULL (never true) when either
+    // side is null — but the merge's natural ascending ordering sorts
+    // null FIRST, so without explicit handling a null-time quote would
+    // buffer as "before everything" and a null-time trade would reuse
+    // an earlier buffered quote
+    val q = Seq(
+      ("EURUSD", Option.empty[Long], 7.77), // matchable by nothing
+      ("EURUSD", Option(100L), 1.10))
+      .toDF("symbol", "time", "quote_mid")
+    val t = Seq(
+      ("EURUSD", Option(90L), 1), // pre-first-real-quote: unmatched
+      ("EURUSD", Option(150L), 2), // matches t=100, NOT the null-time row
+      ("EURUSD", Option.empty[Long], 3)) // null-time trade: unmatched
+      .toDF("symbol", "time", "qty")
+    val out = AsofJoin.merge(t, q, "symbol", "time", Seq("quote_mid"))
+      .collect().map(r => (r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(out === Set((1, None), (2, Some(1.10)), (3, None)))
+  }
+
   test("property: merge form ≡ union-scan form on random skewed inputs") {
     val keyGen = Gen.oneOf("A", "A", "A", "B", "C") // deliberate skew
     val rows = Gen.listOfN(300,

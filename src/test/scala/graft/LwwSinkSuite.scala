@@ -187,4 +187,32 @@ class LwwSinkSuite extends SparkSpec {
     val twice = LwwSink.read(spark, root, "feed", "tick").collect().toSeq
     assert(twice === once)
   }
+
+  test("same-PK rows inside ONE batch elect a row-order-independent winner") {
+    // _batch_id is constant within a micro-batch, so the version tuple
+    // must extend into the payload columns — otherwise the window tie
+    // is broken by shuffle fetch order and a crash replay of the same
+    // batch can store a DIFFERENT row than the original run
+    val pk = Seq("symbol", "time", "price")
+    val dup = Seq(
+      ("EURUSD", 100L, 1.08, 5, "BUY"),
+      ("EURUSD", 100L, 1.08, 9, "SELL"),
+      ("EURUSD", 100L, 1.08, 9, "BUY"))
+    def upsert(order: Seq[(String, Long, Double, Int, String)],
+        parts: Int): Seq[Any] = {
+      val root = Files.createTempDirectory("lww_tie").toString
+      val batch = order
+        .toDF("symbol", "time", "price", "volume", "orderType")
+        .repartition(parts)
+      LwwSink.upsertBatch(batch, 0L, root, "feed", "book", pk)
+      LwwSink.read(spark, root, "feed", "book").collect()
+        .map(_.toSeq).toSeq.flatten
+    }
+    val a = upsert(dup, 1)
+    val b = upsert(dup.reverse, 3)
+    assert(a === b, "winner must not depend on row order or partitioning")
+    // and the elected winner is the payload-desc maximum: volume 9
+    // beats 5, then orderType SELL beats BUY
+    assert(a.contains(9) && a.contains("SELL"))
+  }
 }

@@ -50,6 +50,36 @@ class ModeGatingSuite extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("poison pill: a mistyped field quarantines instead of killing the query") {
+    // PERMISSIVE from_json nulls just the mistyped field while the rest
+    // of the struct parses — so a symbol-only corrupt check would let
+    // this row through to `.as[Tick]`, whose primitive Long `time`
+    // rejects null at deserialization: the query dies, the checkpoint
+    // replays the same batch, and the pipeline is wedged forever. The
+    // strict all-fields check must route it to the dead letter instead.
+    val poisonTick =
+      s"""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "EURUSD", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": "oops", "volume": 3, "type": "B"}}"""
+    val poisonBook =
+      s"""{"topic": "feed", "frameType": "BOOK", "payload": [{"symbol": "EURUSD", "price": "bad", "time": $t0, "volume": 9, "type": "BOOK_TYPE_BUY"}]}"""
+    val spool = spoolWith(tickLine, poisonTick, bookLine, poisonBook)
+    val sink = Files.createTempDirectory("mode_sink6").toString
+    val ckpt = Files.createTempDirectory("mode_ckpt6").toString
+    val env = spark.readStream.format(fmt)
+      .option("path", spool.toString).load()
+    val qs = Pipelines.start(env, "full", sink, ckpt)
+    try {
+      qs.foreach(_.processAllAvailable())
+      assert(qs.forall(_.exception.isEmpty),
+        s"no query may die on a poison row: ${qs.flatMap(_.exception)}")
+      // the clean rows landed; the poison rows quarantined WITH payloads
+      assert(LwwSink.read(spark, sink, "feed", "tick").count() === 1)
+      assert(LwwSink.read(spark, sink, "feed", "book").count() === 1)
+      val dl = spark.read.parquet(s"$sink/_deadletter")
+        .select("kind").collect().map(_.getString(0)).sorted
+      assert(dl === Array("BOOK", "TICK"))
+    } finally qs.foreach(_.stop())
+  }
+
   test("replayed dead-letter micro-batch does not duplicate quarantine rows") {
     import spark.implicits._
     val sink = Files.createTempDirectory("dl_replay").toString
@@ -77,7 +107,7 @@ class ModeGatingSuite extends SparkSpec {
     val qs = Pipelines.start(env, "book", sink, ckpt)
     try {
       qs.foreach(_.processAllAvailable())
-      assert(qs.length === 2) // book upsert + book dead-letter
+      assert(qs.length === 1) // book upsert + dead-letter ride ONE query
       assert(LwwSink.read(spark, sink, "feed", "book").count() === 1)
       assert(!Files.exists(java.nio.file.Paths.get(
         LwwSink.tablePath(sink, "feed", "tick"))))
