@@ -26,20 +26,12 @@ object BigramStatsHelper {
     */
   def bigramStats(s: UTF8String): InternalRow = {
     val bytes = s.getBytes
-    var nTokens = 1
-    var i = 0
-    while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    // shared two-pass scan: see ShingleHashHelper.tokenStarts — the
+    // byte-span identity there is the one this kernel counts over
+    val starts = ShingleHashHelper.tokenStarts(bytes)
+    val nTokens = starts.length - 1
     if (nTokens < 2)
       return new GenericInternalRow(Array[Any](0L, 0L))
-    val starts = new Array[Int](nTokens + 1)
-    starts(0) = 0
-    var t = 1
-    i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = bytes.length + 1
     val seen = new java.util.HashSet[UTF8String](
       Integer.highestOneBit(nTokens) * 2)
     var j = 0

@@ -27,13 +27,18 @@ object ShingleHashHelper {
     * allocations. Hash = [[Hash60Helper]]'s md5-prefix mod 2^31−1,
     * bit-identical to hashing the concatenated shingle string.
     */
-  def shingleHashes(s: UTF8String, k: Int): GenericArrayData = {
-    val bytes = s.getBytes
-    // token start offsets (token i spans starts(i) until starts(i+1)-1)
+  /** Token start offsets of a space-separated byte buffer: token i
+    * spans `starts(i)` until `starts(i+1) - 1`, with the sentinel
+    * `starts(nTokens) = len + 1` making the last token's span uniform.
+    * nTokens = result.length - 1. ONE copy of the two-pass scan — the
+    * hash, span, and bigram kernels all rely on this exact byte-span
+    * identity, and three drifting copies of it is how a sentinel tweak
+    * silently desynchronizes them (review finding).
+    */
+  private[functions] def tokenStarts(bytes: Array[Byte]): Array[Int] = {
     var nTokens = 1
     var i = 0
     while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
-    if (nTokens < k) return new GenericArrayData(Array.empty[Any])
     val starts = new Array[Int](nTokens + 1)
     starts(0) = 0
     var t = 1
@@ -43,6 +48,14 @@ object ShingleHashHelper {
       i += 1
     }
     starts(nTokens) = bytes.length + 1
+    starts
+  }
+
+  def shingleHashes(s: UTF8String, k: Int): GenericArrayData = {
+    val bytes = s.getBytes
+    val starts = tokenStarts(bytes)
+    val nTokens = starts.length - 1
+    if (nTokens < k) return new GenericArrayData(Array.empty[Any])
     val d = md.get()
     val out = new Array[Any](nTokens - k + 1)
     var j = 0
@@ -70,19 +83,9 @@ object ShingleHashHelper {
     */
   def shingleSpans(s: UTF8String, k: Int): GenericArrayData = {
     val bytes = s.getBytes
-    var nTokens = 1
-    var i = 0
-    while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    val starts = tokenStarts(bytes)
+    val nTokens = starts.length - 1
     if (nTokens < k) return new GenericArrayData(Array.empty[Any])
-    val starts = new Array[Int](nTokens + 1)
-    starts(0) = 0
-    var t = 1
-    i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = bytes.length + 1
     val out = new Array[Any](nTokens - k + 1)
     var j = 0
     while (j + k <= nTokens) {

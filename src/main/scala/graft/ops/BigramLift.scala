@@ -42,9 +42,18 @@ object BigramLift {
     bi.join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))), "a")
       .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))), "b")
       .crossJoin(broadcast(nTotal))
+      // cast each factor BEFORE multiplying: a BIGINT product n_tok *
+      // c_ab overflows at the corpus scale this operator documents
+      // (n_tok ~1e13 × c_ab ~1e6 > 2^63 wraps negative under non-ANSI
+      // arithmetic, silently dropping the hottest collocations from the
+      // top-k — and DuckDB, which ERRORS on int64 overflow, diverges).
+      // Value-identical where the old form was defined: both factors
+      // are exact below 2^53 and IEEE multiplication rounds the exact
+      // product once, same as casting the exact integer product.
       .select(col("bg").as("bigram"), col("c_ab"), col("c_a"), col("c_b"),
-        ((col("n_tok") * col("c_ab")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+        ((col("n_tok").cast("double") * col("c_ab").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+          .as("lift"))
       .orderBy(desc("lift"), asc("bigram"))
       .limit(topK)
   }

@@ -191,6 +191,12 @@ object BpeTrain {
         }
       }
     }
+    // the merge table is driver-side; nothing needs the final rewritten
+    // corpus — release its checkpoint (the largest frame this trainer
+    // materializes) instead of pinning one corpus copy per training in
+    // a long-lived session (no-op when docs is the never-rewritten
+    // input frame)
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(docs)
     merges.toSeq
   }
 }

@@ -28,13 +28,20 @@ object Decontaminate {
       gramK: Int = 4,
       maxDf: Int = 1000): DataFrame = {
     docs
-      .select(col(idCol).as("doc_id"),
+      // isEval evaluates HERE, against the caller's own columns — it
+      // may reference any column of `docs` (a split flag, a source
+      // tag), not just ones surviving the projection below. The
+      // evaluated boolean rides along; per-doc constant, so the
+      // distinct's cardinality is unchanged.
+      .select(col(idCol).as("doc_id"), isEval.as("is_ev"),
         explode(TextHash.shingleHashes(col(textCol), gramK)).as("gram"))
       .distinct()
       .groupBy("gram")
       .agg(
-        sort_array(collect_list(when(isEval, col("doc_id")))).as("ev_ids"),
-        sort_array(collect_list(when(!isEval, col("doc_id")))).as("tr_ids"))
+        sort_array(collect_list(when(col("is_ev"), col("doc_id"))))
+          .as("ev_ids"),
+        sort_array(collect_list(when(!col("is_ev"), col("doc_id"))))
+          .as("tr_ids"))
       .filter(size(col("ev_ids")) > 0 && size(col("tr_ids")) > 0 &&
         size(col("ev_ids")) + size(col("tr_ids")) <= maxDf)
       .select(explode(col("tr_ids")).as("train_id"), col("ev_ids"))

@@ -21,7 +21,14 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   private def compact(buf: Seq[Long]): Seq[Long] =
     buf.distinct.sorted.take(k)
 
-  override def zero: Seq[Long] = Seq.empty
+  // Vector, not List: `Seq.empty` defaults to List, whose `:+` append
+  // and `size` are both O(buffer) — every map-side reduce call then
+  // copies up to 2k elements to add one, O(n·k) per partition instead
+  // of the amortized O(n log k) the compaction discipline targets.
+  // Vector appends and sizes in effectively O(1), and the reduce chain
+  // keeps the concrete type (deserialized merge inputs may arrive as
+  // another Seq, but merge compacts immediately).
+  override def zero: Seq[Long] = Vector.empty
 
   override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
     val next = buf :+ h

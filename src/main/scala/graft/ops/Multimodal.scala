@@ -177,7 +177,20 @@ object Multimodal {
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val data = ais.readAllBytes()
+        // the stats walk assumes 16-bit signed little-endian PCM; the
+        // JRE providers also accept 8-bit PCM, big-endian AIFF/AU,
+        // μ-law, … — misreading those as 16-bit LE would emit
+        // Some(garbage) tagged as real decoded audio, breaking the
+        // None ⇔ not-decodable routing contract. Reject anything the
+        // walk cannot represent faithfully.
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else decode16leStats(ais.readAllBytes())
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def decode16leStats(data: Array[Byte]): Option[AudioStats] = {
         val bb = java.nio.ByteBuffer.wrap(data)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var n = 0L; var sumAbs = 0L
@@ -192,7 +205,7 @@ object Multimodal {
           prev = s; first = false
         }
         if (n == 0) None else Some(AudioStats(n, sumAbs, mn, mx, zc))
-      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
     /** Real decoded feature (FeatureDim floats, same arity as the stub
       * and [[ImageCodec.feature]]): sample count, amplitude stats, and

@@ -76,6 +76,15 @@ object PageRank {
       // itself so at most two rank frames are ever materialized
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prev)
     }
+    // the returned final ranks frame is checkpointed and self-contained
+    // after ≥1 iteration — release the static per-round inputs too, or
+    // every invocation in a long-lived session (bench runs each builder
+    // twice) pins an edges-join-degree and a node-universe copy forever
+    // (the ConnectedComponents release discipline)
+    if (iters > 0) {
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ewd)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(base)
+    }
     ranks
   }
 

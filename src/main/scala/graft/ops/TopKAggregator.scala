@@ -24,7 +24,9 @@ class TopKAggregator(k: Int)
   private def compact(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
     buf.sortBy { case (v, tag) => (-v, tag) }.take(k)
 
-  override def zero: Seq[(Double, Long)] = Seq.empty
+  // Vector, not List — see KmvAggregator.zero: List's O(buffer) append
+  // and size make per-row reduce cost O(k)
+  override def zero: Seq[(Double, Long)] = Vector.empty
 
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
     val next = buf :+ in

@@ -348,8 +348,17 @@ object VideoContainer {
         c <- codec
         sz <- sizes
         // cross-table consistency: stts and stsz must agree, exactly
-        // the check a production demuxer runs before trusting offsets
-        if declaredCount == sz.length && chunkOffset >= 0 &&
+        // the check a production demuxer runs before trusting offsets.
+        // The sample EXTENT must also be backed by the file: the count
+        // checks above bound only allocation, so var-size stsz VALUES
+        // (e.g. 0x7FFFFFFF, or negative) and a stale/oversized stco
+        // offset would otherwise pass and make demuxSamples hand out
+        // byte ranges beyond (or backwards through) the file — the
+        // silently-wrong frame ranges this parser promises to reject
+        // as None instead. Sum in Long: n ints of up to 2^31 each.
+        if declaredCount == sz.length && sz.forall(_ >= 0) &&
+          chunkOffset >= 0 &&
+          chunkOffset + sz.foldLeft(0L)(_ + _) <= bytes.length &&
           timescale > 0 && width > 0 && height > 0
       } yield Mp4Meta(b, timescale, duration, width, height, c,
         sz.length, sz, chunkOffset)

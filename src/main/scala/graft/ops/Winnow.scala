@@ -24,8 +24,19 @@ object Winnow {
     docs.select(col(idCol).as("doc_id"),
         posexplode(TextHash.shingleHashes(col(textCol), gramK))
           .as(Seq("i", "h")))
+      // loud-fail past the pack's position capacity: at i >= 2^26 the
+      // position term goes negative and borrows from the hash bits —
+      // wrong fingerprints and silently false/missed pairs on the one
+      // degenerate ~67M-token document a crawl corpus will eventually
+      // contain. Cost: one int comparison per shingle.
       .select(col("doc_id"), col("i"),
-        (col("h") * Shift + (lit(Shift - 1) - col("i"))).as("pack"))
+        (when(col("i") >= Shift, raise_error(concat(
+            lit("winnow: document with >= 2^26 shingles (doc_id="),
+            col("doc_id").cast("string"),
+            lit(") — position would corrupt the fingerprint pack; " +
+              "split the document or widen Winnow.Shift"))))
+          .otherwise(col("h") * Shift + (lit(Shift - 1) - col("i"))))
+          .as("pack"))
       .withColumn("m", min(col("pack")).over(
         Window.partitionBy("doc_id").orderBy("i")
           .rowsBetween(-(window - 1), 0)))

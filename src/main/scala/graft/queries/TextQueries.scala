@@ -1016,8 +1016,8 @@ object TextQueries extends QueryPack {
         |    FROM w WHERE len(w) >= 2)
         |  GROUP BY 1 HAVING COUNT(*) >= 5)
         |SELECT bg AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
-        |  CAST(n.n_tok * c_ab AS DOUBLE)
-        |    / CAST(ua.c * ub.c AS DOUBLE) AS lift
+        |  (CAST(n.n_tok AS DOUBLE) * CAST(c_ab AS DOUBLE))
+        |    / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
         |FROM bi
         |JOIN uni ua ON ua.t = string_split(bg, ' ')[1]
         |JOIN uni ub ON ub.t = string_split(bg, ' ')[2], n

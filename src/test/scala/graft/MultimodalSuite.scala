@@ -185,6 +185,42 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("AudioCodec: non-16-bit-LE formats reject as None, not Some(garbage)") {
+    // 8-bit PCM is a perfectly valid WAV the JRE provider accepts — but
+    // the stats walk reads 16-bit LE frames, so decoding it would emit
+    // plausible garbage tagged as real audio; the format check must
+    // route it to the stub fallback instead
+    val n = 64
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    bb.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+    bb.putInt(16).putShort(1).putShort(1) // PCM, mono
+    bb.putInt(8000).putInt(8000).putShort(1).putShort(8) // 8-bit
+    bb.put("data".getBytes("US-ASCII")).putInt(n)
+    (0 until n).foreach(i => bb.put((i * 7 % 256 - 128).toByte))
+    assert(Multimodal.AudioCodec.decodeStats(bb.array()) === None)
+  }
+
+  test("VideoContainer: sample extent beyond the file rejects as None") {
+    import graft.ops.VideoContainer
+    val good = VideoContainer.encodeMp4(3L, 2, 16, 16)
+    assert(VideoContainer.parse(good).isDefined)
+    // patch the stco chunk offset to point at EOF: every table still
+    // parses, but the declared sample extent is no longer backed by
+    // the file — demux would hand out ranges past the buffer
+    val idx = good.indexOfSlice("stco".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val bad = good.clone()
+    val v = good.length
+    val off = idx + 4 /* verflags */ + 4 /* count */ + 4
+    bad(off) = ((v >> 24) & 0xff).toByte
+    bad(off + 1) = ((v >> 16) & 0xff).toByte
+    bad(off + 2) = ((v >> 8) & 0xff).toByte
+    bad(off + 3) = (v & 0xff).toByte
+    assert(VideoContainer.parse(bad) === None)
+  }
+
   test("VideoContainer: structurally broken payloads reject as None, never throw") {
     import graft.ops.VideoContainer
     val good = VideoContainer.encodeMp4(3L, 2, 16, 16)
