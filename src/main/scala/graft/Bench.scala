@@ -107,11 +107,26 @@ object Bench {
     def runPlan(df: org.apache.spark.sql.DataFrame): Unit =
       if (legacyCount) { df.count(); () }
       else { df.queryExecution.toRdd.count(); () }
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
+    // A query that THROWS must not masquerade as a fast timing: the
+    // old catch-and-continue recorded a ~10ms "result" for a query
+    // that never ran — the number landed in bench.json as a legitimate
+    // huge speedup and the total silently shrank (the same
+    // silent-shrinkage shape Verify's summary exists to catch). Failed
+    // queries are excluded from `queries`, listed in a `failed` key,
+    // and shouted per-occurrence on stderr.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val results = selected.flatMap { case (name, fn) =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try runPlan(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          runPlan(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}")
+          None
+        }
       }
       if (profile) {
         def ms[T](f: => T): (Double, T) = {
@@ -127,12 +142,17 @@ object Bench {
             f"[profile] $name%-28s build=$tBuild%.3f analyze=$tAnalyze%.3f run1=$tRun1%.3f run2=$tRun2%.3f")
         } catch { case _: Throwable => () }
       }
-      name -> Seq(once(), once()).min
+      val best = (once().toSeq ++ once().toSeq).minOption
+      if (best.isEmpty) failed += name
+      best.map(name -> _)
     }
+    if (failed.nonEmpty) System.err.println(
+      s"[bench] SUMMARY: ${failed.size} FAILED — ${failed.mkString(", ")}")
     def render(rs: Iterable[(String, Double)], total: Double): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val full = render(results, total)

@@ -29,34 +29,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[DotProductF].getName, null, name, usage,
+  // the implementing class is per-function metadata (DESCRIBE FUNCTION
+  // EXTENDED reports it); a shared hardcoded class would misdirect
+  // anyone debugging the other five registered functions
+  private def info(cls: Class[_], name: String, usage: String) =
+    new ExpressionInfo(cls.getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
   val injections: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot",
+      info(classOf[DotProductF], "graft_dot",
         "graft_dot(a, b) - double-precision dot product of two float arrays"),
       (args: Seq[Expression]) => DotProductF(args(0), args(1))),
     (FunctionIdentifier("graft_hash60"),
-      info("graft_hash60",
+      info(classOf[Hash60F], "graft_hash60",
         "graft_hash60(s) - 60-bit md5-prefix hash mod 2^31-1"),
       (args: Seq[Expression]) => Hash60F(args(0))),
     (FunctionIdentifier("graft_simhash"),
-      info("graft_simhash",
+      info(classOf[SimHashF], "graft_simhash",
         "graft_simhash(xs) - 16-bit simhash sketch of a hashed-token array"),
       (args: Seq[Expression]) => SimHashF(args(0), 16)),
     (FunctionIdentifier("graft_rolling_fp"),
-      info("graft_rolling_fp",
+      info(classOf[RollingFpF], "graft_rolling_fp",
         "graft_rolling_fp(xs) - rolling polynomial fingerprint mod 2^31-1"),
       (args: Seq[Expression]) => RollingFpF(args(0))),
     (FunctionIdentifier("graft_zvalue"),
-      info("graft_zvalue",
+      info(classOf[ZValueF], "graft_zvalue",
         "graft_zvalue(a, b) - Z-order (Morton) interleave of two bigint keys"),
       (args: Seq[Expression]) => ZValueF(args(0), args(1))),
     (FunctionIdentifier("graft_bigram_stats"),
-      info("graft_bigram_stats",
+      info(classOf[BigramStatsF], "graft_bigram_stats",
         "graft_bigram_stats(s) - struct(n_bigrams, n_distinct) of the " +
           "2-token shingles of a single-space-tokenized string"),
       (args: Seq[Expression]) => BigramStatsF(args(0))))

@@ -221,8 +221,14 @@ object ScaleProbe {
     // runtime partition pruning (reads only the ~1/3 surviving months),
     // not the one-time rewrite the registered query also measures.
     def ensureDppLayout(c: Int): String = {
+      // key the cached layout by the FIXTURE DIR too: keyed by copy
+      // count alone, a run against a different (or regenerated)
+      // SPARK_GRAFT_SF_DIR found _SUCCESS from the previous fixture and
+      // silently joined the new dim against the old fact layout —
+      // mismatched data, no error, wrong ratios
+      val dirTag = java.lang.Integer.toHexString(dir.hashCode)
       val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_probe_dpp_$c")
+        sys.props("java.io.tmpdir"), s"graft_probe_dpp_${dirTag}_$c")
       if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
         scaled("lineitem", "l_orderkey", c)
           .withColumn("ship_month",

@@ -71,10 +71,24 @@ object AvroCodec {
       new SeekableByteArrayInput(bytes),
       new GenericDatumReader[GenericRecord]())
     val got = reader.getSchema
+    // check field TYPES, not just names: a foreign file with a
+    // ["null","long"] union passes a name-only check, and a null value
+    // then unboxes to 0L with no exception (`asInstanceOf[Long]` on
+    // null is Scala unboxing) — silently zeroed amounts, the precise
+    // mis-map this guard claims to prevent; a wrong-typed field would
+    // die later with an uninformative ClassCastException
+    val expected = Seq(
+      "event_id" -> Schema.Type.LONG,
+      "user_id" -> Schema.Type.LONG,
+      "event_type" -> Schema.Type.STRING,
+      "cents" -> Schema.Type.LONG)
     require(got.getType == Schema.Type.RECORD &&
-      Seq("event_id", "user_id", "event_type", "cents")
-        .forall(f => got.getField(f) != null),
-      s"AvroCodec.decode: writer schema $got does not carry the Event fields")
+      expected.forall { case (f, t) =>
+        val fld = got.getField(f)
+        fld != null && fld.schema().getType == t
+      },
+      s"AvroCodec.decode: writer schema $got does not carry the Event " +
+        "fields with their exact types (long, long, string, long)")
     new Iterator[(Long, Long, String, Long)] {
       def hasNext: Boolean = {
         val h = reader.hasNext

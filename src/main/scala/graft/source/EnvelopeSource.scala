@@ -216,6 +216,16 @@ private[source] object EnvelopeReaderFactory extends PartitionReaderFactory {
   * Malformed lines become rows with null payload — the dead-letter branch
   * downstream decides (K5 upgrade over the reference's silent drop).
   */
+private[source] object EnvelopeFileReader {
+  // one compiled pattern per envelope field, hoisted OUT of the per-row
+  // path: building these inside parse() meant three Pattern.compile
+  // calls per ingested line — avoidable CPU dominating exactly the path
+  // StreamBench measures
+  private val FieldRes: Map[String, scala.util.matching.Regex] =
+    Seq("topic", "frameType", "payload")
+      .map(n => n -> ("\"" + n + "\"\\s*:\\s*").r).toMap
+}
+
 private[source] class EnvelopeFileReader(file: String, topicPrefix: String)
     extends PartitionReader[InternalRow] {
   private val lines = Files.newBufferedReader(
@@ -227,7 +237,7 @@ private[source] class EnvelopeFileReader(file: String, topicPrefix: String)
   // verbatim for from_json downstream).
   private def parse(line: String): InternalRow = {
     def field(name: String): Option[String] = {
-      val m = ("\"" + name + "\"\\s*:\\s*").r.findFirstMatchIn(line)
+      val m = EnvelopeFileReader.FieldRes(name).findFirstMatchIn(line)
       m.flatMap { mm =>
         val rest = line.substring(mm.end)
         if (rest.startsWith("\"")) {
@@ -275,21 +285,28 @@ private[source] class EnvelopeFileReader(file: String, topicPrefix: String)
           }
           if (done && !bad) Some(sb.toString) else None
         } else { // non-string payload: capture balanced JSON value
-          var depth = 0; var i = 0; var end = -1
+          // `stop` is the EXCLUSIVE end of the value. A closer seen at
+          // depth 0 is the ENVELOPE's own closing brace, not part of
+          // the value (a bare-number payload in last position — `42}` —
+          // previously captured that brace into the payload, corrupting
+          // a valid frame and poisoning the dead-letter forensics with
+          // bytes that never arrived on the wire).
+          var depth = 0; var i = 0; var stop = -1
           var inStr = false
-          while (i < rest.length && end < 0) {
+          while (i < rest.length && stop < 0) {
             rest.charAt(i) match {
               case '\\' if inStr => i += 1
               case '"' => inStr = !inStr
               case '[' | '{' if !inStr => depth += 1
               case ']' | '}' if !inStr =>
-                depth -= 1; if (depth == 0) end = i
-              case ',' if !inStr && depth == 0 => end = i - 1
+                if (depth == 0) stop = i
+                else { depth -= 1; if (depth == 0) stop = i + 1 }
+              case ',' if !inStr && depth == 0 => stop = i
               case _ => ()
             }
             i += 1
           }
-          Some(rest.substring(0, if (end < 0) rest.length else end + 1).trim)
+          Some(rest.substring(0, if (stop < 0) rest.length else stop).trim)
         }
       }
     }

@@ -146,8 +146,13 @@ class SpoolTransportAdapter(
     */
   private def payloadJson(p: String): String = {
     val t = p.trim
-    val selfDelimiting = t.nonEmpty &&
-      (t.head == '{' || t.head == '[' || t.head == '"')
+    // '"' is deliberately NOT self-delimiting: a complete quoted-string
+    // wire payload passed through verbatim would be DECODED by the
+    // reader's string branch (quotes stripped, escapes resolved) — the
+    // payload column would differ from the wire bytes and a string-typed
+    // frame would be indistinguishable from the object it quotes. The
+    // escaped path round-trips the raw bytes exactly.
+    val selfDelimiting = t.nonEmpty && (t.head == '{' || t.head == '[')
     // raw CR/LF anywhere in a verbatim payload would split the envelope
     // across physical jsonl lines (one-message-per-line is the spool
     // contract) — pretty-printed wire JSON must take the escaped path

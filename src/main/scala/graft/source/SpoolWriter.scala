@@ -29,7 +29,13 @@ object SpoolWriter {
       .filter(_.getFileName.toString.startsWith("part-"))
       .sortBy(_.getFileName.toString)
       .zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, spool.resolve(f"$i%04d.jsonl"))
+        // %010d — the SAME name format SpoolTransportAdapter seals, and
+        // the two MUST match: the adapter's resume logic continues past
+        // max(existing)+1, and a resumed file in a narrower format
+        // sorts BELOW the consumed watermark and is never read (silent
+        // data loss); %04d alone also breaks monotone lexicographic
+        // sort at the 10,000th part file
+        Files.move(p, spool.resolve(f"$i%010d.jsonl"))
       }
     spool.toString
   }
@@ -40,8 +46,25 @@ object SpoolWriter {
     * must wait for exit: the query result is a LAZY read over the sink
     * parquet.)
     */
-  def deleteAtExit(work: Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try graft.util.Fs.walk(work).reverse.foreach(Files.deleteIfExists(_))
-      catch { case _: Throwable => () }))
+  // ONE shutdown hook draining a concurrent queue: registering a fresh
+  // hook Thread per call accumulated unboundedly in a long-lived driver
+  // (each of the ~17 stream_e2e queries registers one per invocation,
+  // and Verify/Bench invoke every query at least twice)
+  private val exitWork =
+    new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val exitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var w = exitWork.poll()
+      while (w != null) {
+        try graft.util.Fs.walk(w).reverse.foreach(Files.deleteIfExists(_))
+        catch { case _: Throwable => () }
+        w = exitWork.poll()
+      }
+    }))
+
+  def deleteAtExit(work: Path): Unit = {
+    exitHook // registers the single hook on first use
+    exitWork.add(work)
+    ()
+  }
 }

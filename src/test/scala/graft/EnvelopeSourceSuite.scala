@@ -38,6 +38,21 @@ class EnvelopeSourceSuite extends SparkSpec {
     assert(book.filter("orderType = 'BUY' AND volume = 9").count() === 1)
   }
 
+  test("non-bracketed payloads in last position exclude the envelope's closer") {
+    // a bare number (or any non-bracketed value) as the LAST field used
+    // to capture the envelope's own `}` into the payload — a valid
+    // frame arrived corrupted and the quarantined bytes were not the
+    // wire bytes
+    val dir = Files.createTempDirectory("spool_bare")
+    write(dir, "000.jsonl",
+      """{"topic": "feed", "frameType": "RAW", "payload": 42}""",
+      """{"topic": "feed", "frameType": "RAW", "payload": -1.5e3}""",
+      """{"topic": "feed", "frameType": "RAW", "payload": 7, "x": 1}""")
+    val rows = spark.read.format(fmt).option("path", dir.toString).load()
+      .select("payload").collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("42", "-1.5e3", "7"))
+  }
+
   test("topicPrefix pushdown filters at the source (S2 semantics)") {
     val dir = Files.createTempDirectory("spool2")
     write(dir, "000.jsonl",
