@@ -39,7 +39,11 @@ object KmeansTrain {
         .select(col("cell"), col("pos"),
           floor(col("x").cast("double") * 1e9).cast("long").as("q"))
         .groupBy("cell", "pos")
-        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+        // DECIMAL(38,0)/HUGEINT: a skewed clustering can absorb ≥ ~9e9
+        // vectors into one cell, where a plain long sum of |q| ≤ 1e9
+        // wraps silently and every later Lloyd round diverges
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"))
         .select(col("cell"), col("pos"), col("n_vecs"),
           (col("sq").cast("double") /
             (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))

@@ -30,7 +30,13 @@ class VecSumAggregator extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
         s"ragged vectors: ${a.length} vs ${b.length}")
       val out = new Array[Long](a.length)
       var i = 0
-      while (i < out.length) { out(i) = a(i) + b(i); i += 1 }
+      // addExact, not +: the compact long buffer trades unbounded range
+      // for O(dim) state — past ±2^63 per element (≥ ~9e9 rows/group at
+      // |q| ≤ 1e9) it must FAIL LOUDLY like the HUGEINT oracle's cast,
+      // never wrap into a silently wrong centroid
+      while (i < out.length) {
+        out(i) = Math.addExact(a(i), b(i)); i += 1
+      }
       out.toIndexedSeq
     }
   }

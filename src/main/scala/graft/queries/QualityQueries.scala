@@ -252,7 +252,12 @@ object QualityQueries extends QueryPack {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           min(col("p05")).as("p05"), min(col("p95")).as("p95"),
-          sum(floor(col("clip") * 100).cast("long")).as("cents"))
+          // DECIMAL(38,0)/HUGEINT: clipped cents ≈ 1e7 per row with
+          // only 3 return-flag groups — a plain long sum has ~3×
+          // headroom at the 100 TB point and wraps silently past it
+          sum(expr(
+            "CAST(CAST(floor(clip * 100) AS BIGINT) AS DECIMAL(38,0))"))
+            .as("cents"))
         .select(col("l_returnflag"), col("n_rows"), col("p05"), col("p95"),
           (col("cents").cast("double") /
             (lit(1e2) * col("n_rows").cast("double"))).as("wins_mean"))
@@ -564,9 +569,9 @@ object QualityQueries extends QueryPack {
         |  GROUP BY 1)
         |SELECT ranked.l_returnflag, COUNT(*) AS n_rows,
         |  MIN(p05) AS p05, MIN(p95) AS p95,
-        |  CAST(CAST(SUM(CAST(floor(
+        |  CAST(SUM(CAST(floor(
         |      LEAST(GREATEST(l_extendedprice, p05), p95) * 100) AS BIGINT))
-        |    AS BIGINT) AS DOUBLE) / (1e2 * CAST(COUNT(*) AS DOUBLE))
+        |    AS DOUBLE) / (1e2 * CAST(COUNT(*) AS DOUBLE))
         |    AS wins_mean
         |FROM ranked JOIN bounds USING (l_returnflag)
         |GROUP BY 1""".stripMargin,

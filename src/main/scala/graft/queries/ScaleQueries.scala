@@ -25,6 +25,22 @@ object ScaleQueries extends QueryPack {
     */
   private val K = 64
 
+  /** ONE copy of the KMV estimator — (K−1)·P/h_k, saturating to the
+    * exact kept count below K (review finding: three textual copies of
+    * this arithmetic had to be edited in lockstep across the window
+    * anchor, the Aggregator form, and the set-ops query).
+    */
+  private def kmvEst(nKept: org.apache.spark.sql.Column,
+      hK: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nKept < K, nKept.cast("double"))
+      .otherwise(lit((K - 1).toDouble * TextHash.P31.toDouble) /
+        hK.cast("double"))
+
+  /** [[kmvEst]] over a sorted-ascending sketch array. */
+  private def kmvEstArr(
+      ks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    kmvEst(size(ks).cast("long"), element_at(ks, -1))
+
   /** table_checksum reduction modulus (2^61 − 1, Mersenne prime):
     * exact in both engines' wide-integer accumulators, and the reduced
     * checksum fits a BIGINT at any row count.
@@ -57,11 +73,7 @@ object ScaleQueries extends QueryPack {
       ranked.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
         .select(col("l_returnflag"), col("n_kept"), col("h_k"),
-          when(col("n_kept") < K, col("n_kept").cast("double"))
-            .otherwise(
-              lit((K - 1).toDouble * TextHash.P31.toDouble) /
-                col("h_k").cast("double"))
-            .as("est_distinct"))
+          kmvEst(col("n_kept"), col("h_k")).as("est_distinct"))
     }),
 
     // The production form of the same sketch: a bounded-buffer typed
@@ -79,11 +91,7 @@ object ScaleQueries extends QueryPack {
         .select(col("l_returnflag"),
           size(col("ks")).cast("long").as("n_kept"),
           element_at(col("ks"), -1).as("h_k"),
-          when(size(col("ks")) < K, size(col("ks")).cast("double"))
-            .otherwise(
-              lit((K - 1).toDouble * TextHash.P31.toDouble) /
-                element_at(col("ks"), -1).cast("double"))
-            .as("est_distinct"))
+          kmvEstArr(col("ks")).as("est_distinct"))
     }),
 
     // ---- approximate distinct (HyperLogLog) ----------------------------
@@ -176,10 +184,7 @@ object ScaleQueries extends QueryPack {
         t(s, dir, "orders").filter(pred)
           .select(TextHash.h31(col("o_orderkey").cast("string")).as("h"))
           .agg(kmv(col("h")).as("ks"))
-      def estOf(ks: org.apache.spark.sql.Column) =
-        when(size(ks) < K, size(ks).cast("double"))
-          .otherwise(lit((K - 1).toDouble * TextHash.P31.toDouble) /
-            element_at(ks, -1).cast("double"))
+      def estOf(ks: org.apache.spark.sql.Column) = kmvEstArr(ks)
       val inA = col("o_orderpriority") === "1-URGENT"
       val inB = col("o_totalprice") > 250000.0
       val a = sideSketch(inA).withColumnRenamed("ks", "ks_a")
@@ -233,7 +238,13 @@ object ScaleQueries extends QueryPack {
         .select(col("label"), col("pos"),
           floor(col("e").cast("double") * 1e9).cast("long").as("q"))
         .groupBy("label", "pos")
-        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+        // DECIMAL(38,0)/HUGEINT sum: |q| ≤ 1e9 per row, so a plain long
+        // sum wraps past ~9e9 rows per (label, pos) — a 100 TB corpus
+        // over a handful of labels reaches that, silently wrong in
+        // Spark where the mirror stays exact (table_checksum's r4
+        // discipline)
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"))
         .select(col("label"), col("pos"), col("n_vecs"),
           (col("sq").cast("double") /
             (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
@@ -806,7 +817,7 @@ object ScaleQueries extends QueryPack {
     */
   private def centroidOracle: String =
     """SELECT label, pos, COUNT(*) AS n_vecs,
-      |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+      |  CAST(SUM(q) AS DOUBLE)
       |    / (1000000000.0 * CAST(COUNT(*) AS DOUBLE)) AS c
       |FROM (SELECT label, pos,
       |        CAST(floor(CAST(embedding[pos + 1] AS DOUBLE)

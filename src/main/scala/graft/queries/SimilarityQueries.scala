@@ -388,10 +388,11 @@ object SimilarityQueries extends QueryPack {
     }.sum
 
   // ---- DuckDB mirrors --------------------------------------------------
-  private def dotOf(a: String, b: String) =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)]), (acc, x) -> acc + x)"
-  private def cosOf(a: String, b: String) =
-    s"${dotOf(a, b)} / (sqrt(${dotOf(a, a)}) * sqrt(${dotOf(b, b)}))"
+  // thin aliases over the ONE fold text in VectorOps (review finding:
+  // byte-identical private copies had re-appeared here — a fold-order
+  // or widening fix in VectorOps would have silently left these oracles
+  // on the old sequence)
+  private def cosOf(a: String, b: String) = VectorOps.cosDuck(a, b)
   private val cosAB = cosOf("qv", "nv")
 
 

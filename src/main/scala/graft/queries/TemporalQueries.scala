@@ -346,7 +346,13 @@ object TemporalQueries extends QueryPack {
           expr("unix_micros(ts) div 3600000000").as("hr"),
           floor(col("value") * 1e9).cast("long").as("q"))
         .groupBy("event_type", "hr")
-        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        // DECIMAL(38,0)/HUGEINT sum: q ≈ 1e12 per row, so a plain long
+        // sum wraps past ~9e6 rows per (type, hour) bucket — silently
+        // wrong mean in Spark where the DuckDB mirror errors (the
+        // agg_moments discipline; decimal→double and long→double are
+        // both correctly rounded, so fixture hashes are unchanged)
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"))
         .select(col("event_type"), col("hr"), col("n"),
           (col("sq").cast("double") /
             (lit(1.0e9) * col("n").cast("double"))).as("v"))
@@ -450,9 +456,15 @@ object TemporalQueries extends QueryPack {
         .withColumn("x",
           col("sec") - min(col("sec")).over(W.partitionBy("user_id")))
         .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        // sx and sy accumulate in DECIMAL(38,0) too (not just the
+        // product sums): unlike agg_corr's Σx, no per-row bound keeps
+        // them inside int64 at scale — a hot group's plain long sum
+        // wraps SILENTLY where the HUGEINT mirror stays exact, and the
+        // slope numerator then casts the wrapped value
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
-          sum(col("q")).as("sy"),
+          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sy"),
           sum(expr("CAST(x AS DECIMAL(38,0)) * q")).as("sxy"))
         .filter(expr("CAST(n AS DECIMAL(38,0)) * sxx" +
           " - CAST(sx AS DECIMAL(38,0)) * sx > 0"))
@@ -726,7 +738,7 @@ object TemporalQueries extends QueryPack {
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
         |    COUNT(*) AS n,
-        |    CAST(CAST(SUM(CAST(floor(value * 1e9) AS BIGINT)) AS BIGINT)
+        |    CAST(SUM(CAST(floor(value * 1e9) AS BIGINT))
         |      AS DOUBLE) / (1000000000.0 * CAST(COUNT(*) AS DOUBLE)) AS v
         |  FROM events GROUP BY 1, 2),
         |grid AS (
@@ -909,9 +921,9 @@ object TemporalQueries extends QueryPack {
         |  FROM b),
         |a AS (
         |  SELECT user_id, COUNT(*) AS n,
-        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    SUM(x) AS sx,
         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
-        |    CAST(SUM(q) AS BIGINT) AS sy,
+        |    SUM(q) AS sy,
         |    SUM(CAST(x AS HUGEINT) * q) AS sxy
         |  FROM c GROUP BY 1)
         |SELECT user_id, n,

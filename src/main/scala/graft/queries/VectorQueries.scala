@@ -55,7 +55,7 @@ object VectorQueries extends QueryPack {
          |  WHERE r = 1),
          |u$r AS (
          |  SELECT cell, pos, COUNT(*) AS n_vecs,
-         |    CAST(SUM(q) AS BIGINT) AS sq
+         |    SUM(q) AS sq
          |  FROM (SELECT cell, ps.pos,
          |          CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE)
          |            * 1000000000.0) AS BIGINT) AS q
@@ -85,6 +85,24 @@ object VectorQueries extends QueryPack {
     VectorOps.l2Cells(Tables(s, dir, "embeddings"), "vec_id", "embedding",
       seedPred)
 
+  /** Pinned assignment for MULTI-CONSUMER queries (review finding:
+    * dedup_semantic consumed the unpinned frame three times — both
+    * sides of the within-cell pair join plus the survivor re-attach —
+    * re-running the corpus scan + argmin fold per consumer; ivfpqRanked
+    * feeds codes and LUTs from it too). The GraphQueries memo
+    * discipline: one pinned copy per (session, dir), LRU with
+    * release-on-evict; fixture inputs are immutable so reuse is sound.
+    * At cluster scale the pin becomes a reliable-storage checkpoint or
+    * a cached assignment table — the SemDeDup paper's own
+    * assign-once-act-twice shape.
+    */
+  private val pinned = new graft.util.SessionCache[DataFrame](8,
+    df => org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(df))
+
+  private def assignCellsPinned(s: SparkSession, dir: String): DataFrame =
+    pinned.getOrElseUpdate(s, s"assignCells/$dir")(
+      assignCells(s, dir).localCheckpoint())
+
   /** Rerank slate width for ann_ivfpq_rerank: candidates nominated by
     * the compressed index before exact re-scoring.
     */
@@ -96,7 +114,7 @@ object VectorQueries extends QueryPack {
     */
   private def ivfpqRanked(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val assigned = assignCells(s, dir)
+    val assigned = assignCellsPinned(s, dir) // codes + LUTs both read it
     val cbr = Pq.codebookRow(e)
     val codes = assigned.crossJoin(broadcast(cbr))
       .select(col("vec_id"), col("cell"),
@@ -237,7 +255,7 @@ object VectorQueries extends QueryPack {
     // cell's pair join bounded at 100 TB; cross-cell pairs are never
     // formed. Survivor policy (min vec_id) matches the dedup family.
     "dedup_semantic" -> ((s, dir) => {
-      val assigned = assignCells(s, dir)
+      val assigned = assignCellsPinned(s, dir)
       val dropped = VectorOps.withinCellCosinePairs(
           assigned, "vec_id", "embedding", CosThreshold)
         .select(col("vb").as("vec_id")).distinct()
@@ -261,7 +279,11 @@ object VectorQueries extends QueryPack {
         .select(col("cell"), col("pos"),
           floor(col("x").cast("double") * 1e9).cast("long").as("q"))
         .groupBy("cell", "pos")
-        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+        // DECIMAL(38,0)/HUGEINT — the emb_label_centroids overflow
+        // discipline, keyed by learned cell (skew can concentrate the
+        // corpus into one cell, so the per-group bound is the corpus)
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"))
         .select(col("cell"), col("pos"), col("n_vecs"),
           (col("sq").cast("double") /
             (lit(1.0e9) * col("n_vecs").cast("double"))).as("c"))
@@ -603,7 +625,7 @@ object VectorQueries extends QueryPack {
     "emb_kmeans_step" ->
       s"""WITH $assignCellsDuck
          |SELECT cell, pos, COUNT(*) AS n_vecs,
-         |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+         |  CAST(SUM(q) AS DOUBLE)
          |    / (1000000000.0 * CAST(COUNT(*) AS DOUBLE)) AS c
          |FROM (SELECT cell,  ps.pos,
          |        CAST(floor(CAST(embedding[ps.pos + 1] AS DOUBLE)
