@@ -41,6 +41,13 @@ object TextHash {
   def h31(s: String): String =
     s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT) % ${P31}L"
 
+  /** DuckDB mirror text of [[h31]] — the ONE copy (review finding:
+    * per-pack copies had accumulated, one freezing the modulus as a
+    * literal; a P31 retune would have silently desynced that oracle).
+    */
+  def h31Duck(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) % $P31"
+
   /** Whitespace tokens (single-space split — matches DuckDB string_split). */
   def tokens(text: Column): Column = split(text, " ")
 

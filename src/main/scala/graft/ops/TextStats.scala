@@ -56,6 +56,32 @@ object TextStats {
     }
   }
 
+  /** DuckDB mirror of one profile's [[profileScore]], generated from
+    * [[LangProfiles]] (review finding: hand-rolled copies in two query
+    * packs would silently miss a profile addition). Expects the token
+    * list in scope as `w`.
+    */
+  def langScoreDuck(lang: String): String = {
+    val prof = LangProfiles.find(_._1 == lang).getOrElse(
+      throw new IllegalArgumentException(s"unknown lang profile: $lang"))
+      ._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(w, t -> list_contains($prof, t)))"
+  }
+
+  /** DuckDB mirror of [[langId]]'s first-match argmax CASE over
+    * `s_<lang>` columns, generated in profile order so the tie-break
+    * and the language set can never drift from the engine's.
+    */
+  def langArgmaxCaseDuck: String = {
+    val langs = LangProfiles.map(_._1)
+    val whens = langs.map { l =>
+      val geAll = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
   /** Sum of token lengths (for mean-token-length quality signals). */
   def totalTokenChars(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t))

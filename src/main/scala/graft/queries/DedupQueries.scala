@@ -49,8 +49,14 @@ object DedupQueries extends QueryPack {
     // incoming-batch × bucket-occupancy, never corpus-quadratic.
     "dedup_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // pin the one signature scan: the parity split consumes it on
+      // BOTH join inputs, and the differing filters block exchange
+      // reuse — unpinned, the md5×16-permutation kernel (the pack's
+      // most expensive) ran twice per execution, contradicting the
+      // "one signature scan" claim above (review finding; the
+      // dedup_eval_recall_exact fix applied here)
       val sigs = MinHashLSH.signatures(docs, "doc_id", "text",
-        shingleK = 3, perms = 16, bands = 4)
+        shingleK = 3, perms = 16, bands = 4).localCheckpoint()
       val existing = sigs.filter(col("doc_id") % 2 === 0)
         .select(col("band"), col("sig"), col("doc_id").as("match_id"))
       val incoming = sigs.filter(col("doc_id") % 2 === 1)
@@ -167,10 +173,13 @@ object DedupQueries extends QueryPack {
     // the bounded bucket join.)
     "dedup_eval_recall" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // pin both legs (the dedup_eval_recall_exact discipline): each
+      // feeds a count AND the hit join, so unpinned, the Jaccard index
+      // build and the banding pipeline each ran twice per execution
       val truth = JaccardPairs(docs, "doc_id", "text")
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").localCheckpoint()
       val cand = MinHashLSH.candidatePairs(docs, "doc_id", "text")
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").localCheckpoint()
       val hit = truth.join(cand, Seq("doc_a", "doc_b"))
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
@@ -356,13 +365,16 @@ object DedupQueries extends QueryPack {
   )
 
   // ---- shared DuckDB SQL fragments ------------------------------------
-  private val h31duck = s"CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P"
-  private def h31duckOf(e: String) =
-    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) % $P"
-  private val dotAB =
-    "list_reduce([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in range(1, len(ea)+1)], (acc, x) -> acc + x)"
-  private def normOf(v: String) =
-    s"sqrt(list_reduce([CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE) for i in range(1, len($v)+1)], (acc, x) -> acc + x))"
+  private val h31duck = TextHash.h31Duck("s")
+  private def h31duckOf(e: String) = TextHash.h31Duck(e)
+  // the ONE fold text (VectorOps.dotDuck): a local copy here had lost
+  // the list_prepend(0) init, so an empty embedding made DuckDB's
+  // list_reduce error where the Spark fold (lit(0d) init) returns 0 —
+  // and a fold-order fix in VectorOps would have left this oracle on
+  // the old sequence (review finding). 0 + x ≡ x in IEEE, so values
+  // are unchanged on non-empty vectors.
+  private val dotAB = VectorOps.dotDuck("ea", "eb")
+  private def normOf(v: String) = s"sqrt(${VectorOps.dotDuck(v, v)})"
 
   /** MinHash→banded-LSH candidate pairs as a reusable WITH body ending
     * in a `pairs(doc_a, doc_b)` CTE (shared by the pairs oracle, the
@@ -547,17 +559,10 @@ object DedupQueries extends QueryPack {
     // Mirrors of the text_langid / text_quality formulas (TextQueries)
     // + the component closure, joined into the keep decision.
     "corpus_curation" -> {
-      def sc(lang: String) = {
-        val prof = TextStats.LangProfiles.find(_._1 == lang).get._2
-          .map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(w, t -> list_contains($prof, t)))"
-      }
+      // generated from TextStats.LangProfiles (langScoreDuck /
+      // langArgmaxCaseDuck) — one generator for every langid oracle
+      def sc(lang: String) = TextStats.langScoreDuck(lang)
       val langs = TextStats.LangProfiles.map(_._1)
-      val cases = langs.map { l =>
-        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
-          .mkString(" AND ")
-        s"WHEN $geAll THEN '$l'"
-      }.mkString("\n        |    ", "\n        |    ", "")
       s"""WITH RECURSIVE $minhashPairsWith,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |          UNION SELECT doc_b, doc_a FROM pairs),
@@ -571,8 +576,8 @@ object DedupQueries extends QueryPack {
          |scc AS (SELECT doc_id,
          |  ${langs.map(l => s"${sc(l)} AS s_$l").mkString(", ")}
          |  FROM tokc),
-         |lang AS (SELECT doc_id, CASE$cases
-         |    ELSE 'und' END AS pred FROM scc),
+         |lang AS (SELECT doc_id,
+         |  ${TextStats.langArgmaxCaseDuck} AS pred FROM scc),
          |mq AS (SELECT doc_id,
          |        CAST(len(w) AS DOUBLE) AS n,
          |        CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) AS tot,

@@ -72,8 +72,12 @@ object RelationalQueries extends QueryPack {
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
+          // exact long tie-break, no double cast: keys above 2^53 that
+          // round to the same double would make the winner
+          // partial-agg-order dependent where the oracle's BIGINT
+          // ORDER BY stays deterministic
           max_by(col("o_orderkey"),
-            struct(col("o_totalprice"), col("o_orderkey").cast("double")))
+            struct(col("o_totalprice"), col("o_orderkey")))
             .as("best_orderkey"),
           max(col("o_totalprice")).as("max_price"),
           count(lit(1)).as("n"))
@@ -296,7 +300,13 @@ object RelationalQueries extends QueryPack {
     // write time; PlanAuditSuite asserts the join runs exchange-free.
     "join_bucketed_colocated" -> ((s, dir) => {
       import graft.ops.Bucketing
-      val tag = math.abs(dir.hashCode).toString
+      // content-addressed tag, not String.hashCode: 32-bit collisions
+      // across fixture dirs would silently share one bucketed table
+      // (wrong rows, no error), and abs(Int.MinValue) stays negative,
+      // breaking the generated identifier
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6)
+        .map(b => f"$b%02x").mkString
       val li = Bucketing.ensureBucketed(
         t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
         s"graft_bkt_li_$tag", "l_orderkey", 8)

@@ -15,7 +15,7 @@ import graft.ops.{TextHash, TextStats}
 object TextQueries extends QueryPack {
 
   private val P = TextHash.P31
-  private val h31duck = s"CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P"
+  private val h31duck = TextHash.h31Duck("s")
 
   /** Only apply a BPE merge when the winning pair is plain
     * alphanumerics — regex metachars diverge between Java regex and
@@ -281,7 +281,11 @@ object TextQueries extends QueryPack {
       Tables(s, dir, "documents").select(
         col("doc_id"), col("lang").as("label"),
         TextStats.langId(toks).as("pred"),
-        TextStats.profileScore(toks, TextStats.LangProfiles.head._2)
+        // find("en"), not .head: the profile order is the tie-break
+        // priority and may be legitimately edited — a prepended profile
+        // would silently relabel this column's language
+        TextStats.profileScore(toks,
+            TextStats.LangProfiles.find(_._1 == "en").get._2)
           .cast("long").as("s_en"))
     }),
 
@@ -698,12 +702,8 @@ object TextQueries extends QueryPack {
   }
 
   // ---- DuckDB mirrors --------------------------------------------------
-  private def inList(words: Seq[String]) =
-    words.map(w => s"'$w'").mkString("[", ", ", "]")
-  private def score(lang: String) = {
-    val prof = TextStats.LangProfiles.find(_._1 == lang).get._2
-    s"len(list_filter(w, t -> list_contains(${inList(prof)}, t)))"
-  }
+  // generated from TextStats.LangProfiles — see langScoreDuck
+  private def score(lang: String) = TextStats.langScoreDuck(lang)
 
   /** The text_langid oracle body, shared verbatim with the kappa
     * oracle's prediction CTE so the two can never drift apart.
@@ -715,13 +715,7 @@ object TextQueries extends QueryPack {
        |  ${TextStats.LangProfiles.map { case (l, _) => s"${score(l)} AS s_$l" }.mkString(", ")}
        |  FROM tok)
        |SELECT doc_id, lang AS label,
-       |  CASE
-       |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-       |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-       |    WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-       |    WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-       |    WHEN s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
-       |    ELSE 'und' END AS pred,
+       |  ${TextStats.langArgmaxCaseDuck} AS pred,
        |  s_en
        |FROM sc""".stripMargin
 
@@ -1143,13 +1137,12 @@ object TextQueries extends QueryPack {
         |FROM tc GROUP BY doc_id""".stripMargin,
 
     "text_feature_hash" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,
-        |    (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
-        |      % 2147483647) % 32 AS bucket
+        |    (${TextHash.h31Duck("tok")}) % 32 AS bucket
         |  FROM t)
         |SELECT doc_id, bucket, COUNT(*) AS n_tokens
         |FROM h GROUP BY 1, 2""".stripMargin
