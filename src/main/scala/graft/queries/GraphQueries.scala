@@ -270,12 +270,12 @@ object GraphQueries extends QueryPack {
     // every message-passing round compiles to, each stage key-partitioned.
     // Counts are exact longs; the mean is a single division of them.
     "graph_neighbor_agg" -> ((s, dir) => {
-      val adj = {
-        val e = edges(s, dir)
-        e.select(col("src"), col("dst"))
-          .union(e.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
-      }
+      // the pinned adjacency (review finding: an inline byte-identical
+      // copy of bipAdjPinned's construction was consumed TWICE here —
+      // degree rollup + message join — re-running the events scan and
+      // the distinct shuffle per consumer, and free to drift from the
+      // memoized copy)
+      val adj = bipAdjPinned(s, dir)
       val deg = adj.groupBy("src").agg(count(lit(1)).as("d"))
       adj.join(deg.select(col("src").as("dst"), col("d").as("d_nbr")), "dst")
         .groupBy(col("src").as("node"))

@@ -114,10 +114,25 @@ object SourceQueries extends QueryPack {
         .rdd.repartition(8)
         .mapPartitionsWithIndex { (i, it) =>
           val bytes = graft.source.AvroCodec.encode(it)
+          // write-to-temp + atomic rename (the SpoolWriter discipline):
+          // fs.create(p, true) truncates but does not EXCLUDE a still-
+          // running first attempt, so a task retry or speculative
+          // duplicate interleaving writes into the same part file would
+          // produce a corrupt OCF with no error at write time. The
+          // attempt-unique temp name makes concurrent attempts disjoint
+          // and the rename publishes one complete file.
+          val attempt = org.apache.spark.TaskContext.get() match {
+            case null => 0L
+            case tc => tc.taskAttemptId()
+          }
           val p = new org.apache.hadoop.fs.Path(s"$path/part-$i.avro")
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$path/.part-$i.avro.$attempt.tmp")
           val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val os = fs.create(p, true)
+          val os = fs.create(tmp, true)
           try os.write(bytes) finally os.close()
+          fs.delete(p, false) // last completed attempt wins; files are
+          fs.rename(tmp, p)   // byte-identical per partition
           Iterator.single(i)
         }.count()
       rollup(s.read.format("binaryFile").load(path)

@@ -33,6 +33,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_cumvol" -> ((s, dir) => runCumvol(s, dir)),
     "stream_e2e_rolling" -> ((s, dir) => runRolling(s, dir)),
     "stream_e2e_join" -> ((s, dir) => runJoin(s, dir)),
+    // plain DISTINCT over the same pure-function-of-key payload: the
+    // streamed dropDuplicates must land on exactly this set
     "stream_e2e_dedup" -> ((s, dir) => runDedup(s, dir)),
     "stream_e2e_session" -> ((s, dir) => runSession(s, dir)),
     "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)),
@@ -53,6 +55,47 @@ object StreamE2EQueries extends QueryPack {
     * and row order/partitioning pass through untouched (the cumvol and
     * session runners depend on theirs).
     */
+  /** The shared deduped purchase/click tick base every runner feeds
+    * from (review finding: eight byte-identical copies of this prelude
+    * had accumulated — the tickLines lesson applied to the input side).
+    * LWW on (user_id, second) by event_id, exactly the mirrors' deduped
+    * `base` CTE.
+    */
+  private def dedupedTicks(s: SparkSession, dir: String): DataFrame =
+    LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+
+  /** Run `body` with the RocksDB state-store provider set, restoring
+    * the previous conf after — transformWithState requires RocksDB, and
+    * scoping the set keeps the session default for every other runner
+    * (review finding: this save/set/restore scaffolding was copy-pasted
+    * at four runner sites).
+    */
+  private def withRocksDB[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Name for a spool file appended AFTER the SpoolWriter-written data
+    * files: same %010d width as the writer's sealed names (SpoolWriter's
+    * contract — a narrower format can sort below the consumed watermark
+    * and be silently skipped), offset high so every sentinel/advancer/
+    * straggler sorts after every data file by construction instead of
+    * by the accident of leading-digit comparison.
+    */
+  private def postFile(n: Long): String = f"${9000000000L + n}%010d.jsonl"
+
   private def tickLines(df: DataFrame,
       price: org.apache.spark.sql.Column,
       volume: org.apache.spark.sql.Column,
@@ -83,12 +126,7 @@ object StreamE2EQueries extends QueryPack {
     * symbols drop (inner join) on both sides.
     */
   private def runEnrich(s: SparkSession, dir: String): DataFrame = {
-    val base = LwwDedup(
-      Tables(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
-      Seq(col("user_id"), col("time_s")),
-      Seq(col("event_id")))
+    val base = dedupedTicks(s, dir)
     val lines = tickLines(base, col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_enr")
     graft.source.SpoolWriter.deleteAtExit(work)
@@ -168,11 +206,7 @@ object StreamE2EQueries extends QueryPack {
       .format(classOf[graft.source.EnvelopeSourceProvider].getName)
       .option("path", spool).load()
     val sinkRoot = work.resolve("sink").toString
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val saved = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB(s) {
       val evs = Pipelines.parseTicks(env).filter(!col("_corrupt"))
         .select(col("symbol"), col("time"),
           when(col("tradeType") === "Q", 0).otherwise(1).as("kind"),
@@ -190,9 +224,6 @@ object StreamE2EQueries extends QueryPack {
             Seq("symbol", "time"))
         }.start()
       try q.processAllAvailable() finally q.stop()
-    } finally saved match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
     }
     LwwSink.read(s, sinkRoot, "feed", "asof")
       .select(col("symbol"), col("time").as("time_s"), col("price"),
@@ -243,12 +274,9 @@ object StreamE2EQueries extends QueryPack {
     * from the on-time era only) hash-fails.
     */
   private def runLate(s: SparkSession, dir: String): DataFrame = {
-    val base = LwwDedup(
-      Tables(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
-      Seq(col("user_id"), col("time_s")),
-      Seq(col("event_id")))
+    // pinned: THREE separate jobs consume it (spool write, max-second
+    // probe, straggler lines) — unpinned, each re-ran the dedup window
+    val base = dedupedTicks(s, dir).localCheckpoint()
     // bounded file count at any SF (4 range files, sorted within):
     // per-batch overhead is ~constant, so era batches stay O(1)
     val lines = tickLines(
@@ -268,9 +296,9 @@ object StreamE2EQueries extends QueryPack {
         s""""time":$t,"volume":1,"type":"B"}}"""
     // two advancer batches: the second exists solely so the straggler
     // batch's LAGGING filter watermark already includes the first
-    Files.writeString(Paths.get(spool).resolve(f"$nFiles%04d.jsonl"),
+    Files.writeString(Paths.get(spool).resolve(postFile(nFiles)),
       advancer(maxSec + 100 * 86400) + "\n")
-    Files.writeString(Paths.get(spool).resolve(f"${nFiles + 1}%04d.jsonl"),
+    Files.writeString(Paths.get(spool).resolve(postFile(nFiles + 1)),
       advancer(maxSec + 100 * 86400 + 60) + "\n")
     val lateLines = tickLines(
       base.filter(col("event_type") === "purchase"),
@@ -280,7 +308,7 @@ object StreamE2EQueries extends QueryPack {
     graft.util.Fs.list(Paths.get(lateSpool))
       .filter(_.getFileName.toString.endsWith(".jsonl"))
       .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, Paths.get(spool).resolve(f"${nFiles + 2 + i}%04d.jsonl"))
+        Files.move(p, Paths.get(spool).resolve(postFile(nFiles + 2 + i)))
       }
     val env = s.readStream
       .format(classOf[graft.source.EnvelopeSourceProvider].getName)
@@ -311,12 +339,7 @@ object StreamE2EQueries extends QueryPack {
   }
 
   private def runTumbling(s: SparkSession, dir: String): DataFrame = {
-    val base = LwwDedup(
-      Tables(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
-      Seq(col("user_id"), col("time_s")),
-      Seq(col("event_id")))
+    val base = dedupedTicks(s, dir)
     val lines = tickLines(base.orderBy(col("time_s"), col("user_id")),
       col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_tum")
@@ -329,7 +352,7 @@ object StreamE2EQueries extends QueryPack {
       s""""time":${maxSec + 2 * 86400},"volume":1,"type":"B"}}"""
     val nFiles = graft.util.Fs.list(Paths.get(spool))
       .count(_.getFileName.toString.endsWith(".jsonl"))
-    Files.writeString(Paths.get(spool).resolve(f"$nFiles%04d.jsonl"),
+    Files.writeString(Paths.get(spool).resolve(postFile(nFiles)),
       sentinel + "\n")
     val env = s.readStream
       .format(classOf[graft.source.EnvelopeSourceProvider].getName)
@@ -371,12 +394,7 @@ object StreamE2EQueries extends QueryPack {
     */
   private def runTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = LwwDedup(
-      Tables(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
-      Seq(col("user_id"), col("time_s")),
-      Seq(col("event_id")))
+    val base = dedupedTicks(s, dir)
     val lines = tickLines(base, col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_topk")
     graft.source.SpoolWriter.deleteAtExit(work)
@@ -387,11 +405,7 @@ object StreamE2EQueries extends QueryPack {
       .option("maxFilesPerTrigger", "2") // several update emissions
       .load()
     val sinkRoot = work.resolve("sink").toString
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val saved = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB(s) {
       val ticks = Pipelines.parseTicks(env).filter(!col("_corrupt"))
         .select(col("symbol"), col("time"), col("price"))
         .as[graft.streaming.TopKProcessor.TickIn]
@@ -407,9 +421,6 @@ object StreamE2EQueries extends QueryPack {
             Seq("symbol", "rank"))
         }.start()
       try q.processAllAvailable() finally q.stop()
-    } finally saved match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
     }
     LwwSink.read(s, sinkRoot, "feed", "topk")
       .select(col("symbol"), col("rank"), col("price"),
@@ -477,12 +488,7 @@ object StreamE2EQueries extends QueryPack {
     * late; the pre-dedup makes session row counts arrival-independent.
     */
   private def runSession(s: SparkSession, dir: String): DataFrame = {
-    val base = LwwDedup(
-      Tables(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
-      Seq(col("user_id"), col("time_s")),
-      Seq(col("event_id")))
+    val base = dedupedTicks(s, dir)
     val lines = tickLines(base.orderBy(col("time_s"), col("user_id")),
       col("value"), stdVolume, stdType)
     val work = Files.createTempDirectory("graft_e2e_sess")
@@ -497,7 +503,7 @@ object StreamE2EQueries extends QueryPack {
       s""""time":${maxSec + 2 * 86400},"volume":1,"type":"B"}}"""
     val nFiles = graft.util.Fs.list(Paths.get(spool))
       .count(_.getFileName.toString.endsWith(".jsonl"))
-    Files.writeString(Paths.get(spool).resolve(f"$nFiles%04d.jsonl"),
+    Files.writeString(Paths.get(spool).resolve(postFile(nFiles)),
       sentinel + "\n")
     val env = s.readStream
       .format(classOf[graft.source.EnvelopeSourceProvider].getName)
@@ -595,12 +601,7 @@ object StreamE2EQueries extends QueryPack {
     * order rows across the batch boundary.
     */
   private def runCumvol(s: SparkSession, dir: String): DataFrame = {
-    val base = LwwDedup(
-      Tables(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
-      Seq(col("user_id"), col("time_s")),
-      Seq(col("event_id")))
+    val base = dedupedTicks(s, dir)
       .repartition(4, col("user_id"))
       .sortWithinPartitions(col("time_s"))
     val lines = tickLines(base, col("value"), stdVolume, stdType)
@@ -633,12 +634,7 @@ object StreamE2EQueries extends QueryPack {
     */
   private def runRolling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = LwwDedup(
-      Tables(s, dir, "events")
-        .filter(col("event_type").isin("purchase", "click"))
-        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
-      Seq(col("user_id"), col("time_s")),
-      Seq(col("event_id")))
+    val base = dedupedTicks(s, dir)
       .repartition(4, col("user_id"))
       .sortWithinPartitions(col("time_s"))
     val lines = tickLines(base, col("value"), stdVolume, stdType)
@@ -652,11 +648,7 @@ object StreamE2EQueries extends QueryPack {
     val sinkRoot = work.resolve("sink").toString
     // transformWithState requires the RocksDB state store; scope the
     // provider to this run like StreamingRollingStatsSuite does
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val saved = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB(s) {
       val evs = Pipelines.parseTicks(env)
         .filter(!col("_corrupt"))
         .select(
@@ -685,9 +677,6 @@ object StreamE2EQueries extends QueryPack {
             id, sinkRoot, "feed", "roll", Seq("symbol", "time"))
         }.start()
       try q.processAllAvailable() finally q.stop()
-    } finally saved match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
     }
     LwwSink.read(s, sinkRoot, "feed", "roll")
       .select(col("symbol"), col("time").as("time_s"),
@@ -836,11 +825,7 @@ object StreamE2EQueries extends QueryPack {
       .load()
     val hits = graft.streaming.LshBucketProcessor.bandHits(env)
     val sinkRoot = work.resolve("sink").toString
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val saved = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB(s) {
       val q = hits.groupByKey(_.bucket)
         .transformWithState(new graft.streaming.LshBucketProcessor(),
           org.apache.spark.sql.streaming.TimeMode.None(),
@@ -853,9 +838,6 @@ object StreamE2EQueries extends QueryPack {
             "neardup", Seq("doc_a", "doc_b"))
         }.start()
       try q.processAllAvailable() finally q.stop()
-    } finally saved match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
     }
     LwwSink.read(s, sinkRoot, "docs", "neardup")
       .select(col("doc_a"), col("doc_b"))
@@ -1299,8 +1281,9 @@ object StreamE2EQueries extends QueryPack {
         |  COUNT(*) AS n_events
         |FROM s0 GROUP BY user_id, sid""".stripMargin,
 
-    // plain DISTINCT over the same pure-function-of-key payload: the
-    // streamed dropDuplicates must land on exactly this set
+    // CDC mirror: last operation per key wins; delete tombstones purge
+    // at read (the Cassandra compaction model the streaming register
+    // table reproduces)
     "stream_e2e_cdc" ->
       """WITH dd AS (
         |  SELECT user_id, time_s, event_type FROM (
@@ -1323,6 +1306,8 @@ object StreamE2EQueries extends QueryPack {
         |FROM last
         |WHERE event_type <> 'error'""".stripMargin,
 
+    // plain DISTINCT over the same pure-function-of-key payload: the
+    // streamed dropDuplicates must land on exactly this set
     "stream_e2e_dedup" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS symbol,
         |  epoch_us(ts) // 1000000 AS time_s,
