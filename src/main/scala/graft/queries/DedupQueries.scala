@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{ConnectedComponents, JaccardPairs, MinHashLSH, PrefixFilterJoin, SimHash, TextHash, TextStats, VectorOps}
+import graft.ops.{ConnectedComponents, JaccardPairs, MinHashLSH, PrefixFilterJoin, SimHash, SpanDedup, TextHash, TextStats, VectorOps}
 
 /** Training-data deduplication operators over the `documents` /
   * `embeddings` fixtures: exact hash dedup, MinHash+LSH banding, SimHash
@@ -361,7 +361,17 @@ object DedupQueries extends QueryPack {
         .filter(col("dist").between(1, 2))
         .select(col("a_name"), col("b_name"), col("dist"),
           col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("n_pairs"))
-    })
+    }),
+
+    // Exact duplicated-SPAN audit (the ExactSubstr dedup shape): every
+    // ≥8-token run shared verbatim by ≥2 documents, reported per doc as
+    // merged span extents — overlapping shingles catch boilerplate at
+    // ANY alignment where text_segment_dedup's fixed 8-token grid only
+    // sees grid-aligned copies. See [[graft.ops.SpanDedup]] for the
+    // plan shape (hash-keyed rollup, islands folded in one grouped
+    // aggregate, no window).
+    "dedup_substr_spans" -> ((s, dir) =>
+      SpanDedup(Tables(s, dir, "documents"), "doc_id", "text"))
   )
 
   // ---- shared DuckDB SQL fragments ------------------------------------
@@ -729,6 +739,42 @@ object DedupQueries extends QueryPack {
         |  CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist,
         |  n_a, n_b, n_a * n_b AS n_pairs
         |FROM cand
-        |WHERE levenshtein(a_name, b_name) BETWEEN 1 AND 2""".stripMargin
+        |WHERE levenshtein(a_name, b_name) BETWEEN 1 AND 2""".stripMargin,
+
+    // dedup_substr_spans: 1-based DuckDB list positions convert to the
+    // Spark kernel's 0-based starts (j - 1); w[j:j+7] is the inclusive
+    // 8-token slice; islands via the lag window (the Spark side folds
+    // the same walk inside its grouped aggregate).
+    "dedup_substr_spans" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, j - 1 AS j0,
+         |    ${h31duckOf("array_to_string(w[j:j+7], ' ')")} AS kh
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS j
+         |        FROM tok WHERE len(w) >= 8)),
+         |dup AS (
+         |  SELECT kh FROM sh GROUP BY kh
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, j0 + o AS p
+         |  FROM sh JOIN dup USING (kh)
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS o)),
+         |marked AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) = p - 1
+         |      THEN 0 ELSE 1 END AS st
+         |  FROM covered),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_dup_tokens,
+         |    CAST(SUM(st) AS BIGINT) AS n_spans
+         |  FROM marked GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  COALESCE(n_dup_tokens, 0) AS n_dup_tokens,
+         |  COALESCE(n_spans, 0) AS n_spans,
+         |  CAST(COALESCE(n_dup_tokens, 0) AS DOUBLE) /
+         |    CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_ratio
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
   )
 }

@@ -302,6 +302,55 @@ object SamplingQueries extends QueryPack {
             col("n_tok"))), lit(0L)).as("tok_sel"),
           min(col("target_tok")).as("target_tok"),
           min(col("src_tok")).as("src_tok"))
+    }),
+
+    // DSIR-shaped importance resampling (hashed n-gram importance
+    // weights, Xie et al.): score every NON-target document by how much
+    // more likely its hashed-bigram features are under the target
+    // domain's LM (here: the `en` slice) than under the raw pool's own,
+    // and keep the top 50 — the "select raw data that looks like the
+    // target domain" step of a pretraining mix. The log-likelihood
+    // ratio uses the repo's exact integer floor-log2 bits (the
+    // text_lm_bits discipline: length(bin(x))-1, Laplace-smoothed over
+    // the 64 hashed buckets) so the weight is integer-exact
+    // cross-engine — no libm log in either plan. Plan shape: one
+    // scan-side gram→bucket kernel feeding (a) a 64-row bucket rollup
+    // (broadcast back) and (b) the per-doc weight aggregate; the stats
+    // table is O(buckets), never O(vocab), so at 100 TB the only
+    // corpus-sized exchanges are the two keyed partial aggregates.
+    // (The gram subtree is evaluated once per consumer — two scans, the
+    // lm_bits trade: no cross-stage CSE in Spark, and pinning a
+    // corpus-sized explode would cost more than the second pass.)
+    // Top-50 is TakeOrdered (no global sort), tie-broken by doc_id.
+    "sample_dsir" -> ((s, dir) => {
+      val B = 64
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          explode(TextHash.shingleHashes(col("text"), 2)).as("gh"))
+        .withColumn("b", col("gh") % B)
+      val stats = grams.groupBy("b").agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("c_r"))
+      val tot = stats.agg(sum(col("c_t")).as("n_t"),
+        sum(col("c_r")).as("n_r"))
+      val bits = stats.crossJoin(broadcast(tot))
+        .select(col("b"),
+          ((length(bin(col("n_t") + B)) - 1) -
+            (length(bin(col("c_t") + 1)) - 1)).as("bits_t"),
+          ((length(bin(col("n_r") + B)) - 1) -
+            (length(bin(col("c_r") + 1)) - 1)).as("bits_r"))
+      val sel = grams.filter(!col("is_t"))
+        .join(broadcast(bits), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum((col("bits_r") - col("bits_t")).cast("long"))
+            .as("weight_bits"))
+      sel.join(Tables(s, dir, "documents").select("doc_id", "lang"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("weight_bits"))
+        .orderBy(col("weight_bits").desc, col("doc_id"))
+        .limit(50)
     })
   )
 
@@ -510,6 +559,40 @@ object SamplingQueries extends QueryPack {
          |  MIN(target_tok) AS target_tok,
          |  MIN(tg.src_tok) AS src_tok
          |FROM c JOIN tg ON c.source = tg.source
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // sample_dsir: same hashed-bucket LM-ratio weight in exact integer
+    // bits (len(bin(x))-1 ≡ floor(log2 x) on both engines); ORDER BY +
+    // LIMIT mirrors the TakeOrdered tie-break.
+    "sample_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, lang = 'en' AS is_t,
+         |    (${h("g")}) % 64 AS b
+         |  FROM (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2
+         |      THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+         |      ELSE [] END) AS g
+         |    FROM tok)),
+         |stats AS (
+         |  SELECT b,
+         |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         |    CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+         |  FROM grams GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+         |          CAST(SUM(c_r) AS BIGINT) AS n_r FROM stats),
+         |bits AS (
+         |  SELECT b,
+         |    (len(bin(n_t + 64)) - 1) - (len(bin(c_t + 1)) - 1) AS bits_t,
+         |    (len(bin(n_r + 64)) - 1) - (len(bin(c_r + 1)) - 1) AS bits_r
+         |  FROM stats CROSS JOIN tot),
+         |sel AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams,
+         |    CAST(SUM(bits_r - bits_t) AS BIGINT) AS weight_bits
+         |  FROM grams JOIN bits USING (b) WHERE NOT is_t GROUP BY 1)
+         |SELECT d.doc_id, d.lang, n_bigrams, weight_bits
+         |FROM sel JOIN documents d USING (doc_id)
+         |ORDER BY weight_bits DESC, d.doc_id LIMIT 50""".stripMargin
   )
 }
