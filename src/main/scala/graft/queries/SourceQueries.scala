@@ -37,13 +37,14 @@ object SourceQueries extends QueryPack {
   private val Schema =
     "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT"
 
-  // session+dir-memoized DPP fact layout (see join_dpp_runtime).
-  // Keyed by identityHashCode like the Tables cache, NOT by the
-  // session object — a session-keyed static map would strongly retain
-  // every stopped SparkSession (plus its layout path) for the JVM
-  // lifetime.
-  private val dppLayouts =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+  // session+dir-memoized DPP fact layout (see join_dpp_runtime) — the
+  // repo-standard bounded LRU (the last cache still on the raw
+  // identityHashCode-tuple pattern the other packs migrated off, r9
+  // review): a stopped session's entry ages out instead of pinning the
+  // session for the JVM lifetime, and identity is compared with `eq`,
+  // not a 32-bit hash. No onEvict: the value is a path string; the
+  // directory itself is reclaimed by the deleteAtExit hook.
+  private val dppLayouts = new graft.util.SessionCache[String](8)
 
   private def work(tag: String) = {
     val w = Files.createTempDirectory(s"graft_src_$tag")
@@ -190,15 +191,14 @@ object SourceQueries extends QueryPack {
     // round with identical code); the oracle computes the join from
     // the raw fixture.
     "join_dpp_runtime" -> ((s, dir) => {
-      val path = dppLayouts.getOrElseUpdate(
-        (System.identityHashCode(s), dir), {
+      val path = dppLayouts.getOrElseUpdate(s, dir) {
         val p = work("dpp")
         Tables(s, dir, "lineitem")
           .withColumn("ship_month",
             date_format(col("l_shipdate"), "yyyy-MM"))
           .write.mode("overwrite").partitionBy("ship_month").parquet(p)
         p
-      })
+      }
       val fact = s.read.parquet(path)
       // dim: ~1/3 of the months survive an engine-neutral bucket rule
       // ((year + month) % 3 — no engine-private hash), a selection the
