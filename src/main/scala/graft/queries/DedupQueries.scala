@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{ConnectedComponents, JaccardPairs, MinHashLSH, PrefixFilterJoin, SimHash, SpanDedup, TextHash, TextStats, VectorOps}
+import graft.ops.{CdcChunks, ConnectedComponents, JaccardPairs, MinHashLSH, PrefixFilterJoin, SimHash, SpanDedup, TextHash, TextStats, VectorOps}
 
 /** Training-data deduplication operators over the `documents` /
   * `embeddings` fixtures: exact hash dedup, MinHash+LSH banding, SimHash
@@ -371,7 +371,17 @@ object DedupQueries extends QueryPack {
     // plan shape (hash-keyed rollup, islands folded in one grouped
     // aggregate, no window).
     "dedup_substr_spans" -> ((s, dir) =>
-      SpanDedup(Tables(s, dir, "documents"), "doc_id", "text"))
+      SpanDedup(Tables(s, dir, "documents"), "doc_id", "text")),
+
+    // Content-defined chunking dedup (the LBFS/rsync rolling-hash
+    // boundary method): cut after any token whose trailing 4-token
+    // window hashes ≡ 0 (mod 8), count chunks recurring verbatim in
+    // ≥ 2 docs. Boundaries depend only on local content, so an
+    // insertion re-synchronizes at the next cut — the insertion-robust
+    // complement of text_segment_dedup's fixed grid (CdcChunksSuite
+    // pins exactly that divergence). See [[graft.ops.CdcChunks]].
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      CdcChunks(Tables(s, dir, "documents"), "doc_id", "text"))
   )
 
   // ---- shared DuckDB SQL fragments ------------------------------------
@@ -775,6 +785,48 @@ object DedupQueries extends QueryPack {
          |  COALESCE(n_spans, 0) AS n_spans,
          |  CAST(COALESCE(n_dup_tokens, 0) AS DOUBLE) /
          |    CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_ratio
-         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // dedup_cdc_chunks: content cuts where the 4-token trailing-window
+    // hash ≡ 0 (mod 8) plus the forced terminal cut; lag() pairs each
+    // cut with its predecessor; chunk slices are 1-based-inclusive
+    // (0-based [p+1, e] → w[p+2 : e+1]).
+    "dedup_cdc_chunks" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |hc AS (
+         |  SELECT doc_id, j + 2 AS e
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS j
+         |        FROM tok WHERE len(w) >= 4)
+         |  WHERE (${h31duckOf("array_to_string(w[j:j+3], ' ')")}) % 8 = 0),
+         |cuts AS (
+         |  SELECT DISTINCT doc_id, e FROM (
+         |    SELECT doc_id, e FROM hc
+         |    UNION ALL SELECT doc_id, len(w) - 1 AS e FROM tok)),
+         |bounds AS (
+         |  SELECT doc_id,
+         |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), -1)
+         |      AS p,
+         |    e
+         |  FROM cuts),
+         |chunks AS (
+         |  SELECT b.doc_id, CAST(b.e - b.p AS BIGINT) AS len,
+         |    ${h31duckOf("array_to_string(t.w[b.p + 2 : b.e + 1], ' ')")}
+         |      AS ch
+         |  FROM bounds b JOIN tok t USING (doc_id)),
+         |dup AS (
+         |  SELECT ch FROM chunks GROUP BY ch
+         |  HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT c.doc_id,
+         |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_chunks,
+         |  COUNT(dup.ch) AS n_dup_chunks,
+         |  COALESCE(CAST(SUM(CASE WHEN dup.ch IS NOT NULL THEN len END)
+         |    AS BIGINT), 0) AS n_dup_tokens,
+         |  CAST(COALESCE(CAST(SUM(CASE WHEN dup.ch IS NOT NULL THEN len
+         |    END) AS BIGINT), 0) AS DOUBLE)
+         |    / CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE) AS dup_ratio
+         |FROM chunks c LEFT JOIN dup USING (ch)
+         |GROUP BY c.doc_id""".stripMargin
   )
 }
