@@ -167,6 +167,24 @@ object ScaleProbe {
       graft.ops.SegmentDedup(
         scaled("documents", "doc_id", c), "doc_id", "text").count()
 
+    // round-9 session-6 additions (the SAME ops dedup_substr_spans /
+    // dedup_cdc_chunks run): on the duplicated corpus every shingle /
+    // chunk is cross-doc shared (df ≥ copies) — the adversarial case.
+    // Both stay hash-keyed rollup + join + per-doc fold; neither has a
+    // pair join to explode, so the 10× cost must stay at the keyed
+    // exchanges (like segment_dedup, their grid-free siblings).
+    // exec, not count(): both end in a docs-preserving left join /
+    // per-doc projection, so a bare count() would let Catalyst prune
+    // the island/ratio computation out of the timed plan (the Bench r9
+    // toRdd lesson)
+    def spanDedup(c: Int): Long =
+      exec(graft.ops.SpanDedup(
+        scaled("documents", "doc_id", c), "doc_id", "text"))
+
+    def cdcChunks(c: Int): Long =
+      exec(graft.ops.CdcChunks(
+        scaled("documents", "doc_id", c), "doc_id", "text"))
+
     // round-5 training loops (the SAME ops emb_kmeans_train /
     // text_bpe_train run): the 10× ratio shows the per-round
     // checkpoint discipline holding — cost is rounds × (one corpus
@@ -388,7 +406,8 @@ object ScaleProbe {
       ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
       ("vec_centroids", centroids), ("pq_encode", pqEncode),
       ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign),
-      ("segment_dedup", segmentDedup), ("kmeans_train", kmeansTrain),
+      ("segment_dedup", segmentDedup), ("span_dedup", spanDedup),
+      ("cdc_chunks", cdcChunks), ("kmeans_train", kmeansTrain),
       ("bpe_train", bpeTrain), ("prefix_filter", prefixFilter),
       ("winnow_pairs", winnowPairs), ("bigram_lift", bigramLift),
       ("dq_profile", dqProfile), ("dpp_join", dppJoin),
