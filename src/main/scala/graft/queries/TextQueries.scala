@@ -659,6 +659,69 @@ object TextQueries extends QueryPack {
           (lit(1e0) - col("ss").cast("double") /
             (col("n_tokens") * col("n_tokens")).cast("double"))
             .as("gini_diversity"))
+    }),
+
+    // Closed-form model TRAINING in one aggregate: distill the
+    // composite quality score (TextStats.qualityScore — the "expensive
+    // judge" stand-in) into a 2-feature linear probe, fit by the normal
+    // equations. This is the scorer-distillation shape a production
+    // pipeline runs (replace a costly quality judgment with a cheap
+    // linear model over scan-side features): response and features are
+    // fixed-point micro ints so the ten sufficient statistics
+    // accumulate EXACTLY (DECIMAL(38,0)/HUGEINT, the repo's overflow
+    // discipline); one global aggregate yields the Gram matrix;
+    // Cramer's rule solves the 3×3 system in bit-pinned double
+    // arithmetic ([[LpmSolve]], the CorrTail discipline scaled to a
+    // matrix); R² comes from the same sums, never from per-row
+    // residuals (whose float summation would be partial-order-
+    // dependent). At 100 TB this is a map-side-combined rollup to ONE
+    // row — no iteration, no driver-side data, one corpus pass.
+    // (Expected fit: the composite weights avg-token-length and
+    // stopword-ratio terms the features expose directly, so R² is
+    // high but below 1 — the symbol-density term and the clamps are
+    // the unexplained remainder; the suite pins both bounds.)
+    "text_quality_lpm" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      val feat = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        floor(TextStats.qualityScore(col("text")) * lit(1e6))
+          .cast("long").as("yq"),
+        floor(TextStats.totalTokenChars(toks).cast("double") /
+          size(toks).cast("double") * lit(1e6)).cast("long").as("x1"),
+        floor(TextStats.profileScore(toks, TextStats.LangProfiles.head._2)
+          .cast("double") / size(toks).cast("double") * lit(1e6))
+          .cast("long").as("x2"))
+      val d38 = "decimal(38,0)"
+      val st = feat.agg(
+        count(lit(1)).cast(d38).as("cn"),
+        sum(col("x1").cast(d38)).as("csx1"),
+        sum(col("x2").cast(d38)).as("csx2"),
+        sum(col("x1").cast(d38) * col("x1").cast(d38)).as("cs11"),
+        sum(col("x1").cast(d38) * col("x2").cast(d38)).as("cs12"),
+        sum(col("x2").cast(d38) * col("x2").cast(d38)).as("cs22"),
+        sum(col("yq").cast(d38)).as("csy"),
+        sum(col("x1").cast(d38) * col("yq").cast(d38)).as("cs1y"),
+        sum(col("x2").cast(d38) * col("yq").cast(d38)).as("cs2y"),
+        sum(col("yq").cast(d38) * col("yq").cast(d38)).as("csyy"))
+      st.select(
+          col("cn").cast("double").as("n"),
+          col("csx1").cast("double").as("sx1"),
+          col("csx2").cast("double").as("sx2"),
+          col("cs11").cast("double").as("s11"),
+          col("cs12").cast("double").as("s12"),
+          col("cs22").cast("double").as("s22"),
+          col("csy").cast("double").as("sy"),
+          col("cs1y").cast("double").as("s1y"),
+          col("cs2y").cast("double").as("s2y"),
+          col("csyy").cast("double").as("syy"),
+          col("cn").cast("long").as("n_docs"))
+        .select(col("n"), col("sy"), col("s1y"), col("s2y"), col("syy"),
+          col("n_docs"),
+          expr(LpmSolve.beta(LpmSolve.num0)).as("beta0"),
+          expr(LpmSolve.beta(LpmSolve.num1)).as("beta1"),
+          expr(LpmSolve.beta(LpmSolve.num2)).as("beta2"))
+        .select(col("n_docs"), col("beta0"), col("beta1"), col("beta2"),
+          expr(LpmSolve.r2).as("r2"))
     })
   )
 
@@ -1145,6 +1208,72 @@ object TextQueries extends QueryPack {
         |    (${TextHash.h31Duck("tok")}) % 32 AS bucket
         |  FROM t)
         |SELECT doc_id, bucket, COUNT(*) AS n_tokens
-        |FROM h GROUP BY 1, 2""".stripMargin
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // text_quality_lpm: identical fixed-point features/response,
+    // HUGEINT sufficient statistics VARCHAR-routed to DOUBLE once,
+    // then the SAME LpmSolve fragments verbatim — the Cramer and R²
+    // arithmetic cannot drift between engines because it exists in one
+    // place. The response mirrors TextStats.qualityScore's pinned
+    // double expression (the sample_weighted mirror's quality CTE).
+    "text_quality_lpm" -> {
+      val prof = TextStats.LangProfiles.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tok AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS DOUBLE) AS nd,
+         |    CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+         |      AS tot,
+         |    CAST(len(list_filter(w, t -> list_contains($prof, t)))
+         |      AS DOUBLE) AS nstop,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+         |      AS DOUBLE) / CAST(len(text) AS DOUBLE) AS symratio
+         |  FROM tok),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(floor((greatest(0, 1 - abs(tot / nd - 4.5) / 4.5) * 0.5
+         |      + least(nstop / nd * 2, 1) * 0.3
+         |      + greatest(0, 1 - symratio * 5) * 0.2) * 1000000e0)
+         |      AS BIGINT) AS yq,
+         |    CAST(floor(tot / nd * 1000000e0) AS BIGINT) AS x1,
+         |    CAST(floor(nstop / nd * 1000000e0) AS BIGINT) AS x2
+         |  FROM m),
+         |st AS (SELECT
+         |    CAST(COUNT(*) AS HUGEINT) AS cn,
+         |    SUM(CAST(x1 AS HUGEINT)) AS csx1,
+         |    SUM(CAST(x2 AS HUGEINT)) AS csx2,
+         |    SUM(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS cs11,
+         |    SUM(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS cs12,
+         |    SUM(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS cs22,
+         |    SUM(CAST(yq AS HUGEINT)) AS csy,
+         |    SUM(CAST(x1 AS HUGEINT) * CAST(yq AS HUGEINT)) AS cs1y,
+         |    SUM(CAST(x2 AS HUGEINT) * CAST(yq AS HUGEINT)) AS cs2y,
+         |    SUM(CAST(yq AS HUGEINT) * CAST(yq AS HUGEINT)) AS csyy
+         |  FROM f),
+         |d AS (SELECT
+         |    CAST(CAST(cn AS VARCHAR) AS DOUBLE) AS n,
+         |    CAST(CAST(csx1 AS VARCHAR) AS DOUBLE) AS sx1,
+         |    CAST(CAST(csx2 AS VARCHAR) AS DOUBLE) AS sx2,
+         |    CAST(CAST(cs11 AS VARCHAR) AS DOUBLE) AS s11,
+         |    CAST(CAST(cs12 AS VARCHAR) AS DOUBLE) AS s12,
+         |    CAST(CAST(cs22 AS VARCHAR) AS DOUBLE) AS s22,
+         |    CAST(CAST(csy AS VARCHAR) AS DOUBLE) AS sy,
+         |    CAST(CAST(cs1y AS VARCHAR) AS DOUBLE) AS s1y,
+         |    CAST(CAST(cs2y AS VARCHAR) AS DOUBLE) AS s2y,
+         |    CAST(CAST(csyy AS VARCHAR) AS DOUBLE) AS syy,
+         |    CAST(cn AS BIGINT) AS n_docs
+         |  FROM st),
+         |b AS (SELECT n, sy, s1y, s2y, syy, n_docs,
+         |    ${LpmSolve.beta(LpmSolve.num0)} AS beta0,
+         |    ${LpmSolve.beta(LpmSolve.num1)} AS beta1,
+         |    ${LpmSolve.beta(LpmSolve.num2)} AS beta2
+         |  FROM d)
+         |SELECT n_docs, beta0, beta1, beta2,
+         |  ${LpmSolve.r2} AS r2
+         |FROM b""".stripMargin
+    }
   )
 }
