@@ -17,38 +17,39 @@ import org.apache.spark.sql.functions._
   * corpora that drift by insertion, not wholesale copy.
   *
   * Plan: the window hashes come from the fused scan-side shingle
-  * kernel; cut positions fold into one per-doc grouped aggregate
-  * (integer positions only); chunks materialize scan-side from the
-  * boundary array (one `slice` per chunk, no re-tokenization); the df
-  * rollup and join back are keyed on the 60-bit chunk hash — exchanges
-  * carry (doc, positions) and longs, never token arrays. Expected
-  * chunk length is `modulus + windowK - 1` tokens, so chunk count —
-  * and every downstream cardinality — is linear in corpus tokens.
+  * kernel and the cut-position array folds out of them IN THE SAME
+  * PROJECTION (an indexed `transform` + `filter` — no explode, no
+  * per-doc aggregate, and critically no join that would put token
+  * arrays through an exchange: the first build did exactly that,
+  * shuffling corpus bytes to re-attach cuts to tokens); chunks then
+  * materialize scan-side from the boundary array (one `slice` per
+  * chunk, no re-tokenization); the df rollup and join back are keyed
+  * on the 60-bit chunk hash — the ONLY exchanges in the plan, carrying
+  * longs. Expected chunk length is `modulus + windowK - 1` tokens, so
+  * chunk count — and every downstream cardinality — is linear in
+  * corpus tokens.
   */
 object CdcChunks {
 
   def apply(docs: DataFrame, idCol: String, textCol: String,
       windowK: Int = 4, modulus: Int = 8, dfCut: Int = 2): DataFrame = {
     val id: Column = col(idCol)
-    // content cuts: 0-based END position of each boundary window
-    val cuts = docs
-      .select(id,
-        posexplode(TextHash.shingleHashes(col(textCol), windowK))
-          .as(Seq("j", "kh")))
-      .filter(pmod(col("kh"), lit(modulus)) === 0)
-      .select(id, (col("j") + (windowK - 1)).as("e"))
-      .groupBy(idCol)
-      .agg(array_sort(collect_set(col("e"))).as("cs"))
-    // chunk rows: [prev cut + 1, cut], terminal cut forced at n-1
-    // (element_at on the empty array is null, so short docs — below
-    // windowK tokens, no window hashes — fall to the append branch and
-    // become one whole-doc chunk)
+    // content cuts, scan-side: 0-based END position of each boundary
+    // window, folded straight out of the fused hash array (the indexed
+    // transform keeps the whole derivation in one codegen'd projection;
+    // an empty hash array — docs below windowK tokens — yields an
+    // empty cut list). Terminal cut forced at n-1 (try_element_at on
+    // the empty list is null, so short docs fall to the append branch
+    // and become one whole-doc chunk).
     val withBounds = docs
-      .select(id, TextHash.tokens(col(textCol)).as("w"))
-      .join(cuts, Seq(idCol), "left")
+      .select(id, TextHash.tokens(col(textCol)).as("w"),
+        TextHash.shingleHashes(col(textCol), windowK).as("hs"))
       .withColumn("n1", size(col("w")) - 1)
       .withColumn("cs0",
-        coalesce(col("cs"), expr("CAST(array() AS array<int>)")))
+        filter(
+          transform(col("hs"), (x, j) =>
+            when(pmod(x, lit(modulus)) === 0, j + (windowK - 1))),
+          c => c.isNotNull))
       .withColumn("cs2",
         when(expr("try_element_at(cs0, -1)") === col("n1"), col("cs0"))
           .otherwise(concat(col("cs0"), array(col("n1")))))

@@ -655,6 +655,52 @@ class PlanAuditSuite extends SparkSpec {
       s"raw text must never shuffle: $exchanges")
   }
 
+  test("dedup_cdc_chunks: cuts fold scan-side; no exchange carries text or tokens") {
+    // the r9 rework's claim: cut positions derive inside the scan
+    // projection (indexed transform over the fused hash array), so the
+    // only exchanges are the chunk-hash df rollup and the per-doc
+    // rollup — longs and small ints, never the text or the token array
+    val p = executed(q("dedup_cdc_chunks"))
+    val exchanges = flatten(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.flatten.forall(n => n != "text" && n != "w" && n != "hs"),
+      s"text/token/hash arrays must never shuffle: $exchanges")
+  }
+
+  test("dedup_substr_spans: exchanges carry hashes and positions only") {
+    val p = executed(q("dedup_substr_spans"))
+    val exchanges = flatten(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.child.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.flatten.forall(n => n != "text"),
+      s"raw text must never shuffle: $exchanges")
+  }
+
+  test("sample_dsir: bucket stats ride broadcast; top-50 is TakeOrdered") {
+    val p = executed(q("sample_dsir"))
+    val nodes = flatten(p)
+    // the 64-row bits table must attach to the gram stream by
+    // broadcast — re-shuffling the corpus-sized stream on a 6-bit
+    // bucket key would be the scale bug
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"bits must attach by broadcast:\n$p")
+    assert(nodes.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"top-50 must be TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
+  test("text_quality_lpm: one corpus pass, one aggregation exchange") {
+    // sufficient statistics are ONE map-side-combined rollup to a
+    // single row; the Cramer solve and R^2 are driver-free projections
+    // on top — any extra shuffle means the training pass re-scanned
+    val p = executed(q("text_quality_lpm"))
+    assert(countShuffles(p) <= 1, s"expected <= 1 shuffle:\n$p")
+  }
+
   test("sort_skyline: survivors re-attach by broadcast, never sort-merge") {
     val p = executed(q("sort_skyline"))
     val s = p.toString
