@@ -381,6 +381,29 @@ object QualityQueries extends QueryPack {
           coalesce(sum(when(col("n") < 10, col("n"))), lit(0L))
             .as("rows_at_risk"),
           min(col("n")).as("min_group"))
+    }),
+
+    // l-diversity audit — k-anonymity's necessary complement
+    // (Machanavajjhala et al.): a QI group can be large yet still leak
+    // if every member shares ONE sensitive value (homogeneity attack —
+    // k-anonymity alone passes it). Per (c_nationkey, c_mktsegment)
+    // quasi-identifier class over customers, l = distinct
+    // account-balance bands; the release gate is n_below_l = 0 for
+    // l ≥ 3. Same shape as the k audit: one grouped
+    // count_distinct with map-side partials, then a rollup of the
+    // QI-cardinality-bounded group table.
+    "dq_l_diversity" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000d).cast("long").as("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), count_distinct(col("band")).as("l"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("l") < 3, 1)).as("n_below_l"),
+          coalesce(sum(when(col("l") < 3, col("n"))), lit(0L))
+            .as("rows_at_risk"),
+          min(col("l")).as("min_l"),
+          max(col("l")).as("max_l"))
     })
   )
 
@@ -630,6 +653,19 @@ object QualityQueries extends QueryPack {
         |  COALESCE(CAST(SUM(CASE WHEN n < 10 THEN n END) AS BIGINT), 0)
         |    AS rows_at_risk,
         |  MIN(n) AS min_group
+        |FROM g""".stripMargin,
+
+    "dq_l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |    COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_groups,
+        |  COUNT(CASE WHEN l < 3 THEN 1 END) AS n_below_l,
+        |  COALESCE(CAST(SUM(CASE WHEN l < 3 THEN n END) AS BIGINT), 0)
+        |    AS rows_at_risk,
+        |  MIN(l) AS min_l,
+        |  MAX(l) AS max_l
         |FROM g""".stripMargin
   )
 }

@@ -660,6 +660,23 @@ object ScaleQueries extends QueryPack {
             / B).as("est"))
     }),
 
+    // ---- heavy hitters via Misra-Gries + exact recount -----------------
+    // The EXACT complement of freq_topk_cms: every token above n/64
+    // frequency with its exact count, found by the two-phase mergeable-
+    // summaries pattern — a bounded 256-counter MG summary folds
+    // map-side (one row per partition leaves; merge is associative and
+    // can over-admit but never miss an item above n/257), then only
+    // the <= 256 candidates are recounted exactly. The naive exact form
+    // shuffles |vocab| keys; this shuffles metadata. The final output
+    // is provably identical to the oracle's plain GROUP BY ... HAVING:
+    // the sketch chooses WHO gets recounted, never the counts.
+    // MisraGriesSuite pins the no-false-negative guarantee under
+    // adversarial partitionings.
+    "freq_heavy_hitters_mg" -> ((s, dir) =>
+      graft.ops.MisraGries.heavyHitters(
+        t(s, dir, "documents"),
+        explode(TextHash.tokens(col("text"))))),
+
     // ---- heavy hitters via count-min sketch ----------------------------
     // "How often does each hot token occur" when the exact per-token
     // frequency table is itself shuffle-sized: the sketch is ≤ 4×1024
@@ -979,6 +996,14 @@ object ScaleQueries extends QueryPack {
         |SELECT h.event_type, h.q, h.qbin,
         |  x.lo + CAST(h.qbin AS DOUBLE) * (x.hi - x.lo) / 1024.0 AS est
         |FROM hit h JOIN ext x ON h.event_type = x.event_type""".stripMargin,
+
+    // the DEFINITIONAL form — the MG phase only chooses who gets
+    // recounted, so the two-phase output must hash-match this exactly
+    "freq_heavy_hitters_mg" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok
+        |HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM t)""".stripMargin,
 
     "freq_topk_cms" ->
       s"""WITH th AS (
