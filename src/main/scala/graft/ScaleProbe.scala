@@ -185,6 +185,19 @@ object ScaleProbe {
       exec(graft.ops.CdcChunks(
         scaled("documents", "doc_id", c), "doc_id", "text"))
 
+    // Two-phase Misra-Gries heavy hitters (freq_heavy_hitters_mg's own
+    // op; the timed span covers BOTH phases — the summary fold's
+    // internal collect included). The duplicated corpus multiplies
+    // every count by the copy factor, so the relative-threshold hitter
+    // set is IDENTICAL at 10× — a fixed-output probe judged on the job
+    // ratio, and the claim under test is that both phases exchange
+    // only metadata (≤256 candidate summaries / keys): 10× rows may
+    // cost ~10× scan and nothing more.
+    def heavyHittersMg(c: Int): Long =
+      exec(graft.ops.MisraGries.heavyHitters(
+        scaled("documents", "doc_id", c),
+        explode(graft.ops.TextHash.tokens(col("text")))))
+
     // round-5 training loops (the SAME ops emb_kmeans_train /
     // text_bpe_train run): the 10× ratio shows the per-round
     // checkpoint discipline holding — cost is rounds × (one corpus
@@ -407,7 +420,8 @@ object ScaleProbe {
       ("vec_centroids", centroids), ("pq_encode", pqEncode),
       ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign),
       ("segment_dedup", segmentDedup), ("span_dedup", spanDedup),
-      ("cdc_chunks", cdcChunks), ("kmeans_train", kmeansTrain),
+      ("cdc_chunks", cdcChunks), ("heavy_hitters_mg", heavyHittersMg),
+      ("kmeans_train", kmeansTrain),
       ("bpe_train", bpeTrain), ("prefix_filter", prefixFilter),
       ("winnow_pairs", winnowPairs), ("bigram_lift", bigramLift),
       ("dq_profile", dqProfile), ("dpp_join", dppJoin),
