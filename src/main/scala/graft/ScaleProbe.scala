@@ -444,11 +444,18 @@ object ScaleProbe {
       s"SPARK_GRAFT_PROBE_ONLY: unknown probes ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) probes else probes.filter(p => only(p._1))
-    // warm-up at 1x (codegen/JIT), then measure 1x and 10x
+    // High-side copy factor (default 10×; SPARK_GRAFT_PROBE_COPIES=100
+    // for the occasional two-decade spot check — the artifact schema
+    // keeps its *_10x key names, with `copies` recording the factor
+    // actually measured, so a non-default run is self-describing and
+    // never silently poses as the standard one).
+    val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10").toInt
+    require(copies >= 2, s"SPARK_GRAFT_PROBE_COPIES $copies < 2")
+    // warm-up at 1x (codegen/JIT), then measure 1x and the high side
     selected.foreach { case (_, f) => f(1) }
     val results = selected.map { case (name, f) =>
       val (t1, r1, j1) = time(f(1))
-      val (t10, r10, j10) = time(f(10))
+      val (t10, r10, j10) = time(f(copies))
       (name, t1, r1, t10, r10, t10 / t1, j1, j10)
     }
     // Two ratios per probe, because supralinear TIME and supralinear
@@ -471,7 +478,7 @@ object ScaleProbe {
       val adj = ratio * (r1.max(1L).toDouble / r10.max(1L).toDouble)
       val (f1, f10) = (math.max(0.0, t1 - j1), math.max(0.0, t10 - j10))
       f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f,"job_1x":$j1%.2f,"floor_1x":$f1%.2f,"job_10x":$j10%.2f,"floor_10x":$f10%.2f}"""
-    }.mkString("{\"metric\":\"weak_scaling\",", ",", "}")
+    }.mkString(s"""{"metric":"weak_scaling","copies":$copies,""", ",", "}")
     args.headOption.foreach { f =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")
       catch { case _: Throwable => () }

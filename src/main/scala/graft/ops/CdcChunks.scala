@@ -34,36 +34,51 @@ object CdcChunks {
   def apply(docs: DataFrame, idCol: String, textCol: String,
       windowK: Int = 4, modulus: Int = 8, dfCut: Int = 2): DataFrame = {
     val id: Column = col(idCol)
-    // content cuts, scan-side: 0-based END position of each boundary
-    // window, folded straight out of the fused hash array (the indexed
-    // transform keeps the whole derivation in one codegen'd projection;
-    // an empty hash array — docs below windowK tokens — yields an
-    // empty cut list). Terminal cut forced at n-1 (try_element_at on
-    // the empty list is null, so short docs fall to the append branch
-    // and become one whole-doc chunk).
-    val withBounds = docs
+    // Content cuts and chunk bounds, scan-side, with every expensive
+    // alias referenced EXACTLY ONCE downstream: the repo's HOF-chain
+    // lesson (text_repetition, lm_bits) is that Spark has no
+    // cross-reference CSE for interpreted lambdas, so a cut array
+    // referenced twice is computed twice per row — the first build of
+    // this op reached ~12 inlined copies of the hash kernel (plan
+    // string audit). Single-reference construction: terminal cut
+    // appended unconditionally and deduped (cs0 is sorted ascending
+    // and n-1 is its max, so array_distinct(concat(cs0, [n-1])) is the
+    // cut list with the forced end — one cs0 reference, no
+    // last-element probe); (prev, cut) pairing folded by ONE aggregate
+    // over the cut list (O(cuts²) array appends per doc, cuts ≈
+    // tokens/modulus — negligible; the alternative zip-with-shifted
+    // needs the array twice). A sub-windowK doc has an empty cs0 and
+    // becomes one whole-doc chunk via the terminal cut.
+    val emptyBounds =
+      expr("CAST(array() AS array<struct<p: int, e: int>>)")
+    val chunks = docs
       .select(id, TextHash.tokens(col(textCol)).as("w"),
         TextHash.shingleHashes(col(textCol), windowK).as("hs"))
-      .withColumn("n1", size(col("w")) - 1)
-      .withColumn("cs0",
+      .select(id, col("w"), (size(col("w")) - 1).as("n1"),
         filter(
           transform(col("hs"), (x, j) =>
             when(pmod(x, lit(modulus)) === 0, j + (windowK - 1))),
-          c => c.isNotNull))
-      .withColumn("cs2",
-        when(expr("try_element_at(cs0, -1)") === col("n1"), col("cs0"))
-          .otherwise(concat(col("cs0"), array(col("n1")))))
-    val chunks = withBounds
-      .select(id, col("w"), col("cs2"),
-        posexplode(col("cs2")).as(Seq("ci", "e")))
-      .withColumn("p",
-        when(col("ci") === 0, lit(-1))
-          .otherwise(element_at(col("cs2"), col("ci"))))
-      .withColumn("len", (col("e") - col("p")).cast("long"))
-      .withColumn("ch",
-        TextHash.h31(concat_ws(" ", slice(col("w"), col("p") + 2,
-          col("e") - col("p")))))
-      .select(id, col("len"), col("ch"))
+          c => c.isNotNull).as("cs0"))
+      .select(id, col("w"),
+        aggregate(
+          array_distinct(concat(col("cs0"), array(col("n1")))),
+          struct(lit(-1).as("prev"), emptyBounds.as("bs")),
+          (st, e) => struct(
+            e.as("prev"),
+            concat(st.getField("bs"), array(
+              struct(st.getField("prev").as("p"), e.as("e")))).as("bs")),
+          st => st.getField("bs")).as("bounds"))
+      // explode_outer, though bounds is never empty (the terminal cut
+      // guarantees ≥1 element): plain explode invites
+      // InferFiltersFromGenerate to copy the WHOLE bounds expression
+      // into size()/isnotnull Filter predicates — measured 16 inlined
+      // hash-kernel copies in the optimized plan vs 4 with the outer
+      // form, on identical results
+      .select(id, col("w"), explode_outer(col("bounds")).as("bd"))
+      .select(id,
+        (col("bd.e") - col("bd.p")).cast("long").as("len"),
+        TextHash.h31(concat_ws(" ", slice(col("w"), col("bd.p") + 2,
+          col("bd.e") - col("bd.p")))).as("ch"))
     val dup = chunks.groupBy("ch")
       .agg(count_distinct(id).as("df"))
       .filter(col("df") >= dfCut)

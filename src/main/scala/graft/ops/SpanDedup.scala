@@ -15,17 +15,24 @@ import org.apache.spark.sql.functions._
   * Pipeline: (1) scan-side fused kernel hashes every overlapping
   * k-token shingle with its 0-based start offset; (2) one rollup on the
   * 60-bit hash finds shingles in ≥ `dfCut` distinct documents (the
-  * exchanges carry longs, never shingle strings); (3) duplicated starts
-  * expand to their k covered token offsets and fold into ONE grouped
-  * aggregate per document — collect_set dedups overlap, array_sort +
-  * an index walk counts maximal runs (gaps-and-islands WITHOUT a
-  * window: no per-doc sort exchange beyond the group shuffle, and the
-  * island walk is O(positions) per document, not O(n²)).
+  * exchanges carry longs, never shingle strings); (3) duplicated START
+  * positions fold into ONE grouped aggregate per document, and the
+  * merged interval union is computed by pure algebra over the sorted
+  * starts — each start covers [j, j+k−1], so consecutive sorted starts
+  * contribute min(k, jᵢ₊₁ − jᵢ) covered tokens (k for the last) and a
+  * new span begins exactly where jᵢ₊₁ − jᵢ > k. The first build
+  * exploded every duplicated start into its k covered positions and
+  * collect_set-deduped them — a ×k row blowup into the per-doc
+  * aggregate that the 100× weak-scaling probe measured as the
+  * dominant cost (93 s job on the all-duplicate adversarial corpus);
+  * the interval walk gets the identical answer from the starts alone
+  * (DedupPropsSuite re-proves equality against the covered-position
+  * brute force).
   *
   * Scale: the only corpus-sized shuffles are the hash rollup and the
   * per-doc aggregate, both key-partitioned with map-side partials; the
   * duplicated-shingle join is |dup-shingle occurrences|, quadratic in
-  * nothing. A document's state is bounded by its own token count.
+  * nothing. A document's state is bounded by its own shingle count.
   */
 object SpanDedup {
 
@@ -33,28 +40,37 @@ object SpanDedup {
       k: Int = 8, dfCut: Int = 2): DataFrame = {
     val id: Column = col(idCol)
     // (doc, 0-based shingle start, 60-bit shingle hash) — one byte-pass
-    // kernel, no shingle strings materialized
+    // kernel, no shingle strings materialized. Outer explode + a cheap
+    // null filter on the GENERATED attribute, the defensive form from
+    // the CdcChunks lesson (InferFiltersFromGenerate copies a plain
+    // explode's generator expression into size()/isnotnull predicates;
+    // here the plan sits at the 2-consumer minimum of 2 kernel copies
+    // either way — the outer form just pins it structurally)
     val sh = docs.select(id,
-      posexplode(TextHash.shingleHashes(col(textCol), k)).as(Seq("j", "kh")))
+        posexplode_outer(TextHash.shingleHashes(col(textCol), k))
+          .as(Seq("j", "kh")))
+      .filter(col("kh").isNotNull)
     val dup = sh.groupBy("kh")
       .agg(count_distinct(id).as("df"))
       .filter(col("df") >= dfCut)
       .select("kh")
-    // each duplicated start covers token offsets [j, j+k-1]
-    val covered = sh.join(dup, Seq("kh"))
-      .select(id, explode(sequence(col("j"), col("j") + (k - 1))).as("p"))
-    // gaps-and-islands inside the grouped aggregate: a sorted position
-    // starts a span iff it is first or its predecessor position is absent
-    val agg = covered.groupBy(idCol)
-      .agg(array_sort(collect_set(col("p"))).as("ps"))
+    // interval union over the sorted duplicated starts — js comes out
+    // of an Aggregate, so it is an attribute (never re-inlined) and
+    // every reference below is an O(1) array read per doc
+    val agg = sh.join(dup, Seq("kh"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_set(col("j"))).as("js"))
+      .withColumn("gaps",
+        zip_with(
+          slice(col("js"), lit(1), size(col("js")) - 1),
+          slice(col("js"), lit(2), size(col("js")) - 1),
+          (a, b) => b - a))
       .select(id,
-        size(col("ps")).cast("long").as("n_dup_tokens"),
-        size(filter(
-          transform(sequence(lit(1), size(col("ps"))),
-            i => when(i === 1 ||
-              element_at(col("ps"), i) =!=
-                element_at(col("ps"), i - 1) + 1, lit(1))),
-          x => x.isNotNull)).cast("long").as("n_spans"))
+        aggregate(col("gaps"), lit(k.toLong),
+          (acc, d) => acc + least(lit(k), d).cast("long"))
+          .as("n_dup_tokens"),
+        (size(filter(col("gaps"), d => d > k)) + 1).cast("long")
+          .as("n_spans"))
     docs.select(id,
         size(TextHash.tokens(col(textCol))).cast("long").as("n_tokens"))
       .join(agg, Seq(idCol), "left")
