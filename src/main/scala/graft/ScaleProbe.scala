@@ -414,25 +414,33 @@ object ScaleProbe {
       exec(graft.queries.VectorQueries.driftMmd(
         scaled("embeddings", "vec_id", c)))
 
+    // Ordered LIGHT → HEAVY on the 10× side, deliberately: a monster
+    // arm (graph_triangles pushes ~320M output rows at 10×;
+    // prefix_filter/winnow tens of seconds) leaves GC and page-cache
+    // pressure that inflates whatever runs NEXT — two separate full
+    // runs measured asof_hotkey_plain at 3.3× clean vs 10–31× when it
+    // followed the triangle arm on identical code. Heavy arms last
+    // means their contamination lands on nothing.
     val probes = Seq[(String, Int => Long)](
-      ("cumvol", cumvol), ("text_dedup_cc", textDedup),
-      ("embed_lsh", embedDedup), ("decontaminate", decontaminate),
+      ("cumvol", cumvol),
       ("vec_centroids", centroids), ("pq_encode", pqEncode),
       ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign),
-      ("segment_dedup", segmentDedup), ("span_dedup", spanDedup),
-      ("cdc_chunks", cdcChunks), ("heavy_hitters_mg", heavyHittersMg),
-      ("kmeans_train", kmeansTrain),
-      ("bpe_train", bpeTrain), ("prefix_filter", prefixFilter),
-      ("winnow_pairs", winnowPairs), ("bigram_lift", bigramLift),
-      ("dq_profile", dqProfile), ("dpp_join", dppJoin),
-      ("graph_kcore", graphKcore), ("graph_lpa", graphLpa),
-      ("graph_triangles", graphTriangles),
+      ("bpe_train", bpeTrain), ("bigram_lift", bigramLift),
+      ("dpp_join", dppJoin), ("cdc_apply", cdcApply),
+      ("emb_drift", embDrift),
       ("asof_hotkey_salted", asofHotkeySalted),
       ("asof_hotkey_plain", asofHotkeyPlain),
       ("cumvol_hotkey_salted", cumvolHotkeySalted),
       ("cumvol_hotkey_plain", cumvolHotkeyPlain),
-      ("lm_bits", lmBits), ("cdc_apply", cdcApply),
-      ("basket_rules", basketRules), ("emb_drift", embDrift))
+      ("heavy_hitters_mg", heavyHittersMg),
+      ("segment_dedup", segmentDedup), ("span_dedup", spanDedup),
+      ("cdc_chunks", cdcChunks), ("embed_lsh", embedDedup),
+      ("basket_rules", basketRules), ("kmeans_train", kmeansTrain),
+      ("lm_bits", lmBits), ("decontaminate", decontaminate),
+      ("dq_profile", dqProfile), ("text_dedup_cc", textDedup),
+      ("graph_lpa", graphLpa), ("graph_kcore", graphKcore),
+      ("winnow_pairs", winnowPairs), ("prefix_filter", prefixFilter),
+      ("graph_triangles", graphTriangles))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
     // pattern the bench already has — including its fail-fast: a typo
     // must not silently measure zero probes and emit `{...,}` JSON)
