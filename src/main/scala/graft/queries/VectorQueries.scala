@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{Pq, VectorOps}
+import graft.ops.{KcenterInit, Pq, VectorOps}
 
 /** Compressed-index vector operators for the regime past IVF: product
   * quantization (store 4-byte codes instead of 256-byte vectors, probe
@@ -482,8 +482,28 @@ object VectorQueries extends QueryPack {
           col("pos.b").as("pos_id"), col("pos.dfix").as("d_pos"),
           col("neg.b").as("neg_id"), col("neg.dfix").as("d_neg"),
           (col("neg.dfix") - col("pos.dfix")).as("margin"))
-    })
+    }),
+
+    // Farthest-first traversal (Gonzalez) — deterministic k-center
+    // seeding: the k maximally-spread exemplars plus the selection-radius
+    // certificate (r_fix at round r = covering radius of the first r−1
+    // centers; OPT ≥ r_fix/2). Complements emb_kmeans_train's
+    // parity-seeded Lloyd's with the spread-maximizing initializer a
+    // diverse few-shot pool or coreset build starts from. Plan per
+    // round: one corpus scan (broadcast centers, native argmin fold +
+    // one l2Fix re-fold) reduced through TakeOrdered(1) — k passes, no
+    // shuffle of the corpus, O(1) driver state per round. The DuckDB
+    // mirror unrolls the same greedy rounds as CTEs over the identical
+    // fixed-point distance fold. See [[graft.ops.KcenterInit]].
+    "emb_kcenter_init" -> ((s, dir) =>
+      KcenterInit(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        KcenterK))
   )
+
+  /** emb_kcenter_init round count — fixed so the DuckDB oracle unrolls
+    * the same trajectory.
+    */
+  private val KcenterK = 8
 
   /** `emb_drift_mmd` body on an explicit embeddings frame — shared
     * with ScaleProbe's weak-scaling arm (the probe must measure the
@@ -763,6 +783,14 @@ object VectorQueries extends QueryPack {
         |    * CAST(n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
         |    * CAST(n_b AS DOUBLE) * 1e12)) AS shift_l2,
         |  top_dim
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // emb_kcenter_init: the same k greedy rounds unrolled as CTEs —
+    // per-point min fixed-point distance to the selected set, argmax
+    // with the DESC-dist / ASC-id tie-break, selected set carried
+    // forward by UNION ALL.
+    "emb_kcenter_init" ->
+      s"""WITH ${KcenterInit.duckCtes(KcenterK)}
+         |SELECT round, vec_id, r_fix FROM s$KcenterK""".stripMargin
   )
 }
