@@ -381,7 +381,46 @@ object DedupQueries extends QueryPack {
     // complement of text_segment_dedup's fixed grid (CdcChunksSuite
     // pins exactly that divergence). See [[graft.ops.CdcChunks]].
     "dedup_cdc_chunks" -> ((s, dir) =>
-      CdcChunks(Tables(s, dir, "documents"), "doc_id", "text"))
+      CdcChunks(Tables(s, dir, "documents"), "doc_id", "text")),
+
+    // Sorted-neighborhood record linkage (Hernández & Stolfo, SIGMOD'95):
+    // sort the distinct keys once, compare each only against its w−1
+    // sort-successors, keep edit-distance ≤ 4 matches (the fixture’s 2-word names sit
+    // 3–5 apart at their nearest sort-neighbors; real name data uses 1–2). The published
+    // complement of dedup_fuzzy_name's token blocking — blocking finds
+    // pairs sharing an exact first/last token (misses a typo IN that
+    // token), the sliding window finds pairs the global sort brings
+    // together (misses a leading-char typo that teleports a name across
+    // the order) — production SNM unions several sort passes for that
+    // reason, and SnmDedupSuite pins one example of each miss class.
+    // Scale shape: the rank comes from [[GlobalRank.withRowNumber]]
+    // (range-exchange distributed sort — NO single-partition window),
+    // the neighbor pairing is an EQUI-join on rank after a constant
+    // (w−1)-way sequence explode, and the expensive predicate
+    // (levenshtein) runs on exactly (w−1)·|keys| pairs — linear in the
+    // corpus by construction, against blocking's occupancy-quadratic
+    // buckets. w−1 = 3.
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      val names = Tables(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n"))
+      val ranked = graft.ops.GlobalRank
+        .withRowNumber(names, "rk", Seq(col("p_name")))
+        // two consumers (probe side + match side) of the checkpointed
+        // sort — reuse one frame rather than ranking twice
+      val probes = ranked.select(
+        col("p_name").as("a_name"), col("n").as("n_a"), col("rk"),
+        explode(sequence(col("rk") + 1, col("rk") + 3)).as("rk2"))
+      val targets = ranked.select(
+        col("rk").as("rk2"), col("p_name").as("b_name"),
+        col("n").as("n_b"))
+      probes.join(targets, "rk2")
+        .withColumn("gap", col("rk2") - col("rk"))
+        .withColumn("dist",
+          levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist").between(1, 4))
+        .select(col("a_name"), col("b_name"), col("gap"), col("dist"),
+          col("n_a"), col("n_b"))
+    })
   )
 
   // ---- shared DuckDB SQL fragments ------------------------------------
@@ -827,6 +866,24 @@ object DedupQueries extends QueryPack {
          |    END) AS BIGINT), 0) AS DOUBLE)
          |    / CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE) AS dup_ratio
          |FROM chunks c LEFT JOIN dup USING (ch)
-         |GROUP BY c.doc_id""".stripMargin
+         |GROUP BY c.doc_id""".stripMargin,
+
+    // dedup_sorted_neighborhood: row_number over the same total order
+    // (p_name is the full sort key and unique after the GROUP BY, so
+    // the window form is deterministic); neighbor pairs via a rank-band
+    // join; same levenshtein band as the Spark side.
+    "dedup_sorted_neighborhood" ->
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n FROM part GROUP BY 1),
+        |r AS (
+        |  SELECT p_name, n,
+        |    row_number() OVER (ORDER BY p_name) AS rk
+        |  FROM names)
+        |SELECT a.p_name AS a_name, b.p_name AS b_name,
+        |  b.rk - a.rk AS gap,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4""".stripMargin
   )
 }
