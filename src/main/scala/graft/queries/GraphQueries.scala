@@ -420,6 +420,21 @@ object GraphQueries extends QueryPack {
             " - sum_degsq AS DOUBLE)" +
             " / CAST(4 * CAST(n_edges AS DECIMAL(38,0)) * n_edges" +
             " AS DOUBLE)").as("modularity"))
+    }),
+
+    // Kleinberg HITS over the purchase-only user→item bipartite edges:
+    // hub scores for users, authority scores for items, co-ranked by
+    // the mutual-reinforcement iteration. The bipartite complement of
+    // graph_pagerank's single-space inlink mass — see [[graft.ops.Hits]]
+    // for the fixed-point normalization that makes the trajectory
+    // bit-identical cross-engine and the per-round join/agg plan shape.
+    "graph_hits" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val pedges = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("src"), (col("k") + ItemBase).as("dst"))
+        .distinct()
+      graft.ops.Hits(pedges, Iters)
     })
   )
 
@@ -596,6 +611,22 @@ object GraphQueries extends QueryPack {
          |    - sum_degsq AS VARCHAR) AS DOUBLE)
          |  / CAST(CAST(4 * CAST(n_edges AS HUGEINT) * n_edges
          |    AS VARCHAR) AS DOUBLE) AS modularity
-         |FROM m, intra, ds""".stripMargin
+         |FROM m, intra, ds""".stripMargin,
+
+    // graph_hits: same purchase-edge derivation, same unrolled
+    // hub/authority rounds with the shared fixed-point normalization.
+    "graph_hits" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, user_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events),
+         |pedges AS (
+         |  SELECT DISTINCT user_id AS src, k + $ItemBase AS dst
+         |  FROM ev WHERE event_type = 'purchase'),
+         |${graft.ops.Hits.duckCtes(Iters)}
+         |SELECT u AS node, 'hub' AS kind, score AS score_fix FROM hn$Iters
+         |UNION ALL
+         |SELECT it AS node, 'auth' AS kind, score AS score_fix
+         |FROM an$Iters""".stripMargin
   )
 }
