@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{KcenterInit, Pq, VectorOps}
+import graft.ops.{KcenterInit, PcaPower, Pq, VectorOps}
 
 /** Compressed-index vector operators for the regime past IVF: product
   * quantization (store 4-byte codes instead of 256-byte vectors, probe
@@ -497,8 +497,23 @@ object VectorQueries extends QueryPack {
     // fixed-point distance fold. See [[graft.ops.KcenterInit]].
     "emb_kcenter_init" -> ((s, dir) =>
       KcenterInit(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        KcenterK))
+        KcenterK)),
+
+    // Top principal component by fixed-point power iteration: ONE
+    // corpus pass of exact second moments (2080 DECIMAL cells through a
+    // map-side-combined exchange), then the iteration runs on bounded
+    // driver metadata with the PageRank/Hits quantization discipline —
+    // PC1 loadings plus the explained-variance share. See
+    // [[graft.ops.PcaPower]] for the determinism argument.
+    "emb_pca_power" -> ((s, dir) =>
+      PcaPower(Tables(s, dir, "embeddings"), "embedding",
+        dims = 64, iters = PcaIters))
   )
+
+  /** emb_pca_power iteration count — fixed so the oracle unrolls the
+    * same trajectory.
+    */
+  private val PcaIters = 12
 
   /** emb_kcenter_init round count — fixed so the DuckDB oracle unrolls
     * the same trajectory.
@@ -791,6 +806,13 @@ object VectorQueries extends QueryPack {
     // forward by UNION ALL.
     "emb_kcenter_init" ->
       s"""WITH ${KcenterInit.duckCtes(KcenterK)}
-         |SELECT round, vec_id, r_fix FROM s$KcenterK""".stripMargin
+         |SELECT round, vec_id, r_fix FROM s$KcenterK""".stripMargin,
+
+    // emb_pca_power: identical exact moments, string-routed
+    // decimal→double covariance normalization, and unrolled quantized
+    // matvec/pivot rounds.
+    "emb_pca_power" ->
+      s"""WITH ${PcaPower.duckCtes(64, PcaIters)}
+         |SELECT dim, loading_fix, lambda_ratio FROM out""".stripMargin
   )
 }
