@@ -49,8 +49,47 @@ object PcaPower {
     *         total variance (constant across rows).
     */
   def apply(df: DataFrame, vecCol: String, dims: Int, iters: Int): DataFrame = {
-    require(iters >= 1, s"pca: iters $iters < 1")
     val spark = df.sparkSession
+    val (v, ratio) = solve(df, vecCol, dims, iters)
+    val schema = StructType(Seq(
+      StructField("dim", LongType, nullable = false),
+      StructField("loading_fix", LongType, nullable = false),
+      StructField("lambda_ratio", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until dims).map(i => Row(i.toLong, v(i), ratio)), 1),
+      schema)
+  }
+
+  /** Per-row projection onto PC1: `proj_fix = Σ_j q_j · v_j` over the
+    * fixed-point image `q = floor(e·1e6)` and the solved loadings —
+    * EXACT integer arithmetic per row (|q|≤~1e6 · |v|≤1e6 · 64 dims
+    * keeps the sum ≪ 2^63), so both engines agree bit-for-bit with no
+    * float fold order to pin. Uncentered deliberately: centering
+    * shifts every score by one corpus constant (rank-invariant), and
+    * keeping the row pass constant-free keeps it a pure map — the
+    * whole op is the two moment scans plus ONE shuffle-free projection
+    * scan, nothing proportional to the corpus on the exchange.
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      iters: Int): DataFrame = {
+    val (v, _) = solve(df, vecCol, dims, iters)
+    val loads = array(v.toIndexedSeq.map(lit): _*)
+    df.select(col(idCol),
+      aggregate(
+        zip_with(col(vecCol), loads, (e, l) =>
+          floor(e.cast("double") * 1e6).cast("long") * l),
+        lit(0L), (acc, x) => acc + x).as("proj_fix"))
+  }
+
+  /** Driver-side solve: PC1 loadings (fixed-point, pivot ≡ 1e6) and
+    * the Rayleigh explained-variance share. Touches the corpus twice
+    * (per-dim sums; upper-triangle pair sums), both scans reducing to
+    * d(d+1)/2 partial-sum cells on the exchange.
+    */
+  private def solve(df: DataFrame, vecCol: String, dims: Int,
+      iters: Int): (Array[Long], Double) = {
+    require(iters >= 1, s"pca: iters $iters < 1")
     val q = df.select(posexplode(col(vecCol)).as(Seq("i", "v")))
       .select(col("i"), floor(col("v").cast("double") * 1e6)
         .cast("long").as("q"))
@@ -134,16 +173,7 @@ object PcaPower {
       BigInt(math.floor(cn(i)(i) * 1e9).toLong)).sum
     val lambda = BigDecimal(num).toDouble / BigDecimal(den).toDouble
     val trace = BigDecimal(traceQ).toDouble / 1e9
-    val ratio = lambda / trace
-
-    val schema = StructType(Seq(
-      StructField("dim", LongType, nullable = false),
-      StructField("loading_fix", LongType, nullable = false),
-      StructField("lambda_ratio", DoubleType, nullable = false)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        (0 until dims).map(i => Row(i.toLong, v(i), ratio)), 1),
-      schema)
+    (v, lambda / trace)
   }
 
   /** DuckDB mirror as a WITH body over an `embeddings(embedding)` view:

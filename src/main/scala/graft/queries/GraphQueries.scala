@@ -435,8 +435,24 @@ object GraphQueries extends QueryPack {
         .select(col("user_id").as("src"), (col("k") + ItemBase).as("dst"))
         .distinct()
       graft.ops.Hits(pedges, Iters)
-    })
+    }),
+
+    // Deterministic hash-driven walks over the co-engagement graph —
+    // the DeepWalk/PPR sampling substrate with the RNG replaced by a
+    // replayable integer hash, so the oracle replays the exact paths.
+    // One walker per node, WalkSteps unrolled rounds, each ONE
+    // join+argmin shuffle; visit counts are the centrality-ish output
+    // a corpus builder weights by. See [[graft.ops.GraphWalk]].
+    "graph_walk_visits" -> ((s, dir) =>
+      graft.ops.GraphWalk.visitCounts(
+        coAdjPinned(s, dir).select(col("u").as("src"), col("v").as("dst")),
+        WalkSteps))
   )
+
+  /** Walk depth for graph_walk_visits (unrolled identically in the
+    * oracle).
+    */
+  private val WalkSteps = 4
 
   def oracles: Map[String, String] = Map(
     // same 3 relaxation rounds, unrolled as CTEs
@@ -627,6 +643,15 @@ object GraphQueries extends QueryPack {
          |SELECT u AS node, 'hub' AS kind, score AS score_fix FROM hn$Iters
          |UNION ALL
          |SELECT it AS node, 'auth' AS kind, score AS score_fix
-         |FROM an$Iters""".stripMargin
+         |FROM an$Iters""".stripMargin,
+
+    // graph_walk_visits: same co-engagement adjacency, same unrolled
+    // hash-argmin rounds (ROW_NUMBER replays min(struct(h, dst))).
+    "graph_walk_visits" ->
+      s"""WITH $coEdgesDuck,
+         |$coAdjDuck,
+         |walk_adj AS (SELECT u AS src, v AS dst FROM adj),
+         |${graft.ops.GraphWalk.duckCtes(WalkSteps, "walk_adj")}
+         |SELECT node, visits FROM walk_visits""".stripMargin
   )
 }

@@ -507,7 +507,15 @@ object VectorQueries extends QueryPack {
     // [[graft.ops.PcaPower]] for the determinism argument.
     "emb_pca_power" -> ((s, dir) =>
       PcaPower(Tables(s, dir, "embeddings"), "embedding",
-        dims = 64, iters = PcaIters))
+        dims = 64, iters = PcaIters)),
+
+    // Per-vector projection onto the solved PC1 — the drift-direction
+    // score an embedding audit ranks by. Exact integer dot products
+    // (no float fold order), one shuffle-free row pass after the two
+    // moment scans. See [[graft.ops.PcaPower.project]].
+    "emb_pca_project" -> ((s, dir) =>
+      PcaPower.project(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", dims = 64, iters = PcaIters))
   )
 
   /** emb_pca_power iteration count — fixed so the oracle unrolls the
@@ -813,6 +821,15 @@ object VectorQueries extends QueryPack {
     // matvec/pivot rounds.
     "emb_pca_power" ->
       s"""WITH ${PcaPower.duckCtes(64, PcaIters)}
-         |SELECT dim, loading_fix, lambda_ratio FROM out""".stripMargin
+         |SELECT dim, loading_fix, lambda_ratio FROM out""".stripMargin,
+
+    // emb_pca_project: the same solved v$PcaIters loadings, then one
+    // exact integer dot product per vector (x already carries vec_id).
+    "emb_pca_project" ->
+      s"""WITH ${PcaPower.duckCtes(64, PcaIters)}
+         |SELECT x.vec_id,
+         |  CAST(SUM(CAST(x.q AS HUGEINT) * v.vq) AS BIGINT) AS proj_fix
+         |FROM x JOIN v$PcaIters v ON x.i = v.dim
+         |GROUP BY 1""".stripMargin
   )
 }

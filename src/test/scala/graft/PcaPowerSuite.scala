@@ -62,6 +62,27 @@ class PcaPowerSuite extends SparkSpec {
     assert(out.head._3 > 0.95)
   }
 
+  test("project: exact integer dot with the solved loadings") {
+    val vecs = corpus(8, 3, 50)
+    val loadings = run(vecs, 8).map(_._2)
+    val out = PcaPower.project(
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 8, 12)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == vecs.size)
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val expect = v.zip(loadings).map { case (e, l) =>
+        math.floor(e.toDouble * 1e6).toLong * l }.sum
+      assert(out(i.toLong) == expect, s"row $i")
+    }
+    // the planted axis dominates, so projections must be rank-ordered
+    // by the axis coordinate: monotone in t
+    val byId = (0 until vecs.size).map(i => out(i.toLong))
+    assert(byId.sliding(2).forall(p => p(0) <= p(1)),
+      "projection must be monotone along the planted axis")
+  }
+
   test("guards: dim mismatch and empty input fail loudly") {
     val bad = intercept[IllegalArgumentException] {
       run(corpus(8, 0, 10), 9)
