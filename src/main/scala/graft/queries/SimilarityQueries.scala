@@ -211,6 +211,47 @@ object SimilarityQueries extends QueryPack {
           .filter(col("q_id") < 5).select("q_id", "n_id", "rnk")))
     }),
 
+    // Matryoshka prefix-dim audit (the MRL serving question: how few
+    // leading dimensions can the index serve before recall degrades?):
+    // exact top-k with only the first P dims of the same embeddings,
+    // graded against the full-dim brute truth, for P ∈ {8, 16, 32}.
+    // Each arm reuses the brute plan shape — broadcast query set, one
+    // corpus pass over `slice(embedding, 1, P)` (column pruning still
+    // reaches the scan; the slice is per-row), |Q|·K rows into the
+    // grade join — so the audit costs three narrow passes, nothing
+    // quadratic. Cosines go through the same pinned left-fold kernel
+    // on the sliced arrays, so both engines cut the same top-k.
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      val brute = queries("ann_brute_topk")(s, dir)
+        .select(col("q_id"), col("n_id"))
+      val e = Tables(s, dir, "embeddings")
+      def prefixTopk(p: Int): DataFrame = {
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"),
+            slice(col("embedding"), 1, p).as("qv"))
+        val c = e.select(col("vec_id").as("n_id"),
+          slice(col("embedding"), 1, p).as("nv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        c.join(broadcast(q), col("q_id") =!= col("n_id"))
+          .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= K)
+          .select(col("q_id"), col("n_id"))
+      }
+      def evalOf(p: Int): DataFrame = {
+        val hits = brute.join(prefixTopk(p), Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+        brute.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(p.toLong).as("prefix_dims"), col("q_id"),
+            col("n_brute"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_brute").cast("double")).as("recall"))
+      }
+      MatryoshkaPrefixes.map(evalOf).reduce(_ union _)
+    }),
+
     "knn_label_vote" -> ((s, dir) => {
       val votes = topk(scored(s, dir))
         .groupBy(col("q_id"), col("label"))
@@ -394,6 +435,9 @@ object SimilarityQueries extends QueryPack {
   // on the old sequence)
   private def cosOf(a: String, b: String) = VectorOps.cosDuck(a, b)
   private val cosAB = cosOf("qv", "nv")
+
+  /** ann_matryoshka_recall prefix lengths (mirrored in the oracle). */
+  private val MatryoshkaPrefixes = Seq(8, 16, 32)
 
 
   private val bruteTopkCte =
@@ -580,6 +624,42 @@ object SimilarityQueries extends QueryPack {
          |  COALESCE(dcg_micro, 0) AS dcg_micro,
          |  CAST(COALESCE(dcg_micro, 0) AS DOUBLE) / ${IdcgMicro}e0 AS ndcg
          |FROM qs LEFT JOIN di ON qs.q_id = di.q_id""".stripMargin
+    },
+
+    // ann_matryoshka_recall: same brute truth, per-prefix sliced-list
+    // top-k (DuckDB `embedding[1:P]` ≡ Spark `slice(embedding, 1, P)`),
+    // same pinned cosine fold on the sliced lists.
+    "ann_matryoshka_recall" -> {
+      val arms = MatryoshkaPrefixes.map { p =>
+        s"""psc$p AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosAB AS cos
+           |  FROM (SELECT vec_id, embedding[1:$p] AS qv FROM embeddings
+           |        WHERE vec_id < 5) q
+           |  JOIN (SELECT vec_id, embedding[1:$p] AS nv FROM embeddings) c
+           |    ON q.vec_id <> c.vec_id),
+           |ptk$p AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+           |    FROM psc$p)
+           |  WHERE rnk <= $K),
+           |hit$p AS (
+           |  SELECT bt.q_id, COUNT(*) AS n_hit
+           |  FROM bt JOIN ptk$p p ON bt.q_id = p.q_id AND bt.n_id = p.n_id
+           |  GROUP BY 1),
+           |ev$p AS (
+           |  SELECT CAST($p AS BIGINT) AS prefix_dims, nb.q_id, nb.n_brute,
+           |    CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           |    CAST(COALESCE(n_hit, 0) AS DOUBLE)
+           |      / CAST(nb.n_brute AS DOUBLE) AS recall
+           |  FROM nb LEFT JOIN hit$p h ON nb.q_id = h.q_id)""".stripMargin
+      }
+      s"""WITH $bruteTopkCte,
+         |bt AS (SELECT q_id, n_id FROM tk WHERE rnk <= $K),
+         |nb AS (SELECT q_id, COUNT(*) AS n_brute FROM bt GROUP BY 1),
+         |${arms.mkString(",\n")}
+         |${MatryoshkaPrefixes.map(p => s"SELECT * FROM ev$p")
+          .mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     "ann_eval_recall" ->
