@@ -431,6 +431,32 @@ object ScaleProbe {
       exec(graft.ops.Hits(pedges, 3))
     }
 
+    // round-9: fixed output (64 loading rows + ratio) — the corpus cost
+    // is the two exact-moment scans (per-dim sums; d(d+1)/2 pair sums),
+    // each reducing to ≤2080 DECIMAL cells on the exchange; the power
+    // iteration itself is driver arithmetic on that bounded metadata.
+    // Judged on the JOB ratio like the other fixed-output arms.
+    def pcaMoments(c: Int): Long =
+      exec(graft.ops.PcaPower(
+        scaled("embeddings", "vec_id", c), "embedding", 64, 12))
+
+    // round-9: deterministic walks on the SYMMETRIZED bipartite
+    // purchase graph (edges grow ~linearly with the user copies —
+    // unlike the densified co-projection, so the arm isolates the
+    // walk plan's own scaling: 4 rounds × one join+argmin shuffle,
+    // per-round cost O(E)). rows = visited nodes.
+    def graphWalk(c: Int): Long = {
+      val ev = scaled("events", "user_id", c)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+      val pe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("src"), (col("k") + 100000L).as("dst"))
+        .distinct()
+      val adj = pe.union(
+        pe.select(col("dst").as("src"), col("src").as("dst")))
+      exec(graft.ops.GraphWalk.visitCounts(adj, 4))
+    }
+
     // Ordered LIGHT → HEAVY on the 10× side, deliberately: a monster
     // arm (graph_triangles pushes ~320M output rows at 10×;
     // prefix_filter/winnow tens of seconds) leaves GC and page-cache
@@ -445,7 +471,8 @@ object ScaleProbe {
       ("bpe_train", bpeTrain), ("bigram_lift", bigramLift),
       ("dpp_join", dppJoin), ("cdc_apply", cdcApply),
       ("emb_drift", embDrift), ("kcenter_init", kcenterInit),
-      ("graph_hits", graphHits),
+      ("graph_hits", graphHits), ("graph_walk", graphWalk),
+      ("pca_moments", pcaMoments),
       ("asof_hotkey_salted", asofHotkeySalted),
       ("asof_hotkey_plain", asofHotkeyPlain),
       ("cumvol_hotkey_salted", cumvolHotkeySalted),
