@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{Centroids, CountMin, Decontaminate, GlobalRank, Hilbert, Hll, IncrementalRollup, KmvAggregator, LwwDedup, Scd2, TextHash, ZOrder}
+import graft.ops.{BitmapDistinct, Centroids, CountMin, Decontaminate, GlobalRank, Hilbert, Hll, IncrementalRollup, KmvAggregator, LwwDedup, Scd2, TextHash, ZOrder}
 
 /** Operators whose whole point is the 100 TB regime: sketch-based
   * approximate aggregation (bounded state where exact state is
@@ -129,6 +129,105 @@ object ScaleQueries extends QueryPack {
         .select(col("n_set"), col("s_total"), col("est_distinct"))
         .crossJoin(broadcast(t(s, dir, "lineitem")
           .agg(countDistinct(col("l_partkey")).as("exact_distinct"))))
+    }),
+
+    // ---- exact distinct (mergeable bitmap) -----------------------------
+    // The EXACT tier of the sketch family above: a word-packed bitset
+    // per group (the Kylin/Doris "bitmap" measure shape). Bit-OR merge
+    // is associative, commutative, and IDEMPOTENT, so unlike
+    // count(DISTINCT) it re-aggregates over pre-aggregated partials —
+    // the cube/rollup regime KMV/HLL serve approximately, answered
+    // exactly when the id domain is dense enough to afford it
+    // (l_partkey is: ids allocated compactly from 1). Map-side combine
+    // ships one bitmap per group per partition, not one row per value.
+    "agg_bitmap_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(BitmapDistinct(col("l_partkey").cast("long"))
+          .as("n_distinct"))),
+
+    // ---- exact-distinct ROLLUP via word bitmaps (pure builtins) --------
+    // The same bitmap measure expressed entirely in codegen'd builtins
+    // (shiftleft / bit_or / bit_count — no UDAF on the hot path), and
+    // the reason the bitmap exists at all: the finished per-subgroup
+    // bitmaps RE-AGGREGATE. One leaf pass shards l_partkey to
+    // (word = pk DIV 64, one-hot long) and bit_ORs per
+    // (flag, status, word); from that leaf alone we answer both the
+    // per-status exact distincts (sum of bit_counts) and the rolled-up
+    // per-flag distinct (bit_or the leaf bitmaps upward — OR is
+    // idempotent, so partkeys shared across linestatus dedup correctly
+    // where a SUM of per-status counts double-counts). The output
+    // carries both numbers so the inequality is visible in-row.
+    // count(DISTINCT) has no such partial: every rollup level rescans.
+    // Plan note: the two consumers share the leaf's
+    // Exchange(flag, status, w) — ReuseExchange dedupes it, so
+    // lineitem is scanned ONCE (pinned by PlanAuditSuite).
+    "agg_bitmap_rollup" -> ((s, dir) => {
+      val leaf = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("l_partkey DIV 64").as("w"),
+          expr("shiftleft(1L, CAST(l_partkey % 64 AS INT))").as("b"))
+        .groupBy("l_returnflag", "l_linestatus", "w")
+        .agg(expr("bit_or(b)").as("bits"))
+      val statusSum = leaf
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(expr("bit_count(bits)")).as("d"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("d")).as("n_status_sum"))
+      val rolled = leaf
+        .groupBy("l_returnflag", "w")
+        .agg(expr("bit_or(bits)").as("bits"))
+        .groupBy("l_returnflag")
+        .agg(sum(expr("bit_count(bits)")).as("n_distinct"))
+      rolled.join(statusSum, Seq("l_returnflag"))
+    }),
+
+    // ---- mergeable relative-error quantiles (DDSketch shape) -----------
+    // agg_quantile_hist needs a min/max PRE-PASS to place equi-width
+    // bins (two scans, absolute-error bound). This is the one-pass
+    // complement: log-scale buckets with γ = 2^(1/4) — bucket id is
+    // (msb·4 + next-2-bits), so each bucket spans ≤ 25% of its lower
+    // bound and the reported quantile is a ≤ 25%-relative-error LOWER
+    // bound, independent of the value range. State per group is ≤ 4·64
+    // counters, counts merge by addition — the sketch a 100 TB latency/
+    // price pipeline keeps per (tenant, day) and rolls up without
+    // re-reading. Cross-engine exactness is the trick: msb via the
+    // string length of bin(v) and sub-bucket via integer shift/mask —
+    // no log()/power() float anywhere, so DuckDB reproduces every
+    // bucket id and lower bound bit-for-bit.
+    "agg_ddsketch_quantile" -> ((s, dir) => {
+      val bucketed = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"))
+        .withColumn("msb", length(expr("bin(v)")) - 1)
+        .withColumn("bucket",
+          when(col("msb") >= 2,
+            col("msb") * 4 +
+              expr("CAST((shiftright(v, msb - 2) & 3) AS INT)"))
+          .otherwise(col("v").cast("int")))
+      val cum = bucketed
+        .groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy("l_returnflag").orderBy("bucket")))
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy("l_returnflag")))
+      // integer rank = ceil(q·n) via (n·qn + qd − 1) DIV qd — no float
+      // rank compare to disagree on at the boundary
+      val qdf = s.range(1).select(explode(array(
+        struct(lit("p50").as("q"), lit(1L).as("qn"), lit(2L).as("qd")),
+        struct(lit("p95").as("q"), lit(19L).as("qn"), lit(20L).as("qd"))))
+        .as("x")).select(col("x.*"))
+      cum.crossJoin(broadcast(qdf))
+        .filter(col("cum") >= expr("(n * qn + qd - 1) DIV qd"))
+        .groupBy("l_returnflag", "q", "n")
+        .agg(min(col("bucket")).as("bucket"))
+        .select(col("l_returnflag"), col("q"), col("n").as("n_rows"),
+          col("bucket"),
+          // bucket id → lower bound, reconstructed by integer shifts
+          when(col("bucket") >= 8, expr(
+            "shiftleft(CAST(4 + bucket % 4 AS BIGINT), bucket DIV 4 - 2)"))
+            .otherwise(col("bucket").cast("bigint")).as("est_cents"))
     }),
 
     // ---- order-free table checksum -------------------------------------
@@ -1060,6 +1159,58 @@ object ScaleQueries extends QueryPack {
 
     "agg_approx_distinct_kmv_agg" -> kmvOracle,
     "agg_approx_distinct_kmv" -> kmvOracle,
+
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the oracle never builds a bitmap: both numbers come from plain
+    // COUNT(DISTINCT) at each level, so a hash-match proves the
+    // leaf-OR-rollup ≡ the true distinct under real overlap
+    "agg_bitmap_rollup" ->
+      """WITH per AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(DISTINCT l_partkey) AS d
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT t.l_returnflag, CAST(t.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(SUM(p.d) AS BIGINT) AS n_status_sum
+        |FROM tot t JOIN per p USING (l_returnflag)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "agg_ddsketch_quantile" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN length(bin(v)) - 1 >= 2
+        |         THEN (length(bin(v)) - 1) * 4
+        |              + CAST(((v >> (length(bin(v)) - 3)) & 3) AS INT)
+        |         ELSE CAST(v AS INT) END AS bucket
+        |  FROM v),
+        |c AS (SELECT l_returnflag, bucket, COUNT(*) AS c FROM b
+        |      GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, bucket, c,
+        |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+        |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM c),
+        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p95', 19, 20))
+        |       t(q, qn, qd)),
+        |hit AS (
+        |  SELECT cum.l_returnflag, qs.q, cum.n, MIN(cum.bucket) AS bucket
+        |  FROM cum, qs
+        |  WHERE cum.cum >= (cum.n * qs.qn + qs.qd - 1) // qs.qd
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, q, CAST(n AS BIGINT) AS n_rows, bucket,
+        |  CASE WHEN bucket >= 8
+        |    THEN (CAST(4 + bucket % 4 AS BIGINT) << (bucket // 4 - 2))
+        |    ELSE CAST(bucket AS BIGINT) END AS est_cents
+        |FROM hit""".stripMargin,
 
     "table_checksum" ->
       s"""WITH h AS (

@@ -848,4 +848,33 @@ class PlanAuditSuite extends SparkSpec {
     assert(s.contains("HashJoin") || s.contains("SortMergeJoin"),
       s"expected an equi join on the bin key:\n$s")
   }
+
+  test("agg_bitmap_rollup: one lineitem scan serves both rollup levels") {
+    val p = executed(q("agg_bitmap_rollup"))
+    val nodes = flatten(p)
+    // the per-status and per-flag consumers both hang off the SAME
+    // leaf (flag, status, word) exchange — the second consumer must be
+    // a ReusedExchange, not a second table scan
+    assert(nodes.count(_.nodeName.contains("Scan parquet")) === 1,
+      s"expected exactly one lineitem scan:\n$p")
+    assert(nodes.exists(_.nodeName.contains("ReusedExchange")),
+      s"second consumer must reuse the leaf exchange:\n$p")
+    // the 3-row per-flag side attaches by broadcast
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"per-flag join must broadcast:\n$p")
+  }
+
+  test("agg_ddsketch_quantile: bucketing is scan-side, two shuffles total") {
+    val p = executed(q("agg_ddsketch_quantile"))
+    val nodes = flatten(p)
+    // log-bucketing must fuse into the scan stage (rows never shuffle
+    // unbucketed), then: one (flag, bucket) count exchange + one flag
+    // exchange shared by BOTH windows and the final per-flag pick
+    assert(countShuffles(p) === 2, s"expected two shuffles:\n$p")
+    val scans = nodes.filter(_.nodeName.contains("Scan parquet"))
+      .map(_.toString)
+    assert(scans.size === 1 && scans.head.contains("l_extendedprice") &&
+      !scans.head.contains("l_partkey"),
+      s"scan must read only (price, flag):\n${scans.mkString}")
+  }
 }
