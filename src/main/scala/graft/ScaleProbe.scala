@@ -457,6 +457,44 @@ object ScaleProbe {
       exec(graft.ops.GraphWalk.visitCounts(adj, 4))
     }
 
+    // Bitmap exact-distinct rollup (agg_bitmap_rollup's pipeline) on a
+    // corpus whose DISTINCT-id population grows with the copies (the
+    // id shift mints new partkeys, and 1e8 % 64 = 0 keeps in-word bit
+    // layout identical per copy). Output stays 3 rows; per-group state
+    // grows linearly with ids (that's the bitmap's honest trade) — a
+    // healthy plan shows job time ~ rows, never ids².
+    def bitmapRollup(c: Int): Long = {
+      val leaf = scaled("lineitem", "l_partkey", c)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("l_partkey DIV 64").as("w"),
+          expr("shiftleft(1L, CAST(l_partkey % 64 AS INT))").as("b"))
+        .groupBy("l_returnflag", "l_linestatus", "w")
+        .agg(expr("bit_or(b)").as("bits"))
+      exec(leaf.groupBy("l_returnflag", "w")
+        .agg(expr("bit_or(bits)").as("bits"))
+        .groupBy("l_returnflag")
+        .agg(sum(expr("bit_count(bits)")).as("n_distinct")))
+    }
+
+    // Log-bucket quantile sketch (agg_ddsketch_quantile's pipeline):
+    // values repeat per copy so the bucket SET is constant — state and
+    // output are fixed while rows grow 10×. The claim under test is
+    // the one-pass shape: scan-side bucketing into a ≤ 4·64-counter
+    // rollup, so 10× rows is 10× scan and an unchanged sketch merge.
+    def ddsketchQuantile(c: Int): Long = {
+      val bucketed = scaled("lineitem", "l_orderkey", c)
+        .select(col("l_returnflag"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"))
+        .withColumn("msb", length(expr("bin(v)")) - 1)
+        .withColumn("bucket",
+          when(col("msb") >= 2,
+            col("msb") * 4 +
+              expr("CAST((shiftright(v, msb - 2) & 3) AS INT)"))
+          .otherwise(col("v").cast("int")))
+      exec(bucketed.groupBy("l_returnflag", "bucket")
+        .agg(count(lit(1)).as("c")))
+    }
+
     // Ordered LIGHT → HEAVY on the 10× side, deliberately: a monster
     // arm (graph_triangles pushes ~320M output rows at 10×;
     // prefix_filter/winnow tens of seconds) leaves GC and page-cache
@@ -473,6 +511,8 @@ object ScaleProbe {
       ("emb_drift", embDrift), ("kcenter_init", kcenterInit),
       ("graph_hits", graphHits), ("graph_walk", graphWalk),
       ("pca_moments", pcaMoments),
+      ("bitmap_rollup", bitmapRollup),
+      ("ddsketch_quantile", ddsketchQuantile),
       ("asof_hotkey_salted", asofHotkeySalted),
       ("asof_hotkey_plain", asofHotkeyPlain),
       ("cumvol_hotkey_salted", cumvolHotkeySalted),

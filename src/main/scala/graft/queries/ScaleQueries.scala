@@ -182,6 +182,39 @@ object ScaleQueries extends QueryPack {
       rolled.join(statusSum, Seq("l_returnflag"))
     }),
 
+    // ---- incremental distinct-count maintenance (bitmap IVM) -----------
+    // WHY the bitmap is the IVM-friendly distinct state: a materialized
+    // "distinct partkeys per flag" view keeps (flag, word) → bits; a
+    // delta batch folds in by OR — no base-ROW rescan, ever (the stored
+    // aggregate state is all the merge needs, where count(DISTINCT)
+    // IVM must re-read the base to know if an id is new). Here the base
+    // state is recomputed from the fixture (the harness is stateless),
+    // but the plan under audit is the maintenance plan: base-state ⟗
+    // delta-state on (flag, word), merged = bb | db, and the per-batch
+    // increment surfaced as bit_count(db & ~bb). The oracle is the
+    // INDEPENDENT definition — COUNT(DISTINCT) over base∪delta plus a
+    // NOT EXISTS novelty count — so a hash match proves the OR-algebra,
+    // not a re-implementation. In production the (flag, word) state
+    // table is already hash-partitioned, making the merge co-located.
+    "ivm_bitmap_delta" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          expr("l_partkey DIV 64").as("w"),
+          expr("shiftleft(1L, CAST(l_partkey % 64 AS INT))").as("b"))
+      def bits(df: DataFrame, out: String): DataFrame =
+        df.groupBy("l_returnflag", "w")
+          .agg(expr("bit_or(b)").as(out))
+      val base = bits(li.filter(col("l_orderkey") % 7 =!= 0), "bb")
+      val delta = bits(li.filter(col("l_orderkey") % 7 === 0), "db")
+      base.join(delta, Seq("l_returnflag", "w"), "full_outer")
+        .select(col("l_returnflag"),
+          expr("coalesce(bb, 0L) | coalesce(db, 0L)").as("merged"),
+          expr("coalesce(db, 0L) & ~coalesce(bb, 0L)").as("novel"))
+        .groupBy("l_returnflag")
+        .agg(sum(expr("bit_count(merged)")).as("n_distinct"),
+          sum(expr("bit_count(novel)")).as("n_new_ids"))
+    }),
+
     // ---- mergeable relative-error quantiles (DDSketch shape) -----------
     // agg_quantile_hist needs a min/max PRE-PASS to place equi-width
     // bins (two scans, absolute-error bound). This is the one-pass
@@ -1179,6 +1212,23 @@ object ScaleQueries extends QueryPack {
         |  CAST(SUM(p.d) AS BIGINT) AS n_status_sum
         |FROM tot t JOIN per p USING (l_returnflag)
         |GROUP BY 1, 2""".stripMargin,
+
+    "ivm_bitmap_delta" ->
+      """WITH tot AS (
+        |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+        |  FROM lineitem GROUP BY 1),
+        |nw AS (
+        |  SELECT d.l_returnflag, COUNT(DISTINCT d.l_partkey) AS n_new
+        |  FROM lineitem d
+        |  WHERE d.l_orderkey % 7 = 0 AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem b
+        |    WHERE b.l_orderkey % 7 <> 0
+        |      AND b.l_returnflag = d.l_returnflag
+        |      AND b.l_partkey = d.l_partkey)
+        |  GROUP BY 1)
+        |SELECT t.l_returnflag, CAST(t.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_ids
+        |FROM tot t LEFT JOIN nw n USING (l_returnflag)""".stripMargin,
 
     "agg_ddsketch_quantile" ->
       """WITH v AS (
