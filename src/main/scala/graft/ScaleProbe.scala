@@ -495,6 +495,28 @@ object ScaleProbe {
         .agg(count(lit(1)).as("c")))
     }
 
+    // SCC peel loop (graph_scc's op, un-memoized — the registered
+    // query reads the pinned memo, so the UN-amortized loop cost lives
+    // here): the best-next-item graph, then c disjoint id-shifted
+    // copies. Structure per copy is identical, so peel and propagation
+    // ROUND COUNTS stay constant while each round's node-keyed shuffle
+    // grows linearly — time ~ copies is the healthy shape; super-linear
+    // means rounds grew (a lineage or convergence bug).
+    def graphScc(c: Int): Long = {
+      val e1 = graft.ops.GraphIter
+        .bestNextItemEdges(Tables(spark, dir, "events"))
+        .localCheckpoint()
+      val e = (0 until c).map(i => e1.select(
+          (col("src") + lit(i * 100000000L)).as("src"),
+          (col("dst") + lit(i * 100000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      val labels = graft.ops.Scc(e)
+      val n = exec(labels)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(labels)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(e1)
+      n
+    }
+
     // Ordered LIGHT → HEAVY on the 10× side, deliberately: a monster
     // arm (graph_triangles pushes ~320M output rows at 10×;
     // prefix_filter/winnow tens of seconds) leaves GC and page-cache
@@ -512,6 +534,7 @@ object ScaleProbe {
       ("graph_hits", graphHits), ("graph_walk", graphWalk),
       ("pca_moments", pcaMoments),
       ("bitmap_rollup", bitmapRollup),
+      ("graph_scc", graphScc),
       ("ddsketch_quantile", ddsketchQuantile),
       ("asof_hotkey_salted", asofHotkeySalted),
       ("asof_hotkey_plain", asofHotkeyPlain),

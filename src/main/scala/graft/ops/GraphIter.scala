@@ -43,6 +43,32 @@ object GraphIter {
       .select("ua", "ub").distinct()
   }
 
+  /** Directed "best next item" graph from the events fixture: for each
+    * catalog item, ONE edge to the item users most often purchase next
+    * (consecutive purchases per user, self-loops dropped, ties broken
+    * by min target id — a total order, so the graph is deterministic).
+    * A functional graph's SCCs are its cycles — the recurrent sets of
+    * the purchase chain — the directed substrate for [[Scc]]. ONE
+    * definition serves the registered query and the weak-scaling
+    * probe (the [[coEngagementEdges]] discipline).
+    */
+  def bestNextItemEdges(events: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val nxt = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("b", lead(col("k"), 1).over(nxt))
+      .filter(col("b").isNotNull && col("b") =!= col("k"))
+      .groupBy(col("k").as("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("a").orderBy(col("n").desc, col("b"))))
+      .filter(col("rn") === 1)
+      .select(col("a").as("src"), col("b").as("dst"))
+  }
+
   /** Both orientations of a (ua, ub) edge list — the undirected (u, v)
     * adjacency the iteration kernels consume. An EXPLODE, not a
     * two-branch union: the union form scans its input twice, and when

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.ops.{ConnectedComponents, GraphIter, PageRank}
+import graft.ops.{ConnectedComponents, GraphIter, PageRank, Scc}
 
 /** Graph-shaped operators over the `events` fixture. The bipartite
   * user↔item interaction graph (users purchase items, items are clicked
@@ -135,6 +135,41 @@ object GraphQueries extends QueryPack {
         .localCheckpoint()
     }
 
+  /** Directed "best next item" graph — [[GraphIter.bestNextItemEdges]]
+    * (shared with the probe). Fixture note: the denser variants tried
+    * first (full transition graph; dominance orientation) measured as
+    * ONE giant SCC at both SFs — no structure to verify; the
+    * functional top-1 graph keeps real cycles plus singletons.
+    */
+  private def itemNextEdges(s: SparkSession, dir: String): DataFrame =
+    GraphIter.bestNextItemEdges(Tables(s, dir, "events"))
+
+  /** DuckDB mirror of [[itemNextEdges]] — ends in `edges(src, dst)`. */
+  private val itemNextEdgesDuck: String =
+    """ev AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE event_type = 'purchase'),
+      |tr AS (
+      |  SELECT k AS a,
+      |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      |  FROM ev),
+      |cnt AS (
+      |  SELECT a, b, COUNT(*) AS n FROM tr
+      |  WHERE b IS NOT NULL AND a <> b GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM (
+      |    SELECT a, b, row_number() OVER (
+      |      PARTITION BY a ORDER BY n DESC, b) AS rn
+      |    FROM cnt) WHERE rn = 1)""".stripMargin
+
+  /** SCC labels over [[itemNextEdges]], memoized like every pinned
+    * projection ([[Scc]] returns one collapsed checkpoint; the cache's
+    * release-on-evict owns it).
+    */
+  private def sccPinned(s: SparkSession, dir: String): DataFrame =
+    pinned.getOrElseUpdate(s, s"scc/$dir")(Scc(itemNextEdges(s, dir)))
+
   private val coAdjDuck: String =
     """adj AS (
       |  SELECT ua AS u, ub AS v FROM e
@@ -226,6 +261,23 @@ object GraphQueries extends QueryPack {
         .groupBy(col("sz").as("component_size"))
         .agg(count(lit(1)).as("num_components"))
     }),
+
+    // Strongly connected components — the DIRECTED member of the
+    // family (CC answers mutual reachability only when edges commute;
+    // here they don't). [[graft.ops.Scc]] runs the forward-backward
+    // min-label peel every distributed SCC engine uses: two
+    // pointer-jumped min-propagations per peel round, nodes whose
+    // forward and backward mins AGREE are a complete SCC and leave the
+    // graph. On the best-next-item graph the SCCs are the purchase
+    // chain's recurrent cycles. The mirror is the DEFINITIONAL
+    // transitive closure (mutual-reachability min via recursive CTE) —
+    // the engine never materializes a closure; that asymmetry is the
+    // anchor's point, exactly as in graph_components.
+    "graph_scc" -> ((s, dir) =>
+      sccPinned(s, dir)
+        .withColumn("scc_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("scc_id")))
+        .select(col("node").as("item"), col("scc_id"), col("scc_size"))),
 
     // Breadth-first reachability levels — the traversal family next to
     // PageRank (diffusion), connected components (equivalence), and
@@ -473,6 +525,28 @@ object GraphQueries extends QueryPack {
          |  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
          |SELECT sz AS component_size, COUNT(*) AS num_components
          |FROM sz GROUP BY sz""".stripMargin,
+
+    // mutual reachability from the closure: u and v share an SCC iff
+    // each reaches the other; scc_id = min such partner (self included
+    // via LEAST) — never how the engine computes it
+    "graph_scc" ->
+      ("WITH RECURSIVE " + itemNextEdgesDuck + """,
+        |nodes AS (SELECT DISTINCT src AS v FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |mutual AS (
+        |  SELECT r.b AS v, r.a AS u FROM reach r JOIN reach r2
+        |    ON r2.a = r.b AND r2.b = r.a),
+        |lab AS (
+        |  SELECT n.v, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+        |  GROUP BY n.v)
+        |SELECT v AS item, scc_id,
+        |  COUNT(*) OVER (PARTITION BY scc_id) AS scc_size
+        |FROM lab""".stripMargin),
 
     "graph_bfs_levels" ->
       s"""WITH $edgesDuck,
