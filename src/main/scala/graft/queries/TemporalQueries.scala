@@ -290,6 +290,107 @@ object TemporalQueries extends QueryPack {
     // window form by the window_ntile equivalence). Recency anchors to
     // the corpus max purchase time (1-row broadcast), not wall clock —
     // deterministic and replayable.
+    // CUPED-adjusted experiment readout — the variance-reduction
+    // every A/B platform runs at scale: per-user metric y and
+    // pre-exposure covariate x (here: odd/even event-id slices of
+    // spend — same-user halves, so x carries the user's propensity),
+    // arm by user-id parity, θ = cov(x,y)/var(x) POOLED across arms,
+    // adjusted mean = ȳ_arm − θ·(x̄_arm − x̄). Everything up to the
+    // final expressions is exact: per-user cents are integer sums, the
+    // five global sufficient statistics live in DECIMAL(38,0)/HUGEINT
+    // (the ts_linear_trend discipline — Σx² at 100 TB leaves int64 and
+    // a long sum wraps SILENTLY), and θ/means are a fixed IEEE
+    // sequence on identical operands, so the "statistical" output
+    // hash-matches the oracle bit-for-bit. Plan: ONE user-keyed
+    // shuffle does the heavy rollup; the global stats row and per-arm
+    // rollup are metadata-sized, θ attaches by broadcast.
+    "event_cuped" -> ((s, dir) => {
+      val pu = Tables(s, dir, "events")
+        .select(col("user_id"), (col("user_id") % 2).as("arm"),
+          col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "arm")
+        .agg(
+          sum(when(col("event_id") % 2 === 0, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_id") % 2 === 1, col("cents"))
+            .otherwise(0L)).as("y"))
+      val g = pu.agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      pu.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sxa"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sya"))
+        .crossJoin(broadcast(g))
+        .select(col("arm"), col("n_users"),
+          expr("CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)")
+            .as("mean_y_cents"),
+          expr("CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)" +
+            " - (CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+            " / CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))" +
+            " * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)" +
+            " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))")
+            .as("mean_y_adj_cents"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy" +
+            " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)" +
+            " / CAST(CAST(n AS DECIMAL(38,0)) * sxx" +
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)")
+            .as("theta"))
+    }),
+
+    // Two-sample Welch z on the same experiment frame — the
+    // significance readout next to event_cuped's point estimate. ONE
+    // aggregate row: per-user spend rolls up user-keyed, then six
+    // conditional sufficient statistics (n/Σy/Σy² per arm) fold in a
+    // single map-side-combined pass — no join, no pivot, nothing
+    // driver-side. Variance numerators are exact DECIMAL(38,0)/HUGEINT
+    // integers; sqrt IS hash-safe (IEEE 754 requires correct rounding
+    // for sqrt, unlike ln/exp — the reason this stops at z and doesn't
+    // report a p-value: Φ needs erf, and erf is libm-divergent).
+    "event_ab_ztest" -> ((s, dir) => {
+      val pu = Tables(s, dir, "events")
+        .select(col("user_id"), (col("user_id") % 2).as("arm"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "arm")
+        .agg(sum(col("cents")).as("y"))
+      val vExpr = (i: Int) =>
+        s"CAST(n$i * syy$i - sy$i * sy$i AS DOUBLE)" +
+          s" / CAST(n$i * (n$i - 1) AS DOUBLE) / CAST(n$i AS DOUBLE)"
+      val seExpr = s"sqrt(${vExpr(0)} + ${vExpr(1)})"
+      val diffExpr = "CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+        " - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+      pu.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0raw"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1raw"),
+        sum(when(col("arm") === 0, expr("CAST(y AS DECIMAL(38,0))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sy0"),
+        sum(when(col("arm") === 1, expr("CAST(y AS DECIMAL(38,0))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("sy1"),
+        sum(when(col("arm") === 0, expr("CAST(y AS DECIMAL(38,0)) * y"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("syy0"),
+        sum(when(col("arm") === 1, expr("CAST(y AS DECIMAL(38,0)) * y"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("syy1"))
+        .select(expr("CAST(n0raw AS DECIMAL(38,0))").as("n0"),
+          expr("CAST(n1raw AS DECIMAL(38,0))").as("n1"),
+          col("sy0"), col("sy1"), col("syy0"), col("syy1"))
+        .select(
+          col("n0").cast("long").as("n0"),
+          col("n1").cast("long").as("n1"),
+          expr("CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)")
+            .as("mean0_cents"),
+          expr("CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)")
+            .as("mean1_cents"),
+          expr(diffExpr).as("diff_cents"),
+          expr(seExpr).as("se_cents"),
+          expr(s"($diffExpr) / $seExpr").as("z"))
+    }),
+
     "event_rfm" -> ((s, dir) => {
       val p = Tables(s, dir, "events")
         .filter(col("event_type") === "purchase")
@@ -797,6 +898,75 @@ object TemporalQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM ud u JOIN fd f ON u.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "event_ab_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT
+        |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |      AS sy0,
+        |    SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) ELSE 0 END)
+        |      AS sy1,
+        |    SUM(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS syy0,
+        |    SUM(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+        |      AS syy1
+        |  FROM pu)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean0_cents,
+        |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1_cents,
+        |  CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff_cents,
+        |  sqrt(
+        |    CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE)
+        |      / CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |    + CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)
+        |      / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    AS se_cents,
+        |  (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |  / sqrt(
+        |    CAST(n0 * syy0 - sy0 * sy0 AS DOUBLE)
+        |      / CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |    + CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)
+        |      / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)) AS z
+        |FROM g""".stripMargin,
+
+    "event_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    SUM(CASE WHEN event_id % 2 = 0
+        |        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    SUM(CASE WHEN event_id % 2 = 1
+        |        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM pu),
+        |a AS (
+        |  SELECT arm, COUNT(*) AS n_users,
+        |    SUM(CAST(x AS HUGEINT)) AS sxa, SUM(CAST(y AS HUGEINT)) AS sya
+        |  FROM pu GROUP BY 1)
+        |SELECT a.arm, a.n_users,
+        |  CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+        |    AS mean_y_cents,
+        |  CAST(a.sya AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+        |    - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+        |       / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+        |      * (CAST(a.sxa AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+        |         - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+        |    AS mean_y_adj_cents,
+        |  CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+        |    / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) AS theta
+        |FROM a, g""".stripMargin,
 
     "event_rfm" ->
       """WITH p AS (

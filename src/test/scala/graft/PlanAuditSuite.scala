@@ -849,6 +849,24 @@ class PlanAuditSuite extends SparkSpec {
       s"expected an equi join on the bin key:\n$s")
   }
 
+  test("event_ab_ztest: one user rollup, stats fold in a single agg") {
+    val p = executed(q("event_ab_ztest"))
+    // user-keyed rollup + the six-stat global fold's gather — nothing
+    // else may shuffle, and there is no join anywhere in the plan
+    assert(countShuffles(p) <= 2, s"expected ≤2 shuffles:\n$p")
+    assert(!p.toString.contains("Join"), s"z-test must not join:\n$p")
+  }
+
+  test("event_cuped: global stats attach by broadcast, two data shuffles") {
+    val p = executed(q("event_cuped"))
+    val nodes = flatten(p)
+    assert(nodes.exists(n =>
+      n.nodeName.contains("BroadcastNestedLoopJoin") ||
+        n.nodeName.contains("BroadcastHashJoin")),
+      s"theta row must ride broadcast:\n$p")
+    assert(countShuffles(p) <= 3, s"expected ≤3 data shuffles:\n$p")
+  }
+
   test("agg_bitmap_rollup: one lineitem scan serves both rollup levels") {
     val p = executed(q("agg_bitmap_rollup"))
     val nodes = flatten(p)
