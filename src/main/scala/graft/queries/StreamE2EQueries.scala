@@ -46,7 +46,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_late" -> ((s, dir) => runLate(s, dir)),
     "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)),
     "stream_e2e_cms" -> ((s, dir) => runCms(s, dir)),
-    "stream_e2e_cdc" -> ((s, dir) => runCdc(s, dir)))
+    "stream_e2e_cdc" -> ((s, dir) => runCdc(s, dir)),
+    "stream_e2e_quantile" -> ((s, dir) => runQuantile(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -879,6 +880,73 @@ object StreamE2EQueries extends QueryPack {
     * final upsert for a key is its global latest op however the spool
     * files batch. State is one row per live key; nothing rescans.
     */
+  /** STREAMING LOG-BUCKET QUANTILE SKETCH end to end (round-9): raw
+    * TICK envelopes → γ = 2^(1/4) bucket ids computed SCAN-SIDE inside
+    * the stream (the agg_ddsketch_quantile arithmetic — integer-exact
+    * msb via bin(), shift/mask sub-bucket) → per-(type, bucket) counts
+    * as an update-mode streaming aggregation → LWW sink keyed
+    * (g, bucket) → batch read-back picks p50/p95 off the cumulative
+    * counts. The monitoring shape this certifies: latency/price
+    * quantiles maintained AT INGEST in ≤ 4·64 counters per group and
+    * never re-scanning history; counts are SUMS, so like the CMS row
+    * this also certifies checkpointed exactly-once aggregation (a
+    * replayed envelope would shift a bucket count and the hash). The
+    * oracle rebuilds the identical sketch from the full row set in one
+    * batch pass — a hash match proves count-merge across micro-batches
+    * ≡ one-shot bucketing.
+    */
+  private def runQuantile(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("time_s", expr("unix_micros(ts) div 1000000"))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
+    val work = Files.createTempDirectory("graft_e2e_quantile")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2") // counts accumulate across batches
+      .load()
+    val regs = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .select(col("tradeType").as("g"),
+        expr("CAST(floor(price * 100) AS BIGINT)").as("v"))
+      .withColumn("msb", length(expr("bin(v)")) - 1)
+      .withColumn("bucket",
+        when(col("msb") >= 2,
+          col("msb") * 4 +
+            expr("CAST((shiftright(v, msb - 2) & 3) AS INT)"))
+        .otherwise(col("v").cast("int")))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("c"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = regs.writeStream.outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "quant",
+          Seq("g", "bucket"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = LwwSink.read(s, sinkRoot, "feed", "quant")
+      .select(col("g"), col("bucket"), col("c"))
+      .withColumn("cum",
+        sum(col("c")).over(W.partitionBy("g").orderBy("bucket")))
+      .withColumn("n", sum(col("c")).over(W.partitionBy("g")))
+    val qdf = s.range(1).select(explode(array(
+      struct(lit("p50").as("q"), lit(1L).as("qn"), lit(2L).as("qd")),
+      struct(lit("p95").as("q"), lit(19L).as("qn"), lit(20L).as("qd"))))
+      .as("x")).select(col("x.*"))
+    cum.crossJoin(broadcast(qdf))
+      .filter(col("cum") >= expr("(n * qn + qd - 1) DIV qd"))
+      .groupBy("g", "q", "n")
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("g").as("trade_type"), col("q"),
+        col("n").as("n_rows"), col("bucket"),
+        when(col("bucket") >= 8, expr(
+          "shiftleft(CAST(4 + bucket % 4 AS BIGINT), bucket DIV 4 - 2)"))
+          .otherwise(col("bucket").cast("bigint")).as("est_cents"))
+  }
+
   private def runCdc(s: SparkSession, dir: String): DataFrame = {
     val base = LwwDedup(
       Tables(s, dir, "events")
@@ -1047,6 +1115,41 @@ object StreamE2EQueries extends QueryPack {
          |  CAST(MIN(s.n) AS BIGINT) AS est
          |FROM pr p JOIN sk s ON p.d = s.d AND p.cell = s.cell
          |GROUP BY p.symbol, p.n_true""".stripMargin,
+
+    // one-shot rebuild of the streamed bucket counts: identical integer
+    // bucket arithmetic over the full row set, then the same p50/p95
+    // pick — merge-across-micro-batches ≡ one-pass bucketing
+    "stream_e2e_quantile" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END
+        |    AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |b AS (
+        |  SELECT g,
+        |    CASE WHEN length(bin(v)) - 1 >= 2
+        |         THEN (length(bin(v)) - 1) * 4
+        |              + CAST(((v >> (length(bin(v)) - 3)) & 3) AS INT)
+        |         ELSE CAST(v AS INT) END AS bucket
+        |  FROM v),
+        |c AS (SELECT g, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, bucket, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM c),
+        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p95', 19, 20))
+        |       t(q, qn, qd)),
+        |hit AS (
+        |  SELECT cum.g, qs.q, cum.n, MIN(cum.bucket) AS bucket
+        |  FROM cum, qs
+        |  WHERE cum.cum >= (cum.n * qs.qn + qs.qd - 1) // qs.qd
+        |  GROUP BY 1, 2, 3)
+        |SELECT g AS trade_type, q, CAST(n AS BIGINT) AS n_rows, bucket,
+        |  CASE WHEN bucket >= 8
+        |    THEN (CAST(4 + bucket % 4 AS BIGINT) << (bucket // 4 - 2))
+        |    ELSE CAST(bucket AS BIGINT) END AS est_cents
+        |FROM hit""".stripMargin,
 
     // the batch HLL mirror over the same (type, symbol) derivation: the
     // streamed register table max-merged across micro-batches must fold
