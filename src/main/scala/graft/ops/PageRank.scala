@@ -40,7 +40,13 @@ object PageRank {
     * @param iters fixed iteration count (unrolled in the oracle SQL)
     * @return (node: long, r: double) — ranks after `iters` iterations
     */
-  def apply(edges: DataFrame, iters: Int): DataFrame = {
+  def apply(edgesIn: DataFrame, iters: Int): DataFrame = {
+    // the raw edge plan has FOUR consumers below (degree, the ewd
+    // join, the node universe's two branches) — pin it once. Callers
+    // often hand an EXPENSIVE pipeline (text_textrank's md5+distinct
+    // co-occurrence build measured 4 of its 7 build seconds re-deriving
+    // edges here); pinned callers (graph_pagerank) pay one cheap copy.
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // static per-round inputs, computed once: without the checkpoint
     // every round re-derives the degree join and the node-universe
@@ -85,6 +91,9 @@ object PageRank {
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ewd)
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(base)
     }
+    // ewd and base are materialized by now (0 iterations included), so
+    // the input pin is releasable unconditionally
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(edges)
     ranks
   }
 

@@ -15,6 +15,9 @@ import graft.ops.{TextHash, TextStats}
 object TextQueries extends QueryPack {
 
   private val P = TextHash.P31
+
+  /** TextRank iterations (unrolled identically in the mirror). */
+  private val TrIters = 3
   private val h31duck = TextHash.h31Duck("s")
 
   /** Only apply a BPE merge when the winning pair is plain
@@ -105,6 +108,46 @@ object TextQueries extends QueryPack {
   private val IpRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TextRank keyword extraction — PageRank over the token
+    // co-occurrence graph (adjacent-token edges, both orientations,
+    // distinct), the classic unsupervised keyworder. Cross-family
+    // reuse is the point: nodes are md5-h31 token ids so the rank
+    // kernel is the SAME [[graft.ops.PageRank]] (fixed-point-quantized
+    // contributions → hash-exact ranks) the graph pack certifies, and
+    // the top-20 readback joins names on via the distinct vocabulary.
+    // h31 collisions merge tokens on BOTH engines identically — the
+    // KMV "hash universe" contract. Scale shape: edges and vocab are
+    // one scan each; each of the 3 rank rounds is one keyed join +
+    // grouped sum over the checkpointed edge table; top-20 is
+    // TakeOrdered, never a global sort.
+    "text_textrank_keywords" -> ((s, dir) => {
+      val w = Tables(s, dir, "documents")
+        .select(TextHash.tokens(col("text")).as("w"))
+      // adjacent pairs by zip_with (no concat+re-split round trip),
+      // one md5 per endpoint (not one per orientation)
+      val bi = w.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1)," +
+            " (x, y) -> struct(x AS a, y AS b))")).as("p"))
+        .filter(col("p.a") =!= col("p.b"))
+        .select(TextHash.h31(col("p.a")).as("ha"),
+          TextHash.h31(col("p.b")).as("hb"))
+      val edges = bi.select(explode(array(
+          struct(col("ha").as("src"), col("hb").as("dst")),
+          struct(col("hb").as("src"), col("ha").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+      val vocab = Tables(s, dir, "documents")
+        .select(explode(TextHash.tokens(col("text"))).as("token"))
+        .distinct()
+        .select(col("token"), TextHash.h31(col("token")).as("node"))
+      graft.ops.PageRank(edges, TrIters)
+        .join(vocab, Seq("node"))
+        .orderBy(col("r").desc, col("token"))
+        .limit(20)
+        .select(col("token").as("keyword"), col("r"))
+    }),
 
     // PII redaction — the scrub pass a training corpus runs before
     // anything else sees the text. The fixtures carry no PII, so a
@@ -783,6 +826,34 @@ object TextQueries extends QueryPack {
        |FROM sc""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // token-id edges + the shared PageRank CTE unroll; readback joins
+    // names on via the distinct vocabulary, exactly as the engine does
+    "text_textrank_keywords" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |bi AS (
+         |  SELECT string_split(bg, ' ')[1] AS a,
+         |         string_split(bg, ' ')[2] AS b
+         |  FROM (SELECT unnest(CASE WHEN len(w) >= 2
+         |          THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+         |          ELSE [] END) AS bg
+         |        FROM w)
+         |  WHERE string_split(bg, ' ')[1] <> string_split(bg, ' ')[2]),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT ${TextHash.h31Duck("a")} AS src,
+         |           ${TextHash.h31Duck("b")} AS dst FROM bi
+         |    UNION ALL
+         |    SELECT ${TextHash.h31Duck("b")} AS src,
+         |           ${TextHash.h31Duck("a")} AS dst FROM bi)),
+         |vocab AS (
+         |  SELECT token, ${TextHash.h31Duck("token")} AS node FROM (
+         |    SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+         |    FROM documents)),
+         |${graft.ops.PageRank.duckCtes(TrIters)}
+         |SELECT v.token AS keyword, r.r
+         |FROM r$TrIters r JOIN vocab v ON v.node = r.node
+         |ORDER BY r.r DESC, v.token LIMIT 20""".stripMargin,
+
     "text_lm_bits" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
