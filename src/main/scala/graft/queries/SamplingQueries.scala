@@ -34,6 +34,33 @@ object SamplingQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Deterministic k-fold assignment + the audit a CV pipeline runs
+    // on it: fold = h31(doc_id) mod 5 — a pure scan-side projection,
+    // so folds are REPRODUCIBLE across engines/reruns/partitionings
+    // (the pack's whole thesis) and any row's fold is recomputable
+    // without a stored assignment table. Per fold: size in docs and
+    // tokens, plus the largest single-source share — the imbalance
+    // signal that catches a fold accidentally dominated by one crawl
+    // (the leakage-adjacent failure split_cluster_safe guards at the
+    // CLUSTER level, audited here at the fold level). One scan, two
+    // metadata-sized rollups.
+    "split_kfold" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select((TextHash.h31(col("doc_id").cast("string")) % 5)
+          .as("fold"),
+          col("source"),
+          size(TextHash.tokens(col("text"))).cast("long").as("ntok"))
+      d.groupBy("fold", "source")
+        .agg(count(lit(1)).as("n"), sum(col("ntok")).as("tok"))
+        .groupBy("fold")
+        .agg(sum(col("n")).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          max(col("n")).as("max_src_docs"))
+        .select(col("fold"), col("n_docs"), col("n_tokens"),
+          expr("CAST(max_src_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+            .as("top_source_share"))
+    }),
+
     // Poisson bootstrap — the distributed-resampling standard (each
     // replicate draws every row Poisson(1) times, which IS the n→∞
     // multinomial bootstrap, and needs no global row count or shared
@@ -372,6 +399,22 @@ object SamplingQueries extends QueryPack {
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT) % 2147483647"
 
   def oracles: Map[String, String] = Map(
+
+    "split_kfold" ->
+      s"""WITH d AS (
+         |  SELECT ${TextHash.h31Duck("CAST(doc_id AS VARCHAR)")} % 5
+         |      AS fold,
+         |    source, len(string_split(text, ' ')) AS ntok
+         |  FROM documents),
+         |fs AS (
+         |  SELECT fold, source, COUNT(*) AS n,
+         |    CAST(SUM(ntok) AS BIGINT) AS tok
+         |  FROM d GROUP BY 1, 2)
+         |SELECT fold, CAST(SUM(n) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  CAST(MAX(n) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+         |    AS top_source_share
+         |FROM fs GROUP BY fold""".stripMargin,
 
     "sample_bootstrap" ->
       s"""WITH b AS (
