@@ -346,6 +346,44 @@ object ReferenceQueries extends QueryPack {
           col("q_us"), col("qprice"))
     }),
 
+    // Nearest-neighbor as-of — the third direction the family needs
+    // (backward = prevailing quote, forward = next quote, NEAREST =
+    // closest in either direction; sensor-fusion and bar-alignment
+    // semantics pandas calls merge_asof(direction='nearest')). Built
+    // from the SAME union-scan kernel run once per direction — each
+    // side stays the one-shuffle-per-key plan — then one equi-join on
+    // the unique trade id picks the closer match (ties → backward,
+    // matching the inclusive-<= convention). A `side` column makes the
+    // pick auditable in-row. DuckDB has no NEAREST mode, so the mirror
+    // composes its own two ASOF JOINs with the identical CASE — the
+    // hash match certifies the composition, not a restatement.
+    "asof_nearest" -> ((s, dir) => {
+      val (quotes, trades) = quotesAndTrades(s, dir)
+      val back = AsofJoin(trades, quotes, "user_id", "ts",
+        Seq("q_us", "qprice"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("tprice"),
+          col("q_us").as("b_us"), col("qprice").as("b_price"))
+      val qn = quotes.select(col("user_id"), (-col("q_us")).as("tneg"),
+        col("q_us"), col("qprice"))
+      val tn = trades.select(col("user_id"),
+        (-unix_micros(col("ts"))).as("tneg"),
+        col("event_id"), col("tprice"))
+      val fwd = AsofJoin(tn, qn, "user_id", "tneg", Seq("q_us", "qprice"))
+        .select(col("user_id"), col("event_id"),
+          col("q_us").as("f_us"), col("qprice").as("f_price"))
+      val pickB = "b_us IS NOT NULL AND (f_us IS NULL" +
+        " OR t_us - b_us <= f_us - t_us)"
+      back.join(fwd, Seq("user_id", "event_id"))
+        .select(col("user_id"), col("event_id"), col("t_us"),
+          col("tprice"),
+          expr(s"CASE WHEN $pickB THEN b_us ELSE f_us END").as("q_us"),
+          expr(s"CASE WHEN $pickB THEN b_price ELSE f_price END")
+            .as("qprice"),
+          expr(s"""CASE WHEN b_us IS NULL AND f_us IS NULL THEN NULL
+                   WHEN $pickB THEN 'B' ELSE 'F' END""").as("side"))
+    }),
+
     // Range join with an equi-key: lineitems shipped within 30 days of
     // their order date. The equality on orderkey keeps this a hash join
     // with a residual range predicate — never a cross product.
@@ -584,6 +622,39 @@ object ReferenceQueries extends QueryPack {
         |       q.q_us, q.qprice
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.user_id = q.user_id AND q.ts >= t.ts""".stripMargin,
+
+    "asof_nearest" ->
+      """WITH quotes AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS q_us, value AS qprice
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
+        |trades AS (
+        |  SELECT user_id, ts, event_id, value AS tprice
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT t.user_id, t.event_id, epoch_us(t.ts) AS t_us,
+        |    t.tprice, q.q_us AS b_us, q.qprice AS b_price
+        |  FROM trades t ASOF LEFT JOIN quotes q
+        |    ON t.user_id = q.user_id AND q.ts <= t.ts),
+        |f AS (
+        |  SELECT t.user_id, t.event_id, q.q_us AS f_us,
+        |    q.qprice AS f_price
+        |  FROM trades t ASOF LEFT JOIN quotes q
+        |    ON t.user_id = q.user_id AND q.ts >= t.ts)
+        |SELECT b.user_id, b.event_id, b.t_us, b.tprice,
+        |  CASE WHEN b_us IS NOT NULL AND (f_us IS NULL
+        |           OR t_us - b_us <= f_us - t_us)
+        |       THEN b_us ELSE f_us END AS q_us,
+        |  CASE WHEN b_us IS NOT NULL AND (f_us IS NULL
+        |           OR t_us - b_us <= f_us - t_us)
+        |       THEN b_price ELSE f_price END AS qprice,
+        |  CASE WHEN b_us IS NULL AND f_us IS NULL THEN NULL
+        |       WHEN b_us IS NOT NULL AND (f_us IS NULL
+        |           OR t_us - b_us <= f_us - t_us)
+        |       THEN 'B' ELSE 'F' END AS side
+        |FROM b JOIN f USING (user_id, event_id)""".stripMargin,
 
     "asof_tolerance" ->
       """WITH quotes AS (
