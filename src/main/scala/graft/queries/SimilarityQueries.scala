@@ -26,6 +26,12 @@ object SimilarityQueries extends QueryPack {
 
   private val K = 10
 
+  /** ann_range_search cosine threshold (mirrored in the oracle);
+    * fixture cosines top out ≈ 0.46 with p99 ≈ 0.29, so 0.25 keeps the
+    * true high-similarity tail without degenerating to top-k.
+    */
+  private val RangeTau = 0.25
+
   private def scored(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
@@ -75,6 +81,37 @@ object SimilarityQueries extends QueryPack {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= K)
         .select("q_id", "n_id", "cos", "rnk")
+    }),
+
+    // RANGE search (radius query) — the other retrieval mode: ALL
+    // neighbors above a similarity floor, not a fixed k (dedup sweeps
+    // and recall-oriented retrieval want "everything ≥ τ", where top-k
+    // silently truncates dense neighborhoods and pads sparse ones).
+    // Same banded sign-LSH candidate generation as ann_lsh_topk — the
+    // bucket join bounds comparisons by band occupancy, never corpus
+    // size — then an exact-cosine threshold instead of a rank window:
+    // NO per-query sort at all, the filter is scan-shaped over the
+    // candidate stream. The mirror replicates candidates + threshold,
+    // so the hash match certifies the full approximate pipeline.
+    "ann_range_search" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val bands = e
+        .select(col("vec_id"),
+          posexplode(VectorOps.signBands(col("embedding"))))
+        .toDF("vec_id", "band", "bucket")
+      val qb = bands.filter(col("vec_id") < 50)
+        .toDF("q_id", "band", "bucket")
+      val cand = bands.join(broadcast(qb), Seq("band", "bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"))
+        .distinct()
+      val qv = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val nv = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      cand.join(nv, Seq("n_id")).join(broadcast(qv), Seq("q_id"))
+        .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+        .filter(col("cos") >= RangeTau)
+        .select("q_id", "n_id", "cos")
     }),
 
     // IVF (inverted-file) ANN: deterministic coarse centroids (every
@@ -720,6 +757,23 @@ object SimilarityQueries extends QueryPack {
     "ann_brute_topk" ->
       s"""WITH $bruteTopkCte
          |SELECT q_id, n_id, cos, rnk FROM tk WHERE rnk <= $K""".stripMargin,
+
+    "ann_range_search" ->
+      s"""WITH ${VectorOps.signBandsDuckCte()},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |  FROM (SELECT * FROM bands WHERE vec_id < 50) q
+         |  JOIN bands c
+         |    ON q.band = c.band AND q.bucket = c.bucket
+         |   AND q.vec_id <> c.vec_id)
+         |SELECT q_id, n_id, cos FROM (
+         |  SELECT q_id, n_id, $cosAB AS cos
+         |  FROM cand
+         |  JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+         |    ON q.vec_id = q_id
+         |  JOIN (SELECT vec_id, embedding AS nv FROM embeddings) c
+         |    ON c.vec_id = n_id)
+         |WHERE cos >= $RangeTau""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""WITH ${VectorOps.signBandsDuckCte()},
