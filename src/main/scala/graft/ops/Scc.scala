@@ -131,6 +131,53 @@ object Scc {
     res
   }
 
+  /** Longest-path layering of a DAG: layer(v) = 0 for sources,
+    * else 1 + max(layer(pred)) — the topological depth a scheduler
+    * (or lineage/build system) assigns before running layers in
+    * parallel. Iterative max-relaxation with the loop discipline of
+    * [[apply]]; layers only INCREASE and are bounded by the DAG
+    * depth, so the sum-of-layers fixpoint test is sound and the bound
+    * is the loud-fail. Feeding a CYCLIC graph would never converge —
+    * run [[apply]] first and condense (that pairing is graph_topo_layers).
+    *
+    * @param edges directed acyclic (src, dst) rows
+    * @return (node, layer)
+    */
+  def topoLayers(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var lay = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("layer", lit(0L))
+      .localCheckpoint()
+    var sum = -1L
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      if (iter > maxDepth)
+        throw new IllegalStateException(
+          s"topo layering did not converge in $maxDepth rounds — " +
+            "cyclic input? condense SCCs first")
+      val viaPred = e
+        .join(lay.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("layer") + 1L).as("layer"))
+      val next = lay.unionByName(viaPred)
+        .groupBy("node").agg(max("layer").as("layer"))
+        .localCheckpoint()
+      val nextSum = next.agg(coalesce(
+        org.apache.spark.sql.functions.sum("layer"), lit(0L)))
+        .head().getLong(0)
+      converged = nextSum == sum
+      sum = nextSum
+      val prev = lay
+      lay = next
+      Bridge.releaseLocalCheckpoint(prev)
+    }
+    Bridge.releaseLocalCheckpoint(e)
+    lay
+  }
+
   /** Min id over ancestors-or-self under `edges`, to fixpoint:
     * (node, m). Propagate (m flows src→dst) + pointer jump, converge
     * when sum(m) stops falling.

@@ -279,6 +279,37 @@ object GraphQueries extends QueryPack {
           org.apache.spark.sql.expressions.Window.partitionBy("scc_id")))
         .select(col("node").as("item"), col("scc_id"), col("scc_size"))),
 
+    // Topological layering of the SCC CONDENSATION — the composition
+    // query the SCC op exists to enable: collapse each SCC to one
+    // node (the condensation is a DAG by construction), then
+    // layer(v) = longest path from a source ([[Scc.topoLayers]] max-
+    // relaxation) — the depth a scheduler/lineage system assigns
+    // before running layers in parallel. On the purchase graph this
+    // reads as "how many best-next hops of structure precede this
+    // recurrent set". Isolated SCCs (no condensed edges) sit at
+    // layer 0 via the left join. The mirror walks the condensed DAG
+    // with a recursive CTE and takes MAX(depth) — definitional
+    // longest-path, never the engine's relaxation.
+    "graph_topo_layers" -> ((s, dir) => {
+      val labels = sccPinned(s, dir)
+      val ce = itemNextEdges(s, dir)
+        .join(labels.withColumnRenamed("node", "src")
+          .withColumnRenamed("scc_id", "sa"), Seq("src"))
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("scc_id", "sb"), Seq("dst"))
+        .filter(col("sa") =!= col("sb"))
+        .select(col("sa").as("src"), col("sb").as("dst"))
+        .distinct()
+      val members = labels.groupBy("scc_id")
+        .agg(count(lit(1)).as("n_members"))
+      members.join(
+          Scc.topoLayers(ce).withColumnRenamed("node", "scc_id"),
+          Seq("scc_id"), "left")
+        .select(col("scc_id"),
+          coalesce(col("layer"), lit(0L)).as("layer"),
+          col("n_members"))
+    }),
+
     // Breadth-first reachability levels — the traversal family next to
     // PageRank (diffusion), connected components (equivalence), and
     // triangles (census): hop distance from a seed set (users 0..4)
@@ -547,6 +578,40 @@ object GraphQueries extends QueryPack {
         |SELECT v AS item, scc_id,
         |  COUNT(*) OVER (PARTITION BY scc_id) AS scc_size
         |FROM lab""".stripMargin),
+
+    // condensation DAG + definitional longest path by recursive walk
+    // (every node seeds depth 0; MAX(d) per node = longest path from
+    // any source — the relaxation's fixpoint, derived independently)
+    "graph_topo_layers" ->
+      ("WITH RECURSIVE " + itemNextEdgesDuck + """,
+        |nodes AS (SELECT DISTINCT src AS v FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |mutual AS (
+        |  SELECT r.b AS v, r.a AS u FROM reach r JOIN reach r2
+        |    ON r2.a = r.b AND r2.b = r.a),
+        |lab AS (
+        |  SELECT n.v, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+        |  GROUP BY n.v),
+        |ce AS (
+        |  SELECT DISTINCT la.scc_id AS src, lb.scc_id AS dst
+        |  FROM edges e
+        |  JOIN lab la ON la.v = e.src
+        |  JOIN lab lb ON lb.v = e.dst
+        |  WHERE la.scc_id <> lb.scc_id),
+        |walk(v, d) AS (
+        |  SELECT DISTINCT scc_id, 0 FROM lab
+        |  UNION
+        |  SELECT ce.dst, w.d + 1 FROM walk w JOIN ce ON ce.src = w.v),
+        |lay AS (SELECT v AS scc_id, MAX(d) AS layer FROM walk GROUP BY v),
+        |mem AS (SELECT scc_id, COUNT(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT m.scc_id, CAST(l.layer AS BIGINT) AS layer,
+        |  CAST(m.n_members AS BIGINT) AS n_members
+        |FROM mem m JOIN lay l USING (scc_id)""".stripMargin),
 
     "graph_bfs_levels" ->
       s"""WITH $edgesDuck,

@@ -71,6 +71,22 @@ class SccSuite extends SparkSpec {
     assert(run(edges) === brute(edges))
   }
 
+  test("topoLayers: longest path on a diamond-with-tail DAG") {
+    // 1→2, 1→3, 2→4, 3→4, 4→5: layer = longest path from a source
+    val got = Scc.topoLayers(
+      Seq[(Long, Long)]((1, 2), (1, 3), (2, 4), (3, 4), (4, 5))
+        .toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("topoLayers: cyclic input fails loudly at the bound") {
+    val e = intercept[IllegalStateException](
+      Scc.topoLayers(Seq[(Long, Long)]((1, 2), (2, 1)).toDF("src", "dst"),
+        maxDepth = 5).collect())
+    assert(e.getMessage.contains("cyclic"))
+  }
+
   test("registered query matches sizes at sf0.001") {
     val rows = SparkEntry.queries("graph_scc")(
       spark, "/root/testdata/sf0.001").collect()
