@@ -47,7 +47,8 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)),
     "stream_e2e_cms" -> ((s, dir) => runCms(s, dir)),
     "stream_e2e_cdc" -> ((s, dir) => runCdc(s, dir)),
-    "stream_e2e_quantile" -> ((s, dir) => runQuantile(s, dir)))
+    "stream_e2e_quantile" -> ((s, dir) => runQuantile(s, dir)),
+    "stream_e2e_bitmap" -> ((s, dir) => runBitmap(s, dir)))
 
   /** Shared TICK-envelope JSON projection (review finding: seven nearly
     * identical copies had accumulated across the e2e runners — a payload
@@ -947,6 +948,48 @@ object StreamE2EQueries extends QueryPack {
           .otherwise(col("bucket").cast("bigint")).as("est_cents"))
   }
 
+  /** STREAMING EXACT-DISTINCT BITMAP end to end (round-9): the exact
+    * tier next to stream_e2e_hll's sketch tier — per (type, word)
+    * bit_or of one-hot symbol longs as an update-mode streaming
+    * aggregation → LWW sink keyed (g, w) → read-back sums bit_counts.
+    * Like HLL's register max (and unlike CMS/quantile COUNTS), OR is
+    * IDEMPOTENT, so this row certifies the algebra that makes bitmap
+    * state replay-tolerant by construction; state is O(ids/64) words
+    * per group — the exact-distinct dashboard a stream keeps when the
+    * id domain is dense enough to afford it.
+    */
+  private def runBitmap(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("time_s", expr("unix_micros(ts) div 1000000"))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
+    val work = Files.createTempDirectory("graft_e2e_bitmap")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work)
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2") // bitmaps build across batches
+      .load()
+    val regs = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+      .select(col("tradeType").as("g"),
+        col("symbol").cast("long").as("v"))
+      .select(col("g"), expr("v DIV 64").as("w"),
+        expr("shiftleft(1L, CAST(v % 64 AS INT))").as("b"))
+      .groupBy("g", "w").agg(expr("bit_or(b)").as("bits"))
+    val sinkRoot = work.resolve("sink").toString
+    val q = regs.writeStream.outputMode("update")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "bitmap",
+          Seq("g", "w"))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "bitmap")
+      .groupBy(col("g").as("trade_type"))
+      .agg(sum(expr("bit_count(bits)")).as("n_distinct"))
+  }
+
   private def runCdc(s: SparkSession, dir: String): DataFrame = {
     val base = LwwDedup(
       Tables(s, dir, "events")
@@ -1115,6 +1158,15 @@ object StreamE2EQueries extends QueryPack {
          |  CAST(MIN(s.n) AS BIGINT) AS est
          |FROM pr p JOIN sk s ON p.d = s.d AND p.cell = s.cell
          |GROUP BY p.symbol, p.n_true""".stripMargin,
+
+    // exact distinct per type, straight from the definition — the
+    // streamed word-bitmap fold must agree with COUNT(DISTINCT)
+    "stream_e2e_bitmap" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END
+        |    AS trade_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |GROUP BY 1""".stripMargin,
 
     // one-shot rebuild of the streamed bucket counts: identical integer
     // bucket arithmetic over the full row set, then the same p50/p95
