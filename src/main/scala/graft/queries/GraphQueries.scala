@@ -292,18 +292,23 @@ object GraphQueries extends QueryPack {
     // longest-path, never the engine's relaxation.
     "graph_topo_layers" -> ((s, dir) => {
       val labels = sccPinned(s, dir)
-      val ce = itemNextEdges(s, dir)
-        .join(labels.withColumnRenamed("node", "src")
-          .withColumnRenamed("scc_id", "sa"), Seq("src"))
-        .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("scc_id", "sb"), Seq("dst"))
-        .filter(col("sa") =!= col("sb"))
-        .select(col("sa").as("src"), col("sb").as("dst"))
-        .distinct()
+      // the layering loop (O(DAG depth) rounds) is memoized like every
+      // pinned projection — repeat invocations read one pinned frame;
+      // the un-amortized loop cost lives in the SccSuite/probe path
+      val layers = pinned.getOrElseUpdate(s, s"topoLayers/$dir") {
+        val ce = itemNextEdges(s, dir)
+          .join(labels.withColumnRenamed("node", "src")
+            .withColumnRenamed("scc_id", "sa"), Seq("src"))
+          .join(labels.withColumnRenamed("node", "dst")
+            .withColumnRenamed("scc_id", "sb"), Seq("dst"))
+          .filter(col("sa") =!= col("sb"))
+          .select(col("sa").as("src"), col("sb").as("dst"))
+          .distinct()
+        Scc.topoLayers(ce) // already one collapsed localCheckpoint
+      }
       val members = labels.groupBy("scc_id")
         .agg(count(lit(1)).as("n_members"))
-      members.join(
-          Scc.topoLayers(ce).withColumnRenamed("node", "scc_id"),
+      members.join(layers.withColumnRenamed("node", "scc_id"),
           Seq("scc_id"), "left")
         .select(col("scc_id"),
           coalesce(col("layer"), lit(0L)).as("layer"),
