@@ -374,6 +374,31 @@ object TextQueries extends QueryPack {
         TextStats.qualityScore(col("text")).as("quality"))
     }),
 
+    // Reliability diagram of the quality scorer against the lang
+    // label — the calibration readout an eval pipeline draws before
+    // trusting a scorer's thresholds: per score-decile bin, size,
+    // positive rate, and the mean score. One scan, one rollup. The
+    // mean folds FIXED-POINT longs (a float mean is fold-order-
+    // dependent and could never hash-match); the bin id floors a
+    // double both engines compute bit-identically, so the decile
+    // edges agree everywhere.
+    "eval_calibration_bins" -> ((s, dir) => {
+      val q = TextStats.qualityScore(col("text"))
+      Tables(s, dir, "documents")
+        .select(
+          least(floor(q * 10), lit(9.0)).cast("int").as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          floor(q * 1e6).cast("long").as("qfix"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"),
+          sum(col("qfix")).as("sq"))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          expr("CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+            .as("pos_rate"),
+          expr("CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6")
+            .as("mean_quality"))
+    }),
+
     // The GraftExtensions SQL surface end-to-end: the registered native
     // functions driven from plain spark.sql text (what a SQL-only user
     // of the engine writes).
@@ -811,6 +836,28 @@ object TextQueries extends QueryPack {
   // generated from TextStats.LangProfiles — see langScoreDuck
   private def score(lang: String) = TextStats.langScoreDuck(lang)
 
+  /** The quality-scorer mirror as shared CTEs ending in
+    * `q(doc_id, lang, n_tokens, avg_token_len, quality)` — one copy
+    * serving text_quality and eval_calibration_bins so the formula
+    * can never drift between them (the langidOracleSql discipline).
+    */
+  private lazy val qualityDuckCtes: String =
+    s"""tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+       |        FROM documents),
+       |m AS (SELECT doc_id, lang, text, w,
+       |        CAST(len(w) AS DOUBLE) AS n,
+       |        CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) AS tot,
+       |        CAST(${score("en")} AS DOUBLE) AS nstop,
+       |        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+       |          / CAST(len(text) AS DOUBLE) AS symratio
+       |      FROM tok),
+       |q AS (SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+       |        tot / n AS avg_token_len,
+       |        greatest(0, 1 - abs(tot / n - 4.5) / 4.5) * 0.5
+       |          + least(nstop / n * 2, 1) * 0.3
+       |          + greatest(0, 1 - symratio * 5) * 0.2 AS quality
+       |      FROM m)""".stripMargin
+
   /** The text_langid oracle body, shared verbatim with the kappa
     * oracle's prediction CTE so the two can never drift apart.
     */
@@ -1019,21 +1066,29 @@ object TextQueries extends QueryPack {
          |FROM t CROSS JOIN pe""".stripMargin,
 
     "text_quality" ->
-      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w
-         |             FROM documents),
-         |m AS (SELECT doc_id, text, w,
-         |        CAST(len(w) AS DOUBLE) AS n,
-         |        CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) AS tot,
-         |        CAST(${score("en")} AS DOUBLE) AS nstop,
-         |        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
-         |          / CAST(len(text) AS DOUBLE) AS symratio
-         |      FROM tok)
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  tot / n AS avg_token_len,
-         |  greatest(0, 1 - abs(tot / n - 4.5) / 4.5) * 0.5
-         |    + least(nstop / n * 2, 1) * 0.3
-         |    + greatest(0, 1 - symratio * 5) * 0.2 AS quality
-         |FROM m""".stripMargin,
+      s"""WITH $qualityDuckCtes
+         |SELECT doc_id, n_tokens, avg_token_len, quality
+         |FROM q""".stripMargin,
+
+    // reliability diagram of the quality scorer against the lang
+    // label: per decile bin, size, positive rate, and the mean score
+    // (float MEANS are order-dependent — the mean folds fixed-point
+    // longs, one final division; the bin id itself floors a double
+    // both engines compute bit-identically, so the bin edges agree)
+    "eval_calibration_bins" ->
+      s"""WITH $qualityDuckCtes,
+         |b AS (
+         |  SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bin,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    CAST(floor(quality * 1e6) AS BIGINT) AS qfix
+         |  FROM q)
+         |SELECT bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+         |  CAST(CAST(SUM(qfix) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_quality
+         |FROM b GROUP BY bin""".stripMargin,
 
     "sql_native_functions" ->
       s"""WITH hx AS (SELECT doc_id,
