@@ -534,12 +534,14 @@ object ScaleProbe {
       ("graph_hits", graphHits), ("graph_walk", graphWalk),
       ("pca_moments", pcaMoments),
       ("bitmap_rollup", bitmapRollup),
-      ("graph_scc", graphScc),
       ("ddsketch_quantile", ddsketchQuantile),
       ("asof_hotkey_salted", asofHotkeySalted),
       ("asof_hotkey_plain", asofHotkeyPlain),
       ("cumvol_hotkey_salted", cumvolHotkeySalted),
       ("cumvol_hotkey_plain", cumvolHotkeyPlain),
+      // checkpoint-churn-heavy (many small jobs + block writes): after
+      // the latency-sensitive hotkey group per the light→heavy rule
+      ("graph_scc", graphScc),
       ("heavy_hitters_mg", heavyHittersMg),
       ("segment_dedup", segmentDedup), ("span_dedup", spanDedup),
       ("cdc_chunks", cdcChunks), ("embed_lsh", embedDedup),

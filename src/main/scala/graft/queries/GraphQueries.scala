@@ -531,10 +531,21 @@ object GraphQueries extends QueryPack {
     // One walker per node, WalkSteps unrolled rounds, each ONE
     // join+argmin shuffle; visit counts are the centrality-ish output
     // a corpus builder weights by. See [[graft.ops.GraphWalk]].
+    // memoized like the other substrates so repeat invocations don't
+    // re-walk. Kernel note (measured, round 9): visitCounts stays the
+    // LAZY chained form DELIBERATELY — AQE sees the per-round walker
+    // state is tiny and broadcasts it, streaming the adjacency with
+    // no shuffle; a per-round localCheckpoint variant killed the size
+    // stats, flipped every round to a full-adjacency sort-merge
+    // shuffle, and measured 2-8x slower on the 10x probe arm. The
+    // apparent prefix re-execution in the landed union is absorbed by
+    // exchange/broadcast reuse.
     "graph_walk_visits" -> ((s, dir) =>
-      graft.ops.GraphWalk.visitCounts(
-        coAdjPinned(s, dir).select(col("u").as("src"), col("v").as("dst")),
-        WalkSteps))
+      pinned.getOrElseUpdate(s, s"walkVisits/$dir")(
+        graft.ops.GraphWalk.visitCounts(
+          coAdjPinned(s, dir)
+            .select(col("u").as("src"), col("v").as("dst")),
+          WalkSteps).localCheckpoint()))
   )
 
   /** Walk depth for graph_walk_visits (unrolled identically in the
