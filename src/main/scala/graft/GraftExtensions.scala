@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramStatsF, DotProductF, Hash60F, RollingFpF, SimHashF, ZValueF}
+import graft.functions.{BigramStatsF, DotProductF, FloorLog2F, Hash60F, RollingFpF, SimHashF, ZValueF}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Activate with
@@ -62,7 +62,12 @@ object GraftExtensions {
       info(classOf[BigramStatsF], "graft_bigram_stats",
         "graft_bigram_stats(s) - struct(n_bigrams, n_distinct) of the " +
           "2-token shingles of a single-space-tokenized string"),
-      (args: Seq[Expression]) => BigramStatsF(args(0))))
+      (args: Seq[Expression]) => BigramStatsF(args(0))),
+    (FunctionIdentifier("graft_floor_log2"),
+      info(classOf[FloorLog2F], "graft_floor_log2",
+        "graft_floor_log2(v) - msb position of a non-negative bigint; " +
+          "equals length(bin(v)) - 1 without the string round trip"),
+      (args: Seq[Expression]) => FloorLog2F(args(0))))
 
   /** Idempotent registration on a live session (for sessions not started
     * with spark.sql.extensions).

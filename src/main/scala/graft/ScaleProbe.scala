@@ -485,7 +485,7 @@ object ScaleProbe {
       val bucketed = scaled("lineitem", "l_orderkey", c)
         .select(col("l_returnflag"),
           expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"))
-        .withColumn("msb", length(expr("bin(v)")) - 1)
+        .withColumn("msb", graft.ops.Bits.floorLog2(col("v")))
         .withColumn("bucket",
           when(col("msb") >= 2,
             col("msb") * 4 +

@@ -224,15 +224,19 @@ object ScaleQueries extends QueryPack {
     // bound, independent of the value range. State per group is ≤ 4·64
     // counters, counts merge by addition — the sketch a 100 TB latency/
     // price pipeline keeps per (tenant, day) and rolls up without
-    // re-reading. Cross-engine exactness is the trick: msb via the
-    // string length of bin(v) and sub-bucket via integer shift/mask —
-    // no log()/power() float anywhere, so DuckDB reproduces every
-    // bucket id and lower bound bit-for-bit.
+    // re-reading. Cross-engine exactness is the trick: msb and
+    // sub-bucket are pure integer ops — no log()/power() float
+    // anywhere, so DuckDB reproduces every bucket id and lower bound
+    // bit-for-bit. The msb is the native [[graft.ops.Bits.floorLog2]]
+    // (one numberOfLeadingZeros instruction; the builtin
+    // length(bin(v)) route allocates a binary STRING per row on this
+    // hottest scan-side path — the mirror keeps that form, equality
+    // pinned by FloorLog2Suite).
     "agg_ddsketch_quantile" -> ((s, dir) => {
       val bucketed = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("v"))
-        .withColumn("msb", length(expr("bin(v)")) - 1)
+        .withColumn("msb", graft.ops.Bits.floorLog2(col("v")))
         .withColumn("bucket",
           when(col("msb") >= 2,
             col("msb") * 4 +

@@ -912,7 +912,7 @@ object StreamE2EQueries extends QueryPack {
     val regs = Pipelines.parseTicks(env).filter(!col("_corrupt"))
       .select(col("tradeType").as("g"),
         expr("CAST(floor(price * 100) AS BIGINT)").as("v"))
-      .withColumn("msb", length(expr("bin(v)")) - 1)
+      .withColumn("msb", graft.ops.Bits.floorLog2(col("v")))
       .withColumn("bucket",
         when(col("msb") >= 2,
           col("msb") * 4 +
