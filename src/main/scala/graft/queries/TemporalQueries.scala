@@ -290,6 +290,64 @@ object TemporalQueries extends QueryPack {
     // window form by the window_ntile equivalence). Recency anchors to
     // the corpus max purchase time (1-row broadcast), not wall clock —
     // deterministic and replayable.
+    // LTTB-style series downsampling — the chart-rendering reducer
+    // (pick ONE representative point per time bucket, the one forming
+    // the largest triangle with the neighbor buckets). The classic
+    // algorithm is sequential (each pick depends on the previous); the
+    // parallel variant here anchors each bucket's triangle on the
+    // NEIGHBOR BUCKET AVERAGES instead of the previous pick — fully
+    // data-parallel, one pass. The area argmax is EXACT integer
+    // arithmetic: averages are rationals (S, n), and cross-multiplying
+    // by n_prev·n_next clears every denominator —
+    //   a2 = |(sx_p − x·n_p)(sy_n − y·n_n) − (sx_n − x·n_n)(sy_p − y·n_p)|
+    // in DECIMAL(38,0)/HUGEINT, so the pick (and hence the output)
+    // hash-matches with NO float anywhere. Ties: larger area, earlier
+    // x, smaller event id. Plan: two scans — bucket stats need a full
+    // pass before the per-row area pass (the agg_quantile_hist
+    // two-pass floor); each pass shuffles once on event_type (type
+    // clustering subsumes the (type, day) grouping and the per-bucket
+    // rank), the metadata-sized neighbor stats attach by broadcast,
+    // and the rank≤1 runs under WindowGroupLimit (no full per-group
+    // sort materializes). Edge buckets (no prev/next day) drop, as in
+    // LTTB's interior sweep.
+    "ts_lttb_downsample" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts) div 1000000").as("sec"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("ts").cast("date").as("day"))
+        .withColumn("x", col("sec") -
+          min(col("sec")).over(W.partitionBy("event_type")))
+      val bk = base.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sy"))
+      val wd = W.partitionBy("event_type").orderBy("day")
+      val nb = bk
+        .withColumn("n_p", lag(col("n"), 1).over(wd))
+        .withColumn("sx_p", lag(col("sx"), 1).over(wd))
+        .withColumn("sy_p", lag(col("sy"), 1).over(wd))
+        .withColumn("n_n", lead(col("n"), 1).over(wd))
+        .withColumn("sx_n", lead(col("sx"), 1).over(wd))
+        .withColumn("sy_n", lead(col("sy"), 1).over(wd))
+        .filter(col("n_p").isNotNull && col("n_n").isNotNull)
+        .select("event_type", "day", "n_p", "sx_p", "sy_p",
+          "n_n", "sx_n", "sy_n")
+      val wr = W.partitionBy("event_type", "day")
+        .orderBy(col("a2").desc, col("x"), col("event_id"))
+      base.join(broadcast(nb), Seq("event_type", "day"))
+        .withColumn("a2", expr(
+          "abs((sx_p - CAST(x AS DECIMAL(38,0)) * n_p)" +
+            " * (sy_n - CAST(cents AS DECIMAL(38,0)) * n_n)" +
+            " - (sx_n - CAST(x AS DECIMAL(38,0)) * n_n)" +
+            " * (sy_p - CAST(cents AS DECIMAL(38,0)) * n_p))"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day"), col("event_id"),
+          col("x"), col("cents"))
+    }),
+
     // CUPED-adjusted experiment readout — the variance-reduction
     // every A/B platform runs at scale: per-user metric y and
     // pre-exposure covariate x (here: odd/even event-id slices of
@@ -898,6 +956,46 @@ object TemporalQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM ud u JOIN fd f ON u.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "ts_lttb_downsample" ->
+      """WITH pts AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(ts) // 1000000 AS sec,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, event_id, day, cents,
+        |    sec - MIN(sec) OVER (PARTITION BY event_type) AS x
+        |  FROM pts),
+        |bk AS (
+        |  SELECT event_type, day, COUNT(*) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx,
+        |    CAST(SUM(cents) AS HUGEINT) AS sy
+        |  FROM base GROUP BY 1, 2),
+        |nb AS (
+        |  SELECT event_type, day, n, sx, sy,
+        |    lag(n)  OVER w AS n_p, lag(sx)  OVER w AS sx_p,
+        |    lag(sy) OVER w AS sy_p,
+        |    lead(n) OVER w AS n_n, lead(sx) OVER w AS sx_n,
+        |    lead(sy) OVER w AS sy_n
+        |  FROM bk WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |cand AS (
+        |  SELECT b.event_type, b.day, b.event_id, b.x, b.cents,
+        |    abs((nb.sx_p - CAST(b.x AS HUGEINT) * nb.n_p)
+        |        * (nb.sy_n - CAST(b.cents AS HUGEINT) * nb.n_n)
+        |      - (nb.sx_n - CAST(b.x AS HUGEINT) * nb.n_n)
+        |        * (nb.sy_p - CAST(b.cents AS HUGEINT) * nb.n_p)) AS a2
+        |  FROM base b
+        |  JOIN nb ON b.event_type = nb.event_type AND b.day = nb.day
+        |  WHERE nb.n_p IS NOT NULL AND nb.n_n IS NOT NULL),
+        |pick AS (
+        |  SELECT event_type, day, event_id, x, cents,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY a2 DESC, x, event_id) AS rn
+        |  FROM cand)
+        |SELECT event_type, day, event_id, CAST(x AS BIGINT) AS x, cents
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     "event_ab_ztest" ->
       """WITH pu AS (
