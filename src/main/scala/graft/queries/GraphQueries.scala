@@ -179,6 +179,11 @@ object GraphQueries extends QueryPack {
   private val CoreK = 3
   private val Rounds = 3
 
+  /** graph_coreness sweeps k = 2..this (k = 1 is trivially every
+    * edge-incident node).
+    */
+  private val CorenessMax = 4
+
   /** The [[GraphIter.labelProp]] mirror: l0 init + `Rounds` synchronous
     * vote rounds as CTEs, ending in `l$Rounds(node, label)`. Expects
     * `adj` in scope; shared by the label-prop and modularity oracles.
@@ -392,6 +397,33 @@ object GraphQueries extends QueryPack {
       val adj0 = coAdjPinned(s, dir)
       GraphIter.kcoreEdges(adj0, CoreK, Rounds)
         .groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    }),
+
+    // Full core DECOMPOSITION (graph_kcore answers one level; this
+    // sweeps k = 2..4 and assigns every node its core NUMBER — the
+    // engagement-tier label a recommender or abuse system buckets
+    // users by). Same fixed-round peel per level, unrolled identically
+    // in the mirror (the graph_kcore convention: a 3-round peel is the
+    // mirrored approximation of the fixpoint); node's coreness = 1 +
+    // levels survived. The k sweeps all read the ONE pinned adjacency;
+    // per level the cost is Rounds × (degree rollup + 2 semi-joins) —
+    // at 100 TB the production form peels all levels in one loop
+    // (delete-min with bucket queues doesn't distribute; the level
+    // sweep does).
+    "graph_coreness" -> ((s, dir) => {
+      val adj0 = coAdjPinned(s, dir)
+      val all = adj0.select(col("u").as("node")).distinct()
+      val joined = (2 to CorenessMax).foldLeft(all) { (acc, k) =>
+        acc.join(
+          GraphIter.kcoreEdges(adj0, k, Rounds)
+            .select(col("u").as("node")).distinct()
+            .withColumn(s"s$k", lit(1L)),
+          Seq("node"), "left")
+      }
+      joined.select(col("node"),
+        (2 to CorenessMax).map(k => coalesce(col(s"s$k"), lit(0L)))
+          .foldLeft(lit(1L): org.apache.spark.sql.Column)(_ + _)
+          .as("coreness"))
     }),
 
     // Community detection by synchronous label propagation (3 rounds)
@@ -707,6 +739,33 @@ object GraphQueries extends QueryPack {
          |e0 AS (SELECT u, v FROM adj),
          |$rounds
          |SELECT u AS node, COUNT(*) AS deg FROM e$Rounds GROUP BY u""".stripMargin
+    },
+
+    // per-level unrolled peels (the graph_kcore generator, one chain
+    // per k), coreness = 1 + survived levels
+    "graph_coreness" -> {
+      def peel(k: Int) = (1 to Rounds).map { i =>
+        s"""k${k}n$i AS (SELECT u FROM k${k}e${i - 1} GROUP BY u
+           |  HAVING COUNT(*) >= $k),
+           |k${k}e$i AS (SELECT x.u, x.v FROM k${k}e${i - 1} x
+           |  JOIN k${k}n$i a ON x.u = a.u
+           |  JOIN k${k}n$i b ON x.v = b.u)""".stripMargin
+      }.mkString(",\n")
+      val ks = 2 to CorenessMax
+      val chains = ks.map(k =>
+        s"k${k}e0 AS (SELECT u, v FROM adj),\n${peel(k)}").mkString(",\n")
+      val survs = ks.map(k =>
+        s"s$k AS (SELECT DISTINCT u FROM k${k}e$Rounds)").mkString(",\n")
+      val addend = ks.map(k =>
+        s"(CASE WHEN s$k.u IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+      val joins = ks.map(k => s"LEFT JOIN s$k ON s$k.u = n.u").mkString(" ")
+      s"""WITH $coEdgesDuck,
+         |$coAdjDuck,
+         |$chains,
+         |$survs,
+         |nodes AS (SELECT DISTINCT u FROM adj)
+         |SELECT n.u AS node, CAST(1 + $addend AS BIGINT) AS coreness
+         |FROM nodes n $joins""".stripMargin
     },
 
     // identical 3 synchronous LPA rounds; the argmax is the window
