@@ -410,21 +410,37 @@ object GraphQueries extends QueryPack {
     // at 100 TB the production form peels all levels in one loop
     // (delete-min with bucket queues doesn't distribute; the level
     // sweep does).
-    "graph_coreness" -> ((s, dir) => {
-      val adj0 = coAdjPinned(s, dir)
-      val all = adj0.select(col("u").as("node")).distinct()
-      val joined = (2 to CorenessMax).foldLeft(all) { (acc, k) =>
-        acc.join(
-          GraphIter.kcoreEdges(adj0, k, Rounds)
-            .select(col("u").as("node")).distinct()
-            .withColumn(s"s$k", lit(1L)),
-          Seq("node"), "left")
-      }
-      joined.select(col("node"),
-        (2 to CorenessMax).map(k => coalesce(col(s"s$k"), lit(0L)))
-          .foldLeft(lit(1L): org.apache.spark.sql.Column)(_ + _)
-          .as("coreness"))
-    }),
+    "graph_coreness" -> ((s, dir) =>
+      // CHAINED sweep: level k peels level k−1's survivors (the k-core
+      // of the (k−1)-core IS the k-core), so each level works a
+      // shrinking graph — mirrored identically (k3e0 = k2e3). Each
+      // level's survivors are CHECKPOINTED: the naive lazy chain nests
+      // 9 peel rounds (≈30 joins) and stalls Catalyst — the re-analysis
+      // blowup the PageRank scaladoc documents, hit live here. Result
+      // memoized; level pins released once it materializes.
+      pinned.getOrElseUpdate(s, s"coreness/$dir") {
+        val adj0 = coAdjPinned(s, dir)
+        val all = adj0.select(col("u").as("node")).distinct()
+        val levelPins =
+          scala.collection.mutable.ListBuffer.empty[DataFrame]
+        var edges = adj0
+        val joined = (2 to CorenessMax).foldLeft(all) { (acc, k) =>
+          edges = GraphIter.kcoreEdges(edges, k, Rounds).localCheckpoint()
+          levelPins += edges
+          acc.join(
+            edges.select(col("u").as("node")).distinct()
+              .withColumn(s"s$k", lit(1L)),
+            Seq("node"), "left")
+        }
+        val res = joined.select(col("node"),
+          (2 to CorenessMax).map(k => coalesce(col(s"s$k"), lit(0L)))
+            .foldLeft(lit(1L): org.apache.spark.sql.Column)(_ + _)
+            .as("coreness"))
+          .localCheckpoint()
+        levelPins.foreach(
+          org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint)
+        res
+      }),
 
     // Community detection by synchronous label propagation (3 rounds)
     // over the co-engagement graph: every node starts as its own
@@ -742,18 +758,29 @@ object GraphQueries extends QueryPack {
     },
 
     // per-level unrolled peels (the graph_kcore generator, one chain
-    // per k), coreness = 1 + survived levels
+    // per k), coreness = 1 + survived levels. Every peel CTE is
+    // MATERIALIZED: each round references its predecessor 3× and the
+    // chain is 9 rounds deep — plain CTEs inline at every reference
+    // and the base scan re-expands exponentially (the PcaPower /
+    // GraphWalk.duckCtes finding; hit live here as DuckDB exhausting
+    // file handles on ~4^9 parquet opens).
     "graph_coreness" -> {
       def peel(k: Int) = (1 to Rounds).map { i =>
-        s"""k${k}n$i AS (SELECT u FROM k${k}e${i - 1} GROUP BY u
+        s"""k${k}n$i AS MATERIALIZED (
+           |  SELECT u FROM k${k}e${i - 1} GROUP BY u
            |  HAVING COUNT(*) >= $k),
-           |k${k}e$i AS (SELECT x.u, x.v FROM k${k}e${i - 1} x
+           |k${k}e$i AS MATERIALIZED (
+           |  SELECT x.u, x.v FROM k${k}e${i - 1} x
            |  JOIN k${k}n$i a ON x.u = a.u
            |  JOIN k${k}n$i b ON x.v = b.u)""".stripMargin
       }.mkString(",\n")
       val ks = 2 to CorenessMax
-      val chains = ks.map(k =>
-        s"k${k}e0 AS (SELECT u, v FROM adj),\n${peel(k)}").mkString(",\n")
+      // chained exactly like the engine: level k starts from level
+      // k−1's surviving edges
+      val chains = ks.map { k =>
+        val src = if (k == 2) "adj" else s"k${k - 1}e$Rounds"
+        s"k${k}e0 AS MATERIALIZED (SELECT u, v FROM $src),\n${peel(k)}"
+      }.mkString(",\n")
       val survs = ks.map(k =>
         s"s$k AS (SELECT DISTINCT u FROM k${k}e$Rounds)").mkString(",\n")
       val addend = ks.map(k =>
