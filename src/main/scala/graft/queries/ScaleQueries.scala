@@ -182,6 +182,40 @@ object ScaleQueries extends QueryPack {
       rolled.join(statusSum, Seq("l_returnflag"))
     }),
 
+    // ---- rolling distinct over a sliding window (bitmap OR-frame) ------
+    // "Distinct users in the trailing 3 days, every day" — THE rolling
+    // dashboard metric distinct counts famously break on (counts don't
+    // subtract; re-scanning the window per day is quadratic in window
+    // length). The bitmap tier solves it exactly: one daily
+    // (day, word) → bits state table, then bit_or OVER a 3-day RANGE
+    // frame per word and a per-day bit_count rollup — each day costs a
+    // window merge of O(ids/64) words, and the same state table serves
+    // ANY trailing window length. The (day × word) grid is densified
+    // first: a word silent today still carries yesterday's ids into
+    // today's window (dropping absent rows undercounts — the bug the
+    // definitional oracle would catch). Oracle is the independent
+    // definition: per day, COUNT(DISTINCT) over a 3-day self-join.
+    "window_distinct_rolling" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("ts").cast("date").as("day"),
+          expr("user_id DIV 64").as("w"),
+          expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("b"))
+        .groupBy("day", "w").agg(expr("bit_or(b)").as("bits"))
+      val grid = daily.select("day").distinct()
+        .crossJoin(daily.select("w").distinct())
+      val dense = grid.join(daily, Seq("day", "w"), "left")
+        .select(col("day"), col("w"),
+          coalesce(col("bits"), lit(0L)).as("bits"),
+          datediff(col("day"), lit("1970-01-01").cast("date"))
+            .as("daynum"))
+      val frame = Window.partitionBy("w").orderBy("daynum")
+        .rangeBetween(-2, 0)
+      dense
+        .withColumn("bits3", expr("bit_or(bits)").over(frame))
+        .groupBy("day")
+        .agg(sum(expr("bit_count(bits3)")).as("n_distinct_3d"))
+    }),
+
     // ---- incremental distinct-count maintenance (bitmap IVM) -----------
     // WHY the bitmap is the IVM-friendly distinct state: a materialized
     // "distinct partkeys per flag" view keeps (flag, word) → bits; a
@@ -1216,6 +1250,15 @@ object ScaleQueries extends QueryPack {
         |  CAST(SUM(p.d) AS BIGINT) AS n_status_sum
         |FROM tot t JOIN per p USING (l_returnflag)
         |GROUP BY 1, 2""".stripMargin,
+
+    "window_distinct_rolling" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day
+        |              FROM events)
+        |SELECT d.day,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_distinct_3d
+        |FROM days d JOIN events e
+        |  ON CAST(e.ts AS DATE) BETWEEN d.day - 2 AND d.day
+        |GROUP BY d.day""".stripMargin,
 
     "ivm_bitmap_delta" ->
       """WITH tot AS (
