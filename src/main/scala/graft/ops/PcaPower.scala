@@ -48,9 +48,17 @@ object PcaPower {
     *         (pivot component ≡ 1e6) and the Rayleigh-quotient share of
     *         total variance (constant across rows).
     */
-  def apply(df: DataFrame, vecCol: String, dims: Int, iters: Int): DataFrame = {
-    val spark = df.sparkSession
-    val (v, ratio) = solve(df, vecCol, dims, iters)
+  def apply(df: DataFrame, vecCol: String, dims: Int, iters: Int): DataFrame =
+    fromSolved(df.sparkSession, solve(df, vecCol, dims, iters), dims)
+
+  /** [[apply]] from an already-solved (loadings, ratio) pair — the
+    * memoized-callers entry point (both registered PCA queries share
+    * one solve per (session, fixture) via the pack's SessionCache;
+    * unmemoized, each invocation re-ran the two moment scans).
+    */
+  def fromSolved(spark: org.apache.spark.sql.SparkSession,
+      solved: (Array[Long], Double), dims: Int): DataFrame = {
+    val (v, ratio) = solved
     val schema = StructType(Seq(
       StructField("dim", LongType, nullable = false),
       StructField("loading_fix", LongType, nullable = false),
@@ -72,8 +80,13 @@ object PcaPower {
     * scan, nothing proportional to the corpus on the exchange.
     */
   def project(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-      iters: Int): DataFrame = {
-    val (v, _) = solve(df, vecCol, dims, iters)
+      iters: Int): DataFrame =
+    projectSolved(df, idCol, vecCol, solve(df, vecCol, dims, iters))
+
+  /** [[project]] from an already-solved pair (see [[fromSolved]]). */
+  def projectSolved(df: DataFrame, idCol: String, vecCol: String,
+      solved: (Array[Long], Double)): DataFrame = {
+    val (v, _) = solved
     val loads = array(v.toIndexedSeq.map(lit): _*)
     df.select(col(idCol),
       aggregate(
@@ -87,7 +100,7 @@ object PcaPower {
     * (per-dim sums; upper-triangle pair sums), both scans reducing to
     * d(d+1)/2 partial-sum cells on the exchange.
     */
-  private def solve(df: DataFrame, vecCol: String, dims: Int,
+  def solve(df: DataFrame, vecCol: String, dims: Int,
       iters: Int): (Array[Long], Double) = {
     require(iters >= 1, s"pca: iters $iters < 1")
     val q = df.select(posexplode(col(vecCol)).as(Seq("i", "v")))
