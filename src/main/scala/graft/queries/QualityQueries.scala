@@ -104,6 +104,27 @@ object QualityQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Sequence-completeness audit: which id ranges are missing events?
+    // (The ingestion question behind every "did we drop messages?"
+    // page.) The naive form is a GLOBAL-order window (lead(id) − id)
+    // — a single-partition sort at any real scale. The scalable shape
+    // is bucketed span-vs-count: per id-bucket, n_missing =
+    // (max − min + 1) − n_present, a plain grouped aggregate with
+    // map-side partials and NO ordering requirement anywhere; only
+    // flagged buckets would then get the detail drill (not needed for
+    // the count audit). Run on the purchase slice so gaps exist (the
+    // full event_id domain is dense by construction).
+    "dq_sequence_gaps" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("event_id DIV 1000").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_present"),
+          (max(col("event_id")) - min(col("event_id")) + 1L)
+            .as("span"))
+        .withColumn("n_missing", col("span") - col("n_present"))
+        .filter(col("n_missing") > 0)),
+
     // Per-column profile: rows / nulls / exact distinct / numeric
     // min-max, one row per profiled column ([[profileOf]]).
     "dq_profile" -> ((s, dir) => profileOf(Tables(s, dir, "lineitem"))),
@@ -446,6 +467,15 @@ object QualityQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "dq_sequence_gaps" ->
+      """SELECT event_id // 1000 AS bucket,
+        |  COUNT(*) AS n_present,
+        |  MAX(event_id) - MIN(event_id) + 1 AS span,
+        |  (MAX(event_id) - MIN(event_id) + 1) - COUNT(*) AS n_missing
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1
+        |HAVING (MAX(event_id) - MIN(event_id) + 1) - COUNT(*) > 0""".stripMargin,
+
     "dq_freshness" ->
       """WITH per AS (
         |  SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts
