@@ -49,6 +49,16 @@ object SimilarityQueries extends QueryPack {
       .filter(col("rnk") <= K)
   }
 
+  /** Pinned exact-arm ranking (q_id, n_id) for the eval queries —
+    * 50 rows, released on LRU evict.
+    */
+  private val pinned = new graft.util.SessionCache[DataFrame](8,
+    df => org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(df))
+
+  private def brutePinned(s: SparkSession, dir: String): DataFrame =
+    pinned.getOrElseUpdate(s, s"brute/$dir")(
+      queries("ann_brute_topk")(s, dir).localCheckpoint())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ann_brute_topk" -> ((s, dir) =>
@@ -193,8 +203,11 @@ object SimilarityQueries extends QueryPack {
     // probe fewer true neighbors) — the measured cost of the caveat
     // fix. Counts exact; the rate is one IEEE division.
     "ann_eval_recall" -> ((s, dir) => {
-      val brute = queries("ann_brute_topk")(s, dir)
-        .select(col("q_id"), col("n_id"))
+      // the exact arm grounds three probe arms and is consumed TWICE
+      // per arm (hit join + per-query denominator) — six executions of
+      // the corpus×query cosine scan unpinned; memoize the 50-row
+      // ranking per (session, dir), the GraphQueries pin discipline
+      val brute = brutePinned(s, dir).select(col("q_id"), col("n_id"))
       def evalOf(name: String, probe: DataFrame): DataFrame = {
         val hits = brute.join(probe, Seq("q_id", "n_id"))
           .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
@@ -226,7 +239,7 @@ object SimilarityQueries extends QueryPack {
     // ideal. Scale: |Q|·K rows joined against the brute top-k — the
     // metric costs nothing beyond the probes it grades.
     "ann_eval_ndcg" -> ((s, dir) => {
-      val brute = queries("ann_brute_topk")(s, dir)
+      val brute = brutePinned(s, dir)
         .select(col("q_id"), col("n_id"), col("rnk").as("brute_rnk"))
       def ndcgOf(name: String, probe: DataFrame): DataFrame = {
         val gains = probe.join(brute, Seq("q_id", "n_id"), "left")
@@ -259,7 +272,7 @@ object SimilarityQueries extends QueryPack {
     // quadratic. Cosines go through the same pinned left-fold kernel
     // on the sliced arrays, so both engines cut the same top-k.
     "ann_matryoshka_recall" -> ((s, dir) => {
-      val brute = queries("ann_brute_topk")(s, dir)
+      val brute = brutePinned(s, dir)
         .select(col("q_id"), col("n_id"))
       val e = Tables(s, dir, "embeddings")
       def prefixTopk(p: Int): DataFrame = {
