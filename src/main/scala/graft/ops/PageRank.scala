@@ -97,6 +97,101 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank: identical loop, but teleport mass lands on
+    * the SEED set instead of uniformly — r0 = 1/|S| on seeds (0
+    * elsewhere) and each round adds (1−d)/|S| to seeds only. The
+    * recommendation-score form ("importance as seen FROM these
+    * users"); same quantized-contribution determinism, same
+    * checkpoint/release loop discipline as [[apply]].
+    *
+    * @param seeds one `node` column; must be a subset of the edge
+    *              node universe for the mass argument to hold
+    */
+  def personalized(
+      edgesIn: DataFrame, iters: Int, seeds: DataFrame): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ewd = edges.join(outdeg, "src").localCheckpoint()
+    val base = {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      nodes
+        .crossJoin(broadcast(
+          seeds.agg(count(lit(1)).as("ns"))))
+        .join(broadcast(seeds.select(col("node"), lit(1).as("in_seed"))),
+          Seq("node"), "left")
+        .select(col("node"), col("ns"),
+          coalesce(col("in_seed"), lit(0)).as("in_seed"))
+        .localCheckpoint()
+    }
+    var ranks = base.select(col("node"),
+      when(col("in_seed") === 1, lit(1.0) / col("ns").cast("double"))
+        .otherwise(lit(0.0)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ewd
+        .join(ranks, ewd("src") === ranks("node"))
+        .select(col("dst"),
+          floor(col("r") / col("outdeg").cast("double") * Scale)
+            .cast("long").as("cq"))
+        .groupBy("dst").agg(sum(col("cq")).as("sq"))
+      val next = base
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(col("in_seed") === 1,
+            lit(1 - Damping) / col("ns").cast("double"))
+            .otherwise(lit(0.0)) +
+            lit(Damping) *
+              (coalesce(col("sq"), lit(0L)).cast("double") / Scale))
+            .as("r"))
+        .localCheckpoint()
+      val prev = ranks
+      ranks = next
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(prev)
+    }
+    if (iters > 0) {
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ewd)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(base)
+    }
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(edges)
+    ranks
+  }
+
+  /** [[personalized]]'s mirror: expects `edges(src, dst)` AND
+    * `seeds(node)` CTEs, ends in `r$iters(node, r)`.
+    */
+  def pprDuckCtes(iters: Int): String = {
+    val base =
+      s"""od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges
+         |  UNION ALL SELECT dst AS node FROM edges)),
+         |ns AS (SELECT COUNT(*) AS ns FROM seeds),
+         |r0 AS (SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |      THEN 1.0 / CAST(ns.ns AS DOUBLE) ELSE 0e0 END AS r
+         |  FROM nodes n CROSS JOIN ns
+         |  LEFT JOIN seeds s ON s.node = n.node)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, CAST(SUM(CAST(floor(
+         |      r.r / CAST(o.outdeg AS DOUBLE) * ${Scale}) AS BIGINT))
+         |    AS BIGINT) AS sq
+         |  FROM edges e
+         |  JOIN od o ON e.src = o.src
+         |  JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |      THEN ${1 - Damping} / CAST(ns.ns AS DOUBLE) ELSE 0e0 END +
+         |    $Damping * (CAST(COALESCE(c.sq, 0) AS DOUBLE) / ${Scale}) AS r
+         |  FROM nodes n CROSS JOIN ns
+         |  LEFT JOIN seeds s ON s.node = n.node
+         |  LEFT JOIN c$i c ON n.node = c.dst)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   /** DuckDB mirror as a WITH body: expects an `edges(src, dst)` CTE to
     * already be defined, unrolls `iters` iterations, ends in
     * `r$iters(node, r)`.

@@ -206,6 +206,20 @@ object GraphQueries extends QueryPack {
       PageRank(edges(s, dir), Iters)
         .select(col("node"), col("r"))),
 
+    // Personalized PageRank from the user-0..4 seed set (the BFS
+    // seeds) — "importance as seen FROM these users", the
+    // recommendation-score form of the diffusion family. Teleport mass
+    // lands on seeds only; same quantized-contribution determinism and
+    // mirror unroll as graph_pagerank (one generator per variant, both
+    // in [[graft.ops.PageRank]]).
+    "graph_ppr" -> ((s, dir) => {
+      val e = edges(s, dir)
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(col("node") < 5)
+      PageRank.personalized(e, Iters, seeds)
+        .select(col("node"), col("r"))
+    }),
+
     // Triangle census over the user–user co-engagement graph: two
     // users connect if they bought the SAME item on the SAME day, then
     // count wedges and triangles and report the global clustering
@@ -718,6 +732,13 @@ object GraphQueries extends QueryPack {
     "graph_pagerank" ->
       s"""WITH $edgesDuck,
          |${PageRank.duckCtes(Iters)}
+         |SELECT node, r FROM r$Iters""".stripMargin,
+
+    "graph_ppr" ->
+      s"""WITH $edgesDuck,
+         |seeds AS (
+         |  SELECT DISTINCT src AS node FROM edges WHERE src < 5),
+         |${PageRank.pprDuckCtes(Iters)}
          |SELECT node, r FROM r$Iters""".stripMargin,
 
     "graph_triangles" ->
