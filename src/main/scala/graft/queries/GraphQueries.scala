@@ -298,6 +298,43 @@ object GraphQueries extends QueryPack {
           org.apache.spark.sql.expressions.Window.partitionBy("scc_id")))
         .select(col("node").as("item"), col("scc_id"), col("scc_size"))),
 
+    // Item-item collaborative filtering — the co-engagement family's
+    // consumer query: sim(i, j) = users who bought BOTH (the item-item
+    // co-occurrence matrix), score(u, cand) = Σ sim over u's items,
+    // owned items excluded by anti-join, top-3 per user. Scale shape:
+    // the sim build is quadratic per USER BASKET (bounded baskets —
+    // production caps basket size exactly like MaxPop caps blocks);
+    // the sim matrix is items², tiny next to users, so it BROADCASTS
+    // to the scoring join and the per-user rollup is the only big
+    // shuffle. Everything is exact integer counts; top-3 ties break
+    // (score desc, item asc).
+    "rec_item_cf" -> ((s, dir) => {
+      // FOUR consumers (both sim sides, the scoring join, the owned
+      // anti-join) — pin the distinct (user, item) frame once
+      val ui = pinned.getOrElseUpdate(s, s"purchItems/$dir")(
+        Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u"),
+            get_json_object(col("props"), "$.k").cast("long").as("i"))
+          .distinct().localCheckpoint())
+      val sim = ui.as("a")
+        .join(ui.as("b"),
+          col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
+        .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+        .agg(count(lit(1)).as("n"))
+      val cand = ui.join(broadcast(sim), col("i") === col("ia"))
+        .select(col("u"), col("ib"), col("n"))
+        .join(ui.select(col("u"), col("i").as("ib")),
+          Seq("u", "ib"), "left_anti")
+        .groupBy("u", "ib").agg(sum(col("n")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("score").desc, col("ib"))
+      cand.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("u").as("user_id"), col("ib").as("item"),
+          col("score"), col("rnk"))
+    }),
+
     // Topological layering of the SCC CONDENSATION — the composition
     // query the SCC op exists to enable: collapse each SCC to one
     // node (the condensation is a DAG by construction), then
@@ -733,6 +770,28 @@ object GraphQueries extends QueryPack {
       s"""WITH $edgesDuck,
          |${PageRank.duckCtes(Iters)}
          |SELECT node, r FROM r$Iters""".stripMargin,
+
+    "rec_item_cf" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+        |  FROM events WHERE event_type = 'purchase'),
+        |sim AS (
+        |  SELECT a.i AS ia, b.i AS ib, COUNT(*) AS n
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT u.u, s.ib AS cand, CAST(SUM(s.n) AS BIGINT) AS score
+        |  FROM ui u JOIN sim s ON s.ia = u.i
+        |  WHERE NOT EXISTS (SELECT 1 FROM ui o
+        |                    WHERE o.u = u.u AND o.i = s.ib)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT u, cand, score,
+        |    row_number() OVER (PARTITION BY u
+        |      ORDER BY score DESC, cand) AS rnk
+        |  FROM sc)
+        |SELECT u AS user_id, cand AS item, score, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
 
     "graph_ppr" ->
       s"""WITH $edgesDuck,
