@@ -374,6 +374,40 @@ object TextQueries extends QueryPack {
         TextStats.qualityScore(col("text")).as("quality"))
     }),
 
+    // Cross-SOURCE bigram-Jaccard matrix — the corpus-overlap audit a
+    // dedup team runs before deciding which crawls to keep: per source
+    // pair, |distinct bigrams ∩| / |∪| in exact integers, one IEEE
+    // division at the end. Scale shape: the per-source distinct
+    // bigram sets are the big rollup (one shuffle on (source, gram));
+    // the intersection self-join keys on the GRAM, so a gram shared by
+    // s sources costs C(s,2) pairs — bounded by the SOURCE count
+    // squared, never corpus size (20 sources → ≤190 rows per gram; at
+    // 100 TB this is the audit's whole point: output is sources², a
+    // constant, whatever the corpus). Tie order src-lexicographic on
+    // both engines. Grams travel as md5-h31 LONGS — no exchange
+    // carries text (the pack's invariant); collisions merge grams
+    // identically on both engines, the KMV hash-universe contract.
+    "text_source_overlap" -> ((s, dir) => {
+      val bg = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(TextHash.shingles(TextHash.tokens(col("text")), 2))
+            .as("bgs"))
+        .select(col("source"), TextHash.h31(col("bgs")).as("bg"))
+        .distinct()
+      val sz = bg.groupBy("source").agg(count(lit(1)).as("n"))
+      bg.toDF("source_a", "bg")
+        .join(bg.toDF("source_b", "bg2"),
+          col("bg") === col("bg2") && col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sz.toDF("source_a", "n_a")), Seq("source_a"))
+        .join(broadcast(sz.toDF("source_b", "n_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"),
+          col("n_b"), col("n_common"),
+          expr("CAST(n_common AS DOUBLE)" +
+            " / CAST(n_a + n_b - n_common AS DOUBLE)").as("jaccard"))
+    }),
+
     // Reliability diagram of the quality scorer against the lang
     // label — the calibration readout an eval pipeline draws before
     // trusting a scorer's thresholds: per score-decile bin, size,
@@ -900,6 +934,33 @@ object TextQueries extends QueryPack {
          |SELECT v.token AS keyword, r.r
          |FROM r$TrIters r JOIN vocab v ON v.node = r.node
          |ORDER BY r.r DESC, v.token LIMIT 20""".stripMargin,
+
+    "text_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT source, bgh AS bg FROM (
+        |    SELECT source,
+        |      CAST('0x' || substr(md5(bgs), 1, 15) AS BIGINT)
+        |        % 2147483647 AS bgh
+        |    FROM (SELECT source, unnest(CASE WHEN len(w) >= 2
+        |            THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |            ELSE [] END) AS bgs
+        |          FROM w))),
+        |sz AS (SELECT source, COUNT(*) AS n FROM bg GROUP BY 1),
+        |inter AS (
+        |  SELECT x.source AS source_a, y.source AS source_b,
+        |    COUNT(*) AS n_common
+        |  FROM bg x JOIN bg y ON x.bg = y.bg AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  CAST(i.n_common AS BIGINT) AS n_common,
+        |  CAST(i.n_common AS DOUBLE)
+        |    / CAST(a.n + b.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sz a ON a.source = i.source_a
+        |JOIN sz b ON b.source = i.source_b""".stripMargin,
 
     "text_lm_bits" ->
       """WITH tok AS (
