@@ -216,6 +216,35 @@ object ScaleQueries extends QueryPack {
         .agg(sum(expr("bit_count(bits3)")).as("n_distinct_3d"))
     }),
 
+    // ---- rolling distinct, sketch tier (windowed HLL register max) -----
+    // The same trailing-3-day question answered in O(512) registers
+    // per day when the id domain is too sparse for exact bitmaps:
+    // register-wise MAX over the day RANGE frame IS the union sketch
+    // of the window (max-merge associativity — the agg_hll_union proof
+    // lifted into a window frame). Grid-densified like the bitmap arm
+    // (a register silent today still carries yesterday's max into the
+    // window); rows where the frame max is everywhere-null stay unset.
+    // The oracle never windows: it rebuilds each day's sketch from the
+    // raw 3-day row set — a hash match proves frame-max ≡ union-sketch
+    // for EVERY day.
+    "window_distinct_rolling_hll" -> ((s, dir) => {
+      val regs = Hll.registers(t(s, dir, "events"),
+        col("ts").cast("date"), col("user_id"))
+      val grid = regs.select(col("g")).distinct()
+        .crossJoin(regs.select("bucket").distinct())
+      val frame = Window.partitionBy("bucket").orderBy("daynum")
+        .rangeBetween(-2, 0)
+      val rolled = grid.join(regs, Seq("g", "bucket"), "left")
+        .withColumn("daynum",
+          datediff(col("g"), lit("1970-01-01").cast("date")))
+        .withColumn("m3", max(col("m_j")).over(frame))
+        .filter(col("m3").isNotNull)
+        .select(col("g"), col("bucket"), col("m3").as("m_j"))
+      Hll.estimate(rolled)
+        .select(col("g").as("day"), col("n_set"), col("s_total"),
+          col("est_distinct"))
+    }),
+
     // ---- incremental distinct-count maintenance (bitmap IVM) -----------
     // WHY the bitmap is the IVM-friendly distinct state: a materialized
     // "distinct partkeys per flag" view keeps (flag, word) → bits; a
@@ -1259,6 +1288,20 @@ object ScaleQueries extends QueryPack {
         |FROM days d JOIN events e
         |  ON CAST(e.ts AS DATE) BETWEEN d.day - 2 AND d.day
         |GROUP BY d.day""".stripMargin,
+
+    "window_distinct_rolling_hll" ->
+      s"""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day
+         |              FROM events),
+         |hashed AS (
+         |  SELECT d.day AS g,
+         |    CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS h
+         |  FROM days d JOIN events e
+         |    ON CAST(e.ts AS DATE) BETWEEN d.day - 2 AND d.day),
+         |${Hll.duckCtes}
+         |SELECT g AS day, n_set, s_total,
+         |  ${Hll.estSql("s_total")} AS est_distinct
+         |FROM hlls""".stripMargin,
 
     "ivm_bitmap_delta" ->
       """WITH tot AS (
