@@ -517,6 +517,59 @@ object ScaleProbe {
       n
     }
 
+    // Item-item CF (rec_item_cf's pipeline): users ×c with fixed
+    // baskets and a fixed catalog — co-purchase pair volume grows
+    // linearly with users (the per-BASKET quadratic term is bounded by
+    // basket size, the scaladoc's claim under test), the sim matrix
+    // stays items² and broadcasts. Healthy = job ~ users.
+    def recItemCf(c: Int): Long = {
+      val ui = scaled("events", "user_id", c)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u"),
+          get_json_object(col("props"), "$.k").cast("long").as("i"))
+        .distinct().localCheckpoint()
+      val sim = ui.as("a")
+        .join(ui.as("b"),
+          col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
+        .groupBy(col("a.i").as("ia"), col("b.i").as("ib"))
+        .agg(count(lit(1)).as("n"))
+      val cand = ui.join(broadcast(sim), col("i") === col("ia"))
+        .select(col("u"), col("ib"), col("n"))
+        .join(ui.select(col("u"), col("i").as("ib")),
+          Seq("u", "ib"), "left_anti")
+        .groupBy("u", "ib").agg(sum(col("n")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("score").desc, col("ib"))
+      val n = exec(cand
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3))
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ui)
+      n
+    }
+
+    // Cross-source gram overlap (text_source_overlap's pipeline) on a
+    // ×c duplicated corpus: the distinct (source, gram) set — and so
+    // the intersection join and the output — are IDENTICAL at every c;
+    // what grows is the pre-distinct scan. Healthy = job ~ rows with
+    // the join term flat (fixed-output arm, judge on job ratio).
+    def sourceOverlap(c: Int): Long = {
+      import graft.ops.TextHash
+      val bg = scaled("documents", "doc_id", c)
+        .select(col("source"),
+          explode(TextHash.shingleHashes(col("text"), 2)).as("bg"))
+        .distinct().localCheckpoint()
+      val sz = bg.groupBy("source").agg(count(lit(1)).as("n"))
+      val n = exec(bg.toDF("source_a", "bg")
+        .join(bg.toDF("source_b", "bg2"),
+          col("bg") === col("bg2") && col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sz.toDF("source_a", "n_a")), Seq("source_a"))
+        .join(broadcast(sz.toDF("source_b", "n_b")), Seq("source_b")))
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bg)
+      n
+    }
+
     // Ordered LIGHT → HEAVY on the 10× side, deliberately: a monster
     // arm (graph_triangles pushes ~320M output rows at 10×;
     // prefix_filter/winnow tens of seconds) leaves GC and page-cache
@@ -535,6 +588,8 @@ object ScaleProbe {
       ("pca_moments", pcaMoments),
       ("bitmap_rollup", bitmapRollup),
       ("ddsketch_quantile", ddsketchQuantile),
+      ("rec_item_cf", recItemCf),
+      ("source_overlap", sourceOverlap),
       ("asof_hotkey_salted", asofHotkeySalted),
       ("asof_hotkey_plain", asofHotkeyPlain),
       ("cumvol_hotkey_salted", cumvolHotkeySalted),

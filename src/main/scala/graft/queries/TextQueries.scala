@@ -390,9 +390,7 @@ object TextQueries extends QueryPack {
     "text_source_overlap" -> ((s, dir) => {
       val bg = Tables(s, dir, "documents")
         .select(col("source"),
-          explode(TextHash.shingles(TextHash.tokens(col("text")), 2))
-            .as("bgs"))
-        .select(col("source"), TextHash.h31(col("bgs")).as("bg"))
+          explode(TextHash.shingleHashes(col("text"), 2)).as("bg"))
         .distinct()
       val sz = bg.groupBy("source").agg(count(lit(1)).as("n"))
       bg.toDF("source_a", "bg")
