@@ -269,9 +269,11 @@ object TextQueries extends QueryPack {
     // type-cardinality throughout.
     "text_ngram_novelty" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // grams travel as md5-h31 longs (the text_source_overlap
+      // contract, via the span-hash kernel — no gram string is ever
+      // built); the distinct exchange carries (doc_id, long)
       val dg = docs.select(col("doc_id"),
-          explode(TextHash.shingles(TextHash.tokens(col("text")), 2))
-            .as("g"))
+          explode(TextHash.shingleHashes(col("text"), 2)).as("g"))
         .distinct()
       val firstDoc = dg.groupBy("g").agg(min(col("doc_id")).as("fd"))
       val perDoc = dg.join(firstDoc, Seq("g"))
@@ -995,10 +997,13 @@ object TextQueries extends QueryPack {
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dg AS (
-        |  SELECT DISTINCT doc_id, g FROM (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(gs), 1, 15) AS BIGINT)
+        |      % 2147483647 AS g
+        |  FROM (
         |    SELECT doc_id, unnest(CASE WHEN len(w) >= 2
         |        THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
-        |        ELSE [] END) AS g
+        |        ELSE [] END) AS gs
         |    FROM tok)),
         |fd AS (SELECT g, MIN(doc_id) AS fd FROM dg GROUP BY 1),
         |pd AS (
