@@ -467,7 +467,7 @@ object ScaleProbe {
       val leaf = scaled("lineitem", "l_partkey", c)
         .select(col("l_returnflag"), col("l_linestatus"),
           expr("l_partkey DIV 64").as("w"),
-          expr("shiftleft(1L, CAST(l_partkey % 64 AS INT))").as("b"))
+          graft.ops.Bits.oneHot(col("l_partkey")).as("b"))
         .groupBy("l_returnflag", "l_linestatus", "w")
         .agg(expr("bit_or(b)").as("bits"))
       exec(leaf.groupBy("l_returnflag", "w")

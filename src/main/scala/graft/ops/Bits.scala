@@ -14,4 +14,23 @@ object Bits {
     */
   def floorLog2(v: Column): Column =
     Bridge.column(graft.functions.FloorLog2F(Bridge.expression(v)))
+
+  /** One-hot in-word bit of a NON-NEGATIVE id: `1L << (v % 64)` with a
+    * loud per-row refusal of negatives — arithmetic shift floors
+    * toward −∞ while the bit index wraps, so a negative id would shard
+    * to the WRONG (word, bit) silently (the [[BitmapDistinct]].reduce
+    * guard, applied to the pure-builtin bitmap tier: rollup, IVM,
+    * rolling window, streaming). The guard is one codegen branch per
+    * row; a fixture regen to signed ids fails with this message
+    * instead of a hash mismatch three layers downstream.
+    */
+  def oneHot(v: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function, lit, when}
+    when(v < lit(0L),
+      call_function("raise_error",
+        lit("bitmap one-hot: negative id (non-negative domain only)"))
+        .cast("long"))
+      .otherwise(call_function("shiftleft", lit(1L),
+        (v % lit(64L)).cast("int")))
+  }
 }

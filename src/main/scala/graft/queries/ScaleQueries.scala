@@ -166,7 +166,7 @@ object ScaleQueries extends QueryPack {
       val leaf = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
           expr("l_partkey DIV 64").as("w"),
-          expr("shiftleft(1L, CAST(l_partkey % 64 AS INT))").as("b"))
+          graft.ops.Bits.oneHot(col("l_partkey")).as("b"))
         .groupBy("l_returnflag", "l_linestatus", "w")
         .agg(expr("bit_or(b)").as("bits"))
       val statusSum = leaf
@@ -199,7 +199,7 @@ object ScaleQueries extends QueryPack {
       val daily = t(s, dir, "events")
         .select(col("ts").cast("date").as("day"),
           expr("user_id DIV 64").as("w"),
-          expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("b"))
+          graft.ops.Bits.oneHot(col("user_id")).as("b"))
         .groupBy("day", "w").agg(expr("bit_or(b)").as("bits"))
       val grid = daily.select("day").distinct()
         .crossJoin(daily.select("w").distinct())
@@ -263,7 +263,7 @@ object ScaleQueries extends QueryPack {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"),
           expr("l_partkey DIV 64").as("w"),
-          expr("shiftleft(1L, CAST(l_partkey % 64 AS INT))").as("b"))
+          graft.ops.Bits.oneHot(col("l_partkey")).as("b"))
       def bits(df: DataFrame, out: String): DataFrame =
         df.groupBy("l_returnflag", "w")
           .agg(expr("bit_or(b)").as(out))

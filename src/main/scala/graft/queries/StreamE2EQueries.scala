@@ -975,7 +975,7 @@ object StreamE2EQueries extends QueryPack {
       .select(col("tradeType").as("g"),
         col("symbol").cast("long").as("v"))
       .select(col("g"), expr("v DIV 64").as("w"),
-        expr("shiftleft(1L, CAST(v % 64 AS INT))").as("b"))
+        graft.ops.Bits.oneHot(col("v")).as("b"))
       .groupBy("g", "w").agg(expr("bit_or(b)").as("bits"))
     val sinkRoot = work.resolve("sink").toString
     val q = regs.writeStream.outputMode("update")

@@ -55,4 +55,18 @@ class BitmapDistinctSuite extends SparkSpec {
     val e = intercept[IllegalArgumentException](a.reduce(a.zero, -1L))
     assert(e.getMessage.contains("negative"))
   }
+
+  test("the builtin tier's one-hot refuses negatives too") {
+    import spark.implicits._
+    val ok = Seq(0L, 63L, 64L).toDF("v")
+      .select(graft.ops.Bits.oneHot(col("v")).as("b")).collect()
+    assert(ok.map(_.getLong(0)).toSeq === Seq(1L, Long.MinValue, 1L))
+    val e = intercept[Throwable](
+      Seq(-1L).toDF("v")
+        .select(graft.ops.Bits.oneHot(col("v"))).collect())
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("negative")) ||
+        mentions(t.getCause))
+    assert(mentions(e), s"unexpected failure: $e")
+  }
 }
