@@ -202,7 +202,7 @@ object ScaleQueries extends QueryPack {
           graft.ops.Bits.oneHot(col("user_id")).as("b"))
         .groupBy("day", "w").agg(expr("bit_or(b)").as("bits"))
       val grid = daily.select("day").distinct()
-        .crossJoin(daily.select("w").distinct())
+        .crossJoin(broadcast(daily.select("w").distinct()))
       val dense = grid.join(daily, Seq("day", "w"), "left")
         .select(col("day"), col("w"),
           coalesce(col("bits"), lit(0L)).as("bits"),
@@ -231,7 +231,7 @@ object ScaleQueries extends QueryPack {
       val regs = Hll.registers(t(s, dir, "events"),
         col("ts").cast("date"), col("user_id"))
       val grid = regs.select(col("g")).distinct()
-        .crossJoin(regs.select("bucket").distinct())
+        .crossJoin(broadcast(regs.select("bucket").distinct()))
       val frame = Window.partitionBy("bucket").orderBy("daynum")
         .rangeBetween(-2, 0)
       val rolled = grid.join(regs, Seq("g", "bucket"), "left")
