@@ -376,6 +376,35 @@ object TextQueries extends QueryPack {
         TextStats.qualityScore(col("text")).as("quality"))
     }),
 
+    // Per-source boilerplate-prefix audit: the most common first-8-
+    // token fingerprint and its share — a share near 1.0 means the
+    // source prepends a header/banner every curation pipeline strips
+    // before dedup (boilerplate dominates shingle sets and welds
+    // unrelated docs into near-dup clusters). The fingerprint is the
+    // FIRST element of the span-hash kernel's shingle array (k=8) —
+    // no prefix string is built; docs under 8 tokens can't carry the
+    // fingerprint and drop on both engines. This fixture has no
+    // planted boilerplate, so shares sit at 1/n_docs — the audit's
+    // clean reading, pinned as exactly that by the oracle.
+    "text_boilerplate_prefix" -> ((s, dir) => {
+      val pre = Tables(s, dir, "documents")
+        .select(col("source"),
+          TextHash.shingleHashes(col("text"), 8).as("hs"))
+        .filter(size(col("hs")) >= 1)
+        .select(col("source"), element_at(col("hs"), 1).as("p"))
+      val cnt = pre.groupBy("source", "p").agg(count(lit(1)).as("n"))
+      val tot = pre.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n").desc, col("p"))
+      cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("n_docs"),
+          col("p").as("top_prefix"), col("n").as("n_top"),
+          expr("CAST(n AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+            .as("top_share"))
+    }),
+
     // Cross-SOURCE bigram-Jaccard matrix — the corpus-overlap audit a
     // dedup team runs before deciding which crawls to keep: per source
     // pair, |distinct bigrams ∩| / |∪| in exact integers, one IEEE
@@ -934,6 +963,26 @@ object TextQueries extends QueryPack {
          |SELECT v.token AS keyword, r.r
          |FROM r$TrIters r JOIN vocab v ON v.node = r.node
          |ORDER BY r.r DESC, v.token LIMIT 20""".stripMargin,
+
+    "text_boilerplate_prefix" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |pre AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5(array_to_string(w[1:8], ' ')), 1, 15)
+        |      AS BIGINT) % 2147483647 AS p
+        |  FROM w WHERE len(w) >= 8),
+        |cnt AS (SELECT source, p, COUNT(*) AS n FROM pre GROUP BY 1, 2),
+        |tot AS (SELECT source, COUNT(*) AS n_docs FROM pre GROUP BY 1),
+        |top AS (
+        |  SELECT source, p, n,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, p) AS rn
+        |  FROM cnt)
+        |SELECT t.source, CAST(tt.n_docs AS BIGINT) AS n_docs,
+        |  t.p AS top_prefix, CAST(t.n AS BIGINT) AS n_top,
+        |  CAST(t.n AS DOUBLE) / CAST(tt.n_docs AS DOUBLE) AS top_share
+        |FROM top t JOIN tot tt USING (source) WHERE t.rn = 1""".stripMargin,
 
     "text_source_overlap" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS w
