@@ -182,6 +182,35 @@ object ScaleQueries extends QueryPack {
       rolled.join(statusSum, Seq("l_returnflag"))
     }),
 
+    // ---- pairwise distinct-set overlap (bitmap AND) ---------------------
+    // The set-ops leg of the bitmap family (agg_kmv_setops' exact
+    // tier): how much do the ship-months' part populations overlap?
+    // ONE (month, word) bitmap state answers every per-month size
+    // (bit_count) AND all 66 pairwise intersections
+    // (bit_count(a & b) summed over words) — the audience-overlap
+    // matrix shape, priced at months² per WORD instead of a distinct
+    // self-join per pair over the raw rows. The oracle is the
+    // definitional DISTINCT self-join.
+    "agg_bitmap_intersect" -> ((s, dir) => {
+      val bm = t(s, dir, "lineitem")
+        .select(expr("CAST(month(l_shipdate) AS INT)").as("f"),
+          expr("l_partkey DIV 64").as("w"),
+          graft.ops.Bits.oneHot(col("l_partkey")).as("b"))
+        .groupBy("f", "w").agg(expr("bit_or(b)").as("bits"))
+      val sz = bm.groupBy("f").agg(sum(expr("bit_count(bits)")).as("n"))
+      bm.toDF("month_a", "w", "ba")
+        .join(bm.toDF("month_b", "w2", "bb"),
+          col("w") === col("w2") && col("month_a") < col("month_b"))
+        .groupBy("month_a", "month_b")
+        .agg(sum(expr("bit_count(ba & bb)")).as("n_common"))
+        .join(broadcast(sz.toDF("month_a", "n_a")), Seq("month_a"))
+        .join(broadcast(sz.toDF("month_b", "n_b")), Seq("month_b"))
+        .select(col("month_a"), col("month_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          expr("CAST(n_common AS DOUBLE)" +
+            " / CAST(n_a + n_b - n_common AS DOUBLE)").as("jaccard"))
+    }),
+
     // ---- rolling distinct over a sliding window (bitmap OR-frame) ------
     // "Distinct users in the trailing 3 days, every day" — THE rolling
     // dashboard metric distinct counts famously break on (counts don't
@@ -1279,6 +1308,25 @@ object ScaleQueries extends QueryPack {
         |  CAST(SUM(p.d) AS BIGINT) AS n_status_sum
         |FROM tot t JOIN per p USING (l_returnflag)
         |GROUP BY 1, 2""".stripMargin,
+
+    "agg_bitmap_intersect" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT CAST(date_part('month', l_shipdate) AS INT)
+        |      AS f,
+        |    l_partkey AS p
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT a.f AS month_a, b.f AS month_b, COUNT(*) AS n_common
+        |  FROM fp a JOIN fp b ON a.p = b.p AND a.f < b.f GROUP BY 1, 2),
+        |sz AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY 1)
+        |SELECT p.month_a, p.month_b, CAST(sa.n AS BIGINT) AS n_a,
+        |  CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(p.n_common AS BIGINT) AS n_common,
+        |  CAST(p.n_common AS DOUBLE)
+        |    / CAST(sa.n + sb.n - p.n_common AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sz sa ON sa.f = p.month_a
+        |JOIN sz sb ON sb.f = p.month_b""".stripMargin,
 
     "window_distinct_rolling" ->
       """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day
