@@ -376,6 +376,30 @@ object TextQueries extends QueryPack {
         TextStats.qualityScore(col("text")).as("quality"))
     }),
 
+    // The one-row corpus health card — the numbers every curation
+    // dashboard leads with, in ONE pass: volume (docs, tokens, mean
+    // length), language share, and the exact-duplicate rate
+    // (1 − distinct text hashes / docs; texts compare as md5-h31
+    // longs, the repo's hash-universe contract — no exchange carries
+    // text). Spark plans the mixed distinct/plain aggregate as the
+    // standard two-phase expand; everything else folds map-side.
+    "corpus_health_card" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(TextHash.tokens(col("text"))).cast("long").as("ntok"),
+          TextHash.h31(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          countDistinct(col("h")).as("n_distinct_texts"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(col("n_docs"), col("n_tokens"), col("n_distinct_texts"),
+          expr("CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+            .as("mean_doc_tokens"),
+          expr("CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+            .as("en_share"),
+          expr("1e0 - CAST(n_distinct_texts AS DOUBLE)" +
+            " / CAST(n_docs AS DOUBLE)").as("exact_dup_rate"))),
+
     // Per-source boilerplate-prefix audit: the most common first-8-
     // token fingerprint and its share — a share near 1.0 means the
     // source prepends a header/banner every curation pipeline strips
@@ -963,6 +987,27 @@ object TextQueries extends QueryPack {
          |SELECT v.token AS keyword, r.r
          |FROM r$TrIters r JOIN vocab v ON v.node = r.node
          |ORDER BY r.r DESC, v.token LIMIT 20""".stripMargin,
+
+    "corpus_health_card" ->
+      """WITH b AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS ntok,
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |      % 2147483647 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |    COUNT(DISTINCT h) AS n_distinct_texts,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_en
+        |  FROM b)
+        |SELECT n_docs, n_tokens, n_distinct_texts,
+        |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    AS mean_doc_tokens,
+        |  CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) AS en_share,
+        |  1e0 - CAST(n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    AS exact_dup_rate
+        |FROM g""".stripMargin,
 
     "text_boilerplate_prefix" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
