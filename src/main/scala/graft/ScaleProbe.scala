@@ -466,7 +466,7 @@ object ScaleProbe {
     def bitmapRollup(c: Int): Long = {
       val leaf = scaled("lineitem", "l_partkey", c)
         .select(col("l_returnflag"), col("l_linestatus"),
-          expr("l_partkey DIV 64").as("w"),
+          expr(graft.ops.Bits.wordOf("l_partkey")).as("w"),
           graft.ops.Bits.oneHot(col("l_partkey")).as("b"))
         .groupBy("l_returnflag", "l_linestatus", "w")
         .agg(expr("bit_or(b)").as("bits"))

@@ -31,6 +31,15 @@ object Bits {
         lit("bitmap one-hot: negative id (non-negative domain only)"))
         .cast("long"))
       .otherwise(call_function("shiftleft", lit(1L),
-        (v % lit(64L)).cast("int")))
+        (v % lit(WordSize.toLong)).cast("int")))
   }
+
+  /** Bits per bitmap word. [[oneHot]]'s modulus and every word-index
+    * projection must agree — use [[wordOf]] rather than a literal
+    * `DIV 64` so the two can't drift (a desync silently mis-shards).
+    */
+  val WordSize = 64
+
+  /** SQL fragment for the word index of an id column: `id DIV 64`. */
+  def wordOf(idCol: String): String = s"$idCol DIV $WordSize"
 }

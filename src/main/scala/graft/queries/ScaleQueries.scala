@@ -165,7 +165,7 @@ object ScaleQueries extends QueryPack {
     "agg_bitmap_rollup" -> ((s, dir) => {
       val leaf = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
-          expr("l_partkey DIV 64").as("w"),
+          expr(graft.ops.Bits.wordOf("l_partkey")).as("w"),
           graft.ops.Bits.oneHot(col("l_partkey")).as("b"))
         .groupBy("l_returnflag", "l_linestatus", "w")
         .agg(expr("bit_or(b)").as("bits"))
@@ -194,7 +194,7 @@ object ScaleQueries extends QueryPack {
     "agg_bitmap_intersect" -> ((s, dir) => {
       val bm = t(s, dir, "lineitem")
         .select(expr("CAST(month(l_shipdate) AS INT)").as("f"),
-          expr("l_partkey DIV 64").as("w"),
+          expr(graft.ops.Bits.wordOf("l_partkey")).as("w"),
           graft.ops.Bits.oneHot(col("l_partkey")).as("b"))
         .groupBy("f", "w").agg(expr("bit_or(b)").as("bits"))
       val sz = bm.groupBy("f").agg(sum(expr("bit_count(bits)")).as("n"))
@@ -227,7 +227,7 @@ object ScaleQueries extends QueryPack {
     "window_distinct_rolling" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .select(col("ts").cast("date").as("day"),
-          expr("user_id DIV 64").as("w"),
+          expr(graft.ops.Bits.wordOf("user_id")).as("w"),
           graft.ops.Bits.oneHot(col("user_id")).as("b"))
         .groupBy("day", "w").agg(expr("bit_or(b)").as("bits"))
       val grid = daily.select("day").distinct()
@@ -291,7 +291,7 @@ object ScaleQueries extends QueryPack {
     "ivm_bitmap_delta" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"),
-          expr("l_partkey DIV 64").as("w"),
+          expr(graft.ops.Bits.wordOf("l_partkey")).as("w"),
           graft.ops.Bits.oneHot(col("l_partkey")).as("b"))
       def bits(df: DataFrame, out: String): DataFrame =
         df.groupBy("l_returnflag", "w")

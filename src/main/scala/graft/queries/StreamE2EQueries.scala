@@ -974,7 +974,7 @@ object StreamE2EQueries extends QueryPack {
     val regs = Pipelines.parseTicks(env).filter(!col("_corrupt"))
       .select(col("tradeType").as("g"),
         col("symbol").cast("long").as("v"))
-      .select(col("g"), expr("v DIV 64").as("w"),
+      .select(col("g"), expr(graft.ops.Bits.wordOf("v")).as("w"),
         graft.ops.Bits.oneHot(col("v")).as("b"))
       .groupBy("g", "w").agg(expr("bit_or(b)").as("bits"))
     val sinkRoot = work.resolve("sink").toString
