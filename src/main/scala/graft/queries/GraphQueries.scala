@@ -298,6 +298,23 @@ object GraphQueries extends QueryPack {
           org.apache.spark.sql.expressions.Window.partitionBy("scc_id")))
         .select(col("node").as("item"), col("scc_id"), col("scc_size"))),
 
+    // Reciprocity of the directed best-next-item graph — the
+    // structural scalar next to SCC (a high-reciprocity graph is
+    // cycle-rich; this one is functional, so reciprocity counts mutual
+    // best-next pairs — 2-cycles — exactly). One self-semi-join on the
+    // reversed edge; everything integer, the ratio one division.
+    "graph_reciprocity" -> ((s, dir) => {
+      val e = itemNextEdges(s, dir)
+      val rec = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(rec.agg(count(lit(1)).as("n_reciprocal"))))
+        .select(col("n_edges"), col("n_reciprocal"),
+          expr("CAST(n_reciprocal AS DOUBLE)" +
+            " / CAST(n_edges AS DOUBLE)").as("reciprocity"))
+    }),
+
     // Item-item collaborative filtering — the co-engagement family's
     // consumer query: sim(i, j) = users who bought BOTH (the item-item
     // co-occurrence matrix), score(u, cand) = Σ sim over u's items,
@@ -770,6 +787,19 @@ object GraphQueries extends QueryPack {
       s"""WITH $edgesDuck,
          |${PageRank.duckCtes(Iters)}
          |SELECT node, r FROM r$Iters""".stripMargin,
+
+    "graph_reciprocity" ->
+      ("WITH " + itemNextEdgesDuck + """
+        |SELECT
+        |  (SELECT COUNT(*) FROM edges) AS n_edges,
+        |  (SELECT COUNT(*) FROM edges e WHERE EXISTS (
+        |     SELECT 1 FROM edges r
+        |     WHERE r.src = e.dst AND r.dst = e.src)) AS n_reciprocal,
+        |  CAST((SELECT COUNT(*) FROM edges e WHERE EXISTS (
+        |     SELECT 1 FROM edges r
+        |     WHERE r.src = e.dst AND r.dst = e.src)) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM edges) AS DOUBLE)
+        |    AS reciprocity""".stripMargin),
 
     "rec_item_cf" ->
       """WITH ui AS (

@@ -290,6 +290,33 @@ object TemporalQueries extends QueryPack {
     // window form by the window_ntile equivalence). Recency anchors to
     // the corpus max purchase time (1-row broadcast), not wall clock —
     // deterministic and replayable.
+    // Realized variance per (symbol, day) — the microstructure
+    // volatility estimator: Σ of squared tick-to-tick price moves.
+    // Squared SIMPLE returns in integer cents (log returns would drag
+    // libm ln() in and break hash parity — and at tick horizon the two
+    // are equivalent to first order); the lag window rides the same
+    // (symbol-keyed, (ts, event_id)-ordered) total order every ts_*
+    // query pins. Accumulates in DECIMAL(38,0)/HUGEINT: a volatile
+    // 100 TB symbol-day sums millions of squared-cent moves past
+    // int64. One shuffle.
+    "ts_realized_var" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id", "day")
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("ts").cast("date").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("d", col("cents") - col("prev"))
+        .groupBy(col("user_id").as("symbol"), col("day"))
+        .agg(count(lit(1)).as("n_moves"),
+          sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("rvq"))
+        .select(col("symbol"), col("day"), col("n_moves"),
+          expr("CAST(rvq AS BIGINT)").as("rv_cents2"))
+    }),
+
     // LTTB-style series downsampling — the chart-rendering reducer
     // (pick ONE representative point per time bucket, the one forming
     // the largest triangle with the neighbor buckets). The classic
@@ -955,6 +982,23 @@ object TemporalQueries extends QueryPack {
         |SELECT f.cohort, date_diff('day', f.cohort, u.d) AS offset,
         |  COUNT(*) AS n_users
         |FROM ud u JOIN fd f ON u.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ts_realized_var" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, day, cents,
+        |    lag(cents) OVER (PARTITION BY user_id, day
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM p)
+        |SELECT user_id AS symbol, day, COUNT(*) AS n_moves,
+        |  CAST(SUM(CAST(cents - prev AS HUGEINT) * (cents - prev))
+        |    AS BIGINT) AS rv_cents2
+        |FROM l WHERE prev IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
 
     "ts_lttb_downsample" ->
