@@ -290,6 +290,34 @@ object TemporalQueries extends QueryPack {
     // window form by the window_ntile equivalence). Recency anchors to
     // the corpus max purchase time (1-row broadcast), not wall clock —
     // deterministic and replayable.
+    // Precedence matrix — process mining's discovery primitive: for
+    // every activity pair, in how many cases (users) does a's FIRST
+    // occurrence strictly precede b's? The support matrix an
+    // alpha-miner style discovery reads its ordering relations from.
+    // One user-keyed rollup to (user, type, first_us), a per-user
+    // pair join bounded by |types|² per user (5 types → ≤20 pairs —
+    // never the event count), one division. Strict < on exact integer
+    // micros; equal first-touches count for neither direction,
+    // identically on both engines.
+    "event_precedence_matrix" -> ((s, dir) => {
+      val span = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(expr("unix_micros(ts)")).as("first_us"))
+      val tot = Tables(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      span.toDF("user_id", "type_a", "a_us")
+        .join(span.toDF("uid2", "type_b", "b_us"),
+          col("user_id") === col("uid2") &&
+            col("type_a") =!= col("type_b") &&
+            col("a_us") < col("b_us"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_precede"))
+        .crossJoin(broadcast(tot))
+        .select(col("type_a"), col("type_b"), col("n_precede"),
+          expr("CAST(n_precede AS DOUBLE) / CAST(n_users AS DOUBLE)")
+            .as("support"))
+    }),
+
     // Realized variance per (symbol, day) — the microstructure
     // volatility estimator: Σ of squared tick-to-tick price moves.
     // Squared SIMPLE returns in integer cents (log returns would drag
@@ -983,6 +1011,24 @@ object TemporalQueries extends QueryPack {
         |  COUNT(*) AS n_users
         |FROM ud u JOIN fd f ON u.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+
+    "event_precedence_matrix" ->
+      """WITH span AS (
+        |  SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+        |ef AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS n_precede
+        |  FROM span a JOIN span b
+        |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |   AND a.first_us < b.first_us
+        |  GROUP BY 1, 2)
+        |SELECT ef.type_a, ef.type_b,
+        |  CAST(ef.n_precede AS BIGINT) AS n_precede,
+        |  CAST(ef.n_precede AS DOUBLE) / CAST(t.n_users AS DOUBLE)
+        |    AS support
+        |FROM ef, tot t""".stripMargin,
 
     "ts_realized_var" ->
       """WITH p AS (
