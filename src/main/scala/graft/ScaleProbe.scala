@@ -256,8 +256,14 @@ object ScaleProbe {
       // count alone, a run against a different (or regenerated)
       // SPARK_GRAFT_SF_DIR found _SUCCESS from the previous fixture and
       // silently joined the new dim against the old fact layout —
-      // mismatched data, no error, wrong ratios
-      val dirTag = java.lang.Integer.toHexString(dir.hashCode)
+      // mismatched data, no error, wrong ratios. Content-addressed MD5
+      // tag, not String.hashCode: a 32-bit collision across dirs would
+      // silently reuse the wrong layout with no error — the same
+      // hazard join_bucketed_colocated/scan_partition_pruned fixed
+      // (ADVICE r9).
+      val dirTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6)
+        .map(b => f"$b%02x").mkString
       val path = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"graft_probe_dpp_${dirTag}_$c")
       if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
@@ -428,7 +434,12 @@ object ScaleProbe {
       val pedges = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("src"), (col("k") + 100000L).as("dst"))
         .distinct()
-      exec(graft.ops.Hits(pedges, 3))
+      // Hits returns one caller-owned checkpointed frame; the probe
+      // rebuilds per arm, so release it here rather than accumulate
+      val r = graft.ops.Hits(pedges, 3)
+      val n = exec(r)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(r)
+      n
     }
 
     // round-9: fixed output (64 loading rows + ratio) — the corpus cost

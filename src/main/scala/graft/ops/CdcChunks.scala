@@ -92,7 +92,14 @@ object CdcChunks {
         sum(col("len")).as("n_tokens"))
       .select(id, col("n_tokens"), col("n_chunks"), col("n_dup_chunks"),
         col("n_dup_tokens"),
-        (col("n_dup_tokens").cast("double") /
-          col("n_tokens").cast("double")).as("dup_ratio"))
+        // empty-text doc → one zero-length chunk (terminal cut at -1),
+        // so n_tokens = 0 and the raw divide is 0/0 = NaN on BOTH
+        // engines (parity held, but NaN leaked to downstream consumers
+        // of dup_ratio — ADVICE r9). Guarded to 0.0, mirrored in the
+        // oracle.
+        when(col("n_tokens") > 0,
+          col("n_dup_tokens").cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
   }
 }

@@ -26,12 +26,18 @@ import org.apache.spark.sql.functions._
   * hot hub node costs its degree once per round, not a serialized
   * task (walkers are keyed by walker id, not by the hub).
   *
-  * Hash: h(cur, r, dst) = ((cur·2654435761 + r) mod 1000000007)
-  * ·2654435761 + dst, mod 1000000007 — Knuth multiplicative steps with
-  * a prime modulus interleaved so every intermediate stays far inside
-  * int64 (DuckDB ERRORS on BIGINT overflow rather than wrapping, so
-  * wraparound tricks are not portable; node ids here are ≤ ~1e6 and
-  * 2654435761·1e9 + 1e6 < 2^63). Ties on h break to the smaller dst.
+  * Hash: h(cur, r, dst) = (((cur mod M)·2654435761 + r) mod M)
+  * ·2654435761 + (dst mod M), mod M with M = 1000000007 — Knuth
+  * multiplicative steps with a prime modulus interleaved so every
+  * intermediate stays far inside int64 (DuckDB ERRORS on BIGINT
+  * overflow rather than wrapping, so wraparound tricks are not
+  * portable). Both node ids are pre-reduced mod M before any multiply
+  * (ADVICE r9: the unreduced form overflowed int64 for ids ≥ ~3.47e9 —
+  * Spark wraps, DuckDB errors, so walks diverged cross-engine outside
+  * the fixture's ~1e6 id range); with the reduction the largest
+  * intermediate is (M−1)·2654435761 + M ≈ 2.66e18 < 2^63 for ANY long
+  * id, and for ids < M the hash value is unchanged. Ties on h break to
+  * the smaller dst.
   */
 object GraphWalk {
 
@@ -40,11 +46,12 @@ object GraphWalk {
 
   /** The hop hash as a Column expression over long-typed inputs. */
   private def hopHash(cur: Column, r: Int, dst: Column): Column =
-    ((cur * lit(Mul) + lit(r.toLong)) % lit(Mod) * lit(Mul) + dst) % lit(Mod)
+    ((cur % lit(Mod) * lit(Mul) + lit(r.toLong)) % lit(Mod) * lit(Mul)
+      + dst % lit(Mod)) % lit(Mod)
 
   /** SQL text of [[hopHash]] for the DuckDB mirror. */
   private def hopHashSql(cur: String, r: Int, dst: String): String =
-    s"((($cur * $Mul + $r) % $Mod) * $Mul + $dst) % $Mod"
+    s"(((($cur % $Mod) * $Mul + $r) % $Mod) * $Mul + ($dst % $Mod)) % $Mod"
 
   /** @param adj directed adjacency `(src, dst)` — pass both
     *            orientations for an undirected walk

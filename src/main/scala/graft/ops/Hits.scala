@@ -77,10 +77,19 @@ object Hits {
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ph)
     }
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(e)
-    hubs.select(col("u").as("node"), lit("hub").as("kind"),
+    // Collapse the two surviving round pins into ONE block set the
+    // CALLER owns (memoize or release) — the Scc.apply discipline.
+    // Returning the pinned hubs/auths frames directly left them with no
+    // release path, and an unmemoized registration re-pinned two frames
+    // per invocation in a long-lived session (ADVICE r9).
+    val res = hubs.select(col("u").as("node"), lit("hub").as("kind"),
         col("score").as("score_fix"))
       .unionByName(auths.select(col("it").as("node"),
         lit("auth").as("kind"), col("score").as("score_fix")))
+      .localCheckpoint()
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(hubs)
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(auths)
+    res
   }
 
   /** DuckDB mirror as a WITH body: expects a `pedges(src, dst)` CTE,

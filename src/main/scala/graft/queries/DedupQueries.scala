@@ -862,9 +862,11 @@ object DedupQueries extends QueryPack {
          |  COUNT(dup.ch) AS n_dup_chunks,
          |  COALESCE(CAST(SUM(CASE WHEN dup.ch IS NOT NULL THEN len END)
          |    AS BIGINT), 0) AS n_dup_tokens,
-         |  CAST(COALESCE(CAST(SUM(CASE WHEN dup.ch IS NOT NULL THEN len
-         |    END) AS BIGINT), 0) AS DOUBLE)
-         |    / CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE) AS dup_ratio
+         |  CASE WHEN CAST(SUM(len) AS BIGINT) > 0 THEN
+         |    CAST(COALESCE(CAST(SUM(CASE WHEN dup.ch IS NOT NULL THEN len
+         |      END) AS BIGINT), 0) AS DOUBLE)
+         |      / CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_ratio
          |FROM chunks c LEFT JOIN dup USING (ch)
          |GROUP BY c.doc_id""".stripMargin,
 

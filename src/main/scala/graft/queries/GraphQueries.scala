@@ -632,14 +632,22 @@ object GraphQueries extends QueryPack {
     // graph_pagerank's single-space inlink mass — see [[graft.ops.Hits]]
     // for the fixed-point normalization that makes the trajectory
     // bit-identical cross-engine and the per-round join/agg plan shape.
-    "graph_hits" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      val pedges = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("src"), (col("k") + ItemBase).as("dst"))
-        .distinct()
-      graft.ops.Hits(pedges, Iters)
-    }),
+    // Memoized via the pack's pinned cache: Hits now returns ONE
+    // caller-owned checkpointed frame (Scc discipline), and the memo's
+    // release-on-evict is that frame's release path — an unmemoized
+    // registration accumulated pinned frames per invocation in a
+    // long-lived session (ADVICE r9).
+    "graph_hits" -> ((s, dir) =>
+      pinned.getOrElseUpdate(s, s"hits/$dir") {
+        val ev = Tables(s, dir, "events")
+          .withColumn("k",
+            get_json_object(col("props"), "$.k").cast("long"))
+        val pedges = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("src"),
+            (col("k") + ItemBase).as("dst"))
+          .distinct()
+        graft.ops.Hits(pedges, Iters)
+      }),
 
     // Deterministic hash-driven walks over the co-engagement graph —
     // the DeepWalk/PPR sampling substrate with the RNG replaced by a
