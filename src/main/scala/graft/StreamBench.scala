@@ -95,11 +95,31 @@ object StreamBench {
     // keyed state running — the number a CDC ingest sizes against.
     cdcRun(spark, work, 5000, "cdcwarm")
     val (cdcKeys, cdcSec) = cdcRun(spark, work, nRows, "cdc")
+
+    // Hot-key arm (VERDICT r9 task #3): the SAME enrichment dataflow
+    // on a 90%-one-symbol feed, once through the bare-symbol-keyed
+    // transformWithState path and once through the salted micro-batch
+    // path ([[graft.streaming.SaltedCumVolBatch]]). The TWS number is
+    // the serialization ceiling one hot key imposes on a state
+    // partition; the salted number is what the per-batch (key, day,
+    // bucket) fan-out buys back. Both runs are parse → enrich →
+    // LwwSink with identical sink keys — only the enrichment operator
+    // differs.
+    // SPARK_GRAFT_STREAM_HOTROWS sizes this arm independently: the
+    // salted path's advantage is a function of HOT-KEY ROWS PER
+    // MICRO-BATCH (its two extra per-batch jobs are fixed cost), so
+    // the crossover study needs this arm big while the others stay at
+    // the default volume.
+    val hkN = sys.env.getOrElse("SPARK_GRAFT_STREAM_HOTROWS", nRows.toString).toInt
+    hotkeyRun(spark, work, 10000, "hkwarm")
+    val (hkTws, hkSalted, hkRows) = hotkeyRun(spark, work, hkN, "hk")
     val json =
       f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus,""" +
         f""""socket":{"rows_per_sec":${sRows / sSec}%.1f,"rows":$sRows,"sec":$sSec%.3f,"wire_sec":$wireSec%.3f},""" +
         f""""neardup":{"docs_per_sec":${nDocs / dSec}%.1f,"docs":$nDocs,"pairs":$dPairs,"sec":$dSec%.3f},""" +
-        f""""cdc":{"ops_per_sec":${nRows / cdcSec}%.1f,"ops":$nRows,"live_keys":$cdcKeys,"sec":$cdcSec%.3f}}"""
+        f""""cdc":{"ops_per_sec":${nRows / cdcSec}%.1f,"ops":$nRows,"live_keys":$cdcKeys,"sec":$cdcSec%.3f},""" +
+        f""""hotkey":{"rows":$hkRows,"tws_sec":$hkTws%.3f,"tws_rows_per_sec":${hkRows / hkTws}%.1f,""" +
+        f""""salted_sec":$hkSalted%.3f,"salted_rows_per_sec":${hkRows / hkSalted}%.1f}}"""
     val outFile = args.headOption.getOrElse("stream_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
@@ -163,6 +183,59 @@ object StreamBench {
     val sec = (System.nanoTime() - tStart) / 1e9
     val pairs = LwwSink.read(spark, sinkRoot, "docs", "nd").count()
     (pairs, sec)
+  }
+
+  /** Hot-key run: 90% of rows on symbol HOT (the rest over 50 cold
+    * symbols), strictly increasing times. Returns (tws sec, salted
+    * sec, rows landed by the salted arm). Both arms drain the same
+    * spool through parse → cumvol enrichment → LwwSink keyed
+    * (symbol, time, price); maxFilesPerTrigger forces multiple
+    * micro-batches so the carry table and cross-batch state both do
+    * real work.
+    */
+  private def hotkeyRun(spark: SparkSession,
+      work: java.nio.file.Path, nRows: Int, tag: String): (Double, Double, Long) = {
+    import spark.implicits._
+    val t0 = 1687176000L
+    val lines = spark.range(nRows).select(concat(
+      lit("""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": """"),
+      when(col("id") % 10 < 9, lit("HOT"))
+        .otherwise(concat(lit("C"), (col("id") % 50).cast("string"))),
+      lit("""", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": """),
+      (lit(t0) + col("id")).cast("string"),
+      lit(""", "volume": """), (col("id") % 50 + 1).cast("string"),
+      lit(""", "type": """"),
+      when(col("id") % 2 === 0, "B").otherwise("S"),
+      lit(""""}}""")).as("value"))
+    val sub = work.resolve(s"${tag}_spool")
+    Files.createDirectories(sub)
+    val spool = graft.source.SpoolWriter.write(lines, sub, Some(10))
+    def envStream() = spark.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).option("maxFilesPerTrigger", "3").load()
+    // arm 1: transformWithState, state keyed by bare symbol (the
+    // session conf already selects TWS + RocksDB)
+    val twsRoot = work.resolve(s"${tag}_tws").toString
+    val tTws = System.nanoTime()
+    val q1 = graft.streaming.Pipelines.tickPipeline(envStream()).toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$twsRoot/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LwwSink.upsertBatch(batch.toDF(), id, s"$twsRoot/sink", "feed",
+          "tick", Seq("symbol", "time", "price"))
+      }.start()
+    try q1.processAllAvailable() finally q1.stop()
+    val twsSec = (System.nanoTime() - tTws) / 1e9
+    // arm 2: salted micro-batch prefix scan + carry table
+    val sRoot = work.resolve(s"${tag}_salted").toString
+    val tS = System.nanoTime()
+    val q2 = graft.streaming.SaltedCumVolBatch.start(envStream(),
+      s"$sRoot/sink", s"$sRoot/ckpt", s"$sRoot/state")
+    try q2.processAllAvailable() finally q2.stop()
+    val saltedSec = (System.nanoTime() - tS) / 1e9
+    val landed = LwwSink.read(spark, s"$sRoot/sink", "feed", "tick_salted")
+      .count()
+    (twsSec, saltedSec, landed)
   }
 
   /** CDC-apply run: tick envelopes whose type field carries I/U/D ops

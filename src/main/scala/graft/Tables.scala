@@ -42,7 +42,11 @@ object Tables {
   // sessions × scale dirs × the 11 fixture tables before anything
   // ages out, and re-reading an evicted footer is cheap.
   private[graft] val MaxEntries = 64
-  private val cache = new graft.util.SessionCache[DataFrame](MaxEntries)
+  // coldExempt: this caches ANALYZED READ PLANS (substrate), not
+  // results — Bench's cold eviction must not add footer re-reads as
+  // fake operator cost (see SessionCache object doc)
+  private val cache =
+    new graft.util.SessionCache[DataFrame](MaxEntries, coldExempt = true)
   private[graft] def cacheSize: Int = cache.size
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =

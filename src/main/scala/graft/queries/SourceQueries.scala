@@ -44,7 +44,12 @@ object SourceQueries extends QueryPack {
   // session for the JVM lifetime, and identity is compared with `eq`,
   // not a 32-bit hash. No onEvict: the value is a path string; the
   // directory itself is reclaimed by the deleteAtExit hook.
-  private val dppLayouts = new graft.util.SessionCache[String](8)
+  // coldExempt: the value is an on-disk layout PATH (write-once lake
+  // substrate, excluded from timed numbers by the join_dpp_runtime
+  // design) — cold eviction would re-time a parquet rewrite, not the
+  // pruned join under test
+  private val dppLayouts =
+    new graft.util.SessionCache[String](8, coldExempt = true)
 
   private def work(tag: String) = {
     val w = Files.createTempDirectory(s"graft_src_$tag")

@@ -17,8 +17,10 @@ package graft.util
   * concurrent compute would be the worse trade).
   */
 final class SessionCache[V <: AnyRef](maxEntries: Int,
-    onEvict: V => Unit = (_: V) => ()) {
+    onEvict: V => Unit = (_: V) => (),
+    val coldExempt: Boolean = false) {
   require(maxEntries >= 1, s"SessionCache: maxEntries $maxEntries < 1")
+  SessionCache.register(this)
 
   /** Reference-identity key: `identityHashCode` alone is a 32-bit hash,
     * not an identity — two live sessions CAN collide and would then
@@ -53,4 +55,43 @@ final class SessionCache[V <: AnyRef](maxEntries: Int,
     }
 
   def size: Int = m.synchronized(m.size)
+
+  /** Evict every entry (onEvict invoked per value, releasing pinned
+    * checkpoint blocks) — the cold-run hook. */
+  def clear(): Unit = m.synchronized {
+    val it = m.values.iterator()
+    while (it.hasNext) onEvict(it.next())
+    m.clear()
+  }
+}
+
+/** Global registry of every SessionCache instance, so Bench can evict
+  * ALL result memos before a query's first timed execution and price
+  * the un-amortized cost (VERDICT r9 top item: min-of-two + memos made
+  * `text_bpe_train` bench as a 0.15 s memo read, not a ~2 s train).
+  *
+  * `coldExempt` opts a cache OUT of cold eviction — reserved for
+  * caches that memoize SUBSTRATE rather than results: `Tables`'
+  * analyzed read plans (re-reading parquet footers is harness noise,
+  * not operator cost) and on-disk layout paths (`SourceQueries`'/
+  * `ScaleProbe`'s DPP fact layouts — a lake table is written once and
+  * joined daily; the one-time rewrite being outside the timed number
+  * is the documented join_dpp_runtime design). Everything holding a
+  * computed RESULT (pinned projections, PCA solves, exact-eval arms)
+  * stays evictable so run 1 pays full freight.
+  */
+object SessionCache {
+  private val registry =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionCache[_]]
+
+  private def register(c: SessionCache[_]): Unit = registry.add(c)
+
+  /** Evict every non-exempt cache — see object doc. */
+  def evictAllForCold(): Unit = {
+    val it = registry.iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (!c.coldExempt) c.clear()
+    }
+  }
 }
