@@ -581,6 +581,39 @@ object ScaleProbe {
       n
     }
 
+    // round-10 (verdict ask #6, plus the documented rule in
+    // docs/SCALE.md: new operator family ⇒ probe arm in the same
+    // commit). All four call the SAME helper the registered query
+    // runs.
+    // Precedence matrix: users ×c with the type alphabet fixed — the
+    // per-user pair join is bounded by |types|² per user, so pair
+    // volume grows with users while output stays the fixed types²
+    // matrix. Fixed-output arm: judge on the job ratio.
+    def precedence(c: Int): Long =
+      exec(graft.queries.TemporalQueries.precedenceMatrix(
+        scaled("events", "user_id", c)))
+    // Rolling 3-day distinct (bitmap OR-frame): the id shift mints new
+    // user ids (1e8 % 64 = 0 keeps in-word layout identical per copy),
+    // so the DISTINCT population — and the (day × word) state grid —
+    // grows ×c while days stay fixed. Healthy = job ~ ids; ids² would
+    // mean the grid densification went quadratic.
+    def rollingDistinct(c: Int): Long =
+      exec(graft.queries.ScaleQueries.rollingDistinctBitmap(
+        scaled("events", "user_id", c)))
+    // Calibration deciles: rows ×c, output the fixed 10 bins — the
+    // map-side partials must absorb all growth (the emb_drift shape).
+    def calibBins(c: Int): Long =
+      exec(graft.queries.TextQueries.calibrationBins(
+        scaled("documents", "doc_id", c)))
+    // LTTB downsampling: rows ×c with days/types fixed — output stays
+    // the types×days pick set. The arm guards the round-10 plan fix
+    // (broadcast per-type x-origin instead of a whole-type window
+    // sort): a regression back to the 5-task window shows up as a
+    // super-linear job ratio here.
+    def lttb(c: Int): Long =
+      exec(graft.queries.TemporalQueries.lttbDownsample(
+        scaled("events", "event_id", c)))
+
     // Ordered LIGHT → HEAVY on the 10× side, deliberately: a monster
     // arm (graph_triangles pushes ~320M output rows at 10×;
     // prefix_filter/winnow tens of seconds) leaves GC and page-cache
@@ -599,6 +632,10 @@ object ScaleProbe {
       ("pca_moments", pcaMoments),
       ("bitmap_rollup", bitmapRollup),
       ("ddsketch_quantile", ddsketchQuantile),
+      ("precedence_matrix", precedence),
+      ("rolling_distinct_bitmap", rollingDistinct),
+      ("calibration_bins", calibBins),
+      ("lttb_downsample", lttb),
       ("rec_item_cf", recItemCf),
       ("source_overlap", sourceOverlap),
       ("asof_hotkey_salted", asofHotkeySalted),
@@ -658,10 +695,19 @@ object ScaleProbe {
     // driver residue). A fixed-output probe is judged on the JOB ratio:
     // raw 2.1× over a ~0.2s wall is meaningless if 0.15s of it is a
     // constant driver floor the 10× run pays identically.
+    // adj_in (round-10, verdict ask #5): time ratio ÷ INPUT growth.
+    // Every arm scales its input by exactly `copies` (the id-shifted
+    // union), so adj_in = ratio / copies — 1.0 is perfectly linear in
+    // input on fixed cores. This is the number to read for FIXED-OUTPUT
+    // arms, where adj_ratio (÷ output growth) degenerates to the raw
+    // ratio and made job-flat arms like vec_centroids read as flags.
+    // An arm that ever scales its input differently must emit its own
+    // factor instead of inheriting `copies`.
     val json = results.map { case (n, t1, r1, t10, r10, ratio, j1, j10) =>
       val adj = ratio * (r1.max(1L).toDouble / r10.max(1L).toDouble)
+      val adjIn = ratio / copies
       val (f1, f10) = (math.max(0.0, t1 - j1), math.max(0.0, t10 - j10))
-      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f,"job_1x":$j1%.2f,"floor_1x":$f1%.2f,"job_10x":$j10%.2f,"floor_10x":$f10%.2f}"""
+      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f,"adj_in":$adjIn%.3f,"job_1x":$j1%.2f,"floor_1x":$f1%.2f,"job_10x":$j10%.2f,"floor_10x":$f10%.2f}"""
     }.mkString(s"""{"metric":"weak_scaling","copies":$copies,""", ",", "}")
     args.headOption.foreach { f =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")

@@ -47,6 +47,34 @@ object ScaleQueries extends QueryPack {
     */
   private val ChecksumMod = 2305843009213693951L
 
+  /** window_distinct_rolling body over an arbitrary events frame — the
+    * probe-shareable form (ScaleProbe runs it with the distinct-id
+    * population ×c; days fixed, so the (day × word) state grid grows
+    * with ids, the bitmap's honest trade): daily (day, word) → bits
+    * state, grid densification, bit_or over the 3-day RANGE frame, and
+    * a per-day bit_count rollup.
+    */
+  private[graft] def rollingDistinctBitmap(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("ts").cast("date").as("day"),
+        expr(graft.ops.Bits.wordOf("user_id")).as("w"),
+        graft.ops.Bits.oneHot(col("user_id")).as("b"))
+      .groupBy("day", "w").agg(expr("bit_or(b)").as("bits"))
+    val grid = daily.select("day").distinct()
+      .crossJoin(broadcast(daily.select("w").distinct()))
+    val dense = grid.join(daily, Seq("day", "w"), "left")
+      .select(col("day"), col("w"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          .as("daynum"))
+    val frame = Window.partitionBy("w").orderBy("daynum")
+      .rangeBetween(-2, 0)
+    dense
+      .withColumn("bits3", expr("bit_or(bits)").over(frame))
+      .groupBy("day")
+      .agg(sum(expr("bit_count(bits3)")).as("n_distinct_3d"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- approximate distinct (KMV sketch) -----------------------------
@@ -224,26 +252,8 @@ object ScaleQueries extends QueryPack {
     // today's window (dropping absent rows undercounts — the bug the
     // definitional oracle would catch). Oracle is the independent
     // definition: per day, COUNT(DISTINCT) over a 3-day self-join.
-    "window_distinct_rolling" -> ((s, dir) => {
-      val daily = t(s, dir, "events")
-        .select(col("ts").cast("date").as("day"),
-          expr(graft.ops.Bits.wordOf("user_id")).as("w"),
-          graft.ops.Bits.oneHot(col("user_id")).as("b"))
-        .groupBy("day", "w").agg(expr("bit_or(b)").as("bits"))
-      val grid = daily.select("day").distinct()
-        .crossJoin(broadcast(daily.select("w").distinct()))
-      val dense = grid.join(daily, Seq("day", "w"), "left")
-        .select(col("day"), col("w"),
-          coalesce(col("bits"), lit(0L)).as("bits"),
-          datediff(col("day"), lit("1970-01-01").cast("date"))
-            .as("daynum"))
-      val frame = Window.partitionBy("w").orderBy("daynum")
-        .rangeBetween(-2, 0)
-      dense
-        .withColumn("bits3", expr("bit_or(bits)").over(frame))
-        .groupBy("day")
-        .agg(sum(expr("bit_count(bits3)")).as("n_distinct_3d"))
-    }),
+    "window_distinct_rolling" -> ((s, dir) =>
+      rollingDistinctBitmap(t(s, dir, "events"))),
 
     // ---- rolling distinct, sketch tier (windowed HLL register max) -----
     // The same trailing-3-day question answered in O(512) registers

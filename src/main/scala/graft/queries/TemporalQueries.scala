@@ -14,6 +14,81 @@ import graft.{QueryPack, Tables}
   */
 object TemporalQueries extends QueryPack {
 
+  /** event_precedence_matrix body over an arbitrary events frame — the
+    * probe-shareable form (ScaleProbe runs it ×10 users): one
+    * user-keyed rollup to (user, type, first_us), then a per-user pair
+    * join bounded by |types|² per user, never the event count. Output
+    * is the fixed types×types matrix — a fixed-output probe arm.
+    */
+  private[graft] def precedenceMatrix(ev: DataFrame): DataFrame = {
+    val span = ev
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(expr("unix_micros(ts)")).as("first_us"))
+    val tot = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    span.toDF("user_id", "type_a", "a_us")
+      .join(span.toDF("uid2", "type_b", "b_us"),
+        col("user_id") === col("uid2") &&
+          col("type_a") =!= col("type_b") &&
+          col("a_us") < col("b_us"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_precede"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_precede"),
+        expr("CAST(n_precede AS DOUBLE) / CAST(n_users AS DOUBLE)")
+          .as("support"))
+  }
+
+  /** ts_lttb_downsample body over an arbitrary events frame (probe
+    * shape: rows ×c with days/types fixed — output stays the
+    * types×days pick set). Round-10 plan fix: the per-type x-origin
+    * was `min(sec) OVER (PARTITION BY event_type)` — an unbounded
+    * window that SORTS each whole type partition in one task (5 types
+    * = 5-way parallelism cap on the biggest scan, a serialization at
+    * 100 TB). Same value now comes from a 5-row aggregate attached by
+    * broadcast: map-side combinable, no per-type sort, bit-identical
+    * output (min is min).
+    */
+  private[graft] def lttbDownsample(ev: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val pre = ev
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("sec"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("ts").cast("date").as("day"))
+    val origin = pre.groupBy("event_type")
+      .agg(min(col("sec")).as("_sec0"))
+    val base = pre.join(broadcast(origin), Seq("event_type"))
+      .withColumn("x", col("sec") - col("_sec0"))
+      .drop("_sec0")
+    val bk = base.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sy"))
+    val wd = W.partitionBy("event_type").orderBy("day")
+    val nb = bk
+      .withColumn("n_p", lag(col("n"), 1).over(wd))
+      .withColumn("sx_p", lag(col("sx"), 1).over(wd))
+      .withColumn("sy_p", lag(col("sy"), 1).over(wd))
+      .withColumn("n_n", lead(col("n"), 1).over(wd))
+      .withColumn("sx_n", lead(col("sx"), 1).over(wd))
+      .withColumn("sy_n", lead(col("sy"), 1).over(wd))
+      .filter(col("n_p").isNotNull && col("n_n").isNotNull)
+      .select("event_type", "day", "n_p", "sx_p", "sy_p",
+        "n_n", "sx_n", "sy_n")
+    val wr = W.partitionBy("event_type", "day")
+      .orderBy(col("a2").desc, col("x"), col("event_id"))
+    base.join(broadcast(nb), Seq("event_type", "day"))
+      .withColumn("a2", expr(
+        "abs((sx_p - CAST(x AS DECIMAL(38,0)) * n_p)" +
+          " * (sy_n - CAST(cents AS DECIMAL(38,0)) * n_n)" +
+          " - (sx_n - CAST(x AS DECIMAL(38,0)) * n_n)" +
+          " * (sy_p - CAST(cents AS DECIMAL(38,0)) * n_p))"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("event_id"),
+        col("x"), col("cents"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Day-of-week × hour-of-day activity profile — the seasonality
@@ -299,24 +374,8 @@ object TemporalQueries extends QueryPack {
     // never the event count), one division. Strict < on exact integer
     // micros; equal first-touches count for neither direction,
     // identically on both engines.
-    "event_precedence_matrix" -> ((s, dir) => {
-      val span = Tables(s, dir, "events")
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(min(expr("unix_micros(ts)")).as("first_us"))
-      val tot = Tables(s, dir, "events")
-        .agg(countDistinct(col("user_id")).as("n_users"))
-      span.toDF("user_id", "type_a", "a_us")
-        .join(span.toDF("uid2", "type_b", "b_us"),
-          col("user_id") === col("uid2") &&
-            col("type_a") =!= col("type_b") &&
-            col("a_us") < col("b_us"))
-        .groupBy("type_a", "type_b")
-        .agg(count(lit(1)).as("n_precede"))
-        .crossJoin(broadcast(tot))
-        .select(col("type_a"), col("type_b"), col("n_precede"),
-          expr("CAST(n_precede AS DOUBLE) / CAST(n_users AS DOUBLE)")
-            .as("support"))
-    }),
+    "event_precedence_matrix" -> ((s, dir) =>
+      precedenceMatrix(Tables(s, dir, "events"))),
 
     // Realized variance per (symbol, day) — the microstructure
     // volatility estimator: Σ of squared tick-to-tick price moves.
@@ -365,43 +424,8 @@ object TemporalQueries extends QueryPack {
     // and the rank≤1 runs under WindowGroupLimit (no full per-group
     // sort materializes). Edge buckets (no prev/next day) drop, as in
     // LTTB's interior sweep.
-    "ts_lttb_downsample" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val base = Tables(s, dir, "events")
-        .select(col("event_type"), col("event_id"),
-          expr("unix_micros(ts) div 1000000").as("sec"),
-          floor(col("value") * 100).cast("long").as("cents"),
-          col("ts").cast("date").as("day"))
-        .withColumn("x", col("sec") -
-          min(col("sec")).over(W.partitionBy("event_type")))
-      val bk = base.groupBy("event_type", "day")
-        .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
-          sum(expr("CAST(cents AS DECIMAL(38,0))")).as("sy"))
-      val wd = W.partitionBy("event_type").orderBy("day")
-      val nb = bk
-        .withColumn("n_p", lag(col("n"), 1).over(wd))
-        .withColumn("sx_p", lag(col("sx"), 1).over(wd))
-        .withColumn("sy_p", lag(col("sy"), 1).over(wd))
-        .withColumn("n_n", lead(col("n"), 1).over(wd))
-        .withColumn("sx_n", lead(col("sx"), 1).over(wd))
-        .withColumn("sy_n", lead(col("sy"), 1).over(wd))
-        .filter(col("n_p").isNotNull && col("n_n").isNotNull)
-        .select("event_type", "day", "n_p", "sx_p", "sy_p",
-          "n_n", "sx_n", "sy_n")
-      val wr = W.partitionBy("event_type", "day")
-        .orderBy(col("a2").desc, col("x"), col("event_id"))
-      base.join(broadcast(nb), Seq("event_type", "day"))
-        .withColumn("a2", expr(
-          "abs((sx_p - CAST(x AS DECIMAL(38,0)) * n_p)" +
-            " * (sy_n - CAST(cents AS DECIMAL(38,0)) * n_n)" +
-            " - (sx_n - CAST(x AS DECIMAL(38,0)) * n_n)" +
-            " * (sy_p - CAST(cents AS DECIMAL(38,0)) * n_p))"))
-        .withColumn("rn", row_number().over(wr))
-        .filter(col("rn") === 1)
-        .select(col("event_type"), col("day"), col("event_id"),
-          col("x"), col("cents"))
-    }),
+    "ts_lttb_downsample" -> ((s, dir) =>
+      lttbDownsample(Tables(s, dir, "events"))),
 
     // CUPED-adjusted experiment readout — the variance-reduction
     // every A/B platform runs at scale: per-user metric y and
