@@ -31,6 +31,7 @@ object StreamE2EQueries extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_e2e_sink" -> ((s, dir) => run(s, dir)),
     "stream_e2e_cumvol" -> ((s, dir) => runCumvol(s, dir)),
+    "stream_e2e_cumvol_salted" -> ((s, dir) => runCumvolSalted(s, dir)),
     "stream_e2e_rolling" -> ((s, dir) => runRolling(s, dir)),
     "stream_e2e_join" -> ((s, dir) => runJoin(s, dir)),
     // plain DISTINCT over the same pure-function-of-key payload: the
@@ -624,6 +625,48 @@ object StreamE2EQueries extends QueryPack {
         col("cumbuy"), col("cumsell"), col("cumdelta"))
   }
 
+  /** The HOT-KEY-SAFE salted streaming path end to end (round 10,
+    * VERDICT r9 #3) against the IDENTICAL oracle as
+    * `stream_e2e_cumvol` — the same certification move
+    * tick_cumvol_salted made for the batch escape hatch:
+    * [[graft.streaming.SaltedCumVolBatch]] (per-micro-batch salted
+    * prefix scan + versioned carry-in table) must land the exact row
+    * set the bare-key stateful processor does. Determinism legs
+    * DIFFER from runCumvol on purpose: the spool is range-partitioned
+    * by TIME (file order = time order, every symbol spans every
+    * file), and maxFilesPerTrigger=2 forces multiple micro-batches —
+    * so every symbol crosses batch boundaries and the carry table
+    * does real work under the oracle (the MemoryStream suite pins the
+    * same property unit-level; this row pins it through the full
+    * spool → source → sink dataflow). Per-key file locality is NOT
+    * needed: the salted scan orders (time, tiebreak) inside each
+    * batch itself, and cross-batch continuity is the carry's job —
+    * only day monotonicity across batches is required, which time-
+    * ranged files give by construction.
+    */
+  private def runCumvolSalted(s: SparkSession, dir: String): DataFrame = {
+    val base = dedupedTicks(s, dir)
+      .repartitionByRange(4, col("time_s"))
+    val lines = tickLines(base, col("value"), stdVolume, stdType)
+    val work = Files.createTempDirectory("graft_e2e_cvs")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None) // preserve the time-ranged file layout
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2")
+      .load()
+    val sinkRoot = work.resolve("sink").toString
+    val q = graft.streaming.SaltedCumVolBatch.start(env, sinkRoot,
+      work.resolve("ckpt").toString, work.resolve("state").toString)
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "tick_salted")
+      .select(col("symbol"), col("time").as("time_s"), col("volume"),
+        col("tradeType").as("trade_type"),
+        col("cumbuy"), col("cumsell"), col("cumdelta"))
+  }
+
   /** The BOUNDED-WINDOW stateful path end to end (round-5, third
     * streaming oracle row): TICK envelopes → envelope source → parse →
     * [[graft.streaming.RollingStatsProcessor]] (per-symbol 24-event
@@ -1125,6 +1168,30 @@ object StreamE2EQueries extends QueryPack {
   private val cumvolSide = (m: String) =>
     s"CAST(SUM(CASE WHEN typ = '$m' THEN CAST(floor(value) AS INT) ELSE 0 END) OVER w AS BIGINT)"
 
+  /** ONE definition of cumvol-correct, certified against by BOTH the
+    * bare-key stateful path and the salted micro-batch path.
+    */
+  private lazy val cumvolOracle: String =
+    s"""WITH base AS (
+       |  SELECT * FROM (
+       |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+       |      CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END AS typ,
+       |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+       |                         ORDER BY event_id DESC) AS rn
+       |    FROM events WHERE event_type IN ('purchase', 'click'))
+       |  WHERE rn = 1)
+       |SELECT CAST(user_id AS VARCHAR) AS symbol,
+       |  sec AS time_s,
+       |  CAST(floor(value) AS INT) AS volume,
+       |  typ AS trade_type,
+       |  ${cumvolSide("B")} AS cumbuy,
+       |  ${cumvolSide("S")} AS cumsell,
+       |  ${cumvolSide("B")} - ${cumvolSide("S")} AS cumdelta
+       |FROM base
+       |WINDOW w AS (PARTITION BY user_id, sec // 86400
+       |             ORDER BY sec
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // the batch MinHash-LSH pairs oracle, shared verbatim — streaming
     // ingest must land on exactly the batch arm's candidate-pair set
@@ -1273,26 +1340,12 @@ object StreamE2EQueries extends QueryPack {
         |  CAST(SUM(CAST(floor(value) AS INT)) AS BIGINT) AS sum_vol
         |FROM base GROUP BY 1, 2""".stripMargin,
 
-    "stream_e2e_cumvol" ->
-      s"""WITH base AS (
-         |  SELECT * FROM (
-         |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
-         |      CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END AS typ,
-         |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
-         |                         ORDER BY event_id DESC) AS rn
-         |    FROM events WHERE event_type IN ('purchase', 'click'))
-         |  WHERE rn = 1)
-         |SELECT CAST(user_id AS VARCHAR) AS symbol,
-         |  sec AS time_s,
-         |  CAST(floor(value) AS INT) AS volume,
-         |  typ AS trade_type,
-         |  ${cumvolSide("B")} AS cumbuy,
-         |  ${cumvolSide("S")} AS cumsell,
-         |  ${cumvolSide("B")} - ${cumvolSide("S")} AS cumdelta
-         |FROM base
-         |WINDOW w AS (PARTITION BY user_id, sec // 86400
-         |             ORDER BY sec
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "stream_e2e_cumvol" -> cumvolOracle,
+
+    // the salted streaming path certifies against the IDENTICAL SQL —
+    // the tick_cumvol/tick_cumvol_salted precedent applied to the
+    // streaming tier: two implementations, one definition of correct
+    "stream_e2e_cumvol_salted" -> cumvolOracle,
 
     // the batch rolling-window mirror of the streamed ring: 24-event
     // frame per user over the deduped (user, second) ticks, |z| > 2σ in
