@@ -442,6 +442,47 @@ object ScaleProbe {
       n
     }
 
+    // round-10: k-pivot fixed-point betweenness on the two-layer
+    // purchase/click graph. Users ×c with ITEMS SHARED across copies,
+    // so each pivot's level-2 frontier (users-via-items) grows
+    // ~linearly with copies — forward trees, backward joins, and
+    // output all grow together; every stage is keyed (pivot, node).
+    def betweenness(c: Int): Long = {
+      val ev = scaled("events", "user_id", c)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("src"), (col("k") + 100000L).as("dst"))
+        .distinct()
+      val cl = ev.filter(col("event_type") === "click")
+        .select((col("k") + 100000L).as("src"), col("user_id").as("dst"))
+        .distinct()
+      exec(graft.ops.Betweenness(p.union(cl), 8, 3))
+    }
+
+    // round-10: weighted SSSP (4 Bellman-Ford rounds) on the same
+    // two-layer graph — seeds stay the copy-0 users, but shared items
+    // fan the relaxation out to all copies' users, so frontier and
+    // output grow ~linearly with copies; per-round cost is one
+    // node-keyed join + grouped MIN.
+    def ssspWeighted(c: Int): Long = {
+      val ev = scaled("events", "user_id", c)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("src"), (col("k") + 100000L).as("dst"))
+        .distinct()
+      val cl = ev.filter(col("event_type") === "click")
+        .select((col("k") + 100000L).as("src"), col("user_id").as("dst"))
+        .distinct()
+      val adjW = p.union(cl).select(col("src"), col("dst"),
+        (lit(1L) + pmod(col("src") + col("dst"), lit(7L))).as("w"))
+      val seeds = adjW.select(col("src").as("node")).distinct()
+        .filter(col("node") < 5)
+        .withColumn("dist", lit(0L))
+      exec(graft.ops.GraphIter.ssspRelax(adjW, seeds, 4))
+    }
+
     // round-9: fixed output (64 loading rows + ratio) — the corpus cost
     // is the two exact-moment scans (per-dim sums; d(d+1)/2 pair sums),
     // each reducing to ≤2080 DECIMAL cells on the exchange; the power
@@ -629,6 +670,8 @@ object ScaleProbe {
       ("dpp_join", dppJoin), ("cdc_apply", cdcApply),
       ("emb_drift", embDrift), ("kcenter_init", kcenterInit),
       ("graph_hits", graphHits), ("graph_walk", graphWalk),
+      ("graph_betweenness", betweenness),
+      ("graph_sssp_weighted", ssspWeighted),
       ("pca_moments", pcaMoments),
       ("bitmap_rollup", bitmapRollup),
       ("ddsketch_quantile", ddsketchQuantile),

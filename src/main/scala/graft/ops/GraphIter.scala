@@ -148,6 +148,22 @@ object GraphIter {
         .select("u", "v")
     }
 
+  /** `rounds` Bellman-Ford min-plus relaxation steps over a weighted
+    * directed adjacency `adjW(src, dst, w)` from `seeds(node, dist)` —
+    * distributed SSSP, one frontier⋈adjacency join + one grouped
+    * integer MIN per round (order-free, map-side combinable; distances
+    * only decrease, so at cluster scale the unroll becomes the
+    * checkpoint-per-round loop with a sum-of-dists fixpoint test).
+    * Returns (node, dist) for nodes reachable within `rounds` edges.
+    */
+  def ssspRelax(adjW: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(seeds) { (d, _) =>
+      d.join(adjW, d("node") === adjW("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(d)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+
   /** `rounds` synchronous LPA steps: each node adopts the most
     * frequent label among its neighbors, ties to the SMALLEST label
     * (struct-min over (-count, label) — a total order, so the vote

@@ -669,8 +669,51 @@ object GraphQueries extends QueryPack {
         graft.ops.GraphWalk.visitCounts(
           coAdjPinned(s, dir)
             .select(col("u").as("src"), col("v").as("dst")),
-          WalkSteps).localCheckpoint()))
+          WalkSteps).localCheckpoint())),
+
+    // k-pivot, depth-bounded betweenness over the directed two-layer
+    // purchase/click graph — "which items/users sit on the most
+    // shortest interaction paths", the broker-scoring complement of
+    // PageRank's inlink mass and HITS' mutual reinforcement. Brandes
+    // forward/backward restricted to the BcPivots smallest sources and
+    // BcDepth hops, with the dependency pass in exact FIXED-POINT
+    // integers (the float-sum order hazard engineered out) — see
+    // [[graft.ops.Betweenness]] for the term algebra and the 100 TB
+    // plan shape (everything keyed by (pivot, node)).
+    "graph_betweenness" -> ((s, dir) =>
+      graft.ops.Betweenness(edges(s, dir), BcPivots, BcDepth)),
+
+    // Weighted single-source shortest paths — bounded Bellman-Ford
+    // (SsspRounds min-plus relaxation rounds, the weighted sibling of
+    // graph_bfs_levels' unit-weight BFS): per round ONE frontier ⋈
+    // weighted-adjacency join + one grouped integer MIN — order-free,
+    // map-side combinable, the textbook distributed SSSP step. Weights
+    // are a deterministic integer function of the endpoints
+    // (1 + (src+dst) mod 7 — both operands positive, so Spark pmod and
+    // DuckDB % agree), seeds are users 0-4. Nodes whose shortest
+    // weighted path needs more than SsspRounds edges drop, exactly
+    // like the mirror's unrolled CTEs; at scale the unroll becomes the
+    // ConnectedComponents loop discipline (checkpoint per round,
+    // fixpoint detection on the summed distances, which only
+    // decrease).
+    "graph_sssp_weighted" -> ((s, dir) => {
+      val adjW = edges(s, dir).select(col("src"), col("dst"),
+        (lit(1L) + pmod(col("src") + col("dst"), lit(7L))).as("w"))
+      val seeds = adjW.select(col("src").as("node")).distinct()
+        .filter(col("node") < 5)
+        .withColumn("dist", lit(0L))
+      GraphIter.ssspRelax(adjW, seeds, SsspRounds)
+    })
   )
+
+  /** graph_betweenness pivot count / BFS truncation (unrolled
+    * identically in the oracle).
+    */
+  private val BcPivots = 8
+  private val BcDepth = 3
+
+  /** graph_sssp_weighted relaxation rounds (unrolled in the oracle). */
+  private val SsspRounds = 4
 
   /** Walk depth for graph_walk_visits (unrolled identically in the
     * oracle).
@@ -678,6 +721,32 @@ object GraphQueries extends QueryPack {
   private val WalkSteps = 4
 
   def oracles: Map[String, String] = Map(
+    // unrolled forward/backward levels with the IDENTICAL HUGEINT
+    // fixed-point dependency term — see ops/Betweenness.duckCtes
+    "graph_betweenness" ->
+      s"""WITH $edgesDuck,
+         |${graft.ops.Betweenness.duckCtes(BcPivots, BcDepth, "edges")}
+         |SELECT node, n_pivots_reached, bc_fix FROM bc""".stripMargin,
+
+    // min-plus relaxation unrolled SsspRounds times, integer mins only
+    "graph_sssp_weighted" -> {
+      val rounds = (1 to SsspRounds).map { r =>
+        s"""s$r AS (
+           |  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT a.dst AS node, s.dist + a.w AS dist
+           |    FROM s${r - 1} s JOIN adjw a ON s.node = a.src
+           |    UNION ALL SELECT node, dist FROM s${r - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesDuck,
+         |adjw AS (SELECT src, dst,
+         |  CAST(1 + (src + dst) % 7 AS BIGINT) AS w FROM edges),
+         |s0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM adjw WHERE src < 5),
+         |$rounds
+         |SELECT node, dist FROM s$SsspRounds""".stripMargin
+    },
+
     // same 3 relaxation rounds, unrolled as CTEs
     // definitional mirror: transitive closure by recursive CTE (UNION
     // dedups, so the fixpoint is exact reachability), component = min

@@ -494,6 +494,44 @@ object TextQueries extends QueryPack {
     "eval_calibration_bins" -> ((s, dir) =>
       calibrationBins(Tables(s, dir, "documents"))),
 
+    // Exact rank-based AUC (Mann–Whitney with midranks) of the quality
+    // scorer against the lang label — the one-number readout next to
+    // the calibration diagram. ALL integer until one final division:
+    // scores quantize to qfix (the calibration discipline), ranks fold
+    // as midranks over the per-score rollup (2·mid = 2·cum_before +
+    // cnt + 1 — integer), U = Σ_pos midrank − n_pos(n_pos+1)/2 in
+    // DECIMAL(38,0)/HUGEINT. A float rank-sum could never hash-match;
+    // this one does by construction. Plan: one scan, one
+    // map-side-combinable per-score rollup, then a running total over
+    // the DISTINCT-SCORE table — bounded by the 1e6 quantization
+    // resolution, not the corpus, so the single-partition window is a
+    // metadata operation at any scale (the agg_quantile_hist bound
+    // argument).
+    "eval_auc_rank" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val q = TextStats.qualityScore(col("text"))
+      val scored = Tables(s, dir, "documents")
+        .select(floor(q * 1e6).cast("long").as("qfix"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val byScore = scored.groupBy("qfix")
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+      val w = W.orderBy("qfix")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val smid = byScore
+        .withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .agg(sum(expr(
+          "CAST(npos AS DECIMAL(38,0)) * (2 * cumb + cnt + 1)"))
+          .as("smid"))
+      val tot = scored.agg(sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+      smid.crossJoin(broadcast(tot))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          when(col("np") > 0 && col("nn") > 0, expr(
+            "CAST(smid - CAST(np AS DECIMAL(38,0)) * (np + 1) AS DOUBLE)" +
+              " / CAST(2 * CAST(np AS DECIMAL(38,0)) * nn AS DOUBLE)"))
+            .as("auc"))
+    }),
+
     // The GraftExtensions SQL surface end-to-end: the registered native
     // functions driven from plain spark.sql text (what a SQL-only user
     // of the engine writes).
@@ -1255,6 +1293,28 @@ object TextQueries extends QueryPack {
          |  CAST(CAST(SUM(qfix) AS BIGINT) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_quality
          |FROM b GROUP BY bin""".stripMargin,
+
+    // identical midrank algebra in HUGEINT; one final guarded division
+    "eval_auc_rank" ->
+      s"""WITH $qualityDuckCtes,
+         |sc AS (SELECT CAST(floor(quality * 1e6) AS BIGINT) AS qfix,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM q),
+         |bys AS (SELECT qfix, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(pos) AS BIGINT) AS npos FROM sc GROUP BY 1),
+         |mid AS (SELECT qfix, cnt, npos,
+         |  COALESCE(CAST(SUM(cnt) OVER (ORDER BY qfix
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |    0) AS cumb FROM bys),
+         |tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS np,
+         |  CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn FROM sc),
+         |s AS (SELECT CAST(SUM(CAST(npos AS HUGEINT) * (2 * cumb + cnt + 1))
+         |  AS HUGEINT) AS smid FROM mid)
+         |SELECT np AS n_pos, nn AS n_neg,
+         |  CASE WHEN np > 0 AND nn > 0 THEN
+         |    CAST(smid - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+         |      / CAST(2 * CAST(np AS HUGEINT) * nn AS DOUBLE)
+         |  ELSE NULL END AS auc
+         |FROM s, tot""".stripMargin,
 
     "sql_native_functions" ->
       s"""WITH hx AS (SELECT doc_id,
