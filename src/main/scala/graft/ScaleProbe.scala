@@ -457,7 +457,11 @@ object ScaleProbe {
       val cl = ev.filter(col("event_type") === "click")
         .select((col("k") + 100000L).as("src"), col("user_id").as("dst"))
         .distinct()
-      exec(graft.ops.Betweenness(p.union(cl), 8, 3))
+      // caller-owned checkpoint: release after the probe run
+      val r = graft.ops.Betweenness(p.union(cl), 8, 3)
+      val n = exec(r)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(r)
+      n
     }
 
     // round-10: weighted SSSP (4 Bellman-Ford rounds) on the same
@@ -481,6 +485,26 @@ object ScaleProbe {
         .filter(col("node") < 5)
         .withColumn("dist", lit(0L))
       exec(graft.ops.GraphIter.ssspRelax(adjW, seeds, 4))
+    }
+
+    // round-10: HyperBall neighborhood function — nodes ×~c (users
+    // scale, items shared), per-round cost O(E · live registers);
+    // output grows with nodes × (rounds+1). Healthy = job ~ rows.
+    def hyperball(c: Int): Long = {
+      val ev = scaled("events", "user_id", c)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("src"), (col("k") + 100000L).as("dst"))
+        .distinct()
+      val cl = ev.filter(col("event_type") === "click")
+        .select((col("k") + 100000L).as("src"), col("user_id").as("dst"))
+        .distinct()
+      // caller-owned checkpoint: release after the probe run
+      val r = graft.ops.HyperBall(p.union(cl), 3)
+      val n = exec(r)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(r)
+      n
     }
 
     // round-9: fixed output (64 loading rows + ratio) — the corpus cost
@@ -672,6 +696,7 @@ object ScaleProbe {
       ("graph_hits", graphHits), ("graph_walk", graphWalk),
       ("graph_betweenness", betweenness),
       ("graph_sssp_weighted", ssspWeighted),
+      ("graph_hyperball", hyperball),
       ("pca_moments", pcaMoments),
       ("bitmap_rollup", bitmapRollup),
       ("ddsketch_quantile", ddsketchQuantile),

@@ -55,14 +55,25 @@ object Betweenness {
     *         has no dependency under its own tree)
     */
   def apply(adj: DataFrame, pivots: Int, depth: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     require(pivots >= 1, s"betweenness: pivots $pivots < 1")
     require(depth >= 2, s"betweenness: depth $depth < 2 never " +
       "accumulates (level-depth nodes carry delta 0 by definition)")
     val pv = adj.select(col("src")).distinct()
       .orderBy(col("src")).limit(pivots)
       .select(col("src").as("p"))
-    val f0 = broadcast(pv)
-      .select(col("p"), col("p").as("node"), lit(1L).as("sig"))
+    // Every level frame has MULTIPLE consumers (next level's frontier,
+    // the visited anti-join, the backward join, the final union) —
+    // unpinned, each consumer re-executes the whole level-chain prefix
+    // (measured 3× wall on the registered query). Per-level
+    // localCheckpoint + one final caller-owned checkpoint, superseded
+    // pins released — the Scc/Hits discipline.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); pinned += c; c
+    }
+    val f0 = pin(broadcast(pv)
+      .select(col("p"), col("p").as("node"), lit(1L).as("sig")))
     // forward: byLevel(l) = (p, node, sig) discovered at distance l
     val byLevel = scala.collection.mutable.ArrayBuffer(f0)
     var visited = f0.select(col("p"), col("node"))
@@ -72,11 +83,11 @@ object Betweenness {
         .join(adj, frontier("node") === adj("src"))
         .groupBy(col("p"), col("dst"))
         .agg(sum(col("sig")).as("sig"))
-      val nw = cand
+      val nw = pin(cand
         .join(visited.select(col("p").as("_vp"), col("node").as("_vn")),
           col("p") === col("_vp") && col("dst") === col("_vn"),
           "left_anti")
-        .select(col("p"), col("dst").as("node"), col("sig"))
+        .select(col("p"), col("dst").as("node"), col("sig")))
       byLevel += nw
       visited = visited.unionByName(nw.select(col("p"), col("node")))
     }
@@ -96,18 +107,22 @@ object Betweenness {
         .agg(sum(expr(
           s"CAST(CAST(sig AS DECIMAL(38,0)) * (${Scale}L + _wd)" +
             " div CAST(_wsig AS DECIMAL(38,0)) AS BIGINT)")).as("_s"))
-      val dl = vl.join(terms,
+      val dl = pin(vl.join(terms,
           vl("p") === col("_tp") && vl("node") === col("_tn"), "left")
         .select(vl("p"), vl("node"), vl("sig"),
-          coalesce(col("_s"), lit(0L)).as("delta"))
+          coalesce(col("_s"), lit(0L)).as("delta")))
       withDelta += dl
       deltaNext = dl
     }
-    withDelta.map(_.select(col("node"), col("delta")))
+    // one caller-owned block set (memoize or release); intermediates go
+    val res = withDelta.map(_.select(col("node"), col("delta")))
       .reduce(_ unionByName _)
       .groupBy("node")
       .agg(count(lit(1)).as("n_pivots_reached"),
         sum(col("delta")).as("bc_fix"))
+      .localCheckpoint()
+    pinned.foreach(Bridge.releaseLocalCheckpoint)
+    res
   }
 
   /** DuckDB mirror as a WITH body over an adjacency CTE

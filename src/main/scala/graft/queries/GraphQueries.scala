@@ -680,8 +680,12 @@ object GraphQueries extends QueryPack {
     // integers (the float-sum order hazard engineered out) — see
     // [[graft.ops.Betweenness]] for the term algebra and the 100 TB
     // plan shape (everything keyed by (pivot, node)).
+    // memoized: the op returns ONE caller-owned checkpointed frame
+    // (Scc discipline) and the memo's release-on-evict is its release
+    // path — the graph_hits pattern
     "graph_betweenness" -> ((s, dir) =>
-      graft.ops.Betweenness(edges(s, dir), BcPivots, BcDepth)),
+      pinned.getOrElseUpdate(s, s"betweenness/$dir")(
+        graft.ops.Betweenness(edges(s, dir), BcPivots, BcDepth))),
 
     // Weighted single-source shortest paths — bounded Bellman-Ford
     // (SsspRounds min-plus relaxation rounds, the weighted sibling of
@@ -703,8 +707,23 @@ object GraphQueries extends QueryPack {
         .filter(col("node") < 5)
         .withColumn("dist", lit(0L))
       GraphIter.ssspRelax(adjW, seeds, SsspRounds)
-    })
+    }),
+
+    // HyperBall neighborhood function — per-node HLL reachability
+    // balls at radii 0..HbRounds over the directed two-layer graph,
+    // the bounded-state answer to "how big is each node's t-hop
+    // reach" (and, integrated, the effective-diameter readout) when
+    // exact per-node reach sets are unthinkable. Register max-merge
+    // per round = associative, commutative, order-free — see
+    // [[graft.ops.HyperBall]] for the sketch algebra and the
+    // O(E · live-registers) round cost.
+    "graph_hyperball_nf" -> ((s, dir) =>
+      pinned.getOrElseUpdate(s, s"hyperball/$dir")(
+        graft.ops.HyperBall(edges(s, dir), HbRounds)))
   )
+
+  /** graph_hyperball_nf ball radius (unrolled in the oracle). */
+  private val HbRounds = 3
 
   /** graph_betweenness pivot count / BFS truncation (unrolled
     * identically in the oracle).
@@ -727,6 +746,12 @@ object GraphQueries extends QueryPack {
       s"""WITH $edgesDuck,
          |${graft.ops.Betweenness.duckCtes(BcPivots, BcDepth, "edges")}
          |SELECT node, n_pivots_reached, bc_fix FROM bc""".stripMargin,
+
+    // unrolled register max-merge rounds + the shared HLL estimate
+    "graph_hyperball_nf" ->
+      s"""WITH $edgesDuck,
+         |${graft.ops.HyperBall.duckCtes(HbRounds, "edges")}
+         |SELECT t, node, n_set, s_total, est_distinct FROM nf""".stripMargin,
 
     // min-plus relaxation unrolled SsspRounds times, integer mins only
     "graph_sssp_weighted" -> {
