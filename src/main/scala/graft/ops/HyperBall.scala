@@ -38,38 +38,33 @@ object HyperBall {
     *         double per row
     */
   def apply(adj: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
     require(rounds >= 1, s"hyperball: rounds $rounds < 1")
     val nodes = adj.select(col("src").as("node"))
       .unionByName(adj.select(col("dst").as("node")))
       .distinct()
-    // each round's register table has TWO consumers (next round's
-    // join + its own estimate row in the output union) and the output
-    // union would otherwise re-execute the whole round chain once per
-    // radius — per-round localCheckpoint, one caller-owned final
-    // checkpoint, intermediates released (the Scc/Hits discipline)
-    val roundRegs = scala.collection.mutable.ArrayBuffer(
-      Hll.registers(nodes, col("node"), col("node"))
-        .withColumnRenamed("g", "node")
-        .localCheckpoint())
+    // The round chain stays LAZY on purpose (measured, 10× probe arm):
+    // the output union is ONE DAG whose est(0..T) branches share the
+    // round shuffles via ReusedExchange, so each round's merge is
+    // computed once — a per-round localCheckpoint variant (the Scc
+    // discipline that pays off for Betweenness' anti-join fan-out)
+    // only ADDED the storage passes for the dense register tables and
+    // measured 85s → 189s at 10×. One caller-owned final checkpoint
+    // (memoize or release) is the only pin.
+    var regs = Hll.registers(nodes, col("node"), col("node"))
+      .withColumnRenamed("g", "node")
     def est(r: Int, frame: DataFrame): DataFrame =
       Hll.estimate(frame.withColumnRenamed("node", "g"))
         .select(lit(r.toLong).as("t"), col("g").as("node"),
           col("n_set"), col("s_total"), col("est_distinct"))
+    val out = scala.collection.mutable.ArrayBuffer(est(0, regs))
     for (r <- 1 to rounds) {
-      val regs = roundRegs.last
       val fromNbr = adj.join(regs, adj("dst") === regs("node"))
         .select(adj("src").as("node"), col("bucket"), col("m_j"))
-      roundRegs += regs.unionByName(fromNbr)
+      regs = regs.unionByName(fromNbr)
         .groupBy("node", "bucket").agg(max(col("m_j")).as("m_j"))
-        .localCheckpoint()
+      out += est(r, regs)
     }
-    val res = roundRegs.zipWithIndex
-      .map { case (frame, r) => est(r, frame) }
-      .reduce(_ unionByName _)
-      .localCheckpoint()
-    roundRegs.foreach(Bridge.releaseLocalCheckpoint)
-    res
+    out.reduce(_ unionByName _).localCheckpoint()
   }
 
   /** DuckDB mirror as a WITH body over `adjCte(src, dst)`: unrolled
