@@ -109,7 +109,16 @@ object GraphIter {
     * wedge-count scalar from the same table) pass it in rather than
     * paying the rollup twice.
     */
-  def triangleCount(e: DataFrame, deg: DataFrame): DataFrame = {
+  def triangleCount(e: DataFrame, deg: DataFrame): DataFrame =
+    triangleRows(e, deg).agg(count(lit(1)).as("n_triangles"))
+
+  /** One row per triangle `(a, b, c)` — the same degree-ordered
+    * enumeration as [[triangleCount]] (a = the lowest-ranked apex, so
+    * each triangle appears exactly once), kept per-row so consumers
+    * can attribute triangles to their member NODES (local clustering
+    * coefficients, per-node truss-ness) instead of only counting.
+    */
+  def triangleRows(e: DataFrame, deg: DataFrame): DataFrame = {
     val o = e
       .join(deg.select(col("u").as("ua"), col("d").as("da")), Seq("ua"))
       .join(deg.select(col("u").as("ub"), col("d").as("db")), Seq("ub"))
@@ -121,16 +130,17 @@ object GraphIter {
             struct(col("ub").as("s"), col("ua").as("t"), col("da").as("dt")))
           .as("o"))
       .select(col("o.s").as("s"), col("o.t").as("t"), col("o.dt").as("dt"))
-    // wedge (u, w) at s, ordered by the same (deg, id) rank so the
-    // closing oriented edge — if present — is exactly (u → w)
-    val wedges = o.select(col("s"), col("t").as("u"), col("dt").as("du"))
-      .join(o.select(col("s"), col("t").as("w"), col("dt").as("dw")),
-        Seq("s"))
+    // wedge (u, w) at apex s, ordered by the same (deg, id) rank so
+    // the closing oriented edge — if present — is exactly (u → w)
+    val wedges = o.select(col("s").as("apex"), col("t").as("u"),
+        col("dt").as("du"))
+      .join(o.select(col("s").as("apex"), col("t").as("w"),
+        col("dt").as("dw")), Seq("apex"))
       .filter(col("du") < col("dw") ||
         (col("du") === col("dw") && col("u") < col("w")))
-      .select(col("u").as("s"), col("w").as("t"))
+      .select(col("apex"), col("u").as("s"), col("w").as("t"))
     wedges.join(o.select("s", "t"), Seq("s", "t"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("apex").as("a"), col("s").as("b"), col("t").as("c"))
   }
 
   /** `rounds` synchronous peeling steps toward the k-core: each round

@@ -261,6 +261,34 @@ object GraphQueries extends QueryPack {
               col("n_wedges").cast("double")))
     }),
 
+    // Per-node LOCAL clustering coefficient over the same projection —
+    // lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the node-level
+    // community-embeddedness score (graph_triangles reports the global
+    // scalar; feature pipelines want the per-node column). Triangle
+    // attribution reuses [[GraphIter.triangleRows]] — the SAME
+    // degree-ordered enumeration, kept per-row and exploded to the
+    // three member nodes, so the m^1.5 wedge bound carries over
+    // unchanged. Exact integers everywhere; the one double per node is
+    // a single shared-shape division, guarded for deg < 2 on both
+    // engines (Spark's non-ANSI x/0 → NULL vs DuckDB's IEEE would
+    // diverge otherwise).
+    "graph_local_clustering" -> ((s, dir) => {
+      val e = coEdgesPinned(s, dir)
+      val deg = e.select(col("ua").as("u"))
+        .union(e.select(col("ub").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+      val perNode = GraphIter.triangleRows(e, deg)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("n_tri"))
+      deg.join(perNode, Seq("u"), "left")
+        .select(col("u").as("node"), col("d").as("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("lcc",
+          when(col("deg") >= 2,
+            lit(2e0) * col("n_tri").cast("double") /
+              (col("deg").cast("double") * (col("deg") - 1).cast("double"))))
+    }),
+
     // Connected components over the co-engagement projection — the
     // equivalence-class member of the graph family, and the standalone
     // oracle anchor for [[graft.ops.ConnectedComponents]] (previously
@@ -746,6 +774,26 @@ object GraphQueries extends QueryPack {
       s"""WITH $edgesDuck,
          |${graft.ops.Betweenness.duckCtes(BcPivots, BcDepth, "edges")}
          |SELECT node, n_pivots_reached, bc_fix FROM bc""".stripMargin,
+
+    // definitional per-node triangle attribution: for node u, count
+    // neighbor pairs (v < w) that are themselves an edge — never the
+    // engine's oriented-wedge enumeration, which is the point
+    "graph_local_clustering" ->
+      s"""WITH $coEdgesDuck,
+         |$coAdjDuck,
+         |tri AS (
+         |  SELECT a.u AS node, COUNT(*) AS n_tri
+         |  FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+         |    JOIN e t ON t.ua = a.v AND t.ub = b.v
+         |  GROUP BY 1),
+         |deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1)
+         |SELECT deg.u AS node, CAST(deg.d AS BIGINT) AS deg,
+         |  CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN deg.d >= 2 THEN
+         |    2e0 * CAST(COALESCE(tri.n_tri, 0) AS DOUBLE)
+         |      / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE))
+         |  ELSE NULL END AS lcc
+         |FROM deg LEFT JOIN tri ON tri.node = deg.u""".stripMargin,
 
     // unrolled register max-merge rounds + the shared HLL estimate
     "graph_hyperball_nf" ->
