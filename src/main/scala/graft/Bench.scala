@@ -252,8 +252,7 @@ object Bench {
     // "parsed": null. Two channels now: full precision (every run 1 AND
     // min) to a file, and a final stdout line rounded to ms and capped
     // at 1800 chars — slowest queries kept, and the cold map trimmed to
-    // MATERIAL amortization gaps (run1 ≥ 2× run2 and ≥ 0.25 s apart:
-    // the memo-backed shapes, not ordinary first-run codegen) so
+    // the top-12 amortization gaps (see materialCold below) so
     // head+tail always survive.
     val outFile = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
