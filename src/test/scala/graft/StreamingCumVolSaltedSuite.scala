@@ -95,6 +95,37 @@ class StreamingCumVolSaltedSuite extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === stateBefore)
   }
 
+  test("carry survives a checkpointed RESTART: second incarnation " +
+      "continues totals from the state table") {
+    val spool = Files.createTempDirectory("salted_restart_spool")
+    val work = Files.createTempDirectory("salted_restart_work")
+    graft.source.SpoolWriter.deleteAtExit(spool)
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val sinkRoot = work.resolve("sink").toString
+    def envLine(sym: String, time: Long, vol: Int, typ: String) =
+      s"""{"topic": "feed", "frameType": "TICK", "payload": ${tickJson(
+        sym, time, vol, typ).replace("\n", "")}}"""
+    def write(name: String, lines: String*): Unit =
+      Files.write(spool.resolve(name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def run(): Unit = {
+      val env = spark.readStream
+        .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+        .option("path", spool.toString).load()
+      val q = SaltedCumVolBatch.start(env, sinkRoot,
+        work.resolve("ckpt").toString, work.resolve("state").toString,
+        numBuckets = 4)
+      try q.processAllAvailable() finally q.stop()
+    }
+    write("0000000000.jsonl",
+      envLine("HOT", t0, 5, "B"), envLine("HOT", t0 + 1, 3, "S"))
+    run() // incarnation 1 drains the first file, then stops
+    write("0000000001.jsonl", envLine("HOT", t0 + 2, 7, "B"))
+    run() // incarnation 2: fresh query objects, same ckpt + state
+    // the second incarnation's row must continue from (5, 3), not 0
+    assert(sinkRows(sinkRoot).contains(("HOT", t0 + 2, 12L, 3L, 9L)))
+  }
+
   test("carry resets on day rollover across batches; old versions pruned") {
     val work = Files.createTempDirectory("graft_salted_roll")
     graft.source.SpoolWriter.deleteAtExit(work)
