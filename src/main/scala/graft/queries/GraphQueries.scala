@@ -745,10 +745,34 @@ object GraphQueries extends QueryPack {
     // per round = associative, commutative, order-free — see
     // [[graft.ops.HyperBall]] for the sketch algebra and the
     // O(E · live-registers) round cost.
-    "graph_hyperball_nf" -> ((s, dir) =>
-      pinned.getOrElseUpdate(s, s"hyperball/$dir")(
-        graft.ops.HyperBall(edges(s, dir), HbRounds)))
+    "graph_hyperball_nf" -> ((s, dir) => hyperballPinned(s, dir)),
+
+    // Effective eccentricity per node — the readout HyperBall exists
+    // to serve: the smallest radius t whose ball estimate reaches 90%
+    // of the node's full-radius estimate (the standard
+    // effective-diameter integrand, per node). One memo read + a
+    // node-keyed self-join + grouped integer MIN; the 9e-1 threshold
+    // compares two doubles BOTH engines derive from the identical
+    // exact-integer register state, so the comparison is
+    // deterministic cross-engine (the Hll estimate-parity argument,
+    // applied to an inequality).
+    "graph_eff_eccentricity" -> ((s, dir) => {
+      val nf = hyperballPinned(s, dir)
+      val fin = nf.filter(col("t") === HbRounds)
+        .select(col("node").as("_fn"), col("est_distinct").as("_est_t"))
+      nf.join(fin, col("node") === col("_fn"))
+        .filter(col("est_distinct") >= expr("9e-1") * col("_est_t"))
+        .groupBy("node").agg(min(col("t")).as("eff_ecc"))
+    })
   )
+
+  /** Memoized HyperBall frame — shared by graph_hyperball_nf and
+    * graph_eff_eccentricity (the op returns one caller-owned
+    * checkpoint; the memo's release-on-evict owns it).
+    */
+  private def hyperballPinned(s: SparkSession, dir: String): DataFrame =
+    pinned.getOrElseUpdate(s, s"hyperball/$dir")(
+      graft.ops.HyperBall(edges(s, dir), HbRounds))
 
   /** graph_hyperball_nf ball radius (unrolled in the oracle). */
   private val HbRounds = 3
@@ -800,6 +824,18 @@ object GraphQueries extends QueryPack {
       s"""WITH $edgesDuck,
          |${graft.ops.HyperBall.duckCtes(HbRounds, "edges")}
          |SELECT t, node, n_set, s_total, est_distinct FROM nf""".stripMargin,
+
+    // same nf CTEs; the 90% threshold inequality over the identical
+    // estimate doubles
+    "graph_eff_eccentricity" ->
+      s"""WITH $edgesDuck,
+         |${graft.ops.HyperBall.duckCtes(HbRounds, "edges")},
+         |fin AS (SELECT node, est_distinct AS est_t FROM nf
+         |        WHERE t = $HbRounds)
+         |SELECT nf.node, CAST(MIN(nf.t) AS BIGINT) AS eff_ecc
+         |FROM nf JOIN fin ON fin.node = nf.node
+         |WHERE nf.est_distinct >= 9e-1 * fin.est_t
+         |GROUP BY 1""".stripMargin,
 
     // min-plus relaxation unrolled SsspRounds times, integer mins only
     "graph_sssp_weighted" -> {
