@@ -142,9 +142,14 @@ object Multimodal {
     */
   object AudioCodec {
 
-    /** Exact integer sample statistics of a decoded 16-bit mono stream. */
+    /** Exact integer sample statistics of a decoded 16-bit mono stream.
+      * `sumSq` rides along for energy readouts (RMS): |s| ≤ 2^15, so
+      * s² ≤ 2^30 and the sum stays inside int64 for any stream under
+      * ~2^33 samples — far past any WAV this engine decodes.
+      */
     case class AudioStats(
-        nSamples: Long, sumAbs: Long, minS: Int, maxS: Int, zeroCross: Long)
+        nSamples: Long, sumAbs: Long, minS: Int, maxS: Int,
+        zeroCross: Long, sumSq: Long)
 
     /** Deterministic synthetic audio: s(i) = ((i·37 + offset·11) mod
       * 4096) − 2048, 16-bit little-endian mono PCM at 8 kHz in a
@@ -193,18 +198,18 @@ object Multimodal {
     private def decode16leStats(data: Array[Byte]): Option[AudioStats] = {
         val bb = java.nio.ByteBuffer.wrap(data)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        var n = 0L; var sumAbs = 0L
+        var n = 0L; var sumAbs = 0L; var sumSq = 0L
         var mn = Int.MaxValue; var mx = Int.MinValue
         var zc = 0L; var prev = 0; var first = true
         while (bb.remaining() >= 2) {
           val s = bb.getShort.toInt
-          n += 1; sumAbs += math.abs(s)
+          n += 1; sumAbs += math.abs(s); sumSq += s.toLong * s
           if (s < mn) mn = s
           if (s > mx) mx = s
           if (!first && ((prev < 0 && s >= 0) || (prev >= 0 && s < 0))) zc += 1
           prev = s; first = false
         }
-        if (n == 0) None else Some(AudioStats(n, sumAbs, mn, mx, zc))
+        if (n == 0) None else Some(AudioStats(n, sumAbs, mn, mx, zc, sumSq))
     }
 
     /** Real decoded feature (FeatureDim floats, same arity as the stub

@@ -217,6 +217,32 @@ object MultimodalQueries extends QueryPack {
           "zero_cross")
     }),
 
+    // RMS energy per decoded WAV — the loudness/energy descriptor an
+    // audio-curation pipeline thresholds on (silence/clipping
+    // filters). Same real javax.sound round-trip as media_decode_wav;
+    // Σs² is exact int64 (|s| ≤ 2^15 ⇒ s² ≤ 2^30), and rms =
+    // sqrt(Σs²/n) is two IEEE ops on identical exact-integer operands,
+    // deterministic cross-engine (both engines' sqrt is the IEEE-754
+    // correctly-rounded one).
+    "media_audio_rms" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val n = (64 + nc % 128).toInt
+            val bytes = Multimodal.AudioCodec.encodePcmWav(n, id)
+            val st = Multimodal.AudioCodec.decodeStats(bytes).getOrElse(
+              throw new IllegalStateException(
+                s"AudioSystem failed to decode its own WAV for doc $id"))
+            (id, st.nSamples, st.sumSq)
+          }
+        }
+        .toDF("media_id", "n_samples", "sum_sq")
+        .withColumn("rms", sqrt(col("sum_sq").cast("double") /
+          col("n_samples").cast("double")))
+    }),
+
     // Perceptual-hash near-dup — the pHash pipeline shape (decode →
     // feature panel → sign-of-deviation bits → banded hamming join),
     // with the decode behind the same stub seam as media_features:
@@ -384,6 +410,21 @@ object MultimodalQueries extends QueryPack {
         |    ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         |FROM zc GROUP BY 1""".stripMargin,
+
+    // the sample-law mirror of the RMS energy readout
+    "media_audio_rms" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + n_chars % 128 AS n FROM documents),
+        |sm AS (
+        |  SELECT m.doc_id,
+        |    CAST(((g.i * 37 + m.doc_id * 11) % 4096) - 2048 AS BIGINT)
+        |      AS v
+        |  FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) g)
+        |SELECT doc_id AS media_id, COUNT(*) AS n_samples,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |FROM sm GROUP BY 1""".stripMargin,
 
     // the pixel-law mirror of the real ImageIO round-trip: v(x,y) =
     // (x + y + doc_id) % 256 summed over the w×h grid

@@ -532,6 +532,27 @@ object TextQueries extends QueryPack {
             .as("auc"))
     }),
 
+    // Hapax-legomena ratio per source — the lexical-richness readout a
+    // corpus health dashboard tracks (a source whose hapax share
+    // collapses is template/boilerplate-heavy; one where it explodes
+    // is OCR noise or spam). Tokens travel as md5-h31 LONGS (the
+    // pack's no-text-through-exchanges invariant); per-(source, token)
+    // counts fold map-side, the per-source rollup is exact integers,
+    // one division.
+    "text_hapax_ratio" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(TextHash.tokens(col("text"))).as("w"))
+        .select(col("source"), TextHash.h31(col("w")).as("h"))
+      tok.groupBy("source", "h").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("vocab"), col("n_hapax"),
+          expr("CAST(n_hapax AS DOUBLE) / CAST(vocab AS DOUBLE)")
+            .as("hapax_ratio"))
+    }),
+
     // The GraftExtensions SQL surface end-to-end: the registered native
     // functions driven from plain spark.sql text (what a SQL-only user
     // of the engine writes).
@@ -1315,6 +1336,21 @@ object TextQueries extends QueryPack {
          |      / CAST(2 * CAST(np AS HUGEINT) * nn AS DOUBLE)
          |  ELSE NULL END AS auc
          |FROM s, tot""".stripMargin,
+
+    // same md5-h31 token identity; hash collisions merge tokens
+    // identically on both engines (the KMV hash-universe contract)
+    "text_hapax_ratio" ->
+      s"""WITH tk AS (
+         |  SELECT source, ${TextHash.h31Duck("t.w")} AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t),
+         |c AS (SELECT source, h, COUNT(*) AS n FROM tk GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS vocab,
+         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+         |FROM c GROUP BY 1""".stripMargin,
 
     "sql_native_functions" ->
       s"""WITH hx AS (SELECT doc_id,
