@@ -763,8 +763,40 @@ object GraphQueries extends QueryPack {
       nf.join(fin, col("node") === col("_fn"))
         .filter(col("est_distinct") >= expr("9e-1") * col("_est_t"))
         .groupBy("node").agg(min(col("t")).as("eff_ecc"))
-    })
+    }),
+
+    // Harmonic centrality from pivots — the closeness-family member
+    // that handles disconnection gracefully (unreached pairs
+    // contribute 0, no infinite distances): see [[harmonicPivots]]
+    // for the exact-integer ×6 trick.
+    "graph_harmonic_pivots" -> ((s, dir) => harmonicPivots(s, dir))
   )
+
+  /** Harmonic centrality from the BcPivots smallest sources, depth
+    * ≤ 3 — EXACT integers: harmonic(v) = Σ_p 1/d(p,v) has
+    * denominators in {1,2,3}, so score6 = Σ_p 6/d(p,v) clears every
+    * denominator (6 = lcm(1..3)) and the sum is a plain long — no
+    * float harmonic sum, no order sensitivity. Distances by the
+    * graph_bfs_levels min-relaxation keyed (pivot, node). Registered
+    * below; the oracle unrolls the identical rounds.
+    */
+  private def harmonicPivots(s: SparkSession, dir: String): DataFrame = {
+    val adj = edges(s, dir)
+    val seeds = adj.select(col("src")).distinct()
+      .orderBy(col("src")).limit(BcPivots)
+      .select(col("src").as("p"), col("src").as("node"))
+      .withColumn("dist", lit(0L))
+    val d3 = (1 to 3).foldLeft(broadcast(seeds).as("seeds0")) { (d, _) =>
+      d.join(adj, d("node") === adj("src"))
+        .select(col("p"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .unionByName(d.select(col("p"), col("node"), col("dist")))
+        .groupBy("p", "node").agg(min(col("dist")).as("dist"))
+    }
+    d3.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_pivots_reached"),
+        sum(expr("6L div dist")).as("harmonic6"))
+  }
 
   /** Memoized HyperBall frame — shared by graph_hyperball_nf and
     * graph_eff_eccentricity (the op returns one caller-owned
@@ -836,6 +868,26 @@ object GraphQueries extends QueryPack {
          |FROM nf JOIN fin ON fin.node = nf.node
          |WHERE nf.est_distinct >= 9e-1 * fin.est_t
          |GROUP BY 1""".stripMargin,
+
+    // per-pivot unrolled min-relaxation + the exact ×6 harmonic fold
+    "graph_harmonic_pivots" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""h$r AS (
+           |  SELECT p, node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT h.p, e.dst AS node, h.dist + 1 AS dist
+           |    FROM h${r - 1} h JOIN edges e ON h.node = e.src
+           |    UNION ALL SELECT p, node, dist FROM h${r - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesDuck,
+         |hp AS (SELECT src AS p FROM (
+         |  SELECT DISTINCT src FROM edges ORDER BY src LIMIT $BcPivots)),
+         |h0 AS (SELECT p, p AS node, CAST(0 AS BIGINT) AS dist FROM hp),
+         |$rounds
+         |SELECT node, COUNT(*) AS n_pivots_reached,
+         |  CAST(SUM(6 // dist) AS BIGINT) AS harmonic6
+         |FROM h3 WHERE dist > 0 GROUP BY 1""".stripMargin
+    },
 
     // min-plus relaxation unrolled SsspRounds times, integer mins only
     "graph_sssp_weighted" -> {
