@@ -170,6 +170,36 @@ object GraphQueries extends QueryPack {
   private def sccPinned(s: SparkSession, dir: String): DataFrame =
     pinned.getOrElseUpdate(s, s"scc/$dir")(Scc(itemNextEdges(s, dir)))
 
+  /** Topological layering of the SCC condensation with member counts —
+    * (scc_id, layer, n_members) — shared by graph_topo_layers and
+    * graph_condensation_stats. The layering loop (O(DAG depth) rounds)
+    * is memoized like every pinned projection — repeat invocations
+    * read one pinned frame; the un-amortized loop cost lives in the
+    * SccSuite / graph_topo_chain probe path. Isolated SCCs (no
+    * condensed edges) sit at layer 0 via the left join.
+    */
+  private def condensationLayers(s: SparkSession, dir: String): DataFrame = {
+    val labels = sccPinned(s, dir)
+    val layers = pinned.getOrElseUpdate(s, s"topoLayers/$dir") {
+      val ce = itemNextEdges(s, dir)
+        .join(labels.withColumnRenamed("node", "src")
+          .withColumnRenamed("scc_id", "sa"), Seq("src"))
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("scc_id", "sb"), Seq("dst"))
+        .filter(col("sa") =!= col("sb"))
+        .select(col("sa").as("src"), col("sb").as("dst"))
+        .distinct()
+      Scc.topoLayers(ce) // already one collapsed localCheckpoint
+    }
+    labels.groupBy("scc_id")
+      .agg(count(lit(1)).as("n_members"))
+      .join(layers.withColumnRenamed("node", "scc_id"),
+        Seq("scc_id"), "left")
+      .select(col("scc_id"),
+        coalesce(col("layer"), lit(0L)).as("layer"),
+        col("n_members"))
+  }
+
   private val coAdjDuck: String =
     """adj AS (
       |  SELECT ua AS u, ub AS v FROM e
@@ -391,30 +421,23 @@ object GraphQueries extends QueryPack {
     // layer 0 via the left join. The mirror walks the condensed DAG
     // with a recursive CTE and takes MAX(depth) — definitional
     // longest-path, never the engine's relaxation.
-    "graph_topo_layers" -> ((s, dir) => {
-      val labels = sccPinned(s, dir)
-      // the layering loop (O(DAG depth) rounds) is memoized like every
-      // pinned projection — repeat invocations read one pinned frame;
-      // the un-amortized loop cost lives in the SccSuite/probe path
-      val layers = pinned.getOrElseUpdate(s, s"topoLayers/$dir") {
-        val ce = itemNextEdges(s, dir)
-          .join(labels.withColumnRenamed("node", "src")
-            .withColumnRenamed("scc_id", "sa"), Seq("src"))
-          .join(labels.withColumnRenamed("node", "dst")
-            .withColumnRenamed("scc_id", "sb"), Seq("dst"))
-          .filter(col("sa") =!= col("sb"))
-          .select(col("sa").as("src"), col("sb").as("dst"))
-          .distinct()
-        Scc.topoLayers(ce) // already one collapsed localCheckpoint
-      }
-      val members = labels.groupBy("scc_id")
-        .agg(count(lit(1)).as("n_members"))
-      members.join(layers.withColumnRenamed("node", "scc_id"),
-          Seq("scc_id"), "left")
-        .select(col("scc_id"),
-          coalesce(col("layer"), lit(0L)).as("layer"),
-          col("n_members"))
-    }),
+    "graph_topo_layers" -> ((s, dir) =>
+      condensationLayers(s, dir)
+        .select(col("scc_id"), col("layer"), col("n_members"))),
+
+    // Per-layer rollup of the condensation (round-11): how wide each
+    // scheduling wave is (n_sccs), how much work it carries (n_nodes),
+    // and the largest recurrent set in it (max_scc) — the capacity-
+    // planning readout a lineage scheduler derives from the layering.
+    // Rides the SAME pinned SCC + layering memos as graph_topo_layers
+    // (zero extra loop cost); the mirror extends the definitional
+    // recursive-closure CTE with the same one-line rollup.
+    "graph_condensation_stats" -> ((s, dir) =>
+      condensationLayers(s, dir)
+        .groupBy("layer")
+        .agg(count(lit(1)).as("n_sccs"),
+          sum(col("n_members")).as("n_nodes"),
+          max(col("n_members")).as("max_scc"))),
 
     // Breadth-first reachability levels — the traversal family next to
     // PageRank (diffusion), connected components (equivalence), and
@@ -823,6 +846,41 @@ object GraphQueries extends QueryPack {
     */
   private val WalkSteps = 4
 
+  /** Shared mirror prefix for the condensation family: SCC labels by
+    * mutual reachability over the recursive closure, condensed edges,
+    * longest-path layering by recursive walk, and member counts —
+    * ends with `lay(scc_id, layer)` and `mem(scc_id, n_members)` in
+    * scope. Never how the engine computes it (the engine peels
+    * FB-Trim + relaxation); the mirror is definitional.
+    */
+  private lazy val condensationLayersDuck: String =
+    "WITH RECURSIVE " + itemNextEdgesDuck + """,
+      |nodes AS (SELECT DISTINCT src AS v FROM edges
+      |          UNION SELECT DISTINCT dst FROM edges),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |mutual AS (
+      |  SELECT r.b AS v, r.a AS u FROM reach r JOIN reach r2
+      |    ON r2.a = r.b AND r2.b = r.a),
+      |lab AS (
+      |  SELECT n.v, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
+      |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+      |  GROUP BY n.v),
+      |ce AS (
+      |  SELECT DISTINCT la.scc_id AS src, lb.scc_id AS dst
+      |  FROM edges e
+      |  JOIN lab la ON la.v = e.src
+      |  JOIN lab lb ON lb.v = e.dst
+      |  WHERE la.scc_id <> lb.scc_id),
+      |walk(v, d) AS (
+      |  SELECT DISTINCT scc_id, 0 FROM lab
+      |  UNION
+      |  SELECT ce.dst, w.d + 1 FROM walk w JOIN ce ON ce.src = w.v),
+      |lay AS (SELECT v AS scc_id, MAX(d) AS layer FROM walk GROUP BY v),
+      |mem AS (SELECT scc_id, COUNT(*) AS n_members FROM lab GROUP BY 1)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // unrolled forward/backward levels with the IDENTICAL HUGEINT
     // fixed-point dependency term — see ops/Betweenness.duckCtes
@@ -953,35 +1011,20 @@ object GraphQueries extends QueryPack {
     // (every node seeds depth 0; MAX(d) per node = longest path from
     // any source — the relaxation's fixpoint, derived independently)
     "graph_topo_layers" ->
-      ("WITH RECURSIVE " + itemNextEdgesDuck + """,
-        |nodes AS (SELECT DISTINCT src AS v FROM edges
-        |          UNION SELECT DISTINCT dst FROM edges),
-        |reach(a, b) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |mutual AS (
-        |  SELECT r.b AS v, r.a AS u FROM reach r JOIN reach r2
-        |    ON r2.a = r.b AND r2.b = r.a),
-        |lab AS (
-        |  SELECT n.v, LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS scc_id
-        |  FROM nodes n LEFT JOIN mutual m ON m.v = n.v
-        |  GROUP BY n.v),
-        |ce AS (
-        |  SELECT DISTINCT la.scc_id AS src, lb.scc_id AS dst
-        |  FROM edges e
-        |  JOIN lab la ON la.v = e.src
-        |  JOIN lab lb ON lb.v = e.dst
-        |  WHERE la.scc_id <> lb.scc_id),
-        |walk(v, d) AS (
-        |  SELECT DISTINCT scc_id, 0 FROM lab
-        |  UNION
-        |  SELECT ce.dst, w.d + 1 FROM walk w JOIN ce ON ce.src = w.v),
-        |lay AS (SELECT v AS scc_id, MAX(d) AS layer FROM walk GROUP BY v),
-        |mem AS (SELECT scc_id, COUNT(*) AS n_members FROM lab GROUP BY 1)
+      (condensationLayersDuck + """
         |SELECT m.scc_id, CAST(l.layer AS BIGINT) AS layer,
         |  CAST(m.n_members AS BIGINT) AS n_members
         |FROM mem m JOIN lay l USING (scc_id)""".stripMargin),
+
+    // the same definitional closure, rolled up per layer
+    "graph_condensation_stats" ->
+      (condensationLayersDuck + """
+        |SELECT CAST(l.layer AS BIGINT) AS layer,
+        |  COUNT(*) AS n_sccs,
+        |  CAST(SUM(m.n_members) AS BIGINT) AS n_nodes,
+        |  CAST(MAX(m.n_members) AS BIGINT) AS max_scc
+        |FROM mem m JOIN lay l USING (scc_id)
+        |GROUP BY 1""".stripMargin),
 
     "graph_bfs_levels" ->
       s"""WITH $edgesDuck,

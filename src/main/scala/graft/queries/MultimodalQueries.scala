@@ -243,6 +243,40 @@ object MultimodalQueries extends QueryPack {
           col("n_samples").cast("double")))
     }),
 
+    // Zero-crossing rate + peak amplitude (round-11): the remaining
+    // two classic cheap audio descriptors next to media_audio_rms's
+    // energy — ZCR is the standard noisiness/voicing proxy a corpus
+    // filter thresholds on, peak the clipping check. Same REAL
+    // round-trip as the RMS row: encode the deterministic PCM law
+    // through a real RIFF/WAVE writer, decode through
+    // javax.sound.sampled, and walk actual frames —
+    // [[graft.ops.Multimodal.AudioCodec.AudioStats]] already carries
+    // zeroCross/minS/maxS from the same single pass (no second
+    // decode). The mirror replays the integer sample law with a lag
+    // window: a crossing is a sign-CLASS change ((prev<0) ≠ (v<0)),
+    // exactly the decoder's branch. Scale: embarrassingly parallel
+    // per-payload map, no shuffle until the final projection.
+    "media_audio_zcr" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, nc) =>
+            val n = (64 + nc % 128).toInt
+            val bytes = Multimodal.AudioCodec.encodePcmWav(n, id)
+            val st = Multimodal.AudioCodec.decodeStats(bytes).getOrElse(
+              throw new IllegalStateException(
+                s"AudioSystem failed to decode its own WAV for doc $id"))
+            (id, st.nSamples, st.zeroCross,
+              math.max(math.abs(st.minS.toLong), math.abs(st.maxS.toLong)),
+              st.sumAbs)
+          }
+        }
+        .toDF("media_id", "n_samples", "zero_cross", "peak_abs", "sum_abs")
+        .withColumn("zcr", col("zero_cross").cast("double") /
+          col("n_samples").cast("double"))
+    }),
+
     // Perceptual-hash near-dup — the pHash pipeline shape (decode →
     // feature panel → sign-of-deviation bits → banded hamming join),
     // with the decode behind the same stub seam as media_features:
@@ -425,6 +459,33 @@ object MultimodalQueries extends QueryPack {
         |  sqrt(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE)) AS rms
         |FROM sm GROUP BY 1""".stripMargin,
+
+    // sample-law mirror with a lag window: crossing ⇔ sign-class
+    // change, the decoder's exact branch
+    "media_audio_zcr" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + n_chars % 128 AS n FROM documents),
+        |sm AS (
+        |  SELECT m.doc_id, g.i,
+        |    CAST(((g.i * 37 + m.doc_id * 11) % 4096) - 2048 AS BIGINT)
+        |      AS v
+        |  FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) g),
+        |sq AS (
+        |  SELECT doc_id, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM sm)
+        |SELECT doc_id AS media_id, COUNT(*) AS n_samples,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL
+        |    AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_cross,
+        |  CAST(MAX(CASE WHEN v < 0 THEN -v ELSE v END) AS BIGINT)
+        |    AS peak_abs,
+        |  CAST(SUM(CASE WHEN v < 0 THEN -v ELSE v END) AS BIGINT)
+        |    AS sum_abs,
+        |  CAST(CAST(SUM(CASE WHEN pv IS NOT NULL
+        |      AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS zcr
+        |FROM sq GROUP BY 1""".stripMargin,
 
     // the pixel-law mirror of the real ImageIO round-trip: v(x,y) =
     // (x + y + doc_id) % 256 summed over the w×h grid
