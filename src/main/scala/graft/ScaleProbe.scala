@@ -593,6 +593,53 @@ object ScaleProbe {
       n
     }
 
+    // round-11 (VERDICT r10 task #2): the FULL cold chain behind
+    // graph_topo_layers — SCC (FB-Trim peel) on the ×c best-next-item
+    // graph, then condensation edges, then longest-path layering, then
+    // the member-count join the registered query emits. The registered
+    // query reads a pinned memo (0.12s steady); this arm prices the
+    // un-amortized rebuild — the one heavy family r10 left un-probed.
+    // Copies are id-disjoint, so peel / trim / layering ROUND counts
+    // stay constant (SPARK_GRAFT_SCC_DEBUG=1 prints peels+innerRounds)
+    // while each round's node-keyed shuffle grows linearly: healthy =
+    // job ~ copies with a near-flat floor. The c-leaf union is pinned
+    // once before entering the loops (the Betweenness adjP lesson —
+    // un-truncated, its subtree would be re-analyzed by every round of
+    // every phase and the floor would price plan analysis, not the
+    // chain).
+    def topoChain(c: Int): Long = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val e1 = graft.ops.GraphIter
+        .bestNextItemEdges(Tables(spark, dir, "events"))
+        .localCheckpoint()
+      val e = (0 until c).map(i => e1.select(
+          (col("src") + lit(i * 100000000L)).as("src"),
+          (col("dst") + lit(i * 100000000L)).as("dst")))
+        .reduce(_ unionByName _).localCheckpoint()
+      val labels = graft.ops.Scc(e)
+      val ce = e
+        .join(labels.withColumnRenamed("node", "src")
+          .withColumnRenamed("scc_id", "sa"), Seq("src"))
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("scc_id", "sb"), Seq("dst"))
+        .filter(col("sa") =!= col("sb"))
+        .select(col("sa").as("src"), col("sb").as("dst"))
+        .distinct()
+      val layers = graft.ops.Scc.topoLayers(ce)
+      val n = exec(labels.groupBy("scc_id")
+        .agg(count(lit(1)).as("n_members"))
+        .join(layers.withColumnRenamed("node", "scc_id"),
+          Seq("scc_id"), "left")
+        .select(col("scc_id"),
+          coalesce(col("layer"), lit(0L)).as("layer"),
+          col("n_members")))
+      Bridge.releaseLocalCheckpoint(layers)
+      Bridge.releaseLocalCheckpoint(labels)
+      Bridge.releaseLocalCheckpoint(e)
+      Bridge.releaseLocalCheckpoint(e1)
+      n
+    }
+
     // Item-item CF (rec_item_cf's pipeline): users ×c with fixed
     // baskets and a fixed catalog — co-purchase pair volume grows
     // linearly with users (the per-BASKET quadratic term is bounded by
@@ -713,6 +760,7 @@ object ScaleProbe {
       // checkpoint-churn-heavy (many small jobs + block writes): after
       // the latency-sensitive hotkey group per the light→heavy rule
       ("graph_scc", graphScc),
+      ("graph_topo_chain", topoChain),
       ("heavy_hitters_mg", heavyHittersMg),
       ("segment_dedup", segmentDedup), ("span_dedup", spanDedup),
       ("cdc_chunks", cdcChunks), ("embed_lsh", embedDedup),

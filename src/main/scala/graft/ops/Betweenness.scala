@@ -59,9 +59,6 @@ object Betweenness {
     require(pivots >= 1, s"betweenness: pivots $pivots < 1")
     require(depth >= 2, s"betweenness: depth $depth < 2 never " +
       "accumulates (level-depth nodes carry delta 0 by definition)")
-    val pv = adj.select(col("src")).distinct()
-      .orderBy(col("src")).limit(pivots)
-      .select(col("src").as("p"))
     // Every level frame has MULTIPLE consumers (next level's frontier,
     // the visited anti-join, the backward join, the final union) —
     // unpinned, each consumer re-executes the whole level-chain prefix
@@ -72,6 +69,19 @@ object Betweenness {
     def pin(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(); pinned += c; c
     }
+    // The adjacency joins into EVERY forward and backward level —
+    // 2·depth − 1 plan copies. Left unpinned, each copy re-analyzes and
+    // re-executes the caller's whole adjacency subtree; on the 100×
+    // weak-scaling probe (a 100-leaf id-shifted union) that unrolled
+    // re-analysis was the 23s driver floor VERDICT r10 task #3 flagged.
+    // One eager pin truncates the logical plan to a LogicalRDD (the Scc
+    // `live` discipline) — measured at 100×: floor 23s → 6.5s, wall
+    // 189s → 61.5s, adj_in 0.34 → 0.17; sf0.01 oracle hash unchanged
+    // (docs/NOTES.md round-11).
+    val adjP = pin(adj.select(col("src"), col("dst")))
+    val pv = adjP.select(col("src")).distinct()
+      .orderBy(col("src")).limit(pivots)
+      .select(col("src").as("p"))
     val f0 = pin(broadcast(pv)
       .select(col("p"), col("p").as("node"), lit(1L).as("sig")))
     // forward: byLevel(l) = (p, node, sig) discovered at distance l
@@ -80,7 +90,7 @@ object Betweenness {
     for (_ <- 1 to depth) {
       val frontier = byLevel.last
       val cand = frontier
-        .join(adj, frontier("node") === adj("src"))
+        .join(adjP, frontier("node") === adjP("src"))
         .groupBy(col("p"), col("dst"))
         .agg(sum(col("sig")).as("sig"))
       val nw = pin(cand
@@ -99,7 +109,7 @@ object Betweenness {
     for (l <- (depth - 1) to 1 by -1) {
       val vl = byLevel(l)
       val terms = vl
-        .join(adj, vl("node") === adj("src"))
+        .join(adjP, vl("node") === adjP("src"))
         .join(deltaNext.select(col("p").as("_wp"), col("node").as("_wn"),
             col("sig").as("_wsig"), col("delta").as("_wd")),
           col("p") === col("_wp") && col("dst") === col("_wn"))

@@ -302,6 +302,39 @@ object GraphQueries extends QueryPack {
     // a single shared-shape division, guarded for deg < 2 on both
     // engines (Spark's non-ANSI x/0 → NULL vs DuckDB's IEEE would
     // diverge otherwise).
+    // Per-EDGE triangle support (round-11) — the k-truss building
+    // block next to graph_local_clustering's per-node attribution:
+    // support(u,v) = triangles containing the edge; an edge belongs to
+    // a k-truss iff support ≥ k−2, so `max_truss = support + 2` is the
+    // edge's truss-ness upper bound (the full k-truss fixpoint peels
+    // iteratively — this row is its exact initialization, the usual
+    // first-class readout cohesion filters threshold on). Reuses
+    // [[GraphIter.triangleRows]] (degree-ordered enumeration, m^1.5
+    // wedge bound); each triangle explodes to its 3 edges in canonical
+    // (least, greatest) id order — matching the projection's a.u < b.u
+    // — then one rollup + left join puts support-0 edges back. Exact
+    // integers end to end.
+    "graph_truss_support" -> ((s, dir) => {
+      val e = coEdgesPinned(s, dir)
+      val deg = e.select(col("ua").as("u"))
+        .union(e.select(col("ub").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+      val tri = GraphIter.triangleRows(e, deg)
+      val te = tri.select(explode(array(
+          struct(least(col("a"), col("b")).as("ua"),
+            greatest(col("a"), col("b")).as("ub")),
+          struct(least(col("a"), col("c")).as("ua"),
+            greatest(col("a"), col("c")).as("ub")),
+          struct(least(col("b"), col("c")).as("ua"),
+            greatest(col("b"), col("c")).as("ub")))).as("ed"))
+        .select(col("ed.ua").as("ua"), col("ed.ub").as("ub"))
+        .groupBy("ua", "ub").agg(count(lit(1)).as("support"))
+      e.join(te, Seq("ua", "ub"), "left")
+        .select(col("ua"), col("ub"),
+          coalesce(col("support"), lit(0L)).as("support"),
+          (coalesce(col("support"), lit(0L)) + 2L).as("max_truss"))
+    }),
+
     "graph_local_clustering" -> ((s, dir) => {
       val e = coEdgesPinned(s, dir)
       val deg = e.select(col("ua").as("u"))
@@ -1132,6 +1165,25 @@ object GraphQueries extends QueryPack {
          |      / CAST(n_wedges AS DOUBLE)
          |  END AS clustering
          |FROM ne, w, t""".stripMargin,
+
+    // id-ordered enumeration (x<y<z on the canonical a.u<b.u edges),
+    // each triangle exploded to its 3 member edges
+    "graph_truss_support" ->
+      s"""WITH $coEdgesDuck,
+         |tr AS (
+         |  SELECT xy.ua AS x, xy.ub AS y, yz.ub AS z
+         |  FROM e xy JOIN e yz ON xy.ub = yz.ua
+         |  WHERE EXISTS (SELECT 1 FROM e xz
+         |                WHERE xz.ua = xy.ua AND xz.ub = yz.ub)),
+         |te AS (
+         |  SELECT x AS ua, y AS ub FROM tr
+         |  UNION ALL SELECT y, z FROM tr
+         |  UNION ALL SELECT x, z FROM tr),
+         |sup AS (SELECT ua, ub, COUNT(*) AS support FROM te GROUP BY 1, 2)
+         |SELECT e.ua, e.ub,
+         |  CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+         |  CAST(COALESCE(s.support, 0) + 2 AS BIGINT) AS max_truss
+         |FROM e LEFT JOIN sup s ON s.ua = e.ua AND s.ub = e.ub""".stripMargin,
 
     // identical 3 peeling rounds, unrolled as CTEs
     "graph_kcore" -> {

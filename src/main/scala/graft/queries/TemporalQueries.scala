@@ -319,6 +319,34 @@ object TemporalQueries extends QueryPack {
           count_distinct(col("user_id")).as("n_users"))
     }),
 
+    // Activity streaks per user (round-11): the classic
+    // gaps-and-islands readout — longest run of CONSECUTIVE active
+    // days, streak count, and total active days; the engagement-
+    // continuity feature cohort models bin on (dq_sequence_gaps finds
+    // the holes in an id sequence; this is the day-granular dual on
+    // the activity timeline). Technique: distinct (user, epoch-day),
+    // then island id = d − row_number() per user ordered by d —
+    // constant within a consecutive run, strictly decreasing across a
+    // gap — then two integer rollups. The per-user window is bounded
+    // by the distinct-day span (≤ a few thousand rows per user at any
+    // corpus age), so partition-by-user parallelizes cleanly; no
+    // self-join, no interval explosion.
+    "ts_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("d")
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+            .as("d"))
+        .distinct()
+        .withColumn("grp", col("d") - row_number().over(w).cast("long"))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(
+          sum("len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max("len").as("max_streak"))
+    }),
+
     // Last-touch revenue attribution: each purchase credits the item
     // (`props.k`) of the user's most recent view within the 1-hour
     // lookback — the classic marketing-attribution shape, and the same
@@ -1195,6 +1223,22 @@ object TemporalQueries extends QueryPack {
         |  ntile(5) OVER (ORDER BY freq, user_id) AS f_tile,
         |  ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_tile
         |FROM rfm, mx""".stripMargin,
+
+    // same island id (epoch-day − row_number) + two rollups
+    "ts_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS grp
+        |  FROM d),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+        |FROM st GROUP BY 1""".stripMargin,
 
     "event_attribution" ->
       """WITH e AS (

@@ -553,6 +553,45 @@ object TextQueries extends QueryPack {
             .as("hapax_ratio"))
     }),
 
+    // Zipf slope per source (round-11): the corpus-health scaling
+    // exponent — rank tokens by frequency, fit y = a + b·x over
+    // (x, y) = (⌊log2 rank⌋, ⌊log2 count⌋) by least squares; natural
+    // text sits near b ≈ −1, and a flat/steep slope flags boilerplate
+    // or template spam. Arithmetic discipline: both logs are the
+    // floor-log2 native expression (lm_bits' trick — no libm, no float
+    // accumulation), the fit's normal equations are EXACT integer sums
+    // (k·Σxy − Σx·Σy over k·Σx² − (Σx)²), emitted as BIGINT num/den
+    // with the one double division last — order-free on both engines.
+    // Ranking is per-source (row_number window partitioned by source:
+    // parallel across sources; a single 100 TB-vocab source lifts to
+    // ops/GlobalRank exactly as text_vocab_coverage does). At sf scale
+    // the int64 products hold to vocab ~10⁸ per source; past that the
+    // sums lift to DECIMAL(38,0) (the betweenness overflow discipline).
+    "text_zipf_slope" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n").desc, col("h"))
+      val xy = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(TextHash.tokens(col("text"))).as("w"))
+        .select(col("source"), TextHash.h31(col("w")).as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("n"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .select(col("source"),
+          graft.ops.Bits.floorLog2(col("r")).as("x"),
+          graft.ops.Bits.floorLog2(col("n")).as("y"))
+      xy.groupBy("source").agg(
+          count(lit(1)).as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("k"),
+          (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("k") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("zipf_slope",
+          when(col("den") =!= 0L,
+            col("num").cast("double") / col("den").cast("double")))
+    }),
+
     // The GraftExtensions SQL surface end-to-end: the registered native
     // functions driven from plain spark.sql text (what a SQL-only user
     // of the engine writes).
@@ -1351,6 +1390,33 @@ object TextQueries extends QueryPack {
          |  CAST(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
          |FROM c GROUP BY 1""".stripMargin,
+
+    // same floor-log2 (length(bin(v)) − 1) + exact integer normal
+    // equations; the one double division is last on both engines
+    "text_zipf_slope" ->
+      s"""WITH tk AS (
+         |  SELECT source, ${TextHash.h31Duck("t.w")} AS h
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t),
+         |c AS (SELECT source, h, COUNT(*) AS n FROM tk GROUP BY 1, 2),
+         |rk AS (SELECT source, n, h, row_number() OVER (
+         |    PARTITION BY source ORDER BY n DESC, h) AS r FROM c),
+         |xy AS (SELECT source,
+         |  CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+         |  CAST(length(bin(n)) - 1 AS BIGINT) AS y FROM rk),
+         |ag AS (SELECT source, COUNT(*) AS k,
+         |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |  CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM xy GROUP BY 1)
+         |SELECT source, k,
+         |  CAST(k * sxy - sx * sy AS BIGINT) AS num,
+         |  CAST(k * sxx - sx * sx AS BIGINT) AS den,
+         |  CASE WHEN k * sxx - sx * sx <> 0 THEN
+         |    CAST(CAST(k * sxy - sx * sy AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(k * sxx - sx * sx AS BIGINT) AS DOUBLE)
+         |  END AS zipf_slope
+         |FROM ag""".stripMargin,
 
     "sql_native_functions" ->
       s"""WITH hx AS (SELECT doc_id,
