@@ -593,6 +593,18 @@ object ScaleProbe {
       n
     }
 
+    // round-11 (VERDICT r10 task #4): q21's per-order sole-late-
+    // shipper aggregate on ×c id-shifted lineitem⋈orders (both sides
+    // shifted by the same constant, so each copy joins only itself —
+    // orders and qualifying output grow ×c while per-order group
+    // sizes stay constant). Healthy = job ~ rows; the rewrite's claim
+    // under test is ONE orderkey shuffle absorbing the growth (the
+    // old exists/not-exists shape paid three lineitem subtrees).
+    def q21SoleLateArm(c: Int): Long =
+      exec(graft.queries.RelationalQueries.q21SoleLate(
+        scaled("lineitem", "l_orderkey", c),
+        scaled("orders", "o_orderkey", c)))
+
     // round-11 (VERDICT r10 task #2): the FULL cold chain behind
     // graph_topo_layers — SCC (FB-Trim peel) on the ×c best-next-item
     // graph, then condensation edges, then longest-path layering, then
@@ -738,7 +750,8 @@ object ScaleProbe {
       ("vec_centroids", centroids), ("pq_encode", pqEncode),
       ("semantic_dedup", semanticDedup), ("hier_assign", hierAssign),
       ("bpe_train", bpeTrain), ("bigram_lift", bigramLift),
-      ("dpp_join", dppJoin), ("cdc_apply", cdcApply),
+      ("dpp_join", dppJoin), ("q21_sole_late", q21SoleLateArm),
+      ("cdc_apply", cdcApply),
       ("emb_drift", embDrift), ("kcenter_init", kcenterInit),
       ("graph_hits", graphHits), ("graph_walk", graphWalk),
       ("graph_betweenness", betweenness),
