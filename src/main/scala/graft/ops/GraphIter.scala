@@ -143,6 +143,27 @@ object GraphIter {
       .select(col("apex").as("a"), col("s").as("b"), col("t").as("c"))
   }
 
+  /** Per-edge triangle support over the canonical (ua < ub) edge list
+    * — the k-truss initialization: each [[triangleRows]] triangle
+    * explodes to its 3 member edges in (least, greatest) id order
+    * (matching the canonical form), one rollup counts per edge, and a
+    * left join puts support-0 edges back. (ua, ub, support).
+    */
+  def edgeSupport(e: DataFrame, deg: DataFrame): DataFrame = {
+    val te = triangleRows(e, deg).select(explode(array(
+        struct(least(col("a"), col("b")).as("ua"),
+          greatest(col("a"), col("b")).as("ub")),
+        struct(least(col("a"), col("c")).as("ua"),
+          greatest(col("a"), col("c")).as("ub")),
+        struct(least(col("b"), col("c")).as("ua"),
+          greatest(col("b"), col("c")).as("ub")))).as("ed"))
+      .select(col("ed.ua").as("ua"), col("ed.ub").as("ub"))
+      .groupBy("ua", "ub").agg(count(lit(1)).as("support"))
+    e.join(te, Seq("ua", "ub"), "left")
+      .select(col("ua"), col("ub"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** `rounds` synchronous peeling steps toward the k-core: each round
     * drops every edge touching a node of current degree < k. The
     * surviving edge set after round i is the exact synchronous-peel

@@ -319,20 +319,9 @@ object GraphQueries extends QueryPack {
       val deg = e.select(col("ua").as("u"))
         .union(e.select(col("ub").as("u")))
         .groupBy("u").agg(count(lit(1)).as("d"))
-      val tri = GraphIter.triangleRows(e, deg)
-      val te = tri.select(explode(array(
-          struct(least(col("a"), col("b")).as("ua"),
-            greatest(col("a"), col("b")).as("ub")),
-          struct(least(col("a"), col("c")).as("ua"),
-            greatest(col("a"), col("c")).as("ub")),
-          struct(least(col("b"), col("c")).as("ua"),
-            greatest(col("b"), col("c")).as("ub")))).as("ed"))
-        .select(col("ed.ua").as("ua"), col("ed.ub").as("ub"))
-        .groupBy("ua", "ub").agg(count(lit(1)).as("support"))
-      e.join(te, Seq("ua", "ub"), "left")
-        .select(col("ua"), col("ub"),
-          coalesce(col("support"), lit(0L)).as("support"),
-          (coalesce(col("support"), lit(0L)) + 2L).as("max_truss"))
+      GraphIter.edgeSupport(e, deg)
+        .select(col("ua"), col("ub"), col("support"),
+          (col("support") + 2L).as("max_truss"))
     }),
 
     "graph_local_clustering" -> ((s, dir) => {

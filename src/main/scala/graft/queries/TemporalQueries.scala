@@ -89,6 +89,23 @@ object TemporalQueries extends QueryPack {
         col("x"), col("cents"))
   }
 
+  /** ts_streaks' gaps-and-islands rollup over an explicit
+    * (user_id, d: epoch-day) frame — split out so the suite can feed
+    * constructed day sets with known streak structure. Duplicate days
+    * are collapsed here (distinct), so callers pass raw activity.
+    */
+  private[graft] def streaksOf(userDay: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("d")
+    userDay.select(col("user_id"), col("d")).distinct()
+      .withColumn("grp", col("d") - row_number().over(w).cast("long"))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(
+        sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("max_streak"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Day-of-week × hour-of-day activity profile — the seasonality
@@ -331,21 +348,11 @@ object TemporalQueries extends QueryPack {
     // by the distinct-day span (≤ a few thousand rows per user at any
     // corpus age), so partition-by-user parallelizes cleanly; no
     // self-join, no interval explosion.
-    "ts_streaks" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("d")
-      Tables(s, dir, "events")
+    "ts_streaks" -> ((s, dir) =>
+      streaksOf(Tables(s, dir, "events")
         .select(col("user_id"),
           datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
-            .as("d"))
-        .distinct()
-        .withColumn("grp", col("d") - row_number().over(w).cast("long"))
-        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
-        .groupBy("user_id").agg(
-          sum("len").as("n_active_days"),
-          count(lit(1)).as("n_streaks"),
-          max("len").as("max_streak"))
-    }),
+            .as("d")))),
 
     // Last-touch revenue attribution: each purchase credits the item
     // (`props.k`) of the user's most recent view within the 1-hour

@@ -567,30 +567,8 @@ object TextQueries extends QueryPack {
     // ops/GlobalRank exactly as text_vocab_coverage does). At sf scale
     // the int64 products hold to vocab ~10⁸ per source; past that the
     // sums lift to DECIMAL(38,0) (the betweenness overflow discipline).
-    "text_zipf_slope" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("n").desc, col("h"))
-      val xy = Tables(s, dir, "documents")
-        .select(col("source"),
-          explode(TextHash.tokens(col("text"))).as("w"))
-        .select(col("source"), TextHash.h31(col("w")).as("h"))
-        .groupBy("source", "h").agg(count(lit(1)).as("n"))
-        .withColumn("r", row_number().over(w).cast("long"))
-        .select(col("source"),
-          graft.ops.Bits.floorLog2(col("r")).as("x"),
-          graft.ops.Bits.floorLog2(col("n")).as("y"))
-      xy.groupBy("source").agg(
-          count(lit(1)).as("k"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        .select(col("source"), col("k"),
-          (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
-          (col("k") * col("sxx") - col("sx") * col("sx")).as("den"))
-        .withColumn("zipf_slope",
-          when(col("den") =!= 0L,
-            col("num").cast("double") / col("den").cast("double")))
-    }),
+    "text_zipf_slope" -> ((s, dir) =>
+      zipfSlope(Tables(s, dir, "documents"))),
 
     // The GraftExtensions SQL surface end-to-end: the registered native
     // functions driven from plain spark.sql text (what a SQL-only user
@@ -990,6 +968,36 @@ object TextQueries extends QueryPack {
     * shared with ScaleProbe's weak-scaling arm so the probe measures
     * the registered query's own plan, not a reimplementation.
     */
+  /** text_zipf_slope's pipeline over an explicit documents frame
+    * (source, text) — split out so the suite can feed constructed
+    * token distributions and hand-compute the integer normal
+    * equations independently.
+    */
+  private[graft] def zipfSlope(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("h"))
+    val xy = docs
+      .select(col("source"),
+        explode(TextHash.tokens(col("text"))).as("w"))
+      .select(col("source"), TextHash.h31(col("w")).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(col("source"),
+        graft.ops.Bits.floorLog2(col("r")).as("x"),
+        graft.ops.Bits.floorLog2(col("n")).as("y"))
+    xy.groupBy("source").agg(
+        count(lit(1)).as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("k"),
+        (col("k") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("k") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("zipf_slope",
+        when(col("den") =!= 0L,
+          col("num").cast("double") / col("den").cast("double")))
+  }
+
   private[graft] def lmBits(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       TextHash.tokens(col("text")).as("w"))
