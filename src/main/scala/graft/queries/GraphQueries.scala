@@ -324,6 +324,42 @@ object GraphQueries extends QueryPack {
           (col("support") + 2L).as("max_truss"))
     }),
 
+    // Iterative k-truss peel (round-11, k = 4, 2 synchronous rounds):
+    // each round recomputes per-edge support over the SURVIVING edge
+    // set and drops edges with support < k−2 — graph_truss_support is
+    // this loop's exact initialization; the synchronous unrolled
+    // schedule (the graph_kcore discipline) makes both engines agree
+    // row-for-row without running to fixpoint. Output: edges alive
+    // after round 2 with their round-2 support. Each round is one
+    // degree-ordered triangle enumeration (m^1.5 wedge bound) on a
+    // SHRINKING edge set; per-round localCheckpoint breaks the
+    // recompute blow-up (edgeSupport references its input ~5 times —
+    // unpinned, round 2 would re-run round 1's whole enumeration per
+    // reference), memoized like every pinned projection with
+    // intermediates released once the final frame lands.
+    "graph_ktruss" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      pinned.getOrElseUpdate(s, s"ktruss/$dir") {
+        def degOf(e: DataFrame) = e.select(col("ua").as("u"))
+          .union(e.select(col("ub").as("u")))
+          .groupBy("u").agg(count(lit(1)).as("d"))
+        val inter =
+          scala.collection.mutable.ListBuffer.empty[DataFrame]
+        var e = coEdgesPinned(s, dir)
+        var sup: DataFrame = null
+        for (_ <- 1 to 2) {
+          sup = GraphIter.edgeSupport(e, degOf(e))
+            .filter(col("support") >= 2) // k − 2, k = 4
+            .localCheckpoint()
+          inter += sup
+          e = sup.select("ua", "ub")
+        }
+        val res = sup.localCheckpoint()
+        inter.foreach(Bridge.releaseLocalCheckpoint)
+        res
+      }
+    }),
+
     "graph_local_clustering" -> ((s, dir) => {
       val e = coEdgesPinned(s, dir)
       val deg = e.select(col("ua").as("u"))
@@ -1154,6 +1190,28 @@ object GraphQueries extends QueryPack {
          |      / CAST(n_wedges AS DOUBLE)
          |  END AS clustering
          |FROM ne, w, t""".stripMargin,
+
+    // two unrolled peel rounds, each re-enumerating triangles over
+    // the surviving edges (id-ordered x<y<z; HAVING is the k−2 cut)
+    "graph_ktruss" -> {
+      def round(i: Int, src: String) =
+        s"""tr$i AS (
+           |  SELECT xy.ua AS x, xy.ub AS y, yz.ub AS z
+           |  FROM $src xy JOIN $src yz ON xy.ub = yz.ua
+           |  WHERE EXISTS (SELECT 1 FROM $src xz
+           |                WHERE xz.ua = xy.ua AND xz.ub = yz.ub)),
+           |te$i AS (SELECT x AS ua, y AS ub FROM tr$i
+           |  UNION ALL SELECT y, z FROM tr$i
+           |  UNION ALL SELECT x, z FROM tr$i),
+           |sup$i AS (SELECT ua, ub, COUNT(*) AS support FROM te$i
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |e$i AS (SELECT ua, ub FROM sup$i)""".stripMargin
+      s"""WITH $coEdgesDuck,
+         |${round(1, "e")},
+         |${round(2, "e1")}
+         |SELECT ua, ub, CAST(support AS BIGINT) AS support
+         |FROM sup2""".stripMargin
+    },
 
     // id-ordered enumeration (x<y<z on the canonical a.u<b.u edges),
     // each triangle exploded to its 3 member edges
