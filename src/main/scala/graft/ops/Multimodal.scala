@@ -119,6 +119,31 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** 16-bin gray-channel histogram (bucket = v >> 4) from a real
+      * decode — the pixel-distribution feature quality filters
+      * threshold on (flat ⇒ noise, single-spike ⇒ blank/synthetic).
+      * Same walk as [[decodeStats]]; None ⇔ not an image.
+      */
+    def histogram16(bytes: Array[Byte]): Option[Array[Long]] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val h = new Array[Long](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              h(((img.getRGB(x, y) >> 16) & 0xff) >> 4) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          Some(h)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Real decoded feature (FeatureDim floats, same arity as the stub):
       * dimensions, pixel count, and gray-channel stats — the stand-in
       * for a model embedding, but computed from ACTUAL decoded pixels.

@@ -192,6 +192,35 @@ object MultimodalQueries extends QueryPack {
           (col("width") * col("height")).cast("double"))
     }),
 
+    // Per-image 16-bin gray histogram (round-11): the pixel-
+    // distribution feature quality filters threshold on (flat ⇒
+    // noise, single-spike ⇒ blank/synthetic) — same REAL
+    // encode→ImageIO-decode round-trip as media_decode_imageio, with
+    // the decoded raster bucketed v >> 4 and exploded to
+    // (media_id, bucket, cnt) rows; empty buckets are genuinely
+    // absent (no zero-fill on either engine). The mirror replays the
+    // (x + y + doc_id) % 256 pixel law over the same grid. Scale:
+    // per-payload map, no shuffle until the 16-row-per-image explode.
+    "media_pixel_hist" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, nc) =>
+            val w = (8 + nc % 32).toInt
+            val h = (8 + nc % 16).toInt
+            val bytes = Multimodal.ImageCodec.encodeGradientBmp(w, h, id)
+            val hist = Multimodal.ImageCodec.histogram16(bytes).getOrElse(
+              throw new IllegalStateException(
+                s"ImageIO failed to decode its own BMP for doc $id"))
+            hist.iterator.zipWithIndex.collect {
+              case (cnt, b) if cnt > 0L => (id, b.toLong, cnt)
+            }
+          }
+        }
+        .toDF("media_id", "bucket", "cnt")
+    }),
+
     // Real WAV round-trip (the audio analog of media_decode_imageio):
     // synthesize 16-bit mono PCM audio under a pure-integer sample law,
     // encode through a standard RIFF/WAVE container, decode through the
@@ -486,6 +515,21 @@ object MultimodalQueries extends QueryPack {
         |      AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS zcr
         |FROM sq GROUP BY 1""".stripMargin,
+
+    // pixel-law replay bucketed v >> 4; empty buckets absent
+    "media_pixel_hist" ->
+      """WITH m AS (
+        |  SELECT doc_id, 8 + n_chars % 32 AS w, 8 + n_chars % 16 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT m.doc_id,
+        |    ((gx.x + gy.y + m.doc_id) % 256) // 16 AS bucket
+        |  FROM m,
+        |    LATERAL (SELECT unnest(range(0, m.w)) AS x) gx,
+        |    LATERAL (SELECT unnest(range(0, m.h)) AS y) gy)
+        |SELECT doc_id AS media_id, CAST(bucket AS BIGINT) AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM px GROUP BY 1, 2""".stripMargin,
 
     // the pixel-law mirror of the real ImageIO round-trip: v(x,y) =
     // (x + y + doc_id) % 256 summed over the w×h grid
