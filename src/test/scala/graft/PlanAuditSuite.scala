@@ -554,15 +554,21 @@ class PlanAuditSuite extends SparkSpec {
     assert(countShuffles(p) <= 2, s"shuffles: ${countShuffles(p)}")
   }
 
-  test("q21: stacked semi then anti, both keyed on orderkey, suppliers broadcast") {
+  test("q21: one lineitem scan, per-order rollup, suppliers broadcast") {
+    // round-11 rewrite: the exists/not-exists pair became a per-order
+    // aggregate (n_supp > 1 ∧ n_late_supp = 1) — the plan must show
+    // ONE lineitem scan (the old shape had three subtrees), no
+    // semi/anti joins, and the dims broadcast
     val p = executed(q("q21_waiting_suppliers"))
-    val names = flatten(p).map(_.nodeName)
     val s = p.toString
-    assert(s.contains("LeftSemi"), s"expected a semi join:\n$names")
-    assert(s.contains("LeftAnti"), s"expected an anti join:\n$names")
+    val liScans = flatten(p).count(n => n.children.isEmpty &&
+      n.nodeName.contains("Scan") && n.toString.contains("lineitem"))
+    assert(liScans === 1, s"lineitem must be scanned exactly once: $liScans")
+    assert(!s.contains("LeftSemi") && !s.contains("LeftAnti"),
+      "the rewrite must not plan semi/anti self-joins")
     assert(s.contains("BroadcastHashJoin"), "supplier/nation/region must broadcast")
     assert(s.contains("TakeOrderedAndProject"), "top-k must not global-sort")
-    assert(countShuffles(p) <= 5, s"shuffles: ${countShuffles(p)}")
+    assert(countShuffles(p) <= 3, s"shuffles: ${countShuffles(p)}")
   }
 
   test("round-5 TPC-H batch 2: join strategies and shuffle budgets") {
