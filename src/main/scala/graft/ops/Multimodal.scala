@@ -237,6 +237,39 @@ object Multimodal {
         if (n == 0) None else Some(AudioStats(n, sumAbs, mn, mx, zc, sumSq))
     }
 
+    /** Silence-run statistics of a decoded 16-bit mono stream:
+      * (n_silent_samples, n_runs, max_run) where "silent" is
+      * |s| < threshold — the trim/VAD-precursor readout audio
+      * curation thresholds on. Same decode+reject discipline as
+      * [[decodeStats]]; None ⇔ not 16-bit-LE PCM audio.
+      */
+    def silenceStats(
+        bytes: Array[Byte], threshold: Int): Option[(Long, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(ais.readAllBytes())
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var n = 0L; var silent = 0L; var runs = 0L
+          var maxRun = 0L; var cur = 0L
+          while (bb.remaining() >= 2) {
+            val s = bb.getShort.toInt
+            n += 1
+            if (math.abs(s) < threshold) {
+              silent += 1; cur += 1
+              if (cur == 1L) runs += 1
+              if (cur > maxRun) maxRun = cur
+            } else cur = 0L
+          }
+          if (n == 0) None else Some((silent, runs, maxRun))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Real decoded feature (FeatureDim floats, same arity as the stub
       * and [[ImageCodec.feature]]): sample count, amplitude stats, and
       * zero-crossing rate — the classic cheap audio descriptors,

@@ -221,6 +221,35 @@ object MultimodalQueries extends QueryPack {
         .toDF("media_id", "bucket", "cnt")
     }),
 
+    // Silence-run profile (round-11): |s| < 64 runs over the decoded
+    // stream — n_silent samples, run count, longest run — the
+    // trim/VAD-precursor readout audio curation thresholds on
+    // (leading/trailing silence, dead segments). Same REAL
+    // encode→javax.sound decode as the RMS/ZCR rows, one extra
+    // single-pass walk ([[graft.ops.Multimodal.AudioCodec
+    // .silenceStats]]); payloads with no silent sample are genuinely
+    // absent on both engines. The mirror replays the sample law and
+    // finds runs with the ts_streaks island trick (i − row_number
+    // per doc over silent samples).
+    "media_audio_silence" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, nc) =>
+            val n = (64 + nc % 128).toInt
+            val bytes = Multimodal.AudioCodec.encodePcmWav(n, id)
+            val (silent, runs, maxRun) =
+              Multimodal.AudioCodec.silenceStats(bytes, 64).getOrElse(
+                throw new IllegalStateException(
+                  s"AudioSystem failed to decode its own WAV for doc $id"))
+            if (runs > 0L) Iterator.single((id, silent, runs, maxRun))
+            else Iterator.empty
+          }
+        }
+        .toDF("media_id", "n_silent", "n_runs", "max_run")
+    }),
+
     // Real WAV round-trip (the audio analog of media_decode_imageio):
     // synthesize 16-bit mono PCM audio under a pure-integer sample law,
     // encode through a standard RIFF/WAVE container, decode through the
@@ -515,6 +544,29 @@ object MultimodalQueries extends QueryPack {
         |      AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS zcr
         |FROM sq GROUP BY 1""".stripMargin,
+
+    // sample-law replay + island trick (i − row_number) over silent
+    // samples; docs with zero silent samples absent on both engines
+    "media_audio_silence" ->
+      """WITH m AS (
+        |  SELECT doc_id, 64 + n_chars % 128 AS n FROM documents),
+        |sm AS (
+        |  SELECT m.doc_id, g.i,
+        |    CAST(((g.i * 37 + m.doc_id * 11) % 4096) - 2048 AS BIGINT)
+        |      AS v
+        |  FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) g),
+        |sil AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS grp
+        |  FROM sm WHERE (CASE WHEN v < 0 THEN -v ELSE v END) < 64),
+        |runs AS (
+        |  SELECT doc_id, grp, COUNT(*) AS len FROM sil GROUP BY 1, 2)
+        |SELECT doc_id AS media_id,
+        |  CAST(SUM(len) AS BIGINT) AS n_silent,
+        |  COUNT(*) AS n_runs,
+        |  CAST(MAX(len) AS BIGINT) AS max_run
+        |FROM runs GROUP BY 1""".stripMargin,
 
     // pixel-law replay bucketed v >> 4; empty buckets absent
     "media_pixel_hist" ->

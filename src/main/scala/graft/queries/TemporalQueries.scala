@@ -354,6 +354,53 @@ object TemporalQueries extends QueryPack {
           datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
             .as("d")))),
 
+    // Time-to-convert (round-11): per user, seconds from the FIRST
+    // view to the first purchase at-or-after it — the conversion-
+    // latency distribution growth teams slice (funnel_conversion
+    // counts who converts; this measures how long it takes). Two
+    // keyed aggregates + one user-keyed join — no interval self-join:
+    // first-view is a per-user min, and "first purchase ≥ that view"
+    // is a filter + min on the already-joined frame. Users who never
+    // view, or never purchase after their first view, are absent on
+    // both engines. All integer seconds.
+    "event_time_to_convert" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("sec"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("sec").as("first_view_s"))
+      ev.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id"))
+        .filter(col("sec") >= col("first_view_s"))
+        .groupBy("user_id")
+        .agg(min("first_view_s").as("first_view_s"),
+          min("sec").as("first_purchase_s"))
+        .withColumn("ttc_s",
+          col("first_purchase_s") - col("first_view_s"))
+    }),
+
+    // Calendar activity profile (round-11): event count and exact
+    // cents volume by (day-of-week, hour-of-day) — the seasonality
+    // fingerprint capacity planning and anomaly baselines read.
+    // Day-of-week is derived ARITHMETICALLY from the epoch day
+    // ((d + 4) % 7, 0 = Sunday; 1970-01-01 was a Thursday) rather
+    // than from either engine's dayofweek builtin — Spark is
+    // 1-Sunday, DuckDB 0-Sunday, and a builtin mismatch would be a
+    // silent off-by-one. One scan, one 7×24-key rollup, map-side
+    // combinable.
+    "ts_calendar_profile" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(expr("unix_micros(ts) div 1000000").as("sec"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        // `div` (integral divide), never `/` — Spark's `/` on longs is
+        // DOUBLE division and floor-casts differently at negatives
+        .select(expr("(sec div 86400 + 4) % 7").as("dow"),
+          expr("(sec % 86400) div 3600").as("hour"),
+          col("cents"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          sum("cents").as("sum_cents"))),
+
     // Last-touch revenue attribution: each purchase credits the item
     // (`props.k`) of the user's most recent view within the 1-hour
     // lookback — the classic marketing-attribution shape, and the same
@@ -1230,6 +1277,36 @@ object TemporalQueries extends QueryPack {
         |  ntile(5) OVER (ORDER BY freq, user_id) AS f_tile,
         |  ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_tile
         |FROM rfm, mx""".stripMargin,
+
+    // same two keyed aggregates + user-keyed join
+    "event_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(sec) AS first_view_s FROM e
+        |  WHERE event_type = 'view' GROUP BY 1)
+        |SELECT e.user_id,
+        |  CAST(MIN(f.first_view_s) AS BIGINT) AS first_view_s,
+        |  CAST(MIN(e.sec) AS BIGINT) AS first_purchase_s,
+        |  CAST(MIN(e.sec) - MIN(f.first_view_s) AS BIGINT) AS ttc_s
+        |FROM e JOIN fv f USING (user_id)
+        |WHERE e.event_type = 'purchase' AND e.sec >= f.first_view_s
+        |GROUP BY 1""".stripMargin,
+
+    // identical epoch-day arithmetic ((d + 4) % 7), no dayofweek
+    // builtin on either side
+    "ts_calendar_profile" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 1000000 AS sec,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT CAST((sec // 86400 + 4) % 7 AS BIGINT) AS dow,
+        |  CAST((sec % 86400) // 3600 AS BIGINT) AS hour,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     // same island id (epoch-day − row_number) + two rollups
     "ts_streaks" ->
