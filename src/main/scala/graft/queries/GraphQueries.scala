@@ -324,6 +324,22 @@ object GraphQueries extends QueryPack {
           (col("support") + 2L).as("max_truss"))
     }),
 
+    // Log2-bucketed degree distribution (round-11): the power-law
+    // fingerprint — node count and degree mass per ⌊log2 deg⌋ bucket
+    // over the hub-capped co-engagement projection; the first plot
+    // anyone draws of a graph, and the skew readout the salting /
+    // hub-cap decisions in this pack key on. One rollup on the pinned
+    // projection; floor-log2 is the native expression (lm_bits
+    // discipline).
+    "graph_degree_hist" -> ((s, dir) => {
+      val e = coEdgesPinned(s, dir)
+      e.select(col("ua").as("u"))
+        .union(e.select(col("ub").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .groupBy(graft.ops.Bits.floorLog2(col("d")).as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), sum("d").as("sum_deg"))
+    }),
+
     // Iterative k-truss peel (round-11, k = 4, 2 synchronous rounds):
     // each round recomputes per-edge support over the SURVIVING edge
     // set and drops edges with support < k−2 — graph_truss_support is
@@ -1190,6 +1206,17 @@ object GraphQueries extends QueryPack {
          |      / CAST(n_wedges AS DOUBLE)
          |  END AS clustering
          |FROM ne, w, t""".stripMargin,
+
+    // same rollup; floor-log2 as length(bin(d)) − 1
+    "graph_degree_hist" ->
+      s"""WITH $coEdgesDuck,
+         |deg AS (
+         |  SELECT u, COUNT(*) AS d FROM (
+         |    SELECT ua AS u FROM e UNION ALL SELECT ub FROM e)
+         |  GROUP BY 1)
+         |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS sum_deg
+         |FROM deg GROUP BY 1""".stripMargin,
 
     // two unrolled peel rounds, each re-enumerating triangles over
     // the surviving edges (id-ordered x<y<z; HAVING is the k−2 cut)

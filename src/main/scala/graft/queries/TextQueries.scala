@@ -279,6 +279,44 @@ object TextQueries extends QueryPack {
     // V is a broadcast scalar. Nothing is ever all-pairs.
     "text_lm_bits" -> ((s, dir) => lmBits(Tables(s, dir, "documents"))),
 
+    // Bigram conditional LM bits (round-11): text_lm_bits prices the
+    // corpus under a UNIGRAM model; this row prices it under the
+    // bigram conditional — bits(w|prev) := ⌊log2 c(prev,·)⌋ −
+    // ⌊log2 c(prev,w)⌋, the floor-log2 fixed-point DEFINITION of
+    // −log2 P̂(w|prev) (same no-libm discipline as lm_bits: the
+    // quantization is the metric, identical on both engines). The
+    // unigram-vs-bigram bits gap is the standard redundancy signal
+    // template/boilerplate detection thresholds on. Plan: one
+    // posexplode, one per-doc lag window (token order is per-doc
+    // position — bounded partitions), two (source, prev[, w]) rollups,
+    // one broadcast-size join on (source, prev).
+    "text_bigram_lm_bits" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val tok = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          posexplode(TextHash.tokens(col("text"))).as(Seq("pos", "w")))
+        .select(col("source"), col("doc_id"), col("pos"),
+          TextHash.h31(col("w")).as("h"))
+      val big = tok
+        .withColumn("prev", lag("h", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("source"), col("prev"), col("h"))
+      val c2 = big.groupBy("source", "prev", "h")
+        .agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy("source", "prev")
+        .agg(count(lit(1)).as("c1"))
+      c2.join(c1, Seq("source", "prev"))
+        .select(col("source"), col("c2"),
+          (col("c2") * (graft.ops.Bits.floorLog2(col("c1")) -
+            graft.ops.Bits.floorLog2(col("c2")))).as("bits"))
+        .groupBy("source")
+        .agg(sum("c2").as("n_bigrams"),
+          sum("bits").as("total_bits"))
+        .withColumn("avg_bits", col("total_bits").cast("double") /
+          col("n_bigrams").cast("double"))
+    }),
+
     // Marginal-diversity curve: per document (in doc_id ingest order),
     // how many bigram TYPES it introduces that no earlier document
     // contains — the novelty signal a curation pass reads to find the
@@ -1398,6 +1436,33 @@ object TextQueries extends QueryPack {
          |  CAST(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
          |FROM c GROUP BY 1""".stripMargin,
+
+    // bigram pairing via 1-based list indexing (xs[i-1], xs[i]) — the
+    // order-preserving mirror of the per-doc lag window
+    "text_bigram_lm_bits" ->
+      s"""WITH dd AS (
+         |  SELECT source, doc_id, string_split(text, ' ') AS xs
+         |  FROM documents),
+         |bg AS (
+         |  SELECT source, ${TextHash.h31Duck("xs[g.i - 1]")} AS prev,
+         |    ${TextHash.h31Duck("xs[g.i]")} AS h
+         |  FROM dd, LATERAL (
+         |    SELECT unnest(range(2, len(xs) + 1)) AS i) g),
+         |c2 AS (SELECT source, prev, h, COUNT(*) AS c2 FROM bg
+         |       GROUP BY 1, 2, 3),
+         |c1 AS (SELECT source, prev, COUNT(*) AS c1 FROM bg
+         |       GROUP BY 1, 2),
+         |j AS (
+         |  SELECT c2.source, c2.c2,
+         |    c2.c2 * ((length(bin(c1.c1)) - 1)
+         |      - (length(bin(c2.c2)) - 1)) AS bits
+         |  FROM c2 JOIN c1 ON c1.source = c2.source
+         |    AND c1.prev = c2.prev)
+         |SELECT source, CAST(SUM(c2) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(bits) AS BIGINT) AS total_bits,
+         |  CAST(CAST(SUM(bits) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(c2) AS BIGINT) AS DOUBLE) AS avg_bits
+         |FROM j GROUP BY 1""".stripMargin,
 
     // same floor-log2 (length(bin(v)) − 1) + exact integer normal
     // equations; the one double division is last on both engines
