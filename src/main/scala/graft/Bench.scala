@@ -70,7 +70,24 @@ object Bench {
     * extra samples or a spurious flag, never a wrong timing. Queries
     * absent from the file (e.g. just added) simply get no band check.
     */
-  private lazy val RefSteady: Map[String, Double] = {
+  /** Band breach test (unit-tested in BenchBandSuite): steady `v`
+    * exceeds 2× the pinned reference, widened by the host-factor
+    * guard, +0.2s absolute slack so sub-0.2s queries never flap.
+    * No reference ⇒ never breaches (new queries get no band check).
+    */
+  private[graft] def overBand(
+      v: Double, ref: Option[Double], hfGuard: Double): Boolean =
+    ref.exists(r => v > 2.0 * r * hfGuard + 0.2)
+
+  /** Warm-slower-than-cold test: run 2 (warm) exceeding 2× run 1
+    * (cold, memo-evicted) has no code explanation — the warm run
+    * landed in a contended window. The 0.5s floor keeps sub-second
+    * jitter from triggering resamples.
+    */
+  private[graft] def warmContended(r1: Double, r2: Double): Boolean =
+    r2 > 2.0 * r1 && r2 > 0.5
+
+  private[graft] lazy val RefSteady: Map[String, Double] = {
     val in = getClass.getResourceAsStream("/graft/bench_ref.tsv")
     if (in == null) Map.empty
     else try {
@@ -288,12 +305,11 @@ object Bench {
           // so slow-host runs resample no more than fast-host ones
           val hfGuard = math.max(1.0, lastCalib / RefCalibSec)
           val ref = RefSteady.get(name)
-          def breaches(v: Double): Boolean =
-            ref.exists(r => v > 2.0 * r * hfGuard + 0.2)
+          def breaches(v: Double): Boolean = overBand(v, ref, hfGuard)
           val samples = scala.collection.mutable.ArrayBuffer(r1, r2)
-          val warmContended = r2 > 2.0 * r1 && r2 > 0.5
+          val warm2Cold = warmContended(r1, r2)
           var extra = 0
-          while ((breaches(samples.min) || (warmContended && extra == 0)) &&
+          while ((breaches(samples.min) || (warm2Cold && extra == 0)) &&
               extra < 3) {
             extra += 1
             once().foreach(samples += _)

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench noise-defense decision logic (round-11, VERDICT r10 task
+  * #1): band breach and warm-contended tests, plus a contract check on
+  * the pinned reference-band resource — a corrupt `bench_ref.tsv`
+  * regen would silently disable every band check, so its shape is
+  * pinned here. No SparkSession needed.
+  */
+class BenchBandSuite extends AnyFunSuite {
+
+  test("overBand: no reference means no band check, ever") {
+    assert(!Bench.overBand(999.0, None, 1.0))
+  }
+
+  test("overBand: 2x + 0.2s slack at host factor 1") {
+    // ref 1.0 -> threshold 2.2
+    assert(!Bench.overBand(2.2, Some(1.0), 1.0))
+    assert(Bench.overBand(2.21, Some(1.0), 1.0))
+    // tiny query: ref 0.05 -> threshold 0.3; ordinary jitter must not flap
+    assert(!Bench.overBand(0.29, Some(0.05), 1.0))
+    assert(Bench.overBand(0.31, Some(0.05), 1.0))
+  }
+
+  test("overBand: a slower host widens the band proportionally") {
+    // ref 1.0, hfGuard 1.5 -> threshold 3.2
+    assert(!Bench.overBand(3.1, Some(1.0), 1.5))
+    assert(Bench.overBand(3.3, Some(1.0), 1.5))
+    // the r10 phantom shape: 8x its 1.0s reference breaches any
+    // realistic guard
+    assert(Bench.overBand(8.4, Some(1.0), 1.5))
+  }
+
+  test("warmContended: warm > 2x cold AND above the 0.5s floor") {
+    assert(Bench.warmContended(1.0, 2.5))
+    assert(!Bench.warmContended(1.0, 1.9)) // within 2x
+    assert(!Bench.warmContended(0.1, 0.4)) // under the floor
+    assert(!Bench.warmContended(2.0, 1.0)) // cold slower is EXPECTED (memos)
+  }
+
+  test("bench_ref.tsv resource: loads, is large, and all-positive") {
+    val ref = Bench.RefSteady
+    assert(ref.size > 250, s"band resource too small: ${ref.size}")
+    assert(ref.values.forall(v => v > 0.0 && v < 60.0),
+      "reference seconds must be positive and sane")
+    // spot keys that must exist as long as the queries do
+    for (k <- Seq("q1_pricing_summary", "q21_waiting_suppliers",
+        "tick_cumvol", "table_checksum"))
+      assert(ref.contains(k), s"band missing $k")
+  }
+}
