@@ -357,6 +357,42 @@ object QualityQueries extends QueryPack {
           Tables(s, dir, "nation"), "n_nationkey"))
     }),
 
+    // Cross-table amount reconciliation (round-11): does each order's
+    // header total equal the sum of its line amounts? — the classic
+    // finance-grade DQ check dq_referential's key-orphan rules don't
+    // cover (keys can all resolve while the MONEY disagrees). Line
+    // amount is computed in PURE INTEGER arithmetic — cents and
+    // basis points, amount_c = cents·(10⁴−disc_bp)·(10⁴+tax_bp) div
+    // 10⁴ div 10⁴ — so the per-order sum is order-free and identical
+    // on both engines (a double product chain would hash-diverge at
+    // rounding boundaries). One lineitem rollup on orderkey + one
+    // join + one global summary row; max |Σ| stays ≤ 10⁵·10⁴·10⁴·10³
+    // ≈ 10¹⁶, inside int64. The fixture does NOT maintain the
+    // invariant (synthetic totals), which is the point: the readout
+    // quantifies the disagreement, deterministically.
+    "dq_order_reconcile" -> ((s, dir) => {
+      val lineSum = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("floor(l_extendedprice * 100)").cast("long").as("cents"),
+          expr("floor(l_discount * 10000)").cast("long").as("disc_bp"),
+          expr("floor(l_tax * 10000)").cast("long").as("tax_bp"))
+        .select(col("l_orderkey"),
+          expr("cents * (10000 - disc_bp) * (10000 + tax_bp)" +
+            " div 10000 div 10000").as("amount_c"))
+        .groupBy("l_orderkey").agg(sum("amount_c").as("line_total_c"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("floor(o_totalprice * 100)").cast("long").as("hdr_c"))
+        .join(lineSum, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("hdr_c"),
+          coalesce(col("line_total_c"), lit(0L)).as("line_c"))
+        .select((col("hdr_c") - col("line_c")).as("delta"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("delta") === 0L, 1L).otherwise(0L)).as("n_match"),
+          max(abs(col("delta"))).as("max_abs_delta_c"),
+          sum(abs(col("delta"))).as("sum_abs_delta_c"))
+    }),
+
     // Benford first-digit audit per group — the fraud/synthetic-data
     // smell test: does the leading digit of the amounts follow
     // log10(1+1/d)? The first significant digit is pure integer/string
@@ -628,6 +664,33 @@ object QualityQueries extends QueryPack {
         |    AS wins_mean
         |FROM ranked JOIN bounds USING (l_returnflag)
         |GROUP BY 1""".stripMargin,
+
+    // same integer cents/basis-points arithmetic; `//` and Spark's
+    // `div` both truncate on the all-positive domain
+    "dq_order_reconcile" ->
+      """WITH ln AS (
+        |  SELECT l_orderkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(floor(l_discount * 10000) AS BIGINT) AS disc_bp,
+        |    CAST(floor(l_tax * 10000) AS BIGINT) AS tax_bp
+        |  FROM lineitem),
+        |ls AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(cents * (10000 - disc_bp) * (10000 + tax_bp)
+        |      // 10000 // 10000) AS BIGINT) AS line_total_c
+        |  FROM ln GROUP BY 1),
+        |d AS (
+        |  SELECT CAST(floor(o.o_totalprice * 100) AS BIGINT)
+        |    - COALESCE(ls.line_total_c, 0) AS delta
+        |  FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey)
+        |SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_match,
+        |  CAST(MAX(CASE WHEN delta < 0 THEN -delta ELSE delta END)
+        |    AS BIGINT) AS max_abs_delta_c,
+        |  CAST(SUM(CASE WHEN delta < 0 THEN -delta ELSE delta END)
+        |    AS BIGINT) AS sum_abs_delta_c
+        |FROM d""".stripMargin,
 
     "dq_referential" -> {
       def rule(name: String, child: String, key: String,
