@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
+import graft.ops.TextHash
 
 /** Time-windowed aggregation shapes (the batch analogs of the streaming
   * forms) and a correlated subquery: tumbling windows, session windows
@@ -353,6 +354,32 @@ object TemporalQueries extends QueryPack {
         .select(col("user_id"),
           datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
             .as("d")))),
+
+    // Deterministic A/B assignment + SRM audit (round-11): users
+    // bucket into arms by a salted hash of their id — the assignment
+    // IS the operator (reproducible across engines, reruns, and
+    // storage layouts: the property experiment platforms require;
+    // same discipline as sample_deterministic) — and the readout is
+    // the sample-ratio-mismatch check every experiment gates on
+    // before reading results: n_a, n_b, delta, and the 50/50 chi²
+    // statistic (delta²/n — exact integer numerator, the one double
+    // division last). event_ab_ztest reads the OUTCOME; this row
+    // audits the ASSIGNMENT. One distinct + one global fold.
+    "event_ab_assignment_srm" -> ((s, dir) => {
+      val arm = when(pmod(TextHash.h31(
+          concat(lit("exp1:"), col("user_id").cast("string"))),
+          lit(100)) < 50, lit("A")).otherwise(lit("B"))
+      Tables(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .select(arm.as("arm"))
+        .agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+        .withColumn("delta", col("n_a") - col("n_b"))
+        .withColumn("chi2_srm",
+          (col("delta") * col("delta")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"))
+    }),
 
     // Time-to-convert (round-11): per user, seconds from the FIRST
     // view to the first purchase at-or-after it — the conversion-
@@ -1277,6 +1304,27 @@ object TemporalQueries extends QueryPack {
         |  ntile(5) OVER (ORDER BY freq, user_id) AS f_tile,
         |  ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_tile
         |FROM rfm, mx""".stripMargin,
+
+    // same salted-hash bucketing; chi² numerator exact, division last
+    "event_ab_assignment_srm" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (
+         |  SELECT CASE WHEN
+         |    (${TextHash.h31Duck("'exp1:' || CAST(user_id AS VARCHAR)")})
+         |      % 100 < 50
+         |    THEN 'A' ELSE 'B' END AS arm
+         |  FROM u),
+         |s AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_b
+         |  FROM a)
+         |SELECT n_a, n_b, n_a - n_b AS delta,
+         |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+         |    / CAST(n_a + n_b AS DOUBLE) AS chi2_srm
+         |FROM s""".stripMargin,
 
     // same two keyed aggregates + user-keyed join
     "event_time_to_convert" ->
