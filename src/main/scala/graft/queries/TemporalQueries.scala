@@ -406,6 +406,28 @@ object TemporalQueries extends QueryPack {
           col("first_purchase_s") - col("first_view_s"))
     }),
 
+    // Inter-event-time histogram (round-11): ⌊log2(gap+1)⌋-bucketed
+    // per-user inter-arrival seconds, by event type — the burstiness
+    // fingerprint (bots cluster in low buckets, humans spread) that
+    // complements ts_autocorr/seasonality's aggregate views. One lag
+    // window per user (bounded partitions), one rollup; gaps are
+    // exact integer seconds and the +1 keeps the zero-gap bucket
+    // defined without a special case.
+    "ts_inter_event_hist" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sec", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("sec"))
+        .withColumn("prev", lag("sec", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          graft.ops.Bits.floorLog2(col("sec") - col("prev") + 1L)
+            .as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n_gaps"))
+    }),
+
     // Calendar activity profile (round-11): event count and exact
     // cents volume by (day-of-week, hour-of-day) — the seasonality
     // fingerprint capacity planning and anomaly baselines read.
@@ -1342,6 +1364,23 @@ object TemporalQueries extends QueryPack {
         |FROM e JOIN fv f USING (user_id)
         |WHERE e.event_type = 'purchase' AND e.sec >= f.first_view_s
         |GROUP BY 1""".stripMargin,
+
+    // same lag over the (sec, event_id) total order; floor-log2 as
+    // length(bin(gap + 1)) − 1
+    "ts_inter_event_hist" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    sec - lag(sec) OVER (
+        |      PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        |  FROM e)
+        |SELECT event_type,
+        |  CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // identical epoch-day arithmetic ((d + 4) % 7), no dayofweek
     // builtin on either side

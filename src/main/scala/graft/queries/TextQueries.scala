@@ -279,6 +279,20 @@ object TextQueries extends QueryPack {
     // V is a broadcast scalar. Nothing is ever all-pairs.
     "text_lm_bits" -> ((s, dir) => lmBits(Tables(s, dir, "documents"))),
 
+    // Document-length histogram (round-11): ⌊log2 tokens⌋-bucketed doc
+    // counts and token mass per source — the first corpus-profile plot
+    // (truncation spikes, short-doc spam, source length mix) next to
+    // text_token_counts' totals. One scan, size() per row (no
+    // explode), one rollup.
+    "text_doclen_hist" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          size(TextHash.tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy(col("source"),
+          graft.ops.Bits.floorLog2(col("ntok")).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("sum_tokens"))),
+
     // Bigram conditional LM bits (round-11): text_lm_bits prices the
     // corpus under a UNIGRAM model; this row prices it under the
     // bigram conditional — bits(w|prev) := ⌊log2 c(prev,·)⌋ −
@@ -1436,6 +1450,18 @@ object TextQueries extends QueryPack {
          |  CAST(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
          |FROM c GROUP BY 1""".stripMargin,
+
+    // len(string_split) ≡ size(split); floor-log2 as length(bin(n)) − 1
+    "text_doclen_hist" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(length(bin(ntok)) - 1 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     // bigram pairing via 1-based list indexing (xs[i-1], xs[i]) — the
     // order-preserving mirror of the per-doc lag window
