@@ -60,16 +60,6 @@ object Bench {
   private def calibrate(spark: SparkSession): Double =
     Seq(calibOnce(spark), calibOnce(spark), calibOnce(spark)).sorted.apply(1)
 
-  /** Pinned per-query steady reference band (VERDICT r10 task #1).
-    * Loaded from the classpath resource `graft/bench_ref.tsv`
-    * (`name<TAB>seconds`, `#` comments) — min-of-two steady seconds
-    * from a quiet-host full bench on the same tree family, regenerated
-    * from bench.json via tools when the query set materially changes.
-    * Used ONLY to decide when to resample and when to flag noise —
-    * never folded into the emitted numbers — so a stale band can cost
-    * extra samples or a spurious flag, never a wrong timing. Queries
-    * absent from the file (e.g. just added) simply get no band check.
-    */
   /** Band breach test (unit-tested in BenchBandSuite): steady `v`
     * exceeds 2× the pinned reference, widened by the host-factor
     * guard, +0.2s absolute slack so sub-0.2s queries never flap.
@@ -87,6 +77,39 @@ object Bench {
   private[graft] def warmContended(r1: Double, r2: Double): Boolean =
     r2 > 2.0 * r1 && r2 > 0.5
 
+  /** Headline total over every timed query EXCEPT the ones the run's
+    * own `noisy` map disavows (VERDICT r11 task #1: BENCH_r11's
+    * `value` summed ~7s of contention-time phantom that its `noisy`
+    * field had already flagged, so round-over-round totals needed
+    * judge-side arithmetic). Emitted as `total_excl_noisy` alongside
+    * the raw `value` — the raw total stays for continuity, this one is
+    * the comparable number.
+    */
+  private[graft] def totalExclNoisy(
+      mins: Seq[(String, Double)], noisy: Set[String]): Double =
+    mins.collect { case (k, v) if !noisy(k) => v }.sum
+
+  /** Timed queries that ran with NO pinned band (absent from
+    * bench_ref.tsv — e.g. just added and the tsv not yet regenerated).
+    * Emitted as `unbanded` so a round of additions can't silently run
+    * uncovered by the noise defenses; HarnessContractSuite asserts the
+    * list is empty on a final tree (regen discipline).
+    */
+  private[graft] def unbandedOf(
+      ran: Seq[String], ref: Map[String, Double]): Seq[String] =
+    ran.filterNot(ref.contains)
+
+  /** Pinned per-query steady reference band (VERDICT r10 task #1).
+    * Loaded from the classpath resource `graft/bench_ref.tsv`
+    * (`name<TAB>seconds`, `#` comments) — min-of-two steady seconds
+    * from a quiet-host full bench on the same tree family, regenerated
+    * from bench.json via tools when the query set materially changes.
+    * Used ONLY to decide when to resample and when to flag noise —
+    * never folded into the emitted numbers — so a stale band can cost
+    * extra samples or a spurious flag, never a wrong timing. Queries
+    * absent from the file (e.g. just added) simply get no band check
+    * and are disclosed in the artifact's `unbanded` list.
+    */
   private[graft] lazy val RefSteady: Map[String, Double] = {
     val in = getClass.getResourceAsStream("/graft/bench_ref.tsv")
     if (in == null) Map.empty
@@ -259,18 +282,27 @@ object Bench {
     val segCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val noisy = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Int, Double)] // obs, ref, n, calib
+    // every query that took ANY extra samples, whether or not it ended
+    // inside the band (r11 ADVICE: resampling can only lower reported
+    // times, so the artifact must disclose which numbers benefited —
+    // `noisy` alone only covers the still-breaching subset)
+    val resampled = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Int)] // reported steady, total samples
     var lastCalib = calibStart
     var sinceCalib = 0
     val results: Seq[(String, (Double, Double))] =
       selected.flatMap { case (name, fn) =>
-        def once(): Option[Double] = {
+        // `ctx` distinguishes a dead RESAMPLE attempt (the query is
+        // still reported from its earlier samples) from a dead query
+        // (r11 ADVICE: both printed the same FAILED line)
+        def once(ctx: String = ""): Option[Double] = {
           val t0 = System.nanoTime()
           try {
             runPlan(fn(spark, sfDir))
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
             System.err.println(
-              s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+              s"[bench] $name$ctx FAILED: ${e.getClass.getSimpleName}: " +
                 s"${e.getMessage}")
             None
           }
@@ -312,9 +344,10 @@ object Bench {
           while ((breaches(samples.min) || (warm2Cold && extra == 0)) &&
               extra < 3) {
             extra += 1
-            once().foreach(samples += _)
+            once(" resample attempt").foreach(samples += _)
           }
           val steady = samples.min
+          if (extra > 0) resampled += name -> ((steady, samples.size))
           if (breaches(steady)) {
             val c = try calibOnce(spark) catch { case _: Throwable => -1.0 }
             noisy += name -> ((steady, ref.getOrElse(-1.0), samples.size, c))
@@ -335,10 +368,20 @@ object Bench {
     val hostFactor = (calibStart + calibEnd) / 2.0 / RefCalibSec
     if (failed.nonEmpty) System.err.println(
       s"[bench] SUMMARY: ${failed.size} FAILED — ${failed.mkString(", ")}")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // `queries` keeps the historical min-of-two (steady state);
+    // `cold` is run 1 after memo eviction — the un-amortized cost.
+    val mins = results.map { case (k, (r1, r2)) => k -> math.min(r1, r2) }
+    val colds = results.map { case (k, (r1, _)) => k -> r1 }
+    val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
+    // the comparable headline (VERDICT r11 task #1): same sum minus
+    // the queries this run's own `noisy` map disavows
+    val totalExcl = totalExclNoisy(mins, noisy.keySet.toSet)
+    val unbanded = unbandedOf(results.map(_._1), RefSteady)
     def jmap(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def render(rs: Iterable[(String, Double)], cold: Iterable[(String, Double)],
-        total: Double): String = {
+        tot: Double): String = {
       val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val dj = Deliberate.filter(SparkEntry.queries.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -348,14 +391,15 @@ object Bench {
       val nj = noisy.map { case (k, (obs, ref, n, c)) =>
         s""""$k":{"obs":${r3(obs)},"ref":${r3(ref)},"n":$n,"calib":${r3(c)}}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","host_factor":${r3(hostFactor)},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calib_segments":$segs,"noisy":$nj,"queries":${jmap(rs)},"cold":${jmap(cold)},"deliberate":$dj,"failed":$fj,"sf":"$sfDir"}"""
+      // full disclosure of every query that got extra samples (the
+      // reported value is min over ALL of them, so it can only have
+      // moved DOWN relative to a plain min-of-two)
+      val rj = resampled.map { case (k, (obs, n)) =>
+        s""""$k":{"obs":${r3(obs)},"n":$n}"""
+      }.mkString("{", ",", "}")
+      val uj = unbanded.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$tot,"total_excl_noisy":${r3(totalExcl)},"unit":"sec","host_factor":${r3(hostFactor)},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calib_segments":$segs,"noisy":$nj,"resampled":$rj,"unbanded":$uj,"queries":${jmap(rs)},"cold":${jmap(cold)},"deliberate":$dj,"failed":$fj,"sf":"$sfDir"}"""
     }
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    // `queries` keeps the historical min-of-two (steady state);
-    // `cold` is run 1 after memo eviction — the un-amortized cost.
-    val mins = results.map { case (k, (r1, r2)) => k -> math.min(r1, r2) }
-    val colds = results.map { case (k, (r1, _)) => k -> r1 }
-    val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     val full = render(mins, colds, total)
     // Round 1 post-mortem: the driver parses the bench JSON out of the
     // LAST 2000 chars of the (sbt-wrapped) stdout stream, and the

@@ -39,6 +39,22 @@ class BenchBandSuite extends AnyFunSuite {
     assert(!Bench.warmContended(2.0, 1.0)) // cold slower is EXPECTED (memos)
   }
 
+  test("totalExclNoisy: drops exactly the noisy-flagged queries") {
+    val mins = Seq("a" -> 1.0, "b" -> 6.0, "c" -> 2.0)
+    assert(Bench.totalExclNoisy(mins, Set("b")) === 3.0)
+    // no noisy entries -> identical to the raw total
+    assert(Bench.totalExclNoisy(mins, Set.empty) === 9.0)
+    // a noisy name that did not run (failed) must not matter
+    assert(Bench.totalExclNoisy(mins, Set("zzz")) === 9.0)
+  }
+
+  test("unbandedOf: reports ran-without-a-band, preserves run order") {
+    val ref = Map("a" -> 1.0, "c" -> 2.0)
+    assert(Bench.unbandedOf(Seq("c", "new2", "a", "new1"), ref) ===
+      Seq("new2", "new1"))
+    assert(Bench.unbandedOf(Seq("a", "c"), ref).isEmpty)
+  }
+
   test("bench_ref.tsv resource: loads, is large, and all-positive") {
     val ref = Bench.RefSteady
     assert(ref.size > 250, s"band resource too small: ${ref.size}")

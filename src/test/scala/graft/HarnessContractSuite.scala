@@ -30,4 +30,16 @@ class HarnessContractSuite extends SparkSpec {
   test("the flagship entry runs and produces rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every timed query has a pinned reference band (regen discipline)") {
+    // `stream_*` entries are excluded from Bench by design; everything
+    // else must carry a bench_ref.tsv band on a final tree, or a whole
+    // round of additions runs uncovered by the noise defenses (the
+    // artifact's `unbanded` field discloses it at run time; this pins
+    // it at test time). Fix: rerun the full bench on a quiet host and
+    // `python3 tools/gen_bench_ref.py <bench.json>`.
+    val timed = SparkEntry.queries.keySet.filterNot(_.startsWith("stream_"))
+    val missing = timed -- Bench.RefSteady.keySet
+    assert(missing.isEmpty, s"unbanded queries — regen bench_ref.tsv: $missing")
+  }
 }

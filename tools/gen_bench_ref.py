@@ -12,13 +12,23 @@ materially change:
     python3 tools/gen_bench_ref.py /tmp/bench_ref.json
 """
 import json, sys
-src = sys.argv[1] if len(sys.argv) > 1 else "bench.json"
-out = sys.argv[2] if len(sys.argv) > 2 else \
+args = [a for a in sys.argv[1:] if a != "--force"]
+force = "--force" in sys.argv[1:]
+src = args[0] if len(args) > 0 else "bench.json"
+out = args[1] if len(args) > 1 else \
     "src/main/resources/graft/bench_ref.tsv"
 d = json.load(open(src))
-if d.get("noisy"):
-    print("WARNING: source run itself has noisy entries %s -- use a "
-          "quieter window" % list(d["noisy"]))
+# Refuse (VERDICT r11 task #1) to pin a band from a run that flags its
+# own numbers: a noisy source would bake contention into the reference
+# and defeat every downstream band check. --force overrides (e.g. to
+# pin the non-noisy majority while a known-hot host cools down).
+if d.get("noisy") and not force:
+    sys.exit("REFUSED: source run has noisy entries %s -- regenerate "
+             "from a quiet window, or pass --force" % list(d["noisy"]))
+if d.get("failed") and not force:
+    sys.exit("REFUSED: source run has failed queries %s -- their bands "
+             "would silently vanish; fix or pass --force"
+             % list(d["failed"]))
 lines = [
     "# Pinned per-query steady reference band for Bench's noise detection",
     "# (VERDICT r10 task #1). Source: full quiet-host bench, sf0.1,",
