@@ -114,12 +114,14 @@ object StreamBench {
     hotkeyRun(spark, work, 10000, "hkwarm")
     val (hkTws, hkSalted, hkRows) = hotkeyRun(spark, work, hkN, "hk")
 
-    // Hot-key AS-OF arm (VERDICT r10 task #6): the cumvol hotkey arm
-    // grounded the TWS-vs-salted decision for running sums; this one
-    // grounds the SAME decision for the as-of enrichment path, which
-    // also keys state by bare symbol.
+    // Hot-key AS-OF arm (VERDICT r10 task #6, r11 task #2): the cumvol
+    // hotkey arm grounded the TWS-vs-salted decision for running sums;
+    // this one grounds the SAME decision for the as-of enrichment path
+    // with BOTH sides measured — bare-symbol TWS vs the salted
+    // micro-batch carry-table path (SaltedAsofBatch), mirroring
+    // hotkeyRun.
     hotkeyAsofRun(spark, work, 10000, "hkawarm")
-    val (haSec, haRows) = hotkeyAsofRun(spark, work, hkN, "hka")
+    val (haTws, haSalted, haRows) = hotkeyAsofRun(spark, work, hkN, "hka")
     val json =
       f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus,""" +
         f""""socket":{"rows_per_sec":${sRows / sSec}%.1f,"rows":$sRows,"sec":$sSec%.3f,"wire_sec":$wireSec%.3f},""" +
@@ -127,7 +129,8 @@ object StreamBench {
         f""""cdc":{"ops_per_sec":${nRows / cdcSec}%.1f,"ops":$nRows,"live_keys":$cdcKeys,"sec":$cdcSec%.3f},""" +
         f""""hotkey":{"rows":$hkRows,"tws_sec":$hkTws%.3f,"tws_rows_per_sec":${hkRows / hkTws}%.1f,""" +
         f""""salted_sec":$hkSalted%.3f,"salted_rows_per_sec":${hkRows / hkSalted}%.1f},""" +
-        f""""hotkey_asof":{"rows":$haRows,"sec":$haSec%.3f,"rows_per_sec":${haRows / haSec}%.1f}}"""
+        f""""hotkey_asof":{"rows":$haRows,"tws_sec":$haTws%.3f,"tws_rows_per_sec":${haRows / haTws}%.1f,""" +
+        f""""salted_sec":$haSalted%.3f,"salted_rows_per_sec":${haRows / haSalted}%.1f}}"""
     val outFile = args.headOption.getOrElse("stream_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
@@ -246,23 +249,28 @@ object StreamBench {
     (twsSec, saltedSec, landed)
   }
 
-  /** Hot-key AS-OF run (VERDICT r10 task #6): streaming as-of
-    * enrichment on the same 90%-one-symbol feed shape as [[hotkeyRun]]
-    * — every 3rd row a quote ("Q", kind 0), the rest trades, strictly
-    * increasing times — keyed by BARE symbol through
-    * [[graft.streaming.AsofEnrichProcessor]] into the LWW sink. The
-    * measured fold throughput is the serialization ceiling one hot key
-    * imposes on this operator. Decision basis (docs/SCALE.md): the
-    * per-row fold is O(1) — one compare plus one two-field state pair,
-    * the SAME cost class whose cumvol arm measured bare-key TWS
-    * beating the salted micro-batch path (21.2k vs 13.1k rows/s at
-    * 200k rows) — so the bare-symbol key stands on measurement, not
-    * analogy; the salted carry-table escape hatch ports unchanged
-    * (carry = last quote per (key, bucket) prefix instead of a running
-    * sum). Returns (sec, enriched trade rows landed).
+  /** Hot-key AS-OF run (VERDICT r10 task #6, r11 task #2): streaming
+    * as-of enrichment on the same 90%-one-symbol feed shape as
+    * [[hotkeyRun]] — every 3rd row a quote ("Q", kind 0), the rest
+    * trades, strictly increasing times — A/B'd through BOTH operators,
+    * mirroring the cumvol arm:
+    *
+    *   arm 1: BARE-symbol keyed [[graft.streaming.AsofEnrichProcessor]]
+    *     (transformWithState / RocksDB) — the serialization ceiling one
+    *     hot key imposes on a state partition;
+    *   arm 2: [[graft.streaming.SaltedAsofBatch]] — per-micro-batch
+    *     salted as-of kernel + last-quote carry table, the hot-key
+    *     escape hatch, now measured instead of asserted to port (r11
+    *     ADVICE: the TWS-vs-salted decision for as-of previously rested
+    *     on the cumvol cost-class analogy).
+    *
+    * Both arms are parse → enrich → LwwSink keyed (symbol, time); only
+    * the enrichment operator differs. Returns (twsSec, saltedSec,
+    * enriched trade rows landed by the salted arm).
     */
   private def hotkeyAsofRun(spark: SparkSession,
-      work: java.nio.file.Path, nRows: Int, tag: String): (Double, Long) = {
+      work: java.nio.file.Path, nRows: Int,
+      tag: String): (Double, Double, Long) = {
     import spark.implicits._
     val t0 = 1687176000L
     val lines = spark.range(nRows).select(concat(
@@ -280,32 +288,41 @@ object StreamBench {
     val sub = work.resolve(s"${tag}_spool")
     Files.createDirectories(sub)
     val spool = graft.source.SpoolWriter.write(lines, sub, Some(10))
-    val sinkRoot = work.resolve(s"${tag}_sink").toString
-    val tStart = System.nanoTime()
-    val env = spark.readStream
+    def envStream() = spark.readStream
       .format(classOf[graft.source.EnvelopeSourceProvider].getName)
       .option("path", spool).option("maxFilesPerTrigger", "3").load()
-    val evs = graft.streaming.Pipelines.parseTicks(env)
+    // arm 1: transformWithState, state keyed by bare symbol
+    val twsRoot = work.resolve(s"${tag}_tws").toString
+    val tTws = System.nanoTime()
+    val evs = graft.streaming.Pipelines.parseTicks(envStream())
       .filter(!col("_corrupt"))
       .select(col("symbol"), col("time"),
         when(col("tradeType") === "Q", 0).otherwise(1).as("kind"),
         col("price"), col("tradeType"))
       .as[graft.streaming.AsofEnrichProcessor.MarketEv]
-    val q = evs.groupByKey(_.symbol)
+    val q1 = evs.groupByKey(_.symbol)
       .transformWithState(new graft.streaming.AsofEnrichProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF()
       .writeStream.outputMode("append")
-      .option("checkpointLocation", work.resolve(s"${tag}_ckpt").toString)
+      .option("checkpointLocation", s"$twsRoot/ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "asof",
-          Seq("symbol", "time"))
+        LwwSink.upsertBatch(batch.toDF(), id, s"$twsRoot/sink", "feed",
+          "asof", Seq("symbol", "time"))
       }.start()
-    try q.processAllAvailable() finally q.stop()
-    val sec = (System.nanoTime() - tStart) / 1e9
-    val landed = LwwSink.read(spark, sinkRoot, "feed", "asof").count()
-    (sec, landed)
+    try q1.processAllAvailable() finally q1.stop()
+    val twsSec = (System.nanoTime() - tTws) / 1e9
+    // arm 2: salted micro-batch as-of kernel + last-quote carry table
+    val sRoot = work.resolve(s"${tag}_salted").toString
+    val tS = System.nanoTime()
+    val q2 = graft.streaming.SaltedAsofBatch.start(envStream(),
+      s"$sRoot/sink", s"$sRoot/ckpt", s"$sRoot/state")
+    try q2.processAllAvailable() finally q2.stop()
+    val saltedSec = (System.nanoTime() - tS) / 1e9
+    val landed = LwwSink.read(spark, s"$sRoot/sink", "feed", "asof_salted")
+      .count()
+    (twsSec, saltedSec, landed)
   }
 
   /** CDC-apply run: tick envelopes whose type field carries I/U/D ops

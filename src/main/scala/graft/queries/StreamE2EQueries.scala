@@ -41,10 +41,12 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)),
     "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)),
     "stream_e2e_asof" -> ((s, dir) => runAsof(s, dir)),
+    "stream_e2e_asof_salted" -> ((s, dir) => runAsofSalted(s, dir)),
     "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)),
     "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)),
     "stream_e2e_neardup" -> ((s, dir) => runNearDup(s, dir)),
     "stream_e2e_late" -> ((s, dir) => runLate(s, dir)),
+    "stream_e2e_late_audit" -> ((s, dir) => runLateAudit(s, dir)),
     "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)),
     "stream_e2e_cms" -> ((s, dir) => runCms(s, dir)),
     "stream_e2e_cdc" -> ((s, dir) => runCdc(s, dir)),
@@ -235,6 +237,63 @@ object StreamE2EQueries extends QueryPack {
         col("quotePrice").as("quote_price"))
   }
 
+  /** SALTED STREAMING AS-OF end to end (round-12, VERDICT r11 task
+    * #2): the SAME quotes-and-trades feed and the IDENTICAL DuckDB
+    * ASOF JOIN oracle as `stream_e2e_asof`, run through
+    * [[graft.streaming.SaltedAsofBatch]] instead of the bare-symbol
+    * transformWithState processor — per micro-batch the salted batch
+    * as-of kernel ((key, time-bucket) windows + boundary carry), with
+    * cross-batch continuity through the one-last-quote-per-symbol
+    * carry table. Certifies that the hot-key escape hatch lands on the
+    * exact row set the TWS path does, under the cumvol standard (the
+    * r10 bar: the alternative must be BUILT and oracle-certified, not
+    * asserted to port).
+    *
+    * Feed discipline: time-RANGE-partitioned spool files (the
+    * runCumvolSalted layout) + maxFilesPerTrigger, so event times are
+    * non-decreasing across micro-batches for every symbol — the carry
+    * table's documented ordering contract. Within a file/batch, order
+    * is free (the kernel sorts by (time, tag) itself).
+    */
+  private def runAsofSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val trades = LwwDedup(
+      ev.filter(col("event_type").isin("purchase", "click"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+      .select(col("user_id"), col("time_s"), col("value").as("price"),
+        stdType.as("typ"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .withColumn("time_s", expr("unix_micros(ts) div 1000000"))
+      .groupBy("user_id", "time_s")
+      .agg(max(col("value")).as("price"))
+      .select(col("user_id"), col("time_s"), col("price"),
+        lit("Q").as("typ"))
+    val base = trades.unionByName(quotes)
+      .repartitionByRange(4, col("time_s"))
+    val lines = tickLines(base, col("price"),
+      floor(col("price")).cast("int"), col("typ"))
+    val work = Files.createTempDirectory("graft_e2e_asofs")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None) // preserve the time-ranged file layout
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool)
+      .option("maxFilesPerTrigger", "2") // carry table does real work
+      .load()
+    val sinkRoot = work.resolve("sink").toString
+    val q = graft.streaming.SaltedAsofBatch.start(env, sinkRoot,
+      work.resolve("ckpt").toString, work.resolve("state").toString)
+    try q.processAllAvailable() finally q.stop()
+    LwwSink.read(s, sinkRoot, "feed", "asof_salted")
+      .select(col("symbol"), col("time").as("time_s"), col("price"),
+        col("tradeType").as("trade_type"),
+        col("quoteTime").as("quote_time"),
+        col("quotePrice").as("quote_price"))
+  }
+
   /** WATERMARKED TUMBLING-WINDOW aggregation end to end (round-6,
     * eleventh streaming oracle row): the one windowed-agg streaming
     * family the other rows don't cover — `session_window` merges gaps
@@ -276,7 +335,34 @@ object StreamE2EQueries extends QueryPack {
     * n_ticks and the perturbed sums shift and the oracle (computed
     * from the on-time era only) hash-fails.
     */
-  private def runLate(s: SparkSession, dir: String): DataFrame = {
+  private def runLate(s: SparkSession, dir: String): DataFrame =
+    runLateCommon(s, dir)._1
+
+  /** WATERMARK DROP-COUNT AUDIT (round-12, VERDICT r11 task #6,
+    * 21st streaming oracle row): `stream_e2e_late` certifies that the
+    * surviving windows carry only on-time data — if a straggler LEAKED
+    * the perturbed sums would hash-fail — but nothing certified the
+    * drop itself as a count. This row reads the engine's own meter:
+    * `numRowsDroppedByWatermark` summed over the run's
+    * StreamingQueryProgress state operators must equal EXACTLY the
+    * planted straggler count, and the on-time side (sum of emitted
+    * window n_ticks) must equal exactly the era row count. Both
+    * numbers come out of the live run; the oracle recomputes them from
+    * the events table (on-time = the deduped tick base; dropped = one
+    * straggler per (purchase user, 30-minute window) — see
+    * runLateCommon's construction note on why the meter is
+    * group-granular). One admitted straggler or one over-dropped era
+    * row moves a count and hash-fails.
+    */
+  private def runLateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (windows, dropped) = runLateCommon(s, dir)
+    val onTime = windows.agg(sum(col("n_ticks"))).head().getLong(0)
+    Seq((onTime, dropped)).toDF("on_time_rows", "dropped_late")
+  }
+
+  private def runLateCommon(
+      s: SparkSession, dir: String): (DataFrame, Long) = {
     // pinned: THREE separate jobs consume it (spool write, max-second
     // probe, straggler lines) — unpinned, each re-ran the dedup window
     val base = dedupedTicks(s, dir).localCheckpoint()
@@ -303,9 +389,24 @@ object StreamE2EQueries extends QueryPack {
       advancer(maxSec + 100 * 86400) + "\n")
     Files.writeString(Paths.get(spool).resolve(postFile(nFiles + 1)),
       advancer(maxSec + 100 * 86400 + 60) + "\n")
+    // ONE straggler per (user, 30-minute window), not one per purchase
+    // row: the engine's late-row meter (`numRowsDroppedByWatermark`)
+    // sits BEHIND map-side partial aggregation, so it counts dropped
+    // PARTIAL GROUPS — with multiple same-group stragglers the count
+    // would also depend on how the file splits across map tasks
+    // (same-group rows in different tasks produce separate partials).
+    // One row per group makes the meter row-exact and its oracle
+    // partition-independent (measured: 1981 raw purchase rows at
+    // sf0.01 metered as exactly their 1972 distinct groups). Volumes
+    // are perturbed (×10+7) so a leaked straggler still hash-fails
+    // `stream_e2e_late`'s window sums, and all-B type keeps the
+    // payload era-shaped.
     val lateLines = tickLines(
-      base.filter(col("event_type") === "purchase"),
-      col("value"), (floor(col("value")) * 10 + 7).cast("int"), stdType)
+      base.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          (col("time_s") - pmod(col("time_s"), lit(1800L))).as("_w"))
+        .agg(max(col("time_s")).as("time_s"), max(col("value")).as("value")),
+      col("value"), (floor(col("value")) * 10 + 7).cast("int"), lit("B"))
     val lateSpool = graft.source.SpoolWriter.write(lateLines,
       work.resolve("late"), repartitionTo = Some(1))
     graft.util.Fs.list(Paths.get(lateSpool))
@@ -336,9 +437,13 @@ object StreamE2EQueries extends QueryPack {
           id, sinkRoot, "feed", "late", Seq("symbol", "w_start"))
       }.start()
     try q.processAllAvailable() finally q.stop()
-    LwwSink.read(s, sinkRoot, "feed", "late")
+    // the engine's own late-row meter, summed across every micro-batch
+    // of the run (well under the 100-progress retention default)
+    val dropped = q.recentProgress
+      .map(p => p.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+    (LwwSink.read(s, sinkRoot, "feed", "late")
       .select(col("symbol"), col("w_start"), col("n_ticks"),
-        col("sum_vol"))
+        col("sum_vol")), dropped)
   }
 
   private def runTumbling(s: SparkSession, dir: String): DataFrame = {
@@ -1325,6 +1430,23 @@ object StreamE2EQueries extends QueryPack {
         |  CAST(SUM(CAST(floor(value) AS INT)) AS BIGINT) AS sum_vol
         |FROM base GROUP BY 1, 2""".stripMargin,
 
+    // drop-count mirror: on-time = the full deduped tick base (every
+    // era row must be admitted); dropped = one straggler per
+    // (purchase user, 30-minute window) — exactly what the runner
+    // plants, all ~99 days behind the advanced watermark, every one of
+    // which the engine must meter as dropped
+    "stream_e2e_late_audit" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1)
+        |SELECT (SELECT COUNT(*) FROM base) AS on_time_rows,
+        |  (SELECT COUNT(DISTINCT (user_id, sec // 1800)) FROM base
+        |   WHERE event_type = 'purchase') AS dropped_late""".stripMargin,
+
     "stream_e2e_tumbling" ->
       """WITH base AS (
         |  SELECT * FROM (
@@ -1434,6 +1556,29 @@ object StreamE2EQueries extends QueryPack {
     // quotes-before-ticks fold order). Inner: a trade before any quote
     // emits nothing on either engine.
     "stream_e2e_asof" ->
+      """WITH t AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,
+        |      CASE WHEN event_type = 'purchase' THEN 'B' ELSE 'S' END AS typ,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+        |    MAX(value) AS qprice
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY 1, 2)
+        |SELECT CAST(t.user_id AS VARCHAR) AS symbol, t.sec AS time_s,
+        |  t.value AS price, t.typ AS trade_type,
+        |  q.sec AS quote_time, q.qprice AS quote_price
+        |FROM t ASOF JOIN q
+        |  ON t.user_id = q.user_id AND q.sec <= t.sec""".stripMargin,
+
+    // IDENTICAL oracle as stream_e2e_asof (byte-for-byte): the salted
+    // micro-batch path must land on the exact same row set as the
+    // bare-key TWS path — that equality IS what this row certifies
+    "stream_e2e_asof_salted" ->
       """WITH t AS (
         |  SELECT * FROM (
         |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, value,

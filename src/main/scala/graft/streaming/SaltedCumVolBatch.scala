@@ -1,14 +1,11 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{DateType, LongType, StringType, StructField, StructType}
 
 import graft.sink.LwwSink
-import graft.util.Fs
 
 /** Hot-key-safe streaming cumulative-volume enrichment — the salted
   * micro-batch path (VERDICT r9 task #3: the batch side's skew fix,
@@ -69,53 +66,17 @@ object SaltedCumVolBatch {
     StructField("c_cb", LongType),
     StructField("c_cs", LongType)))
 
-  /** Newest committed state version strictly below `batchId` (strict:
-    * a replay of batch N must not read N's own output), or an empty
-    * frame for the first batch.
+  /** Newest committed state version strictly below `batchId`; the
+    * versioning/atomicity/prune contract lives in [[CarryState]]
+    * (factored round-12, shared with [[SaltedAsofBatch]]).
     */
   private[graft] def readState(
-      s: SparkSession, stateRoot: String, batchId: Long): DataFrame = {
-    val root = Paths.get(stateRoot)
-    val versions =
-      if (!Files.isDirectory(root)) Seq.empty
-      else Fs.list(root)
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("v"))
-        .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
-        .filter(_ < batchId)
-    versions.maxOption match {
-      case Some(v) => s.read.schema(StateSchema).parquet(s"$stateRoot/v$v")
-      case None =>
-        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row],
-          StateSchema)
-    }
-  }
+      s: SparkSession, stateRoot: String, batchId: Long): DataFrame =
+    CarryState.read(s, stateRoot, batchId, StateSchema)
 
-  /** Write state for `batchId` atomically: parquet into `_tmp_v<N>`,
-    * rename to `v<N>` (same filesystem, one directory-entry move). The
-    * reader only ever lists `v*`, so a crash mid-write is invisible.
-    * Replays overwrite both dirs idempotently.
-    */
   private def writeState(
-      state: DataFrame, stateRoot: String, batchId: Long): Unit = {
-    val tmp = Paths.get(s"$stateRoot/_tmp_v$batchId")
-    val fin = Paths.get(s"$stateRoot/v$batchId")
-    // carry state is one row per live symbol — driver-small by contract
-    state.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    deleteTree(fin) // replay: clear the previous identical attempt
-    Files.move(tmp, fin)
-    // prune: recovery can only replay THIS batch, which needs < N only
-    Fs.list(Paths.get(stateRoot))
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("v") &&
-          scala.util.Try(n.drop(1).toLong).toOption.exists(_ < batchId - 1)
-      }
-      .foreach(deleteTree)
-  }
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) Fs.walk(p).reverse.foreach(Files.deleteIfExists(_))
+      state: DataFrame, stateRoot: String, batchId: Long): Unit =
+    CarryState.write(state, stateRoot, batchId)
 
   /** One micro-batch: salted prefix scan + carry offsets → sink +
     * next carry version. `batch` columns: symbol, bid, price, ask,
