@@ -83,6 +83,26 @@ object GraphIter {
       struct(col("ub").as("u"), col("ua").as("v")))).as("uv"))
       .select(col("uv.u").as("u"), col("uv.v").as("v"))
 
+  /** Per-node two-hop reach |{w : dist ≤ 2, w ≠ u}| over an
+    * undirected adjacency (u, v): one wedge join (volume Σ deg²,
+    * bounded by whatever hub cap produced the adjacency), a (u, w)
+    * distinct, and a per-u count; 1-hop degree rides the same frame.
+    * Suite-checkable on constructed graphs; graph_two_hop_reach feeds
+    * it the pinned co-engagement adjacency.
+    */
+  def twoHopReach(adj: DataFrame): DataFrame = {
+    val deg = adj.groupBy(col("u"))
+      .agg(count(lit(1)).as("n_1hop"))
+    val two = adj.toDF("u", "m")
+      .join(adj.toDF("m2", "w"), col("m") === col("m2"))
+      .select(col("u"), col("w"))
+      .filter(col("w") =!= col("u"))
+    val reach = adj.toDF("u", "w").unionAll(two)
+      .distinct()
+      .groupBy("u").agg(count(lit(1)).as("n_reach2"))
+    deg.join(reach, Seq("u"))
+  }
+
   /** Exact triangle count over a deduplicated low→high edge list
     * (ua < ub), by DEGREE-ORDERED orientation: rank nodes by
     * (degree, id) — a total order — and orient every edge from its

@@ -340,6 +340,18 @@ object GraphQueries extends QueryPack {
         .agg(count(lit(1)).as("n_nodes"), sum("d").as("sum_deg"))
     }),
 
+    // Two-hop reach (round-12): per node, |{w : dist(u,w) ≤ 2, w≠u}|
+    // — the friend-of-friend audience size (graph_neighbor_agg stops
+    // at one hop; influence and reach estimates need the second).
+    // Shape: ONE wedge join over the pinned undirected adjacency —
+    // volume Σ deg² bounded by the MaxPop hub cap exactly like the
+    // triangle family — then a (u, w) distinct and a per-u count;
+    // 1-hop degree rides the same pinned frame. At 100 TB the hub
+    // cap is again the knob: reach of a capped node is ≤ cap², never
+    // corpus-sized.
+    "graph_two_hop_reach" -> ((s, dir) =>
+      GraphIter.twoHopReach(coAdjPinned(s, dir))),
+
     // Iterative k-truss peel (round-11, k = 4, 2 synchronous rounds):
     // each round recomputes per-edge support over the SURVIVING edge
     // set and drops edges with support < k−2 — graph_truss_support is
@@ -1217,6 +1229,25 @@ object GraphQueries extends QueryPack {
          |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
          |  COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS sum_deg
          |FROM deg GROUP BY 1""".stripMargin,
+
+    // same wedge join over the undirected adjacency, distinct, count
+    "graph_two_hop_reach" ->
+      s"""WITH $coEdgesDuck,
+         |und AS (
+         |  SELECT ua AS u, ub AS v FROM e
+         |  UNION ALL SELECT ub, ua FROM e),
+         |deg AS (SELECT u, COUNT(*) AS n_1hop FROM und GROUP BY 1),
+         |two AS (
+         |  SELECT a.u, b.v AS w FROM und a JOIN und b ON a.v = b.u
+         |  WHERE b.v <> a.u),
+         |reach AS (
+         |  SELECT u, COUNT(*) AS n_reach2 FROM (
+         |    SELECT DISTINCT u, w FROM (
+         |      SELECT u, v AS w FROM und
+         |      UNION ALL SELECT u, w FROM two))
+         |  GROUP BY 1)
+         |SELECT d.u, d.n_1hop, r.n_reach2
+         |FROM deg d JOIN reach r USING (u)""".stripMargin,
 
     // two unrolled peel rounds, each re-enumerating triangles over
     // the surviving edges (id-ordered x<y<z; HAVING is the k−2 cut)

@@ -102,6 +102,28 @@ object QualityQueries extends QueryPack {
         "(col_name, n_rows, n_null, n_distinct, min_val, max_val)")
   }
 
+  /** One dq_entropy_profile arm: the floor-log2 plug-in entropy
+    * h = (n·⌊log2 n⌋ − Σ c·⌊log2 c⌋)/n of one categorical column,
+    * folded to a single labeled row. Split out so the suite can feed
+    * constructed distributions (uniform, degenerate, skewed) and
+    * hand-compute the integer numerator.
+    */
+  private[graft] def entropyArm(df: DataFrame, c: String,
+      label: String): DataFrame = {
+    import graft.ops.Bits
+    df.select(col(c).as("v")).groupBy("v")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * Bits.floorLog2(col("c")))
+          .as("sum_c_log2"))
+      .select(lit(label).as("col_name"), col("n_rows"),
+        col("n_distinct"), col("sum_c_log2"),
+        ((col("n_rows") * Bits.floorLog2(col("n_rows")) -
+          col("sum_c_log2")).cast("double") /
+          col("n_rows").cast("double")).as("h_floor_bits"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Sequence-completeness audit: which id ranges are missing events?
@@ -128,6 +150,29 @@ object QualityQueries extends QueryPack {
     // Per-column profile: rows / nulls / exact distinct / numeric
     // min-max, one row per profiled column ([[profileOf]]).
     "dq_profile" -> ((s, dir) => profileOf(Tables(s, dir, "lineitem"))),
+
+    // Categorical-concentration profile (round-12): for each audited
+    // categorical column, the floor-log2 plug-in entropy
+    // h = (n·⌊log2 n⌋ − Σ c·⌊log2 c⌋)/n — the "is this column
+    // degenerate / skewed / healthy" number dq dashboards sort by
+    // (0 bits ⇒ single value; ≈⌊log2 k⌋ ⇒ uniform over k). Exact
+    // integers until ONE division: per-value logs use the same
+    // ⌊log2⌋ = length(bin(x))−1 primitive on both engines, so there
+    // is no float log summation to drift. Shape: one value-rollup per
+    // column (map-side combinable; distinct domains are tiny) folded
+    // to a single row each, then a 5-row union — at 100 TB each arm
+    // is a plain grouped count on a low-cardinality key.
+    "dq_entropy_profile" -> ((s, dir) =>
+      entropyArm(Tables(s, dir, "events"), "event_type",
+          "events.event_type")
+        .unionAll(entropyArm(Tables(s, dir, "documents"), "lang",
+          "documents.lang"))
+        .unionAll(entropyArm(Tables(s, dir, "documents"), "source",
+          "documents.source"))
+        .unionAll(entropyArm(Tables(s, dir, "orders"),
+          "o_orderstatus", "orders.o_orderstatus"))
+        .unionAll(entropyArm(Tables(s, dir, "lineitem"),
+          "l_returnflag", "lineitem.l_returnflag"))),
 
     // Freshness audit — per-pipeline staleness against the fleet
     // watermark (max event time over ALL pipelines), the SLO check a
@@ -511,6 +556,26 @@ object QualityQueries extends QueryPack {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1
         |HAVING (MAX(event_id) - MIN(event_id) + 1) - COUNT(*) > 0""".stripMargin,
+
+    // same per-column value rollups; ⌊log2⌋ as length(bin(x))−1
+    "dq_entropy_profile" -> {
+      def arm(table: String, c: String): String =
+        s"""SELECT '$table.$c' AS col_name, n_rows, n_distinct,
+           |  sum_c_log2,
+           |  CAST(n_rows * (length(bin(n_rows)) - 1) - sum_c_log2
+           |    AS DOUBLE) / CAST(n_rows AS DOUBLE) AS h_floor_bits
+           |FROM (
+           |  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           |    COUNT(*) AS n_distinct,
+           |    CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT)
+           |      AS sum_c_log2
+           |  FROM (SELECT $c AS v, COUNT(*) AS c FROM $table
+           |        GROUP BY 1))""".stripMargin
+      Seq(arm("events", "event_type"), arm("documents", "lang"),
+        arm("documents", "source"), arm("orders", "o_orderstatus"),
+        arm("lineitem", "l_returnflag"))
+        .mkString("\nUNION ALL\n")
+    },
 
     "dq_freshness" ->
       """WITH per AS (

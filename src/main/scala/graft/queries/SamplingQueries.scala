@@ -32,6 +32,49 @@ object SamplingQueries extends QueryPack {
 
   private val BootReps = 8
 
+  /** sample_negatives_hashring: candidate-pool size (fixed — the pool
+    * is broadcast, so this bounds per-anchor work at ANY corpus size)
+    * and negatives kept per anchor.
+    */
+  private val NegPoolC = 32
+  private val NegK = 5
+
+  /** sample_negatives_hashring's pipeline over an explicit documents
+    * frame (doc_id, source) — split out so the suite can check the
+    * semantics (k per anchor, never same-source, never self, hash-rank
+    * order) against an independent window-based reference plan.
+    * Candidates travel as ONE collected array in a broadcast 1-row
+    * frame; filter/score/sort/slice are per-row array ops — scan-side,
+    * zero shuffle after the bounded TakeOrdered pool build.
+    */
+  private[graft] def negativesHashring(docs: DataFrame, poolC: Int,
+      k: Int): DataFrame = {
+    val pool = docs
+      .select(col("doc_id").as("cand_id"),
+        col("source").as("cand_src"),
+        TextHash.h31(col("doc_id").cast("string")).as("hp"))
+      .orderBy(col("hp"), col("cand_id"))
+      .limit(poolC)
+      .agg(collect_list(struct(col("cand_id"), col("cand_src")))
+        .as("pool"))
+    val scored = docs.crossJoin(broadcast(pool))
+      .select(col("doc_id"),
+        slice(array_sort(transform(
+          filter(col("pool"), p =>
+            p.getField("cand_src") =!= col("source") &&
+              p.getField("cand_id") =!= col("doc_id")),
+          p => struct(
+            TextHash.h31Hof(concat(col("doc_id").cast("string"),
+              lit(":"), p.getField("cand_id").cast("string")))
+              .as("h"),
+            p.getField("cand_id").as("neg_id")))),
+          1, k).as("topk"))
+    scored
+      .select(col("doc_id"), posexplode(col("topk")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col").getField("neg_id").as("neg_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic k-fold assignment + the audit a CV pipeline runs
@@ -113,6 +156,20 @@ object SamplingQueries extends QueryPack {
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("first_doc"))
     }),
+
+    // Deterministic negative sampling (round-12): the contrastive-
+    // training primitive — per anchor document, k cross-source
+    // negatives drawn by hash ring (rank candidates by
+    // h31(anchor:cand); reproducible on any engine, any partitioning,
+    // unlike RNG negatives). Shape: the candidate pool is a FIXED-SIZE
+    // global top-C by hash (TakeOrdered — bounded at any corpus size),
+    // collected to ONE array and broadcast; per-anchor filter/score/
+    // sort/slice all happen INSIDE one projection over that ≤C-element
+    // array — scan-side, zero shuffle after the pool build, no
+    // per-anchor window exchange. At 100 TB: anchors scale with the
+    // corpus, work per anchor stays O(C log C).
+    "sample_negatives_hashring" -> ((s, dir) =>
+      negativesHashring(Tables(s, dir, "documents"), NegPoolC, NegK)),
 
     // Balanced per-class subset: exactly n documents per language,
     // selected by deterministic hash order (not "first n in file order",
@@ -415,6 +472,30 @@ object SamplingQueries extends QueryPack {
          |  CAST(MAX(n) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
          |    AS top_source_share
          |FROM fs GROUP BY fold""".stripMargin,
+
+    // same fixed top-C pool by id-hash; rank by h31(anchor:cand)
+    // with (h, cand_id) tie-break, rk ≤ k
+    "sample_negatives_hashring" ->
+      s"""WITH pool AS (
+         |  SELECT doc_id AS cand_id, source AS cand_src
+         |  FROM documents
+         |  ORDER BY ${TextHash.h31Duck("CAST(doc_id AS VARCHAR)")},
+         |    doc_id
+         |  LIMIT $NegPoolC),
+         |pairs AS (
+         |  SELECT d.doc_id, p.cand_id,
+         |    ${TextHash.h31Duck(
+               "CAST(d.doc_id AS VARCHAR) || ':' || " +
+                 "CAST(p.cand_id AS VARCHAR)")} AS h
+         |  FROM documents d, pool p
+         |  WHERE p.cand_src <> d.source AND p.cand_id <> d.doc_id),
+         |r AS (
+         |  SELECT doc_id, cand_id AS neg_id,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY h, cand_id) AS rk
+         |  FROM pairs)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, neg_id
+         |FROM r WHERE rk <= $NegK""".stripMargin,
 
     "sample_bootstrap" ->
       s"""WITH b AS (

@@ -107,6 +107,95 @@ object TemporalQueries extends QueryPack {
         max("len").as("max_streak"))
   }
 
+  /** funnel_strict_window's pipeline over an explicit events frame
+    * (user_id, event_type, sec) — split out so the suite can plant
+    * chains that hit and miss each hop's deadline. Greedy first-touch
+    * semantics; w is the per-hop deadline in seconds.
+    */
+  private[graft] def strictFunnel(ev: DataFrame, w: Long): DataFrame = {
+    val a = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("a_s"))
+    val b = ev.filter(col("event_type") === "click")
+      .join(a, Seq("user_id"))
+      .filter(col("sec") >= col("a_s") &&
+        col("sec") <= col("a_s") + w)
+      .groupBy("user_id").agg(min("sec").as("b_s"))
+    val c = ev.filter(col("event_type") === "purchase")
+      .join(b, Seq("user_id"))
+      .filter(col("sec") >= col("b_s") &&
+        col("sec") <= col("b_s") + w)
+      .groupBy("user_id").agg(min("sec").as("c_s"))
+    a.join(b, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .select(when(col("c_s").isNotNull, 3L)
+        .when(col("b_s").isNotNull, 2L)
+        .otherwise(1L).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** event_hazard_curve's pipeline over an explicit events frame
+    * (user_id, event_type, sec) — split out so the suite can plant
+    * converted/censored users and hand-compute the KM table. The
+    * unpartitioned window runs over the DAY-BUCKET rollup (bounded by
+    * the calendar window), never over users or events.
+    */
+  private[graft] def hazardCurve(ev: DataFrame): DataFrame = {
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("fv"))
+    val per = ev.join(fv, Seq("user_id"))
+      .filter(col("sec") >= col("fv"))
+      .groupBy("user_id")
+      .agg(min("fv").as("fv"),
+        min(when(col("event_type") === "purchase", col("sec")))
+          .as("fp"),
+        max("sec").as("last_s"))
+    val durs = per.select(
+      when(col("fp").isNotNull, expr("(fp - fv) DIV 86400"))
+        .otherwise(expr("(last_s - fv) DIV 86400")).as("t_day"),
+      when(col("fp").isNotNull, lit(1L)).otherwise(lit(0L))
+        .as("ev"))
+    val rolled = durs.groupBy("t_day")
+      .agg(sum("ev").as("d_events"),
+        sum(lit(1L) - col("ev")).as("c_censored"),
+        count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t_day").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    rolled
+      .withColumn("n_at_risk", sum("m").over(w))
+      .select(col("t_day"), col("d_events"), col("c_censored"),
+        col("n_at_risk"),
+        (col("d_events").cast("double") /
+          col("n_at_risk").cast("double")).as("hazard"))
+  }
+
+  /** ts_theil_sen's pipeline over an explicit daily-count frame
+    * (user_id, d, c) — split out so the suite can hand-compute the
+    * exact-fraction pair set and the lower-median selection.
+    */
+  private[graft] def theilSen(daily: DataFrame): DataFrame = {
+    val pairs = daily.toDF("user_id", "d1", "c1")
+      .join(daily.toDF("u2", "d2", "c2"),
+        col("user_id") === col("u2") && col("d1") < col("d2"))
+      .select(col("user_id"), (col("c2") - col("c1")).as("num"),
+        (col("d2") - col("d1")).as("den"))
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+    val ord = byUser.orderBy(
+      col("num").cast("double") / col("den").cast("double"),
+      col("num"), col("den"))
+    pairs
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("cnt", count(lit(1)).over(byUser))
+      .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+      .select(col("user_id"), col("cnt").as("n_pairs"),
+        col("num").as("med_num"), col("den").as("med_den"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("theil_sen_slope"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Day-of-week × hour-of-day activity profile — the seasonality
@@ -337,6 +426,22 @@ object TemporalQueries extends QueryPack {
           count_distinct(col("user_id")).as("n_users"))
     }),
 
+    // Strict windowed funnel (round-12): view → click → purchase
+    // where EACH step must land within FunnelW seconds of the
+    // previous step (funnel_conversion checks one hop against a
+    // rolling window; this is the multi-hop deadline chain — the
+    // "did the full journey happen promptly" readout). First-touch
+    // semantics: the chain greedily anchors on the user's FIRST
+    // view, then the first qualifying click, then the first
+    // qualifying purchase — deterministic, and each hop is a keyed
+    // aggregate + user-keyed join, never an interval self-join.
+    // Output: users by deepest stage reached (1 = view only,
+    // 2 = +click in window, 3 = +purchase in window).
+    "funnel_strict_window" -> ((s, dir) =>
+      strictFunnel(Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("sec")), FunnelW)),
+
     // Activity streaks per user (round-11): the classic
     // gaps-and-islands readout — longest run of CONSECUTIVE active
     // days, streak count, and total active days; the engagement-
@@ -427,6 +532,47 @@ object TemporalQueries extends QueryPack {
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n_gaps"))
     }),
+
+    // Discrete hazard / Kaplan-Meier table (round-12): per
+    // day-since-first-view, how many users converted that day (d),
+    // how many were last seen that day without converting (censored
+    // c), how many were still at risk (n = everyone whose observed
+    // duration ≥ t, events AND censored — the right-censoring
+    // discipline event_time_to_convert's uncensored view can't give).
+    // hazard(t) = d/n is the per-day conversion probability given
+    // survival to t — the curve growth teams actually plot. Shape:
+    // two per-user aggregates + one user-keyed join (the
+    // time-to-convert skeleton), then ONE rollup to day buckets
+    // (bounded by the calendar window, ≤ a few hundred rows at any
+    // corpus size) and a window cumsum over that bounded frame — the
+    // unpartitioned window is over bucket rows, never user or event
+    // rows, so it is scale-safe by construction. Integers end to end;
+    // the one double is a single division.
+    "event_hazard_curve" -> ((s, dir) =>
+      hazardCurve(Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("sec")))),
+
+    // Theil–Sen robust activity trend (round-12): per user, the
+    // MEDIAN of all pairwise day-over-day slopes of the daily event
+    // count — the outlier-proof alternative to ts_linear_trend's
+    // least-squares fit (one wild day moves OLS, not the median
+    // slope). Slopes stay EXACT integer fractions (num = Δcount,
+    // den = Δday > 0); the lower median is selected by ordering on
+    // the fraction's double value with (num, den) as deterministic
+    // tie-breaks — with |num| bounded by daily activity and den by
+    // the calendar window, distinct fractions are far wider apart
+    // than double epsilon, so the cross-engine sort is exact. Shape:
+    // one rollup to (user, day) — bounded at ≤ calendar-window rows
+    // per user — then a per-user pair join that is quadratic ONLY in
+    // days (≤ C(31,2) pairs per user here; at 100 TB the bound is the
+    // window length, never the event count), one shuffle on user_id
+    // reused by join and window.
+    "ts_theil_sen" -> ((s, dir) =>
+      theilSen(Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("(unix_micros(ts) div 1000000) DIV 86400").as("d"))
+        .groupBy("user_id", "d").agg(count(lit(1)).as("c")))),
 
     // Calendar activity profile (round-11): event count and exact
     // cents volume by (day-of-week, hour-of-day) — the seasonality
@@ -943,6 +1089,9 @@ object TemporalQueries extends QueryPack {
     })
   )
 
+  /** funnel_strict_window per-hop deadline, seconds (1 day). */
+  private val FunnelW = 86400L
+
   /** EWMA horizon (lags 0..7) with weight 2^(K−1−j) for lag j. */
   private val EwmaK = 8
 
@@ -1156,6 +1305,36 @@ object TemporalQueries extends QueryPack {
         |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
         |  AND epoch_us(ts) - last_view_us <= CAST(3600 AS BIGINT) * 1000000
         |GROUP BY 1""".stripMargin,
+
+    // same greedy first-touch chain: three keyed min-aggregates,
+    // each hop gated by the previous hop's deadline
+    "funnel_strict_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    epoch_us(ts) // 1000000 AS sec
+         |  FROM events),
+         |a AS (
+         |  SELECT user_id, MIN(sec) AS a_s FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |b AS (
+         |  SELECT e.user_id, MIN(e.sec) AS b_s
+         |  FROM e JOIN a USING (user_id)
+         |  WHERE e.event_type = 'click'
+         |    AND e.sec >= a.a_s AND e.sec <= a.a_s + $FunnelW
+         |  GROUP BY 1),
+         |c AS (
+         |  SELECT e.user_id, MIN(e.sec) AS c_s
+         |  FROM e JOIN b USING (user_id)
+         |  WHERE e.event_type = 'purchase'
+         |    AND e.sec >= b.b_s AND e.sec <= b.b_s + $FunnelW
+         |  GROUP BY 1)
+         |SELECT stage, COUNT(*) AS n_users FROM (
+         |  SELECT CASE WHEN c.c_s IS NOT NULL THEN 3
+         |              WHEN b.b_s IS NOT NULL THEN 2
+         |              ELSE 1 END AS stage
+         |  FROM a LEFT JOIN b USING (user_id)
+         |         LEFT JOIN c USING (user_id))
+         |GROUP BY 1""".stripMargin,
 
     "cohort_retention" ->
       """WITH fd AS (
@@ -1381,6 +1560,72 @@ object TemporalQueries extends QueryPack {
         |  CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket,
         |  COUNT(*) AS n_gaps
         |FROM g WHERE gap IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // same per-user (first-view, first-purchase≥it, last-seen)
+    // skeleton; n_at_risk as the descending-day window cumsum
+    "event_hazard_curve" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |fv AS (
+        |  SELECT user_id, MIN(sec) AS fv FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |per AS (
+        |  SELECT e.user_id, MIN(f.fv) AS fv,
+        |    MIN(CASE WHEN e.event_type = 'purchase' THEN e.sec END)
+        |      AS fp,
+        |    MAX(e.sec) AS last_s
+        |  FROM e JOIN fv f USING (user_id)
+        |  WHERE e.sec >= f.fv
+        |  GROUP BY 1),
+        |durs AS (
+        |  SELECT
+        |    CASE WHEN fp IS NOT NULL THEN (fp - fv) // 86400
+        |         ELSE (last_s - fv) // 86400 END AS t_day,
+        |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM per),
+        |r AS (
+        |  SELECT t_day, SUM(ev) AS d_events,
+        |    SUM(1 - ev) AS c_censored, COUNT(*) AS m
+        |  FROM durs GROUP BY 1)
+        |SELECT t_day,
+        |  CAST(d_events AS BIGINT) AS d_events,
+        |  CAST(c_censored AS BIGINT) AS c_censored,
+        |  CAST(SUM(m) OVER (ORDER BY t_day DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_at_risk,
+        |  CAST(d_events AS DOUBLE) /
+        |    CAST(SUM(m) OVER (ORDER BY t_day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS hazard
+        |FROM r""".stripMargin,
+
+    // same exact-fraction pairs; lower median by (value, num, den)
+    "ts_theil_sen" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) // 1000000) // 86400 AS d
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, d, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.user_id, b.c - a.c AS num, b.d - a.d AS den
+        |  FROM daily a JOIN daily b
+        |    ON a.user_id = b.user_id AND a.d < b.d),
+        |r AS (
+        |  SELECT user_id, num, den,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+        |        num, den) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM p)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS n_pairs,
+        |  CAST(num AS BIGINT) AS med_num,
+        |  CAST(den AS BIGINT) AS med_den,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |    AS theil_sen_slope
+        |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
 
     // identical epoch-day arithmetic ((d + 4) % 7), no dayofweek
     // builtin on either side

@@ -450,6 +450,20 @@ object TextQueries extends QueryPack {
         TextStats.qualityScore(col("text")).as("quality"))
     }),
 
+    // Per-source readability (round-12): the FORCAST grade — the one
+    // published readability formula with NO sentence term (this
+    // corpus has no sentence punctuation; Flesch/Coleman-Liau are
+    // undefined on it). Syllable proxy = vowel-group runs
+    // ([aeiouy]+); a monosyllabic word has exactly one. FORCAST =
+    // 20 − (monosyllables per 150 words)/10, i.e. 20 − 15·mono/words.
+    // Everything is exact integer counts computed SCAN-SIDE inside
+    // one higher-order filter per row (no token explode, no shuffle
+    // before the per-source rollup); the grade is one double
+    // expression over the rolled-up integers, token-identical on both
+    // engines.
+    "text_readability" -> ((s, dir) =>
+      readabilityOf(Tables(s, dir, "documents"))),
+
     // The one-row corpus health card — the numbers every curation
     // dashboard leads with, in ONE pass: volume (docs, tokens, mean
     // length), language share, and the exact-duplicate rate
@@ -1020,6 +1034,28 @@ object TextQueries extends QueryPack {
     * shared with ScaleProbe's weak-scaling arm so the probe measures
     * the registered query's own plan, not a reimplementation.
     */
+  /** text_readability's pipeline over an explicit documents frame
+    * (source, text) — split out so the suite can feed constructed
+    * token streams and hand-compute the FORCAST grade. Monosyllable =
+    * exactly one [aeiouy]+ run; counted scan-side inside one
+    * higher-order filter per row.
+    */
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val monoOf = filter(toks, t =>
+      size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))) === 1)
+    docs
+      .select(col("source"), size(toks).cast("long").as("w"),
+        size(monoOf).cast("long").as("m"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("m").as("n_mono"))
+      .withColumn("forcast_grade",
+        when(col("n_words") > 0L,
+          lit(20.0) - lit(15.0) * col("n_mono").cast("double") /
+            col("n_words").cast("double")))
+  }
+
   /** text_zipf_slope's pipeline over an explicit documents frame
     * (source, text) — split out so the suite can feed constructed
     * token distributions and hand-compute the integer normal
@@ -1393,6 +1429,27 @@ object TextQueries extends QueryPack {
       s"""WITH $qualityDuckCtes
          |SELECT doc_id, n_tokens, avg_token_len, quality
          |FROM q""".stripMargin,
+
+    // same scan-side list_filter over vowel-run counts; identical
+    // 20 − 15·mono/words token stream
+    "text_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> len(regexp_extract_all(t, '[aeiouy]+')) = 1))
+        |      AS BIGINT) AS m
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(m) AS BIGINT) AS n_mono
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_words, n_mono,
+        |  CASE WHEN n_words > 0 THEN
+        |    20.0 - 15.0 * CAST(n_mono AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE) END AS forcast_grade
+        |FROM r""".stripMargin,
 
     // reliability diagram of the quality scorer against the lang
     // label: per decile bin, size, positive rate, and the mean score

@@ -418,6 +418,22 @@ object VectorQueries extends QueryPack {
             .as("variance"))
     }),
 
+    // Cluster-cohesion histogram (round-12): distribution of each
+    // vector's cosine to its OWN label centroid, 0.05-wide buckets —
+    // the "are my clusters tight or mush" readout embedding QA
+    // dashboards lead with (emb_label_centroids computes the centers;
+    // this scores the membership). Determinism discipline: centroids
+    // come from [[graft.ops.Centroids.quantizedSums]]' exact integer
+    // sums (so the per-element double c_i = sq/(1e9·n) is identical
+    // cross-engine), and the cosine is [[VectorOps.cosine]]'s
+    // index-order left fold, mirrored fold-for-fold in DuckDB. The
+    // bucket edge is floor(20·cos) on identically-computed doubles.
+    // Scale shape: one label-keyed aggregate (O(labels·dim) state),
+    // broadcast back, cosine + bucket scan-side, one (label, bucket)
+    // rollup — linear end to end, no pairwise anything.
+    "emb_centroid_cosine_hist" -> ((s, dir) =>
+      centroidCosineHist(Tables(s, dir, "embeddings"))),
+
     // Embedding-distribution drift between two corpus snapshots —
     // the re-embed / re-crawl monitoring check: did the vector
     // distribution move? Linear-kernel MMD² reduces to
@@ -579,7 +595,58 @@ object VectorQueries extends QueryPack {
         col("top_dim"))
   }
 
+  /** emb_centroid_cosine_hist's pipeline over an explicit embeddings
+    * frame (vec_id, embedding, label) — split out so the suite can
+    * feed constructed vectors with hand-computable centroid cosines.
+    * HOF dot folds, not the native kernel: DotProductF is
+    * float[]-only and the centroid is (correctly) double — the HOF
+    * casts elementwise and folds in the same index order as the
+    * DuckDB mirror.
+    */
+  private[graft] def centroidCosineHist(e: DataFrame): DataFrame = {
+    val cents = graft.ops.Centroids
+      .quantizedSums(e, "label", "embedding")
+      .select(col("label"),
+        transform(col("sv"), sq => sq.cast("double") /
+          (lit(1.0e9) * col("n_vecs").cast("double"))).as("cv"))
+    def d(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) = VectorOps.dotHof(a, b)
+    val v = col("embedding")
+    e.join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        floor(d(v, col("cv")) /
+          (sqrt(d(v, v)) * sqrt(d(col("cv"), col("cv"))))
+          * 20).cast("long").as("bucket"))
+      .groupBy("label", "bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // same exact-integer centroid, same index-order cosine fold,
+    // same floor(20·cos) edge
+    "emb_centroid_cosine_hist" ->
+      s"""WITH q AS (
+         |  SELECT label, pos,
+         |    CAST(floor(CAST(embedding[pos + 1] AS DOUBLE)
+         |      * 1000000000.0) AS BIGINT) AS q
+         |  FROM embeddings, (SELECT unnest(range(0, 64)) AS pos) ps),
+         |s AS (
+         |  SELECT label, pos, COUNT(*) AS n,
+         |    CAST(SUM(q) AS BIGINT) AS sq
+         |  FROM q GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT label,
+         |    list(CAST(sq AS DOUBLE)
+         |      / (1000000000.0 * CAST(n AS DOUBLE)) ORDER BY pos)
+         |      AS cv
+         |  FROM s GROUP BY 1)
+         |SELECT e.label,
+         |  CAST(floor(${VectorOps.cosDuck("e.embedding", "c.cv")}
+         |    * 20) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_vecs
+         |FROM embeddings e JOIN cent c ON e.label = c.label
+         |GROUP BY 1, 2""".stripMargin,
+
     // argmins as row_number ranks — a different algorithm than the
     // Spark struct-min fold, same (dfix, id) order
     "emb_triplet_mining" ->
