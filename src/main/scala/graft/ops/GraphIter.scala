@@ -199,6 +199,55 @@ object GraphIter {
         .select("u", "v")
     }
 
+  /** `rounds` synchronous steps of Luby's maximal-independent-set
+    * algorithm with DETERMINISTIC per-round hash priorities
+    * (pr(u, r) = h31(u ++ ":" ++ r) — reproducible on any engine, the
+    * repo's hash-universe contract, where Luby's classical form draws
+    * fresh randomness). Each round, an undecided node enters the MIS
+    * iff its priority is strictly below every undecided neighbor's
+    * (no undecided neighbor ⇒ enters — this is what drives
+    * maximality); undecided neighbors of entrants drop out. Adjacent
+    * nodes can never both enter (their strict comparisons would
+    * contradict), so independence holds by construction at every
+    * round, and the fixed synchronous schedule makes the state after
+    * `rounds` exact on both engines — the kcore/ktruss discipline, so
+    * the oracle unrolls as a CTE chain. Returns (u, st) with st in
+    * {'in', 'out', 'und'}; 'und' nonempty just means more rounds
+    * would refine it (Luby converges in O(log n) rounds w.h.p.).
+    * Each round is two semi-joins + one grouped MIN + one anti-join —
+    * frontier-sized, and the undecided set only shrinks; und is
+    * re-pinned per round so round r never re-runs rounds 1..r−1
+    * (edgeSupport's recompute-fan-out lesson).
+    */
+  def lubyMis(adj: DataFrame, rounds: Int): DataFrame = {
+    val nodes = adj.select(col("u")).distinct()
+    var und = nodes.localCheckpoint()
+    var decided: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pr = und.select(col("u"),
+        TextHash.h31(concat(col("u").cast("string"), lit(s":$r")))
+          .as("pr"))
+      val ue = adj.join(und, Seq("u"), "left_semi")
+        .join(und.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+      val mn = ue.join(pr.toDF("v", "prv"), Seq("v"))
+        .groupBy("u").agg(min("prv").as("mn"))
+      val in = pr.join(mn, Seq("u"), "left")
+        .filter(col("mn").isNull || col("pr") < col("mn"))
+        .select("u")
+      val out = ue.join(in.toDF("v"), Seq("v"), "left_semi")
+        .select("u").distinct()
+      val dec = in.withColumn("st", lit("in"))
+        .unionAll(out.withColumn("st", lit("out")))
+        .localCheckpoint()
+      decided = if (decided == null) dec else decided.unionAll(dec)
+      und = und.join(dec.select("u"), Seq("u"), "left_anti")
+        .localCheckpoint()
+    }
+    nodes.join(decided, Seq("u"), "left")
+      .select(col("u"), coalesce(col("st"), lit("und")).as("st"))
+  }
+
   /** `rounds` Bellman-Ford min-plus relaxation steps over a weighted
     * directed adjacency `adjW(src, dst, w)` from `seeds(node, dist)` —
     * distributed SSSP, one frontier⋈adjacency join + one grouped

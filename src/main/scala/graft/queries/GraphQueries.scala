@@ -52,6 +52,9 @@ object GraphQueries extends QueryPack {
     */
   private val MaxPop = 200
 
+  /** graph_mis_luby synchronous round count (unrolled in the oracle). */
+  private val MisRounds = 3
+
   /** User–user co-engagement edges (low→high, distinct): two users
     * connect if they bought the SAME item on the SAME day. The (item,
     * day) blocking keeps the projection sparse (see graph_triangles) and
@@ -351,6 +354,16 @@ object GraphQueries extends QueryPack {
     // corpus-sized.
     "graph_two_hop_reach" -> ((s, dir) =>
       GraphIter.twoHopReach(coAdjPinned(s, dir))),
+
+    // Luby's MIS (round-12), MisRounds deterministic synchronous
+    // rounds over the pinned co-engagement adjacency — the classic
+    // parallel symmetry-breaking primitive (distributed coloring /
+    // scheduling seeds; also the "pick independent spot-check nodes"
+    // sampler). See [[GraphIter.lubyMis]] for the determinism and
+    // per-round pinning discipline; the oracle unrolls the identical
+    // schedule as a CTE chain (the kcore/kmeans pattern).
+    "graph_mis_luby" -> ((s, dir) =>
+      GraphIter.lubyMis(coAdjPinned(s, dir), MisRounds)),
 
     // Iterative k-truss peel (round-11, k = 4, 2 synchronous rounds):
     // each round recomputes per-edge support over the SURVIVING edge
@@ -1229,6 +1242,51 @@ object GraphQueries extends QueryPack {
          |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
          |  COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS sum_deg
          |FROM deg GROUP BY 1""".stripMargin,
+
+    // same unrolled synchronous schedule; und shrinks by NOT IN over
+    // each round's decided set. Every per-round CTE is MATERIALIZED —
+    // und{r} is referenced three times by round r+1 and DuckDB
+    // default-inlines CTEs, so the un-hinted chain re-evaluates the
+    // whole prefix per reference (the SQL twin of the recompute
+    // fan-out lubyMis pins away with localCheckpoint).
+    "graph_mis_luby" -> {
+      val rounds = (1 to MisRounds).map { r =>
+        val prev = s"und${r - 1}"
+        s"""p$r AS MATERIALIZED (
+           |  SELECT u, ${graft.ops.TextHash.h31Duck(
+                s"CAST(u AS VARCHAR) || ':$r'")} AS pr
+           |  FROM $prev),
+           |ue$r AS MATERIALIZED (
+           |  SELECT eu.ua AS u, eu.ub AS v FROM eu
+           |  JOIN $prev a ON eu.ua = a.u
+           |  JOIN $prev b ON eu.ub = b.u),
+           |m$r AS (
+           |  SELECT ue.u, MIN(p.pr) AS mn
+           |  FROM ue$r ue JOIN p$r p ON ue.v = p.u GROUP BY 1),
+           |i$r AS MATERIALIZED (
+           |  SELECT p.u FROM p$r p LEFT JOIN m$r m ON p.u = m.u
+           |  WHERE m.mn IS NULL OR p.pr < m.mn),
+           |o$r AS (
+           |  SELECT DISTINCT ue.u
+           |  FROM ue$r ue JOIN i$r i ON ue.v = i.u),
+           |dec$r AS MATERIALIZED (
+           |  SELECT u, 'in' AS st FROM i$r
+           |  UNION ALL SELECT u, 'out' FROM o$r),
+           |und$r AS MATERIALIZED (
+           |  SELECT u FROM $prev
+           |  WHERE u NOT IN (SELECT u FROM dec$r))""".stripMargin
+      }.mkString(",\n")
+      val decAll = (1 to MisRounds)
+        .map(r => s"SELECT u, st FROM dec$r")
+        .mkString(" UNION ALL ")
+      s"""WITH $coEdgesDuck,
+         |eu AS MATERIALIZED (
+         |  SELECT ua, ub FROM e UNION ALL SELECT ub, ua FROM e),
+         |und0 AS MATERIALIZED (SELECT DISTINCT ua AS u FROM eu),
+         |$rounds
+         |SELECT n.u, COALESCE(d.st, 'und') AS st
+         |FROM und0 n LEFT JOIN ($decAll) d ON n.u = d.u""".stripMargin
+    },
 
     // same wedge join over the undirected adjacency, distinct, count
     "graph_two_hop_reach" ->

@@ -566,8 +566,13 @@ object TemporalQueries extends QueryPack {
     // one rollup to (user, day) — bounded at ≤ calendar-window rows
     // per user — then a per-user pair join that is quadratic ONLY in
     // days (≤ C(31,2) pairs per user here; at 100 TB the bound is the
-    // window length, never the event count), one shuffle on user_id
-    // reused by join and window.
+    // window length, never the event count). Plan note (audited): the
+    // daily rollup subtree appears twice (self-join, no cross-stage
+    // CSE) — both copies are map-side-combinable rollups, so the 2×
+    // is on the cheap phase; at fixture scale AQE picks a broadcast
+    // pair join and the median windows re-shuffle on user_id, at
+    // cluster scale the SMJ output is already user_id-partitioned and
+    // the windows reuse it exchange-free.
     "ts_theil_sen" -> ((s, dir) =>
       theilSen(Tables(s, dir, "events")
         .select(col("user_id"),
