@@ -107,6 +107,27 @@ object TemporalQueries extends QueryPack {
         max("len").as("max_streak"))
   }
 
+  /** event_paths_topk's pipeline over an explicit events frame
+    * (user_id, event_id, event_type, sec) — split out so the suite
+    * can hand-compute path counts and the (n desc, path) rank order.
+    */
+  private[graft] def pathsTopk(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sec", "event_id")
+    ev
+      .withColumn("e1", lag("event_type", 2).over(w))
+      .withColumn("e2", lag("event_type", 1).over(w))
+      .filter(col("e1").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"),
+        col("event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("path"))).cast("long"))
+  }
+
   /** funnel_strict_window's pipeline over an explicit events frame
     * (user_id, event_type, sec) — split out so the suite can plant
     * chains that hit and miss each hop's deadline. Greedy first-touch
@@ -441,6 +462,19 @@ object TemporalQueries extends QueryPack {
       strictFunnel(Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           expr("unix_micros(ts) div 1000000").as("sec")), FunnelW)),
+
+    // Top event paths (round-12): the global top-20 3-step event-type
+    // sequences with counts — the "how do users actually move through
+    // the product" path-analysis table (event_transitions is the
+    // 1-step Markov view; 3-grams expose the journeys). Per-user lag
+    // window over the (sec, event_id) total order (bounded
+    // partitions), then ONE map-side-combinable rollup over a ≤|types|³
+    // key domain and a TakeOrdered top-k — no per-user state leaves
+    // the window stage, output is constant-size at any corpus.
+    "event_paths_topk" -> ((s, dir) =>
+      pathsTopk(Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("sec")))),
 
     // Activity streaks per user (round-11): the classic
     // gaps-and-islands readout — longest run of CONSECUTIVE active
@@ -1310,6 +1344,29 @@ object TemporalQueries extends QueryPack {
         |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
         |  AND epoch_us(ts) - last_view_us <= CAST(3600 AS BIGINT) * 1000000
         |GROUP BY 1""".stripMargin,
+
+    // same per-user lag pair over the (sec, event_id) order; top-20
+    // by (count desc, path) on both engines
+    "event_paths_topk" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS e1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY sec, event_id) AS e2,
+        |    event_type AS e3
+        |  FROM e),
+        |p AS (
+        |  SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        |  FROM g WHERE e1 IS NOT NULL GROUP BY 1)
+        |SELECT path, n, rnk FROM (
+        |  SELECT path, n,
+        |    row_number() OVER (ORDER BY n DESC, path) AS rnk
+        |  FROM p) WHERE rnk <= 20""".stripMargin,
 
     // same greedy first-touch chain: three keyed min-aggregates,
     // each hop gated by the previous hop's deadline

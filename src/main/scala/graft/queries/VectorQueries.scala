@@ -418,6 +418,19 @@ object VectorQueries extends QueryPack {
             .as("variance"))
     }),
 
+    // PQ reconstruction distortion (round-12): the codebook-QA number
+    // every compressed-index deployment watches — mean asymmetric
+    // self-distance (each vector scored against its OWN codes), per
+    // label. High distortion in one label = that region of space is
+    // under-covered by the codebook and its ANN recall will sag
+    // (ann_eval_recall measures the symptom; this localizes the
+    // cause). One corpus scan × the broadcast one-row codebook; codes
+    // AND self-LUT are projections of the SAME row, so the error is
+    // scan-side with no self-join — exact longs until the one final
+    // division.
+    "emb_pq_distortion" -> ((s, dir) =>
+      pqDistortion(Tables(s, dir, "embeddings"))),
+
     // Cluster-cohesion histogram (round-12): distribution of each
     // vector's cosine to its OWN label centroid, 0.05-wide buckets —
     // the "are my clusters tight or mush" readout embedding QA
@@ -595,6 +608,27 @@ object VectorQueries extends QueryPack {
         col("top_dim"))
   }
 
+  /** emb_pq_distortion's pipeline over an explicit embeddings frame
+    * (vec_id, embedding, label) — split out so the suite can feed a
+    * corpus that IS the codebook (distortion exactly 0) and perturbed
+    * variants. Codes and self-LUT are projections of the same row, so
+    * the error is scan-side with no self-join.
+    */
+  private[graft] def pqDistortion(e: DataFrame): DataFrame = {
+    val cbr = Pq.codebookRow(e)
+    e.crossJoin(broadcast(cbr))
+      .select(col("label"),
+        Pq.adistFix(Pq.codesCol(col("embedding"), col("cvs")),
+          Pq.lutCol(col("embedding"), col("cvs"))).as("efix"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(efix AS DECIMAL(38,0))")).as("se"))
+      .select(col("label"), col("n_vecs"),
+        (col("se").cast("double") /
+          (lit(1.0e9) * col("n_vecs").cast("double")))
+          .as("mean_distortion"))
+  }
+
   /** emb_centroid_cosine_hist's pipeline over an explicit embeddings
     * frame (vec_id, embedding, label) — split out so the suite can
     * feed constructed vectors with hand-computable centroid cosines.
@@ -622,6 +656,39 @@ object VectorQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // same codebook/argmin-codes CTEs as ann_pq_topk; the self-LUT is
+    // sub's own (vec, m, code) row
+    "emb_pq_distortion" ->
+      s"""WITH cb AS (
+         |  SELECT CAST(vec_id // 31 AS INT) AS cent_id,
+         |    embedding AS cv
+         |  FROM embeddings
+         |  WHERE vec_id % 31 = 0 AND vec_id < ${31 * Pq.KC}),
+         |sub AS (
+         |  SELECT e.vec_id, c.cent_id, ms.m,
+         |    ${Pq.subDistFixDuck("e.embedding", "c.cv", "ms.m")}
+         |      AS dfix
+         |  FROM embeddings e, cb c,
+         |       (SELECT unnest(range(0, ${Pq.M})) AS m) ms),
+         |codes AS (
+         |  SELECT vec_id, m, cent_id AS code FROM (
+         |    SELECT vec_id, m, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY dfix, cent_id) AS r
+         |    FROM sub) WHERE r = 1),
+         |err AS (
+         |  SELECT s.vec_id, CAST(SUM(s.dfix) AS BIGINT) AS efix
+         |  FROM codes c JOIN sub s
+         |    ON s.vec_id = c.vec_id AND s.m = c.m
+         |   AND s.cent_id = c.code
+         |  GROUP BY 1)
+         |SELECT e.label, COUNT(*) AS n_vecs,
+         |  CAST(CAST(SUM(r.efix) AS BIGINT) AS DOUBLE)
+         |    / (1000000000.0 * CAST(COUNT(*) AS DOUBLE))
+         |    AS mean_distortion
+         |FROM err r JOIN embeddings e ON e.vec_id = r.vec_id
+         |GROUP BY 1""".stripMargin,
+
     // same exact-integer centroid, same index-order cosine fold,
     // same floor(20·cos) edge
     "emb_centroid_cosine_hist" ->
