@@ -41,6 +41,7 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_counts" -> ((s, dir) => runCounts(s, dir)),
     "stream_e2e_enrich" -> ((s, dir) => runEnrich(s, dir)),
     "stream_e2e_asof" -> ((s, dir) => runAsof(s, dir)),
+    "stream_e2e_funnel" -> ((s, dir) => runFunnel(s, dir)),
     "stream_e2e_asof_salted" -> ((s, dir) => runAsofSalted(s, dir)),
     "stream_e2e_topk" -> ((s, dir) => runTopK(s, dir)),
     "stream_e2e_tumbling" -> ((s, dir) => runTumbling(s, dir)),
@@ -182,6 +183,56 @@ object StreamE2EQueries extends QueryPack {
     * (time, kind) sort with quotes before trades — the inclusive `<=`
     * tie rule DuckDB's ASOF JOIN applies.
     */
+  /** STATEFUL STRICT-WINDOW FUNNEL end to end (round-12, twentieth
+    * streaming oracle row): view/click/purchase events ride the
+    * envelope's `type` field → [[graft.streaming.FunnelProcessor]]
+    * (transformWithState / RocksDB, three set-once longs per user) →
+    * LWW upsert keyed by user (stage is monotone, so replays and
+    * re-deliveries converge) → read-back rolled up to users-per-stage
+    * against the SAME greedy first-touch chain `funnel_strict_window`
+    * certifies in batch. Determinism: LWW-dedup to one event per
+    * (user, sec) makes the per-user time order total; per-user file
+    * locality delivers each key's history in-order to the fold.
+    */
+  private def runFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = LwwDedup(
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .withColumn("time_s", expr("unix_micros(ts) div 1000000")),
+      Seq(col("user_id"), col("time_s")),
+      Seq(col("event_id")))
+      .repartition(4, col("user_id"))
+      .sortWithinPartitions(col("time_s"))
+    val lines = tickLines(base, col("value"), stdVolume,
+      col("event_type"))
+    val work = Files.createTempDirectory("graft_e2e_funnel")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    val spool = graft.source.SpoolWriter.write(lines, work,
+      repartitionTo = None) // preserve per-user file locality
+    val env = s.readStream
+      .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+      .option("path", spool).load()
+    val sinkRoot = work.resolve("sink").toString
+    withRocksDB(s) {
+      val ticks = Pipelines.parseTicks(env).filter(!col("_corrupt"))
+        .select(col("symbol"), col("bid"), col("price"), col("ask"),
+          col("time"), col("volume"), col("tradeType"))
+        .as[graft.model.Schemas.Tick]
+      val q = graft.streaming.FunnelProcessor.stages(ticks, 86400L)
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed",
+            "funnel", Seq("symbol"))
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    LwwSink.read(s, sinkRoot, "feed", "funnel")
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+
   private def runAsof(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
@@ -1301,6 +1352,43 @@ object StreamE2EQueries extends QueryPack {
     // the batch MinHash-LSH pairs oracle, shared verbatim — streaming
     // ingest must land on exactly the batch arm's candidate-pair set
     "stream_e2e_neardup" -> DedupQueries.minhashPairsOracle,
+
+    // the batch greedy first-touch chain over the SAME LWW-deduped
+    // event subset the stream folds
+    "stream_e2e_funnel" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec, event_id
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |d AS (
+        |  SELECT user_id, event_type, sec FROM (
+        |    SELECT user_id, event_type, sec,
+        |      row_number() OVER (PARTITION BY user_id, sec
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM e0) WHERE rn = 1),
+        |a AS (
+        |  SELECT user_id, MIN(sec) AS a_s FROM d
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |b AS (
+        |  SELECT d.user_id, MIN(d.sec) AS b_s
+        |  FROM d JOIN a USING (user_id)
+        |  WHERE d.event_type = 'click'
+        |    AND d.sec >= a.a_s AND d.sec <= a.a_s + 86400
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT d.user_id, MIN(d.sec) AS c_s
+        |  FROM d JOIN b USING (user_id)
+        |  WHERE d.event_type = 'purchase'
+        |    AND d.sec >= b.b_s AND d.sec <= b.b_s + 86400
+        |  GROUP BY 1)
+        |SELECT stage, COUNT(*) AS n_users FROM (
+        |  SELECT CASE WHEN c.c_s IS NOT NULL THEN 3
+        |              WHEN b.b_s IS NOT NULL THEN 2
+        |              ELSE 1 END AS stage
+        |  FROM a LEFT JOIN b USING (user_id)
+        |         LEFT JOIN c USING (user_id))
+        |GROUP BY 1""".stripMargin,
 
     // the batch CMS mirror over the same symbol derivation: streamed
     // register SUMS (exactly-once across batches) probed at the top-10
