@@ -39,6 +39,33 @@ object SamplingQueries extends QueryPack {
   private val NegPoolC = 32
   private val NegK = 5
 
+  /** sample_neyman_alloc's total sample budget B. */
+  private val NeymanBudget = 1000L
+
+  /** sample_neyman_alloc's pipeline over an explicit documents frame
+    * (source, n_chars) — split out so the suite can hand-compute the
+    * integer weight algebra and the degenerate (zero-variance) case.
+    */
+  private[graft] def neymanAlloc(docs: DataFrame,
+      budget: Long): DataFrame = {
+    val st = docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("num",
+        col("n_h") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("sfix",
+        floor(lit(1.0e6) * sqrt(col("num").cast("double")) /
+          col("n_h").cast("double")).cast("long"))
+      .withColumn("w", col("n_h") * col("sfix"))
+    val denom = st.agg(sum("w").as("denom"))
+    st.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_h"), col("w").as("weight"),
+        when(col("denom") > 0L,
+          expr(s"($budget * w) DIV denom")).as("n_alloc"))
+  }
+
   /** sample_negatives_hashring's pipeline over an explicit documents
     * frame (doc_id, source) — split out so the suite can check the
     * semantics (k per anchor, never same-source, never self, hash-rank
@@ -156,6 +183,21 @@ object SamplingQueries extends QueryPack {
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("first_doc"))
     }),
+
+    // Neyman optimal allocation (round-12): how many samples each
+    // stratum SHOULD get under a fixed budget — n_h ∝ N_h·σ_h, the
+    // planning table behind every stratified sample (sample_stratified
+    // executes an allocation; this computes the variance-optimal one).
+    // Exactness discipline: per-stratum variance never materializes —
+    // num = N·Σx² − (Σx)² stays integer, σ enters ONLY as
+    // floor(1e6·sqrt(num)/N) (IEEE sqrt of an exact-integer double,
+    // identical cross-engine), weights and the final floor(B·w/Σw)
+    // allocation are pure integer arithmetic. Shape: one stratum
+    // rollup + one 20-row total + a broadcast — light at any scale
+    // (at 10¹²-row strata move sxx to DECIMAL(38,0), the
+    // emb_label_centroids note).
+    "sample_neyman_alloc" -> ((s, dir) =>
+      neymanAlloc(Tables(s, dir, "documents"), NeymanBudget)),
 
     // Deterministic negative sampling (round-12): the contrastive-
     // training primitive — per anchor document, k cross-source
@@ -472,6 +514,25 @@ object SamplingQueries extends QueryPack {
          |  CAST(MAX(n) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
          |    AS top_source_share
          |FROM fs GROUP BY fold""".stripMargin,
+
+    // same integer num/weight algebra; σ only as floor(1e6·sqrt/N)
+    "sample_neyman_alloc" ->
+      s"""WITH st AS (
+         |  SELECT source, COUNT(*) AS n_h,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+         |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+         |  FROM documents GROUP BY 1),
+         |k AS (
+         |  SELECT source, n_h,
+         |    n_h * CAST(floor(1000000.0
+         |      * sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))
+         |      / CAST(n_h AS DOUBLE)) AS BIGINT) AS w
+         |  FROM st),
+         |d AS (SELECT CAST(SUM(w) AS BIGINT) AS denom FROM k)
+         |SELECT source, n_h, w AS weight,
+         |  CASE WHEN denom > 0
+         |       THEN ($NeymanBudget * w) // denom END AS n_alloc
+         |FROM k CROSS JOIN d""".stripMargin,
 
     // same fixed top-C pool by id-hash; rank by h31(anchor:cand)
     // with (h, cand_id) tie-break, rk ≤ k

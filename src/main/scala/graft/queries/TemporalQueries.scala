@@ -107,6 +107,32 @@ object TemporalQueries extends QueryPack {
         max("len").as("max_streak"))
   }
 
+  /** ts_anomaly_baseline's pipeline over an explicit (day, hour)
+    * frame — split out so the suite can plant baseline/target weekly
+    * counts and hand-check the cross-multiplied flag algebra.
+    */
+  private[graft] def anomalyBaseline(ev: DataFrame): DataFrame = {
+    val d0 = ev.agg(min("day").as("d0"))
+    val cells = ev.crossJoin(broadcast(d0))
+      .select(expr("(day - d0) DIV 7").as("w"),
+        expr("(day + 4) % 7").as("dow"), col("hour"))
+      .groupBy("w", "dow", "hour").agg(count(lit(1)).as("cnt"))
+    val base = cells.filter(col("w") <= 2)
+      .groupBy("dow", "hour")
+      .agg(sum("cnt").as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+    val target = cells.filter(col("w") === 3)
+      .select(col("dow"), col("hour"), col("cnt").as("x"))
+    base.join(target, Seq("dow", "hour"), "left")
+      .select(col("dow"), col("hour"), col("sx"), col("sxx"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .withColumn("anomaly",
+        ((lit(3L) * col("x") - col("sx")) *
+          (lit(3L) * col("x") - col("sx")) >
+          lit(4L) * (lit(3L) * col("sxx") -
+            col("sx") * col("sx"))).cast("int"))
+  }
+
   /** event_paths_topk's pipeline over an explicit events frame
     * (user_id, event_id, event_type, sec) — split out so the suite
     * can hand-compute path counts and the (n desc, path) rank order.
@@ -612,6 +638,24 @@ object TemporalQueries extends QueryPack {
         .select(col("user_id"),
           expr("(unix_micros(ts) div 1000000) DIV 86400").as("d"))
         .groupBy("user_id", "d").agg(count(lit(1)).as("c")))),
+
+    // Seasonal-baseline anomaly flags (round-12): per (day-of-week,
+    // hour) cell, is the TARGET week's event count outside ±2σ of the
+    // same cell's first-three-weeks baseline? This is the
+    // calendar-aware anomaly check ts_anomaly_zscore (global z) and
+    // ts_calendar_profile (the baseline itself) together imply but
+    // neither performs. EXACT integer algebra end to end: with k=3
+    // weekly samples, mean/variance never materialize — the flag is
+    // (k·x − Σ)² > 4·(k·Σx² − Σ²), cross-multiplied so both engines
+    // compare integers (absent (cell, week) rows ARE the zero counts,
+    // so sparsity is handled by construction). Shape: two bounded
+    // rollups (≤ 7·24·weeks, then ≤ 168 cells), one broadcast scalar
+    // for the epoch anchor, one cell-keyed left join.
+    "ts_anomaly_baseline" -> ((s, dir) =>
+      anomalyBaseline(Tables(s, dir, "events")
+        .select(expr("unix_micros(ts) div 1000000").as("sec"))
+        .select(expr("sec DIV 86400").as("day"),
+          expr("(sec % 86400) DIV 3600").as("hour")))),
 
     // Calendar activity profile (round-11): event count and exact
     // cents volume by (day-of-week, hour-of-day) — the seasonality
@@ -1688,6 +1732,29 @@ object TemporalQueries extends QueryPack {
         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
         |    AS theil_sen_slope
         |FROM r WHERE rn = (cnt + 1) // 2""".stripMargin,
+
+    // same two bounded rollups; identical cross-multiplied integers
+    "ts_anomaly_baseline" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day,
+        |    ((epoch_us(ts) // 1000000) % 86400) // 3600 AS hour
+        |  FROM events),
+        |d0 AS (SELECT MIN(day) AS d0 FROM e),
+        |cells AS (
+        |  SELECT (day - d0) // 7 AS w, (day + 4) % 7 AS dow, hour,
+        |    COUNT(*) AS cnt
+        |  FROM e CROSS JOIN d0 GROUP BY 1, 2, 3),
+        |base AS (
+        |  SELECT dow, hour, CAST(SUM(cnt) AS BIGINT) AS sx,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+        |  FROM cells WHERE w <= 2 GROUP BY 1, 2),
+        |t AS (SELECT dow, hour, cnt AS x FROM cells WHERE w = 3)
+        |SELECT b.dow, b.hour, b.sx, b.sxx,
+        |  CAST(COALESCE(t.x, 0) AS BIGINT) AS x,
+        |  CAST((3 * COALESCE(t.x, 0) - b.sx)
+        |     * (3 * COALESCE(t.x, 0) - b.sx)
+        |     > 4 * (3 * b.sxx - b.sx * b.sx) AS INT) AS anomaly
+        |FROM base b LEFT JOIN t USING (dow, hour)""".stripMargin,
 
     // identical epoch-day arithmetic ((d + 4) % 7), no dayofweek
     // builtin on either side
