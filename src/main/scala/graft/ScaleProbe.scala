@@ -336,6 +336,15 @@ object ScaleProbe {
     def graphLpa(c: Int): Long =
       withCoAdj(c)(adj => graft.ops.GraphIter.labelProp(adj, 3).count())
 
+    // round-12: Luby MIS, 3 synchronous rounds on the same densified
+    // projection — per-round cost is two semi-joins + a grouped MIN
+    // on a SHRINKING undecided set (the lpa/kcore cost class; the
+    // wedge-volume arms cover two_hop_reach, whose bound is the same
+    // Σ deg² the triangles arm measures). "rows" = decided nodes.
+    def graphMis(c: Int): Long =
+      withCoAdj(c)(adj => graft.ops.GraphIter.lubyMis(adj, 3)
+        .filter(col("st") =!= "und").count())
+
     // round-9: the as-of join under an adversarial hot-key feed — 90%
     // of events collapse onto ONE symbol (the join_skew_aqe shape,
     // applied to the reference's own workload: per-symbol market data
@@ -781,6 +790,7 @@ object ScaleProbe {
       ("lm_bits", lmBits), ("decontaminate", decontaminate),
       ("dq_profile", dqProfile), ("text_dedup_cc", textDedup),
       ("graph_lpa", graphLpa), ("graph_kcore", graphKcore),
+      ("graph_mis", graphMis),
       ("winnow_pairs", winnowPairs), ("prefix_filter", prefixFilter),
       ("graph_triangles", graphTriangles))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
