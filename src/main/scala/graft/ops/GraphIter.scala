@@ -225,8 +225,18 @@ object GraphIter {
     * (edgeSupport's recompute-fan-out lesson).
     */
   def lubyMis(adj: DataFrame, rounds: Int): DataFrame = {
-    val nodes = adj.select(col("u")).distinct()
-    var und = nodes.localCheckpoint()
+    import org.apache.spark.sql.graftbridge.Bridge
+    // the Betweenness release discipline: every per-round pin is
+    // tracked and released after the ONE final caller-owned
+    // checkpoint — without this, each invocation permanently pinned
+    // 2·rounds+1 block sets in a long-lived JVM (Bench runs every
+    // builder twice; ScaleProbe builds 1× and 10× in one driver)
+    val pinned = scala.collection.mutable.Buffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); pinned += c; c
+    }
+    val nodes = pin(adj.select(col("u")).distinct())
+    var und = nodes
     var decided: DataFrame = null
     for (r <- 1 to rounds) {
       val pr = und.select(col("u"),
@@ -242,15 +252,16 @@ object GraphIter {
         .select("u")
       val out = ue.join(in.toDF("v"), Seq("v"), "left_semi")
         .select("u").distinct()
-      val dec = in.withColumn("st", lit("in"))
-        .unionAll(out.withColumn("st", lit("out")))
-        .localCheckpoint()
+      val dec = pin(in.withColumn("st", lit("in"))
+        .unionAll(out.withColumn("st", lit("out"))))
       decided = if (decided == null) dec else decided.unionAll(dec)
-      und = und.join(dec.select("u"), Seq("u"), "left_anti")
-        .localCheckpoint()
+      und = pin(und.join(dec.select("u"), Seq("u"), "left_anti"))
     }
-    nodes.join(decided, Seq("u"), "left")
+    val res = nodes.join(decided, Seq("u"), "left")
       .select(col("u"), coalesce(col("st"), lit("und")).as("st"))
+      .localCheckpoint()
+    pinned.foreach(Bridge.releaseLocalCheckpoint)
+    res
   }
 
   /** `rounds` Bellman-Ford min-plus relaxation steps over a weighted

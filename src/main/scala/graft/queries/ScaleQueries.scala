@@ -450,6 +450,23 @@ object ScaleQueries extends QueryPack {
     // under the injection thresholds — PlanAuditSuite drops them to 0 and
     // pins the bloom_filter injection on this exact query shape; here the
     // result (which the bloom never changes) anchors the oracle.
+    // Join-cardinality estimation by CMS inner product (round-12):
+    // |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated as
+    // min_d Σ_cell cmsA[d][cell]·cmsB[d][cell] — the sketch dot
+    // product overestimates only (collisions add), so min-over-depths
+    // tightens it, and over_ratio ≥ 1 by construction. This is the
+    // planner-adjacent readout that decides "can I afford this join"
+    // at 100 TB: the estimate touches Depth·Width cells per side
+    // REGARDLESS of table size (two scan-side rollups + one
+    // bounded-key join), while the exact arm — kept here as the
+    // grounding truth, the dedup_eval_recall_exact discipline — needs
+    // the full per-key frequency tables. Integers end to end; the one
+    // double is the final ratio.
+    "join_size_cms_estimate" -> ((s, dir) =>
+      cmsJoinSize(
+        t(s, dir, "orders").select(col("o_orderkey").as("k")),
+        t(s, dir, "lineitem").select(col("l_orderkey").as("k")))),
+
     "join_bloom_runtime" -> ((s, dir) => {
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" &&
@@ -1070,6 +1087,30 @@ object ScaleQueries extends QueryPack {
     * The fixture dimension (64) is pinned; the Spark side is
     * dimension-agnostic.
     */
+  /** join_size_cms_estimate's pipeline over two explicit key frames
+    * (column `k` each) — split out so the suite can hand-check the
+    * single-key exact case and the ≥-true overestimate invariant.
+    */
+  private[graft] def cmsJoinSize(ka: DataFrame,
+      kb: DataFrame): DataFrame = {
+    def sk(df: DataFrame, out: String): DataFrame = df
+      .select(TextHash.h31(col("k").cast("string")).as("h"))
+      .select(posexplode(CountMin.cells(col("h")))
+        .as(Seq("i", "dc")))
+      .select(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .groupBy("d", "cell").agg(count(lit(1)).as(out))
+    val est = sk(ka, "n").join(sk(kb, "m"), Seq("d", "cell"))
+      .groupBy("d").agg(sum(col("n") * col("m")).as("ip"))
+      .agg(min("ip").as("est_pairs"))
+    val exact = ka.groupBy("k").agg(count(lit(1)).as("co"))
+      .join(kb.groupBy("k").agg(count(lit(1)).as("cl")), Seq("k"))
+      .agg(sum(col("co") * col("cl")).as("true_pairs"))
+    exact.crossJoin(broadcast(est))
+      .select(col("true_pairs"), col("est_pairs"),
+        (col("est_pairs").cast("double") /
+          col("true_pairs").cast("double")).as("over_ratio"))
+  }
+
   private def centroidOracle: String =
     """SELECT label, pos, COUNT(*) AS n_vecs,
       |  CAST(SUM(q) AS DOUBLE)
@@ -1452,6 +1493,40 @@ object ScaleQueries extends QueryPack {
 
     "emb_label_centroids" -> centroidOracle,
     "emb_label_centroids_agg" -> centroidOracle,
+
+    // same affine-hash sketch per side (coefficients from the shared
+    // VALUES list), same min-of-inner-products
+    "join_size_cms_estimate" ->
+      s"""WITH rws AS (SELECT * FROM $cmsRowsDuck),
+         |ho AS (
+         |  SELECT ${TextHash.h31Duck(
+              "CAST(o_orderkey AS VARCHAR)")} AS h FROM orders),
+         |hl AS (
+         |  SELECT ${TextHash.h31Duck(
+              "CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem),
+         |so AS (
+         |  SELECT r.d, ((t.h * r.a + r.b) % ${TextHash.P31})
+         |      % ${CountMin.Width} AS cell, COUNT(*) AS n
+         |  FROM ho t, rws r GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT r.d, ((t.h * r.a + r.b) % ${TextHash.P31})
+         |      % ${CountMin.Width} AS cell, COUNT(*) AS m
+         |  FROM hl t, rws r GROUP BY 1, 2),
+         |e AS (
+         |  SELECT so.d, CAST(SUM(so.n * sl.m) AS BIGINT) AS ip
+         |  FROM so JOIN sl ON so.d = sl.d AND so.cell = sl.cell
+         |  GROUP BY 1),
+         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_pairs FROM e),
+         |tr AS (
+         |  SELECT CAST(SUM(o.co * l.cl) AS BIGINT) AS true_pairs
+         |  FROM (SELECT o_orderkey AS k, COUNT(*) AS co
+         |        FROM orders GROUP BY 1) o
+         |  JOIN (SELECT l_orderkey AS k, COUNT(*) AS cl
+         |        FROM lineitem GROUP BY 1) l ON o.k = l.k)
+         |SELECT true_pairs, est_pairs,
+         |  CAST(est_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+         |    AS over_ratio
+         |FROM tr CROSS JOIN est""".stripMargin,
 
     "join_bloom_runtime" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

@@ -219,7 +219,10 @@ object StreamE2EQueries extends QueryPack {
         .select(col("symbol"), col("bid"), col("price"), col("ask"),
           col("time"), col("volume"), col("tradeType"))
         .as[graft.model.Schemas.Tick]
-      val q = graft.streaming.FunnelProcessor.stages(ticks, 86400L)
+      // the batch family's deadline, not a copy (review finding: a
+      // FunnelW retune must move the streaming row with it)
+      val q = graft.streaming.FunnelProcessor
+        .stages(ticks, TemporalQueries.FunnelW)
         .toDF()
         .writeStream.outputMode("append")
         .option("checkpointLocation", work.resolve("ckpt").toString)
@@ -387,7 +390,21 @@ object StreamE2EQueries extends QueryPack {
     * from the on-time era only) hash-fails.
     */
   private def runLate(s: SparkSession, dir: String): DataFrame =
-    runLateCommon(s, dir)._1
+    lateShared(s, dir)._1
+
+  /** Memoized [[runLateCommon]] (review finding): stream_e2e_late and
+    * stream_e2e_late_audit consume the TWO halves of one pipeline run
+    * — unmemoized, a Verify pass paid the full spool + streaming +
+    * watermark-advance job twice, discarding half each time. The
+    * GraphQueries pinned-memo pattern; the sink parquet behind the
+    * window frame lives for the session (deleteAtExit).
+    */
+  private val lateMemo =
+    new graft.util.SessionCache[(DataFrame, Long)](4, _ => ())
+
+  private def lateShared(
+      s: SparkSession, dir: String): (DataFrame, Long) =
+    lateMemo.getOrElseUpdate(s, s"late/$dir")(runLateCommon(s, dir))
 
   /** WATERMARK DROP-COUNT AUDIT (round-12, VERDICT r11 task #6,
     * 21st streaming oracle row): `stream_e2e_late` certifies that the
@@ -407,8 +424,13 @@ object StreamE2EQueries extends QueryPack {
     */
   private def runLateAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (windows, dropped) = runLateCommon(s, dir)
-    val onTime = windows.agg(sum(col("n_ticks"))).head().getLong(0)
+    val (windows, dropped) = lateShared(s, dir)
+    // coalesce (review finding): sum over an EMPTY window set is
+    // null, and the audit must then report on_time_rows = 0 and
+    // hash-fail loudly against the oracle — not die in getLong
+    val onTime = windows
+      .agg(coalesce(sum(col("n_ticks")), lit(0L)))
+      .head().getLong(0)
     Seq((onTime, dropped)).toDF("on_time_rows", "dropped_late")
   }
 
@@ -1356,7 +1378,7 @@ object StreamE2EQueries extends QueryPack {
     // the batch greedy first-touch chain over the SAME LWW-deduped
     // event subset the stream folds
     "stream_e2e_funnel" ->
-      """WITH e0 AS (
+      s"""WITH e0 AS (
         |  SELECT user_id, event_type,
         |    epoch_us(ts) // 1000000 AS sec, event_id
         |  FROM events

@@ -123,8 +123,14 @@ object TemporalQueries extends QueryPack {
         sum(col("cnt") * col("cnt")).as("sxx"))
     val target = cells.filter(col("w") === 3)
       .select(col("dow"), col("hour"), col("cnt").as("x"))
-    base.join(target, Seq("dow", "hour"), "left")
-      .select(col("dow"), col("hour"), col("sx"), col("sxx"),
+    // FULL outer (review finding): a left join dropped cells silent
+    // through the whole baseline that burst in the target week — the
+    // most anomalous cells possible; their baseline zeros are real
+    // (3x−0)² > 0 flags, not absent rows
+    base.join(target, Seq("dow", "hour"), "full_outer")
+      .select(col("dow"), col("hour"),
+        coalesce(col("sx"), lit(0L)).as("sx"),
+        coalesce(col("sxx"), lit(0L)).as("sxx"),
         coalesce(col("x"), lit(0L)).as("x"))
       .withColumn("anomaly",
         ((lit(3L) * col("x") - col("sx")) *
@@ -1173,7 +1179,7 @@ object TemporalQueries extends QueryPack {
   )
 
   /** funnel_strict_window per-hop deadline, seconds (1 day). */
-  private val FunnelW = 86400L
+  private[graft] val FunnelW = 86400L
 
   /** EWMA horizon (lags 0..7) with weight 2^(K−1−j) for lag j. */
   private val EwmaK = 8
@@ -1749,12 +1755,16 @@ object TemporalQueries extends QueryPack {
         |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
         |  FROM cells WHERE w <= 2 GROUP BY 1, 2),
         |t AS (SELECT dow, hour, cnt AS x FROM cells WHERE w = 3)
-        |SELECT b.dow, b.hour, b.sx, b.sxx,
+        |SELECT dow, hour,
+        |  CAST(COALESCE(b.sx, 0) AS BIGINT) AS sx,
+        |  CAST(COALESCE(b.sxx, 0) AS BIGINT) AS sxx,
         |  CAST(COALESCE(t.x, 0) AS BIGINT) AS x,
-        |  CAST((3 * COALESCE(t.x, 0) - b.sx)
-        |     * (3 * COALESCE(t.x, 0) - b.sx)
-        |     > 4 * (3 * b.sxx - b.sx * b.sx) AS INT) AS anomaly
-        |FROM base b LEFT JOIN t USING (dow, hour)""".stripMargin,
+        |  CAST((3 * COALESCE(t.x, 0) - COALESCE(b.sx, 0))
+        |     * (3 * COALESCE(t.x, 0) - COALESCE(b.sx, 0))
+        |     > 4 * (3 * COALESCE(b.sxx, 0)
+        |            - COALESCE(b.sx, 0) * COALESCE(b.sx, 0))
+        |     AS INT) AS anomaly
+        |FROM base b FULL JOIN t USING (dow, hour)""".stripMargin,
 
     // identical epoch-day arithmetic ((d + 4) % 7), no dayofweek
     // builtin on either side

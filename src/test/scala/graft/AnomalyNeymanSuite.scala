@@ -41,6 +41,20 @@ class AnomalyNeymanSuite extends SparkSpec {
     assert(out.toSeq == Seq((4L, 3L, 15L, 75L, 0L, 1)))
   }
 
+  test("anomalyBaseline: a cell silent through the baseline that " +
+      "bursts in the target week is kept and flagged") {
+    // hour 5 has NO baseline rows at all (sx = sxx = 0) and 4 target
+    // hits: (12 − 0)² = 144 > 0 -> anomaly (the review-caught case a
+    // left join silently dropped)
+    val rows = Seq.fill(5)((0L, 3L)) ++ Seq.fill(5)((7L, 3L)) ++
+      Seq.fill(5)((14L, 3L)) ++ Seq.fill(4)((21L, 5L))
+    val out = graft.queries.TemporalQueries
+      .anomalyBaseline(rows.toDF("day", "hour"))
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+      .filter(_._2 == 5L)
+    assert(out.toSeq == Seq((4L, 5L, 0L, 0L, 4L, 1)))
+  }
+
   test("neymanAlloc: spread stratum takes the whole budget over a " +
       "constant one") {
     // a: {1,3} -> num = 2·10−16 = 4, σfix = ⌊1e6·2/2⌋ = 1e6,
