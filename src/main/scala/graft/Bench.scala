@@ -16,11 +16,14 @@ object Bench {
     *    path.
     *  - media_decode_imageio / media_decode_wav: real codec work
     *    (ImageIO pixel decode, WAV PCM parse) per row by design.
+    *  - graph_two_hop_reach: the exact-distinct arm that GROUNDS
+    *    graph_two_hop_reach_sketch's recall (r13) — the exact (u, w)
+    *    dedup shuffle is the point; the sketch is the scale path.
     */
   private val Deliberate = Seq(
     "layout_skipping_audit", "graph_link_jaccard",
     "dedup_eval_recall_exact", "ann_eval_recall", "ann_eval_ndcg",
-    "media_decode_imageio", "media_decode_wav")
+    "media_decode_imageio", "media_decode_wav", "graph_two_hop_reach")
 
   /** Reference seconds for [[calibrate]]'s kernel, pinned on the
     * round-10 measurement host (median-of-3 samples across repeated
@@ -31,7 +34,34 @@ object Bench {
     * "regression" burned a round's narrative proving a 1.3–1.5× host
     * slowdown by hand).
     */
-  private val RefCalibSec = 0.70
+  private[graft] val RefCalibSec = 0.70
+
+  /** Spike-vs-slow-host test (VERDICT r12 task #1). BENCH_r12's
+    * segment-5 calib sample hit 4.219s against ~0.70s pinned AND
+    * ~0.70s start/end calibration on the same run — a transient
+    * contention window, not a slow host — yet `hfGuard` used that very
+    * sample to widen the band ~6× and waved `graph_sssp_weighted`
+    * through at 3.42s vs its 1.214s band (1.40s on the quiet committed
+    * run). The distinction: a SLOW HOST is slow in every calib sample
+    * (so the run's own minimum is high and the guard widens honestly);
+    * a SPIKE is one sample far above the run's own quiet floor — it is
+    * evidence the measurements around it are contaminated and must
+    * never be used to excuse them. `c` is one calib sample, `runQuiet`
+    * the minimum calib observed this run.
+    */
+  private[graft] def isSpike(c: Double, runQuiet: Double): Boolean =
+    c > 2.0 * runQuiet
+
+  /** Host-factor band guard from a calib sample believed QUIET (the
+    * run minimum so far — never a single latest sample, which may be a
+    * spike; see [[isSpike]]). On a uniformly slow host every sample is
+    * high, so the minimum is too and the band widens proportionally;
+    * a transient spike leaves the minimum (and the band) untouched,
+    * so contaminated measurements breach and get resampled / flagged
+    * instead of excused.
+    */
+  private[graft] def hfGuardOf(quietCalib: Double): Double =
+    math.max(1.0, quietCalib / RefCalibSec)
 
   /** Deterministic calibration kernel: fixed-size synthetic
     * shuffle + window + aggregate job (no fixture I/O, no memo
@@ -122,6 +152,27 @@ object Bench {
             case _ => None
           }
         }.toMap
+    } finally in.close()
+  }
+
+  /** Band provenance (VERDICT r12 task #6): WHICH bench_ref.tsv this
+    * run checked against — the tsv was regenerated twice in round 12
+    * and a stale-band analysis needed git archaeology. Emitted in the
+    * artifact as `ref_tsv`: the resource's full SHA-256 plus the
+    * `# generated:` header stamp gen_bench_ref.py writes (empty string
+    * for a pre-stamp tsv or a missing resource).
+    */
+  private[graft] lazy val RefTsvMeta: (String, String) = {
+    val in = getClass.getResourceAsStream("/graft/bench_ref.tsv")
+    if (in == null) ("", "")
+    else try {
+      val bytes = in.readAllBytes()
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+      val gen = new String(bytes, "UTF-8").linesIterator
+        .find(_.startsWith("# generated:"))
+        .map(_.stripPrefix("# generated:").trim).getOrElse("")
+      (sha, gen)
     } finally in.close()
   }
 
@@ -288,7 +339,11 @@ object Bench {
     // `noisy` alone only covers the still-breaching subset)
     val resampled = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Int)] // reported steady, total samples
-    var lastCalib = calibStart
+    // the quietest calib sample seen so far — the band guard's basis
+    // (VERDICT r12 task #1: the guard previously used the LATEST
+    // segment sample, so a transient spike widened the band with the
+    // very evidence of contamination; see isSpike/hfGuardOf)
+    var quietCalib = calibStart
     var sinceCalib = 0
     val results: Seq[(String, (Double, Double))] =
       selected.flatMap { case (name, fn) =>
@@ -332,10 +387,14 @@ object Bench {
         }
         if (pair.isEmpty) failed += name
         val out = pair.map { case (r1, r2) =>
-          // host-factor guard: on a slower host (segment kernel above
-          // its pinned 0.70s reference) the band widens proportionally,
-          // so slow-host runs resample no more than fast-host ones
-          val hfGuard = math.max(1.0, lastCalib / RefCalibSec)
+          // host-factor guard: on a uniformly slow host (EVERY kernel
+          // sample above the pinned 0.70s reference, so the run
+          // minimum is too) the band widens proportionally and
+          // slow-host runs resample no more than fast-host ones. Based
+          // on the run-minimum calib, NOT the latest segment sample: a
+          // transient spike must tighten scrutiny on the queries timed
+          // near it, not excuse them (VERDICT r12 task #1).
+          val hfGuard = hfGuardOf(quietCalib)
           val ref = RefSteady.get(name)
           def breaches(v: Double): Boolean = overBand(v, ref, hfGuard)
           val samples = scala.collection.mutable.ArrayBuffer(r1, r2)
@@ -359,8 +418,11 @@ object Bench {
         sinceCalib += 1
         if (sinceCalib >= SegmentEvery) {
           sinceCalib = 0
-          try { lastCalib = calibOnce(spark); segCalibs += lastCalib }
-          catch { case _: Throwable => () }
+          try {
+            val c = calibOnce(spark)
+            segCalibs += c
+            quietCalib = math.min(quietCalib, c)
+          } catch { case _: Throwable => () }
         }
         out
       }
@@ -368,16 +430,88 @@ object Bench {
     val hostFactor = (calibStart + calibEnd) / 2.0 / RefCalibSec
     if (failed.nonEmpty) System.err.println(
       s"[bench] SUMMARY: ${failed.size} FAILED — ${failed.mkString(", ")}")
+    // --- transient-spike disclosure + recovery re-time (VERDICT r12
+    // task #1). runQuiet is the run's own quiet floor (min over start,
+    // every segment sample, and end); any segment sample >2× it is a
+    // SPIKE — a transient contention window, distinct from a slow host
+    // where the floor itself is high — and is disclosed in
+    // `suspect_segments` so the artifact localizes the window without
+    // judge-side archaeology. Queries timed near a spike now breach
+    // their (un-widened) band and land in `noisy`; once the run ends,
+    // if a fresh kernel sample confirms the host has RECOVERED, each
+    // noisy query is re-timed (up to 2 samples, early-stop inside the
+    // band) — the "re-time that segment's queries after calibration
+    // recovers" arm. A query whose recovered re-time lands in band
+    // moves from `noisy` to `retimed` (full disclosure: observed value
+    // + total sample count); one that still breaches stays noisy. If
+    // the host is STILL contended at run end, re-timing would just
+    // re-measure the contention, so the pass is skipped and `noisy`
+    // stands (layer-3 behavior, excluded from total_excl_noisy).
+    val resultsMut = scala.collection.mutable.LinkedHashMap(results: _*)
+    val runQuiet = (Seq(calibStart, calibEnd) ++ segCalibs).min
+    val suspectSegs = segCalibs.zipWithIndex.collect {
+      case (c, i) if isSpike(c, runQuiet) => (i, c)
+    }
+    if (suspectSegs.nonEmpty) System.err.println(
+      s"[bench] SUSPECT SEGMENTS (calib spike >2x run quiet " +
+        f"$runQuiet%.3f): " +
+        suspectSegs.map { case (i, c) => f"#$i=$c%.3f" }.mkString(", "))
+    val retimed = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Int)] // recovered steady, total samples
+    if (noisy.nonEmpty) {
+      val rec = try calibOnce(spark)
+        catch { case _: Throwable => Double.MaxValue }
+      if (isSpike(rec, runQuiet)) System.err.println(
+        f"[bench] RETIME SKIPPED: host still contended (calib $rec%.3f " +
+          f"vs run quiet $runQuiet%.3f) — noisy flags stand")
+      else {
+        val hfFinal = hfGuardOf(runQuiet)
+        for (name <- noisy.keys.toSeq) {
+          val fn = SparkEntry.queries(name)
+          val ref = RefSteady.get(name)
+          val (obs0, _, n0, _) = noisy(name)
+          var best = obs0
+          var taken = 0
+          while (taken < 2 && overBand(best, ref, hfFinal)) {
+            taken += 1
+            val t0 = System.nanoTime()
+            try {
+              runPlan(fn(spark, sfDir))
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name retime attempt FAILED: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          }
+          resultsMut.get(name).foreach { case (r1, s) =>
+            resultsMut(name) = (r1, math.min(s, best))
+          }
+          resampled.get(name).foreach { case (old, n) =>
+            resampled(name) = (math.min(old, best), n + taken)
+          }
+          if (!overBand(best, ref, hfFinal)) {
+            noisy.remove(name)
+            retimed += name -> ((best, n0 + taken))
+            System.err.println(
+              f"[bench] RETIMED $name%s recovered=$best%.3f " +
+                f"(was $obs0%.3f, +$taken samples)")
+          } else {
+            noisy(name) = (best, noisy(name)._2, n0 + taken, noisy(name)._4)
+          }
+        }
+      }
+    }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // `queries` keeps the historical min-of-two (steady state);
     // `cold` is run 1 after memo eviction — the un-amortized cost.
-    val mins = results.map { case (k, (r1, r2)) => k -> math.min(r1, r2) }
-    val colds = results.map { case (k, (r1, _)) => k -> r1 }
+    val mins = resultsMut.toSeq.map { case (k, (r1, r2)) =>
+      k -> math.min(r1, r2) }
+    val colds = resultsMut.toSeq.map { case (k, (r1, _)) => k -> r1 }
     val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     // the comparable headline (VERDICT r11 task #1): same sum minus
     // the queries this run's own `noisy` map disavows
     val totalExcl = totalExclNoisy(mins, noisy.keySet.toSet)
-    val unbanded = unbandedOf(results.map(_._1), RefSteady)
+    val unbanded = unbandedOf(resultsMut.keys.toSeq, RefSteady)
     def jmap(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def render(rs: Iterable[(String, Double)], cold: Iterable[(String, Double)],
@@ -398,7 +532,19 @@ object Bench {
         s""""$k":{"obs":${r3(obs)},"n":$n}"""
       }.mkString("{", ",", "}")
       val uj = unbanded.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":$tot,"total_excl_noisy":${r3(totalExcl)},"unit":"sec","host_factor":${r3(hostFactor)},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calib_segments":$segs,"noisy":$nj,"resampled":$rj,"unbanded":$uj,"queries":${jmap(rs)},"cold":${jmap(cold)},"deliberate":$dj,"failed":$fj,"sf":"$sfDir"}"""
+      // segments whose kernel sample spiked >2× the run's own quiet
+      // floor — transient contention windows, localized in-artifact
+      val ssj = suspectSegs.map { case (i, c) =>
+        s"""{"seg":$i,"calib":${r3(c)}}"""
+      }.mkString("[", ",", "]")
+      // noisy-flagged queries recovered by the post-run re-time pass
+      val rtj = retimed.map { case (k, (obs, n)) =>
+        s""""$k":{"obs":${r3(obs)},"n":$n}"""
+      }.mkString("{", ",", "}")
+      // band provenance: which bench_ref.tsv this run checked against
+      val (tsvSha, tsvGen) = RefTsvMeta
+      val refj = s"""{"sha256":"$tsvSha","generated":"$tsvGen"}"""
+      s"""{"metric":"total","value":$tot,"total_excl_noisy":${r3(totalExcl)},"unit":"sec","host_factor":${r3(hostFactor)},"calib":[${r3(calibStart)},${r3(calibEnd)}],"calib_segments":$segs,"run_quiet":${r3(runQuiet)},"suspect_segments":$ssj,"noisy":$nj,"resampled":$rj,"retimed":$rtj,"unbanded":$uj,"ref_tsv":$refj,"queries":${jmap(rs)},"cold":${jmap(cold)},"deliberate":$dj,"failed":$fj,"sf":"$sfDir"}"""
     }
     val full = render(mins, colds, total)
     // Round 1 post-mortem: the driver parses the bench JSON out of the
@@ -424,7 +570,7 @@ object Bench {
     // run). A fixed-size largest-gap slate keeps the memo-priced
     // shapes visible and the budget bounded; the full cold map is in
     // the bench.json file either way.
-    val materialCold = results
+    val materialCold = resultsMut.toSeq
       .map { case (k, (r1, r2)) => (k, r1, r1 - r2) }
       .filter(_._3 >= 0.5).sortBy(-_._3).take(12)
       .map { case (k, r1, _) => k -> r3(r1) }

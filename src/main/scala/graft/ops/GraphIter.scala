@@ -108,6 +108,42 @@ object GraphIter {
     deg.join(reach, Seq("u"))
   }
 
+  /** Two-hop reach by per-node HLL sketch (round-13, VERDICT r12 task
+    * #3) — the 100 TB shape for REACH COUNTING: [[twoHopReach]] pays
+    * an exact-distinct shuffle on the full wedge set (the measured
+    * dominant cost, 3.26s at sf0.1 — every (u, w) candidate pair
+    * crosses the exchange to be deduped), while reach estimation only
+    * needs the CARDINALITY of each node's ≤2-hop set. Same wedge
+    * enumeration (volume Σ deg², hub-cap bounded), but each candidate
+    * endpoint is hashed scan-side into a single-register packed array
+    * and merged per node by the codegen'd byte-wise-max aggregate —
+    * map-side partials collapse every partition's candidates to ONE
+    * 512-byte row per node, so the exchange carries ≤ tasks × nodes ×
+    * 512B regardless of wedge volume (duplicates never cross; the
+    * max-merge absorbs them pre-shuffle). Standard error 1.04/√512 ≈
+    * 4.6%. Estimate determinism is the [[Hll]] contract, so the row
+    * is fully oracle-mirrorable; accuracy is grounded against the
+    * exact arm in TwoHopSketchSuite (the dedup_eval pattern).
+    *
+    * Self-exclusion parity with the exact arm: the wedge filter drops
+    * w = u and the adjacency carries no self-loops, so the sketched
+    * set is exactly {w : dist(u,w) ≤ 2, w ≠ u}.
+    */
+  def twoHopReachSketch(adj: DataFrame): DataFrame = {
+    val deg = adj.groupBy(col("u"))
+      .agg(count(lit(1)).as("n_1hop"))
+    val two = adj.toDF("u", "m")
+      .join(adj.toDF("m2", "w"), col("m") === col("m2"))
+      .select(col("u"), col("w"))
+      .filter(col("u") =!= col("w"))
+    val cand = adj.toDF("u", "w").unionAll(two)
+    val est = Hll.packedEstimate(
+      Hll.packedRegisters(cand, col("u"), col("w")))
+      .select(col("g").as("u"), col("n_set"), col("s_total"),
+        col("est_distinct").as("est_reach2"))
+    deg.join(est, Seq("u"))
+  }
+
   /** Exact triangle count over a deduplicated low→high edge list
     * (ua < ub), by DEGREE-ORDERED orientation: rank nodes by
     * (degree, id) — a total order — and orient every edge from its

@@ -36,32 +36,53 @@ object HyperBall {
     *         each node's HLL ball estimate at every radius; exact
     *         integer register state folded to one deterministic
     *         double per row
+    *
+    * PACKED register state (round-13, VERDICT r12 task #2): the loop
+    * carries ONE row per node holding a 512-byte register array
+    * (byte b = ρ of register b, 0 = unset) merged by the codegen'd
+    * byte-wise-max aggregate [[graft.functions.HllMaxAgg]] — the
+    * standard HyperBall layout — instead of the long (node, bucket,
+    * m_j) format, which saturates at 512 ROWS per node (77M rows /
+    * ~1.8 GB of row overhead at the 100× probe arm: the measured
+    * driver of the per-round shuffle volume and the 5.7–14.5s GC wall
+    * swing, NOTES r12). 512× fewer state rows at bit-identical
+    * semantics: ρ derivation, n_set, and the exact BIGINT s_total are
+    * the `Hll` expressions verbatim (HyperBallPackedSuite pins packed
+    * ≡ long-format per round), so the DuckDB mirror below is
+    * untouched.
     */
   def apply(adj: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hyperball: rounds $rounds < 1")
     val nodes = adj.select(col("src").as("node"))
       .unionByName(adj.select(col("dst").as("node")))
       .distinct()
+    // b_0: each node's own hash sets exactly one register — bucket =
+    // h % 512, sub-register bits w = h div 512, ρ inside the pack
+    // kernel exactly as Hll.registers derives it (the groupBy inside
+    // packedRegisters rides the distinct's node partitioning — no
+    // extra exchange).
+    var regs = Hll.packedRegisters(nodes, col("node"), col("node"))
+      .withColumnRenamed("g", "node")
+    def est(r: Int, frame: DataFrame): DataFrame =
+      Hll.packedEstimate(frame.withColumnRenamed("node", "g"))
+        .select(lit(r.toLong).as("t"), col("g").as("node"),
+          col("n_set"), col("s_total"), col("est_distinct"))
     // The round chain stays LAZY on purpose (measured, 10× probe arm):
     // the output union is ONE DAG whose est(0..T) branches share the
     // round shuffles via ReusedExchange, so each round's merge is
     // computed once — a per-round localCheckpoint variant (the Scc
     // discipline that pays off for Betweenness' anti-join fan-out)
     // only ADDED the storage passes for the dense register tables and
-    // measured 85s → 189s at 10×. One caller-owned final checkpoint
-    // (memoize or release) is the only pin.
-    var regs = Hll.registers(nodes, col("node"), col("node"))
-      .withColumnRenamed("g", "node")
-    def est(r: Int, frame: DataFrame): DataFrame =
-      Hll.estimate(frame.withColumnRenamed("node", "g"))
-        .select(lit(r.toLong).as("t"), col("g").as("node"),
-          col("n_set"), col("s_total"), col("est_distinct"))
+    // measured 85s → 189s at 10× (long format; the trade-off direction
+    // is unchanged packed — the state is smaller still). One
+    // caller-owned final checkpoint (memoize or release) is the only
+    // pin.
     val out = scala.collection.mutable.ArrayBuffer(est(0, regs))
     for (r <- 1 to rounds) {
       val fromNbr = adj.join(regs, adj("dst") === regs("node"))
-        .select(adj("src").as("node"), col("bucket"), col("m_j"))
+        .select(adj("src").as("node"), col("reg"))
       regs = regs.unionByName(fromNbr)
-        .groupBy("node", "bucket").agg(max(col("m_j")).as("m_j"))
+        .groupBy("node").agg(Hll.maxAggCol(col("reg")).as("reg"))
       out += est(r, regs)
     }
     out.reduce(_ unionByName _).localCheckpoint()

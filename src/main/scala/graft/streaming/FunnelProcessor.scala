@@ -18,10 +18,16 @@ import graft.model.Schemas.Tick
   * Ordering contract (the SaltedCumVolBatch discipline): within a
   * micro-batch rows fold in (time) order (sorted here — post-LWW-dedup
   * there is at most one event per (key, time), so the order is total);
-  * ACROSS batches the caller must feed time-monotone batches (the e2e
-  * runner's time-range-partitioned spool + maxFilesPerTrigger does) —
-  * a set-once hop never un-sets, so replayed or duplicate deliveries
-  * are absorbed idempotently.
+  * ACROSS batches the caller must deliver each KEY's rows in time
+  * order. The e2e runner provides that via per-user spool-file
+  * locality — it hash-partitions the spool by user_id with rows
+  * time-sorted inside each file and no maxFilesPerTrigger, so a
+  * user's whole history lands time-sorted in a single spool file and
+  * the per-batch sort makes the fold order total (there is no global
+  * time-range partitioning; keys in DIFFERENT files may interleave
+  * arbitrarily, which is fine — state is per-key). A set-once hop
+  * never un-sets, so replayed or duplicate deliveries are absorbed
+  * idempotently.
   */
 class FunnelProcessor(w: Long)
     extends StatefulProcessor[String, Tick, FunnelProcessor.FunnelStage] {

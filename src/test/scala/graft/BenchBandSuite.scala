@@ -55,6 +55,40 @@ class BenchBandSuite extends AnyFunSuite {
     assert(Bench.unbandedOf(Seq("a", "c"), ref).isEmpty)
   }
 
+  test("isSpike: transient spike vs uniformly slow host " +
+      "(VERDICT r12 task #1 — the BENCH_r12 segment-5 shape)") {
+    // quiet host (start/end/segments ~0.70): a 4.219s segment sample
+    // is a SPIKE — evidence of contamination, never a band excuse
+    assert(Bench.isSpike(4.219, 0.70))
+    // uniformly slow host: every sample high, so the run minimum is
+    // too — 1.40 against a 1.35 floor is the same host, not a spike
+    assert(!Bench.isSpike(1.40, 1.35))
+    // boundary: exactly 2x the quiet floor is not yet a spike
+    assert(!Bench.isSpike(1.40, 0.70))
+    assert(Bench.isSpike(1.41, 0.70))
+  }
+
+  test("hfGuardOf: widens only from a believed-quiet calib; the r12 " +
+      "phantom no longer passes") {
+    // quiet host: guard stays 1.0 even when a later SEGMENT spiked,
+    // because the guard basis is the run minimum, not the last sample.
+    val guardQuiet = Bench.hfGuardOf(0.70)
+    assert(guardQuiet === 1.0)
+    // the demonstrated hole: graph_sssp_weighted 3.42s vs 1.214s band.
+    // Old behavior (guard from the spiked 4.219 sample, ~6x): waved
+    // through. New behavior (guard from the 0.70 run minimum): breach.
+    val oldGuard = math.max(1.0, 4.219 / Bench.RefCalibSec)
+    assert(!Bench.overBand(3.42, Some(1.214), oldGuard),
+      "precondition: the old guard really did wave the phantom through")
+    assert(Bench.overBand(3.42, Some(1.214), guardQuiet),
+      "the quiet-basis guard must flag the phantom")
+    // uniformly slow host (floor 1.4 = 2x ref): band widens 2x and a
+    // proportionally slower measurement still passes — no false flag
+    val guardSlow = Bench.hfGuardOf(1.40)
+    assert(guardSlow === 2.0)
+    assert(!Bench.overBand(3.42, Some(1.214), guardSlow))
+  }
+
   test("bench_ref.tsv resource: loads, is large, and all-positive") {
     val ref = Bench.RefSteady
     assert(ref.size > 250, s"band resource too small: ${ref.size}")

@@ -11,7 +11,7 @@ materially change:
     SPARK_GRAFT_CPUS=32 sbt "runMain graft.Bench /tmp/bench_ref.json"
     python3 tools/gen_bench_ref.py /tmp/bench_ref.json
 """
-import json, sys
+import datetime, json, sys
 args = [a for a in sys.argv[1:] if a != "--force"]
 force = "--force" in sys.argv[1:]
 src = args[0] if len(args) > 0 else "bench.json"
@@ -30,6 +30,11 @@ if d.get("failed") and not force:
              "would silently vanish; fix or pass --force"
              % list(d["failed"]))
 lines = [
+    # Provenance stamp (VERDICT r12 task #6): Bench emits this line's
+    # value plus the tsv's SHA-256 in every artifact as `ref_tsv`, so a
+    # stale-band analysis never needs git archaeology.
+    "# generated: %s" % datetime.datetime.now(
+        datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
     "# Pinned per-query steady reference band for Bench's noise detection",
     "# (VERDICT r10 task #1). Source: full quiet-host bench, sf0.1,",
     "# local[32], host_factor %.3f, total %.1fs." % (
