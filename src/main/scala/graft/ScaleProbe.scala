@@ -842,12 +842,101 @@ object ScaleProbe {
     // ratio and made job-flat arms like vec_centroids read as flags.
     // An arm that ever scales its input differently must emit its own
     // factor instead of inheriting `copies`.
-    val json = results.map { case (n, t1, r1, t10, r10, ratio, j1, j10) =>
+    def armJson(n: String, t1: Double, r1: Long, t10: Double, r10: Long,
+        ratio: Double, j1: Double, j10: Double): String = {
       val adj = ratio * (r1.max(1L).toDouble / r10.max(1L).toDouble)
       val adjIn = ratio / copies
       val (f1, f10) = (math.max(0.0, t1 - j1), math.max(0.0, t10 - j10))
-      f""""$n":{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f,"adj_in":$adjIn%.3f,"job_1x":$j1%.2f,"floor_1x":$f1%.2f,"job_10x":$j10%.2f,"floor_10x":$f10%.2f}"""
-    }.mkString(s"""{"metric":"weak_scaling","copies":$copies,""", ",", "}")
+      f"""{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f,"adj_in":$adjIn%.3f,"job_1x":$j1%.2f,"floor_1x":$f1%.2f,"job_10x":$j10%.2f,"floor_10x":$f10%.2f}"""
+    }
+    val rendered = results.map { case (n, t1, r1, t10, r10, ratio, j1, j10) =>
+      n -> armJson(n, t1, r1, t10, r10, ratio, j1, j10)
+    }
+    // --- in-run adjudication (round-13, VERDICT r12 task #4). For
+    // three rounds the short graph arms (walk, mis, hyperball) read
+    // both-high inside the FULL run — contention from whatever heavy
+    // arm ran before them — and needed MANUAL solo re-runs to
+    // adjudicate (hand-assembled *_solo_adjudication.json artifacts).
+    // Automated here, the bench's resample discipline applied to the
+    // probe: an arm whose adj_in AND adj_ratio both exceed the
+    // threshold (both-high = time outgrew input AND output growth —
+    // the unexplained shape; pair-expansion arms have adj_ratio ≪ 1
+    // and fixed-output job-flat arms have adj_in ≈ 1, so neither
+    // flags) is re-run SOLO in a fresh child JVM (clean heap/GC state,
+    // same fixtures/copies/cpus, adjudication disabled in the child so
+    // it cannot recurse) and BOTH readings land in one artifact under
+    // `adjudication` — no hand-assembled file in r13+.
+    val adjThreshold = sys.env
+      .getOrElse("SPARK_GRAFT_ADJ_THRESHOLD", "1.5").toDouble
+    // recursion guard: the child runs with ADJUDICATE=0, so a solo
+    // re-run can never spawn its own grandchildren (a filtered run
+    // may still adjudicate — that is also the cheap smoke path)
+    val adjudicate =
+      !sys.env.get("SPARK_GRAFT_PROBE_ADJUDICATE").contains("0")
+    val flagged = results.filter { case (_, _, r1, _, r10, ratio, _, _) =>
+      val adj = ratio * (r1.max(1L).toDouble / r10.max(1L).toDouble)
+      ratio / copies > adjThreshold && adj > adjThreshold
+    }.map(_._1).take(4) // bound the adjudication pass's runtime
+    def soloRun(arm: String): Option[String] = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java")
+        .getAbsolutePath
+      // inherit the launcher's module flags + heap (tools/run.sh's
+      // --add-opens set); drop -D/agent args the child doesn't need
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.filter(a =>
+          a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("--enable-native-access") ||
+          a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+          a.startsWith("-Xss") || a.startsWith("-XX")).toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.ScaleProbe")
+      try {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_PROBE_ONLY", arm)
+        pb.environment().put("SPARK_GRAFT_PROBE_ADJUDICATE", "0")
+        pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_PROBE_COPIES", copies.toString)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); return None }
+        // the child's stdout ends in one weak_scaling JSON line; lift
+        // the arm's object verbatim (flat object — no nested braces)
+        val marker = "\"" + arm + "\":{"
+        val i = out.lastIndexOf(marker)
+        if (i < 0) None
+        else {
+          val start = i + marker.length - 1
+          val end = out.indexOf('}', start)
+          if (end < 0) None else Some(out.substring(start, end + 1))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[probe] solo adjudication of $arm failed: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        None
+      }
+    }
+    val adjudicated: Seq[(String, String)] =
+      if (!adjudicate || flagged.isEmpty) Seq.empty
+      else flagged.map { arm =>
+        System.err.println(s"[probe] ADJUDICATING $arm (both-high in " +
+          s"full run) — solo re-run in a fresh JVM")
+        val fullObj = rendered.collectFirst { case (n, j) if n == arm => j }
+          .getOrElse("{}")
+        val soloObj = soloRun(arm).getOrElse("null")
+        arm -> s"""{"full":$fullObj,"solo":$soloObj}"""
+      }
+    val adjJson = adjudicated
+      .map { case (n, j) => "\"" + n + "\":" + j }
+      .mkString("{", ",", "}")
+    val json = rendered.map { case (n, j) => "\"" + n + "\":" + j }
+      .mkString(
+        s"""{"metric":"weak_scaling","copies":$copies,"adj_threshold":$adjThreshold,"adjudication":$adjJson,""",
+        ",", "}")
     args.headOption.foreach { f =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")
       catch { case _: Throwable => () }

@@ -115,9 +115,31 @@ object Pipelines {
       require(provider ==
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         s"spark.graft.cumvol.tws requires the RocksDB state store provider, got '$provider'")
-      CumVolStatefulProcessor.enrich(ticks)
-    } else CumVolProcessor.enrich(ticks)
+      tickWatermark(env) match {
+        case Some(d) =>
+          CumVolStatefulProcessor.enrichWithWatermark(ticks.toDF(), d)
+        case None => CumVolStatefulProcessor.enrich(ticks)
+      }
+    } else tickWatermark(env) match {
+      case Some(d) => CumVolProcessor.enrichWithWatermark(ticks.toDF(), d)
+      case None => CumVolProcessor.enrich(ticks)
+    }
   }
+
+  /** Optional tick-branch watermark (round-13): `spark.graft.tick
+    * .watermark = "<delay>"` (e.g. "1 day") routes enrichment through
+    * the watermarked variants — event-time state expiry at scale, and
+    * late rows DROPPED (and metered: [[PipelineMeters]] surfaces the
+    * engine's `numRowsDroppedByWatermark` as a per-pipeline
+    * `dropped_late` counter) instead of re-seeding stale per-day
+    * state. Unset keeps the reference-parity unbounded behavior. An
+    * EXPLICIT conf, same rationale as `spark.graft.cumvol.tws`:
+    * flipping it under an existing checkpoint changes the stateful
+    * operator layout, so it must never be inferred.
+    */
+  private def tickWatermark(env: DataFrame): Option[String] =
+    env.sparkSession.conf.getOption("spark.graft.tick.watermark")
+      .map(_.trim).filter(_.nonEmpty)
 
   /** Idempotent dead-letter write: one `batch=<id>` partition per
     * micro-batch, OVERWRITTEN on replay. A blind append would duplicate
@@ -151,8 +173,13 @@ object Pipelines {
     val wantBook = mode == "full" || mode == "book"
     val queries = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.streaming.StreamingQuery]
     if (wantTick) {
+      // sinkRoot-qualified stable query NAMES (round-13): ids change
+      // across checkpoint restarts, names don't — PipelineMeters keys
+      // its (on_time, corrupt, dropped_late) counters on them, so the
+      // meters keep accumulating across recoveries
       queries += tickPipeline(env).toDF()
         .writeStream.outputMode("append")
+        .queryName(s"graft_tick:$sinkRoot")
         .option("checkpointLocation", s"$checkpointRoot/tick")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           LwwSink.upsertBatch(batch.toDF(), id, sinkRoot, "feed", "tick",
@@ -169,6 +196,7 @@ object Pipelines {
       queries += parseTicks(env).filter(col("_corrupt"))
         .select(col("topic"), col("payload"))
         .writeStream.outputMode("append")
+        .queryName(s"graft_tick_dl:$sinkRoot")
         .option("checkpointLocation", s"$checkpointRoot/tick_dl")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           quarantine(batch.toDF(), id, sinkRoot, "TICK")
@@ -198,6 +226,7 @@ object Pipelines {
           count(lit(1)).as("rows"),
           count(when(col("_corrupt"), lit(1))).as("corrupt"))
         .writeStream.outputMode("append")
+        .queryName(s"graft_book:$sinkRoot")
         .option("checkpointLocation", s"$checkpointRoot/book")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           // pin the batch: the quarantine write, topic scan, and each
