@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   *      job span (≥1 job running, union-of-intervals) / residue —
   *      attributes the probe's "floor" (wall − job) between plan
   *      analysis+codegen and between-job driver work;
-  *   B. register-frame footprint: per-round live (node, bucket) row
-  *      counts on a checkpoint-per-round variant (row counts are
-  *      timing-independent), vs the V × 2^p saturation ceiling.
+  *   B. register-frame footprint: per-round row counts on a
+  *      checkpoint-per-round variant (row counts are
+  *      timing-independent) for BOTH layouts — the r12 long format
+  *      (live (node, bucket) rows vs the V × 2^p ceiling) and the
+  *      r13 packed production layout (one 512-byte row per live node,
+  *      ceiling V).
   *
   * Usage: SPARK_GRAFT_HB_COPIES=100 tools/run.sh graft.HbProbe
   */
@@ -108,16 +111,20 @@ object HbProbe {
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(df)
     println(f"""{"part":"phase","copies":$copies,"rows":$rows,"wall":$wallTotal%.1f,"build":$tBuild%.1f,"jobs_during_build":$jobsDuringBuild%.1f,"analyze":$tAnalyze%.2f,"exec":$tExec%.1f,"jobs_during_exec":$jobsDuringExec%.1f}""")
 
-    // ---- part B: per-round register footprint (checkpoint-per-round
-    // so each count executes one round, not the whole prefix; row
-    // counts are identical to the lazy-chain variant by determinism)
+    // ---- part B: per-round register footprint, BOTH layouts
+    // (checkpoint-per-round so each count executes one round, not the
+    // whole prefix; row counts are identical to the lazy-chain variant
+    // by determinism). `round_rows` is the r12 LONG-format baseline —
+    // one row per live (node, bucket), saturating at V × 2^p — kept so
+    // the r12 attribution stays reproducible; `packed_rows` is the
+    // round-13 PRODUCTION layout (one 512-byte row per node with ≥1
+    // live register, ceiling V): the 512× row-count reduction that
+    // closed the GC-swing watch item.
     val a = adj(copies).localCheckpoint()
-    val nNodes = a.select(col("src").as("node"))
-      .unionByName(a.select(col("dst").as("node"))).distinct().count()
-    var regs = graft.ops.Hll.registers(
-        a.select(col("src").as("node"))
-          .unionByName(a.select(col("dst").as("node"))).distinct(),
-        col("node"), col("node"))
+    val nodes = a.select(col("src").as("node"))
+      .unionByName(a.select(col("dst").as("node"))).distinct()
+    val nNodes = nodes.count()
+    var regs = graft.ops.Hll.registers(nodes, col("node"), col("node"))
       .withColumnRenamed("g", "node").localCheckpoint()
     val counts = scala.collection.mutable.ArrayBuffer(regs.count())
     for (_ <- 1 to 3) {
@@ -131,8 +138,23 @@ object HbProbe {
       counts += regs.count()
     }
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(regs)
+    var preg = graft.ops.Hll.packedRegisters(nodes, col("node"), col("node"))
+      .withColumnRenamed("g", "node").localCheckpoint()
+    val packedCounts = scala.collection.mutable.ArrayBuffer(preg.count())
+    for (_ <- 1 to 3) {
+      val fromNbr = a.join(preg, a("dst") === preg("node"))
+        .select(a("src").as("node"), col("reg"))
+      val next = preg.unionByName(fromNbr)
+        .groupBy("node")
+        .agg(graft.ops.Hll.maxAggCol(col("reg")).as("reg"))
+        .localCheckpoint()
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(preg)
+      preg = next
+      packedCounts += preg.count()
+    }
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(preg)
     val ceiling = nNodes * 512L
-    println(s"""{"part":"footprint","copies":$copies,"nodes":$nNodes,"ceiling_rows":$ceiling,"round_rows":${counts.mkString("[", ",", "]")}}""")
+    println(s"""{"part":"footprint","copies":$copies,"nodes":$nNodes,"ceiling_rows":$ceiling,"round_rows":${counts.mkString("[", ",", "]")},"packed_rows":${packedCounts.mkString("[", ",", "]")},"packed_ceiling_rows":$nNodes}""")
     spark.stop()
   }
 }

@@ -516,6 +516,30 @@ object ScaleProbe {
       n
     }
 
+    // round-13 (VERDICT r12 task #3): two-hop reach, exact vs sketch,
+    // on the SAME densifying bipartite graph — users ×c with a shared
+    // (sliced) catalog, so per-user co-purchaser reach grows ~×c and
+    // the exact arm's (u, w) distinct exchange grows ~×c² while the
+    // sketch's register exchange is bounded at ≤512 scalar rows per
+    // node (~×c). The pair of arms measures the growth-term removal
+    // the sketch exists for; at the registered queries' hub-capped
+    // sf0.1 sizes the two are at parity (documented in GraphIter).
+    def twoHopAdj(c: Int): DataFrame = {
+      val ev = scaled("events", "user_id", c)
+        .filter(col("event_type") === "purchase")
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k") % 5 === 0) // catalog slice bounds wedge volume
+      val e = ev.select(col("user_id").as("a"),
+        (col("k") + 100000L).as("b")).distinct()
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    }
+    def twoHopExact(c: Int): Long =
+      exec(graft.ops.GraphIter.twoHopReach(twoHopAdj(c)))
+    def twoHopSketch(c: Int): Long =
+      exec(graft.ops.GraphIter.twoHopReachSketch(twoHopAdj(c)))
+
     // round-9: fixed output (64 loading rows + ratio) — the corpus cost
     // is the two exact-moment scans (per-dim sums; d(d+1)/2 pair sums),
     // each reducing to ≤2080 DECIMAL cells on the exchange; the power
@@ -791,6 +815,10 @@ object ScaleProbe {
       ("dq_profile", dqProfile), ("text_dedup_cc", textDedup),
       ("graph_lpa", graphLpa), ("graph_kcore", graphKcore),
       ("graph_mis", graphMis),
+      // exact BEFORE sketch so the sketch never pays the exact arm's
+      // distinct-exchange page-cache/GC residue (light→heavy is per
+      // NEIGHBOR here: the pair shares its input build)
+      ("two_hop_sketch", twoHopSketch), ("two_hop_exact", twoHopExact),
       ("winnow_pairs", winnowPairs), ("prefix_filter", prefixFilter),
       ("graph_triangles", graphTriangles))
     // optional name filter for isolation runs (the SPARK_GRAFT_ONLY
@@ -901,9 +929,19 @@ object ScaleProbe {
         pb.environment().put("SPARK_GRAFT_PROBE_COPIES", copies.toString)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        // read on a thread: readAllBytes blocks until child EOF, so a
+        // HUNG child would block the parent past any waitFor timeout
+        // if read inline
+        val outRef = new java.util.concurrent.atomic.AtomicReference("")
+        val reader = new Thread(() =>
+          try outRef.set(new String(p.getInputStream.readAllBytes(), "UTF-8"))
+          catch { case _: Throwable => () })
+        reader.setDaemon(true)
+        reader.start()
         val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
         if (!done) { p.destroyForcibly(); return None }
+        reader.join(60000)
+        val out = outRef.get()
         // the child's stdout ends in one weak_scaling JSON line; lift
         // the arm's object verbatim (flat object — no nested braces)
         val marker = "\"" + arm + "\":{"
