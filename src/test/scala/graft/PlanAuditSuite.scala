@@ -901,4 +901,23 @@ class PlanAuditSuite extends SparkSpec {
       !scans.head.contains("l_partkey"),
       s"scan must read only (price, flag):\n${scans.mkString}")
   }
+
+  test("graph_two_hop_reach_sketch: wedge stream folds MAP-SIDE to " +
+      "registers; no cartesian; no wedge-sized distinct") {
+    // the scale claim (GraphIter.twoHopReachSketch): Σ deg² candidate
+    // rows must collapse to ≤512 (g, bucket) partial-MAX rows per node
+    // BEFORE any exchange — the register fold replaces the exact arm's
+    // (u, w) distinct, so the exchange is bounded regardless of reach
+    val p = executed(q("graph_two_hop_reach_sketch"))
+    val nodes = flatten(p)
+    assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+      s"no cartesian allowed:\n$p")
+    assert(nodes.map(_.toString).exists(s =>
+        s.contains("HashAggregate") && s.contains("partial_max")),
+      "register fold needs a map-side partial MAX")
+    // the whole sketch: wedge join + register rollup + estimate fold +
+    // degree attach — bounded exchange count (measured 5 at fixture
+    // scale; a wedge-sized distinct would add its own exchange)
+    assert(countShuffles(p) <= 6, s"sketch shuffles: ${countShuffles(p)}\n$p")
+  }
 }
