@@ -50,6 +50,19 @@ object HyperBall {
     * the `Hll` expressions verbatim (HyperBallPackedSuite pins packed
     * ≡ long-format per round), so the DuckDB mirror below is
     * untouched.
+    *
+    * Physical form, stated honestly: a binary aggregation buffer is
+    * not an UnsafeRow-mutable type, so the per-round merge plans as
+    * SortAggregate (verified in the executed plan) — the merge
+    * EXPRESSIONS are codegen'd but each round pays a per-partition
+    * sort on `node` on top of its exchange. That cost is INSIDE the
+    * measured wins (100× arm 186.2s vs 731.1s long-format; 10×
+    * adj_in 0.22–0.52 vs 1.04–2.34): the 512× row reduction
+    * dominates the added sort. The ObjectHashAggregate alternative
+    * (TypedImperativeAggregate) would fall back to sort-based anyway
+    * at its default 128-entry threshold with V keys per partition,
+    * so it buys nothing without a session-conf dependency the
+    * registered queries must not carry.
     */
   def apply(adj: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hyperball: rounds $rounds < 1")
