@@ -115,15 +115,15 @@ object GraphIter {
     * crosses the exchange to be deduped), while reach estimation only
     * needs the CARDINALITY of each node's ≤2-hop set. Same wedge
     * enumeration (volume Σ deg², hub-cap bounded), but each candidate
-    * endpoint is hashed scan-side into a single-register packed array
-    * and merged per node by the codegen'd byte-wise-max aggregate —
-    * map-side partials collapse every partition's candidates to ONE
-    * 512-byte row per node, so the exchange carries ≤ tasks × nodes ×
-    * 512B regardless of wedge volume (duplicates never cross; the
-    * max-merge absorbs them pre-shuffle). Standard error 1.04/√512 ≈
-    * 4.6%. Estimate determinism is the [[Hll]] contract, so the row
-    * is fully oracle-mirrorable; accuracy is grounded against the
-    * exact arm in TwoHopSketchSuite (the dedup_eval pattern).
+    * endpoint contributes one scalar (bucket, ρ) register part,
+    * map-side-combined to ≤512 long rows per node before the
+    * exchange — so the shuffle is bounded regardless of wedge volume
+    * (duplicates never cross; MAX absorbs them pre-shuffle), where the
+    * exact arm's distinct state and exchange grow with the reach set.
+    * Standard error 1.04/√512 ≈ 4.6%. Estimate determinism is the
+    * [[Hll]] contract, so the row is fully oracle-mirrorable;
+    * accuracy is grounded against the exact arm in TwoHopSketchSuite
+    * (the dedup_eval pattern).
     *
     * Self-exclusion parity with the exact arm: the wedge filter drops
     * w = u and the adjacency carries no self-loops, so the sketched
@@ -139,12 +139,17 @@ object GraphIter {
     //    aggregation;
     //  - md5 per candidate row (Hll.registers over the wedge set):
     //    Σ deg² hash computations dominate (15.2s).
-    // The shape that works: hash each adjacency endpoint ONCE (E md5s)
-    // and let the wedge join PROPAGATE h — the join output lands
-    // directly in scalar (u, bucket, rho) form, map-side-combining to
-    // ≤512 longs per node before the exchange. Identical estimates
-    // (the hash value does not depend on where it is computed), so
-    // the oracle mirror hashes wherever SQL finds convenient.
+    // The shape that works: hash each adjacency endpoint ONCE (E
+    // md5s) and let the wedge join PROPAGATE h; the (bucket, ρ)
+    // derivation runs per candidate row but is two bit ops + an msb
+    // intrinsic (Hll.bucketOf/rhoOf — no string, no allocation).
+    // A fourth variant — propagating the derived (bucket, ρ) ints
+    // through the join instead of h — measured consistently SLOWER
+    // (5.7–6.4s vs 3.8–4.4s over repeated runs; the wider build side
+    // appears to flip the join strategy), so h-propagation stands on
+    // measurement. Identical estimates either way (the derivation is
+    // a pure function of the endpoint), so the oracle mirror derives
+    // them wherever SQL finds convenient.
     val adjH = adj.select(col("u"), col("v"), Hll.raw60(col("v")).as("h"))
     val two = adj.toDF("u", "m")
       .join(adjH.toDF("m2", "w", "h"), col("m") === col("m2"))

@@ -83,16 +83,35 @@ object Hll {
     * bit-identical to hashing per row.
     */
   def registersFromHash(gh: DataFrame): DataFrame =
-    gh.selectExpr("g", s"h % $M AS bucket", s"h DIV $M AS w")
-      // native msb kernel instead of length(bin(w)): this path runs
-      // once per CANDIDATE row (Σ deg² for the wedge caller), and the
-      // bin() form materializes a string per row; 52 − length(bin(w))
-      // = 51 − floorLog2(w) for w > 0 by the FloorLog2F construction
-      .select(col("g"), col("bucket"),
-        when(col("w") === 0L, lit(Shift))
-          .otherwise(lit(Shift - 1) - graft.ops.Bits.floorLog2(col("w")))
-          .as("rho"))
-      .groupBy("g", "bucket")
+    registersFromParts(gh.select(col("g"),
+      bucketOf(col("h")).as("bucket"), rhoOf(col("h")).as("rho")))
+
+  /** Register index of a raw60 hash — `h % 512` as an exact bit op
+    * (h ≥ 0, M = 2^9, so `h & 511` ≡ the SQL form).
+    */
+  def bucketOf(h: Column): Column = h.bitwiseAND(lit((M - 1).toLong))
+
+  /** ρ of a raw60 hash via the native msb kernel — `h DIV 512` is the
+    * exact `shiftright(h, 9)` for h ≥ 0 (NEVER a double divide: 60-bit
+    * values exceed double's 2^53 integer range), and 52 −
+    * length(bin(w)) = 51 − floorLog2(w) for w > 0 by the FloorLog2F
+    * construction (bin() would materialize a string per row on
+    * Σ deg²-sized streams).
+    */
+  def rhoOf(h: Column): Column = {
+    val w = shiftright(h, 9)
+    when(w === 0L, lit(Shift))
+      .otherwise(lit(Shift - 1) - graft.ops.Bits.floorLog2(w))
+  }
+
+  /** Final fold of a pre-derived (g, bucket, rho) stream — for callers
+    * that compute the register parts BEFORE a fan-out join (the
+    * two-hop wedge: bucket/ρ depend on h alone, so deriving them at
+    * the EDGE level and propagating through the join does the scalar
+    * work E times instead of Σ deg² times).
+    */
+  def registersFromParts(parts: DataFrame): DataFrame =
+    parts.groupBy("g", "bucket")
       .agg(max(col("rho")).as("m_j"))
 
   /** Fold a register table to (g, n_set, s_total, est_distinct). */
