@@ -966,7 +966,20 @@ object ScaleProbe {
         val fullObj = rendered.collectFirst { case (n, j) if n == arm => j }
           .getOrElse("{}")
         val soloObj = soloRun(arm).getOrElse("null")
-        arm -> s"""{"full":$fullObj,"solo":$soloObj}"""
+        // state the conclusion in-artifact: a solo adj_in back under
+        // the threshold means the in-run reading was CONTENTION (the
+        // r11/r12 graph_walk shape); one that persists solo means the
+        // growth is real — by-construction input densification or a
+        // genuine plan problem, which the arm's adj_ratio and the
+        // SCALE.md family note then distinguish
+        val soloAdjIn = """"adj_in":([0-9.]+)""".r
+          .findFirstMatchIn(soloObj).map(_.group(1).toDouble)
+        val verdict = soloAdjIn match {
+          case None => "solo_failed"
+          case Some(v) if v <= adjThreshold => "contention"
+          case Some(_) => "persists_solo"
+        }
+        arm -> s"""{"verdict":"$verdict","full":$fullObj,"solo":$soloObj}"""
       }
     val adjJson = adjudicated
       .map { case (n, j) => "\"" + n + "\":" + j }
