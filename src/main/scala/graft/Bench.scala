@@ -155,6 +155,69 @@ object Bench {
     } finally in.close()
   }
 
+  /** The post-run recovery RE-TIME pass (VERDICT r12 task #1),
+    * extracted so BenchBandSuite can drive a SYNTHETIC spiked run
+    * through it: given the run's noisy map (queries whose steady
+    * still breached their band under the quiet guard), a fresh
+    * recovery calib sample, and a timing thunk, re-time each noisy
+    * query (≤2 samples, early-stop in band). Mutates `noisy` /
+    * `resampled` / `results` exactly as main() needs and RETURNS the
+    * `retimed` disclosure map. If the recovery sample itself is a
+    * spike (host still contended), the pass is a no-op — re-timing
+    * would just re-measure the contention — and the noisy flags
+    * stand, excluded from total_excl_noisy as before.
+    *
+    * @param timeOnce runs one steady sample of the named query,
+    *        returning seconds (None = the attempt died)
+    */
+  private[graft] def retimePass(
+      noisy: scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int, Double)],
+      resampled: scala.collection.mutable.LinkedHashMap[String, (Double, Int)],
+      results: scala.collection.mutable.LinkedHashMap[String, (Double, Double)],
+      refSteady: Map[String, Double],
+      runQuiet: Double,
+      recoveryCalib: Double,
+      timeOnce: String => Option[Double])
+      : scala.collection.mutable.LinkedHashMap[String, (Double, Int)] = {
+    val retimed = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Int)] // recovered steady, total samples
+    if (noisy.isEmpty) return retimed
+    if (isSpike(recoveryCalib, runQuiet)) {
+      System.err.println(
+        f"[bench] RETIME SKIPPED: host still contended (calib " +
+          f"$recoveryCalib%.3f vs run quiet $runQuiet%.3f) — noisy " +
+          "flags stand")
+      return retimed
+    }
+    val hfFinal = hfGuardOf(runQuiet)
+    for (name <- noisy.keys.toSeq) {
+      val ref = refSteady.get(name)
+      val (obs0, _, n0, _) = noisy(name)
+      var best = obs0
+      var taken = 0
+      while (taken < 2 && overBand(best, ref, hfFinal)) {
+        taken += 1
+        timeOnce(name).foreach(t => best = math.min(best, t))
+      }
+      results.get(name).foreach { case (r1, s) =>
+        results(name) = (r1, math.min(s, best))
+      }
+      resampled.get(name).foreach { case (old, n) =>
+        resampled(name) = (math.min(old, best), n + taken)
+      }
+      if (!overBand(best, ref, hfFinal)) {
+        noisy.remove(name)
+        retimed += name -> ((best, n0 + taken))
+        System.err.println(
+          f"[bench] RETIMED $name%s recovered=$best%.3f " +
+            f"(was $obs0%.3f, +$taken samples)")
+      } else {
+        noisy(name) = (best, noisy(name)._2, n0 + taken, noisy(name)._4)
+      }
+    }
+    retimed
+  }
+
   /** Band provenance (VERDICT r12 task #6): WHICH bench_ref.tsv this
     * run checked against — the tsv was regenerated twice in round 12
     * and a stale-band analysis needed git archaeology. Emitted in the
@@ -456,51 +519,22 @@ object Bench {
       s"[bench] SUSPECT SEGMENTS (calib spike >2x run quiet " +
         f"$runQuiet%.3f): " +
         suspectSegs.map { case (i, c) => f"#$i=$c%.3f" }.mkString(", "))
-    val retimed = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Int)] // recovered steady, total samples
-    if (noisy.nonEmpty) {
-      val rec = try calibOnce(spark)
-        catch { case _: Throwable => Double.MaxValue }
-      if (isSpike(rec, runQuiet)) System.err.println(
-        f"[bench] RETIME SKIPPED: host still contended (calib $rec%.3f " +
-          f"vs run quiet $runQuiet%.3f) — noisy flags stand")
-      else {
-        val hfFinal = hfGuardOf(runQuiet)
-        for (name <- noisy.keys.toSeq) {
-          val fn = SparkEntry.queries(name)
-          val ref = RefSteady.get(name)
-          val (obs0, _, n0, _) = noisy(name)
-          var best = obs0
-          var taken = 0
-          while (taken < 2 && overBand(best, ref, hfFinal)) {
-            taken += 1
-            val t0 = System.nanoTime()
-            try {
-              runPlan(fn(spark, sfDir))
-              best = math.min(best, (System.nanoTime() - t0) / 1e9)
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] $name retime attempt FAILED: " +
-                s"${e.getClass.getSimpleName}: ${e.getMessage}")
-            }
-          }
-          resultsMut.get(name).foreach { case (r1, s) =>
-            resultsMut(name) = (r1, math.min(s, best))
-          }
-          resampled.get(name).foreach { case (old, n) =>
-            resampled(name) = (math.min(old, best), n + taken)
-          }
-          if (!overBand(best, ref, hfFinal)) {
-            noisy.remove(name)
-            retimed += name -> ((best, n0 + taken))
-            System.err.println(
-              f"[bench] RETIMED $name%s recovered=$best%.3f " +
-                f"(was $obs0%.3f, +$taken samples)")
-          } else {
-            noisy(name) = (best, noisy(name)._2, n0 + taken, noisy(name)._4)
-          }
+    val retimed = retimePass(
+      noisy, resampled, resultsMut, RefSteady, runQuiet,
+      recoveryCalib =
+        if (noisy.isEmpty) runQuiet
+        else try calibOnce(spark) catch { case _: Throwable => Double.MaxValue },
+      timeOnce = name => {
+        val t0 = System.nanoTime()
+        try {
+          runPlan(SparkEntry.queries(name)(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name retime attempt FAILED: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
         }
-      }
-    }
+      })
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // `queries` keeps the historical min-of-two (steady state);
     // `cold` is run 1 after memo eviction — the un-amortized cost.

@@ -89,6 +89,60 @@ class BenchBandSuite extends AnyFunSuite {
     assert(!Bench.overBand(3.42, Some(1.214), guardSlow))
   }
 
+  test("retimePass: a synthetic spiked run re-times its contaminated " +
+      "query after recovery and moves it noisy -> retimed") {
+    import scala.collection.mutable.LinkedHashMap
+    // the BENCH_r12 shape, synthetically: quiet floor 0.70, a query
+    // whose min-of-two landed at 3.42s against a 1.214s band (flagged
+    // noisy after 5 samples), run1 cold 4.0s
+    val noisy = LinkedHashMap("sssp" -> ((3.42, 1.214, 5, 4.219)))
+    val resampled = LinkedHashMap("sssp" -> ((3.42, 5)))
+    val results = LinkedHashMap("sssp" -> ((4.0, 3.42)))
+    var calls = 0
+    // host recovered (calib 0.71): the re-time lands a clean 1.40s
+    val retimed = Bench.retimePass(noisy, resampled, results,
+      Map("sssp" -> 1.214), runQuiet = 0.70, recoveryCalib = 0.71,
+      timeOnce = { n => calls += 1; assert(n === "sssp"); Some(1.40) })
+    assert(calls === 1, "one clean sample inside the band must stop early")
+    assert(retimed === LinkedHashMap("sssp" -> ((1.40, 6))))
+    assert(noisy.isEmpty, "recovered query must leave the noisy map")
+    assert(results("sssp") === ((4.0, 1.40)), "steady updated to recovery")
+    assert(resampled("sssp") === ((1.40, 6)), "full disclosure updated")
+  }
+
+  test("retimePass: still-contended host skips the pass; noisy stands") {
+    import scala.collection.mutable.LinkedHashMap
+    val noisy = LinkedHashMap("sssp" -> ((3.42, 1.214, 5, 4.219)))
+    val results = LinkedHashMap("sssp" -> ((4.0, 3.42)))
+    var calls = 0
+    // recovery sample itself spiked (2.1 > 2x the 0.70 floor): re-
+    // timing would just re-measure the contention
+    val retimed = Bench.retimePass(noisy, LinkedHashMap.empty, results,
+      Map("sssp" -> 1.214), runQuiet = 0.70, recoveryCalib = 2.1,
+      timeOnce = { _ => calls += 1; Some(0.9) })
+    assert(calls === 0, "no samples may be taken on a contended host")
+    assert(retimed.isEmpty)
+    assert(noisy.contains("sssp"), "noisy flag must stand")
+    assert(results("sssp") === ((4.0, 3.42)), "steady untouched")
+  }
+
+  test("retimePass: a query that stays over band after 2 attempts " +
+      "stays noisy with updated observation and sample count") {
+    import scala.collection.mutable.LinkedHashMap
+    val noisy = LinkedHashMap("hot" -> ((9.0, 1.0, 5, 3.0)))
+    val results = LinkedHashMap("hot" -> ((9.5, 9.0)))
+    var calls = 0
+    val retimed = Bench.retimePass(noisy, LinkedHashMap.empty, results,
+      Map("hot" -> 1.0), runQuiet = 0.70, recoveryCalib = 0.70,
+      timeOnce = { _ => calls += 1; Some(8.0) }) // still 4x the band
+    assert(calls === 2, "both re-time attempts must be taken")
+    assert(retimed.isEmpty)
+    assert(noisy("hot") === ((8.0, 1.0, 7, 3.0)),
+      "still-noisy entry carries the best observation + total samples")
+    assert(results("hot") === ((9.5, 8.0)),
+      "reported steady is still min over ALL samples")
+  }
+
   test("bench_ref.tsv resource: loads, is large, and all-positive") {
     val ref = Bench.RefSteady
     assert(ref.size > 250, s"band resource too small: ${ref.size}")
