@@ -312,6 +312,36 @@ object SamplingQueries extends QueryPack {
           min(when(inQuota, col("doc_id"))).as("first_doc"))
     }),
 
+    // Weighted sampling WITHOUT replacement, exactly k per stratum
+    // (round-13): PRIORITY SAMPLING (Duffield, Lund & Thorup 2007) —
+    // each document draws priority q = u / w with u uniform, and the
+    // k smallest priorities per stratum win, so inclusion probability
+    // grows with the weight while the count stays EXACTLY k (the
+    // Bernoulli arm `sample_weighted` keeps an expected share only).
+    // Weight here = whitespace-token count — "sample documents ∝
+    // tokens", the token-budget-aware subsampling every multi-source
+    // corpus mix runs — clamped to ≥1 so empty docs divide safely.
+    // Exactness discipline: u is the h31 integer hash and q = u DIV w
+    // is pure integer arithmetic (the cross-multiply trick applied to
+    // priorities: no double division anywhere, no transcendental key
+    // like A-ES' u^(1/w) that two engines could round apart), with
+    // doc_id as the total tie-break. One window shuffle keyed on the
+    // stratum; at 100 TB the per-stratum top-k is the same bounded
+    // window the stratified-exact arm already prices.
+    "sample_weighted_topk" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("q"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("w_tok",
+          greatest(lit(1L), size(TextHash.tokens(col("text"))).cast("long")))
+        .withColumn("h", TextHash.h31(col("doc_id").cast("string")))
+        .withColumn("q", expr("h DIV w_tok"))
+        .withColumn("rk", row_number().over(W).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"), col("w_tok"),
+          col("q"))
+    }),
+
     // Temperature-based source mixing (the size^α reweighting every
     // multi-source LLM corpus runs, α = 0.5): each source's share of
     // the 40 %-of-corpus target budget is ∝ √(its size), flattening
@@ -616,6 +646,23 @@ object SamplingQueries extends QueryPack {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      - CAST(len(string_split(text, ' ')) AS BIGINT) AS cum_before
         |  FROM documents)""".stripMargin,
+
+    // integer priorities q = h DIV w, identical derivation; DuckDB //
+    // is integer division for BIGINT operands like Spark's DIV
+    "sample_weighted_topk" ->
+      s"""WITH b AS (
+         |  SELECT lang, doc_id,
+         |    GREATEST(CAST(1 AS BIGINT),
+         |      CAST(len(string_split(text, ' ')) AS BIGINT)) AS w_tok,
+         |    ${graft.ops.TextHash.h31Duck("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, w_tok, h // w_tok AS q,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY h // w_tok, doc_id) AS rk
+         |  FROM b)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, w_tok, q
+         |FROM r WHERE rk <= 5""".stripMargin,
 
     // quality formula mirrored from text_quality (TextQueries)
     "sample_weighted" -> {

@@ -12,8 +12,14 @@ materially change:
     python3 tools/gen_bench_ref.py /tmp/bench_ref.json
 """
 import datetime, json, sys
-args = [a for a in sys.argv[1:] if a != "--force"]
+args = [a for a in sys.argv[1:] if a not in ("--force", "--merge")]
 force = "--force" in sys.argv[1:]
+# --merge (round-13): ADD bands for queries missing from the existing
+# tsv, keeping every existing pin untouched -- the additive-query
+# case, where wholesale re-pinning from whatever run happens to be
+# available would silently loosen (or tighten) 300+ good bands to
+# that run's conditions just to cover one new row.
+merge = "--merge" in sys.argv[1:]
 src = args[0] if len(args) > 0 else "bench.json"
 out = args[1] if len(args) > 1 else \
     "src/main/resources/graft/bench_ref.tsv"
@@ -43,7 +49,21 @@ lines = [
     "# set or plans materially change. Used only to trigger resampling /",
     "# the `noisy` flag -- never folded into emitted numbers.",
 ]
-for k in sorted(d["queries"]):
-    lines.append("%s\t%.3f" % (k, d["queries"][k]))
+entries = {k: "%.3f" % d["queries"][k] for k in d["queries"]}
+if merge:
+    kept = {}
+    for line in open(out):
+        line = line.strip()
+        if line and not line.startswith("#") and "\t" in line:
+            k, v = line.split("\t", 1)
+            kept[k] = v
+    added = sorted(set(entries) - set(kept))
+    if not added:
+        sys.exit("--merge: no new queries to add; tsv unchanged")
+    entries = {**{k: kept[k] for k in kept}, **{k: entries[k] for k in added}}
+    lines[0] += " merge:+%d" % len(added)
+    print("merge: keeping %d pins, adding %s" % (len(kept), added))
+for k in sorted(entries):
+    lines.append("%s\t%s" % (k, entries[k]))
 open(out, "w").write("\n".join(lines) + "\n")
-print("%d entries -> %s" % (len(d["queries"]), out))
+print("%d entries -> %s" % (len(entries), out))
