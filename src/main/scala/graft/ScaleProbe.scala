@@ -815,7 +815,7 @@ object ScaleProbe {
       ("dq_profile", dqProfile), ("text_dedup_cc", textDedup),
       ("graph_lpa", graphLpa), ("graph_kcore", graphKcore),
       ("graph_mis", graphMis),
-      // exact BEFORE sketch so the sketch never pays the exact arm's
+      // sketch BEFORE exact so the sketch never pays the exact arm's
       // distinct-exchange page-cache/GC residue (light→heavy is per
       // NEIGHBOR here: the pair shares its input build)
       ("two_hop_sketch", twoHopSketch), ("two_hop_exact", twoHopExact),

@@ -321,13 +321,18 @@ object SamplingQueries extends QueryPack {
     // Weight here = whitespace-token count — "sample documents ∝
     // tokens", the token-budget-aware subsampling every multi-source
     // corpus mix runs — clamped to ≥1 so empty docs divide safely.
-    // Exactness discipline: u is the h31 integer hash and q = u DIV w
-    // is pure integer arithmetic (the cross-multiply trick applied to
-    // priorities: no double division anywhere, no transcendental key
-    // like A-ES' u^(1/w) that two engines could round apart), with
-    // doc_id as the total tie-break. One window shuffle keyed on the
-    // stratum; at 100 TB the per-stratum top-k is the same bounded
-    // window the stratified-exact arm already prices.
+    // Exactness discipline: u is the h31 integer hash and the
+    // priority is q = (u * 2^20) DIV w — pure integer arithmetic (no
+    // double division anywhere, no transcendental key like A-ES'
+    // u^(1/w) that two engines could round apart). The 2^20 numerator
+    // scaling keeps priority resolution for small u: a plain u DIV w
+    // floors every doc with u < w to q = 0, collapsing exactly the
+    // winners into a tie decided by doc_id instead of by u/w (r13
+    // ADVICE). h31 < 2^31, so u * 2^20 < 2^51 fits BIGINT in both
+    // engines and the quotient still orders by u/w to 2^-20
+    // resolution; doc_id remains the total tie-break. One window
+    // shuffle keyed on the stratum; at 100 TB the per-stratum top-k is
+    // the same bounded window the stratified-exact arm already prices.
     "sample_weighted_topk" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("q"), col("doc_id"))
@@ -335,7 +340,7 @@ object SamplingQueries extends QueryPack {
         .withColumn("w_tok",
           greatest(lit(1L), size(TextHash.tokens(col("text"))).cast("long")))
         .withColumn("h", TextHash.h31(col("doc_id").cast("string")))
-        .withColumn("q", expr("h DIV w_tok"))
+        .withColumn("q", expr("(h * 1048576L) DIV w_tok"))
         .withColumn("rk", row_number().over(W).cast("long"))
         .filter(col("rk") <= 5)
         .select(col("lang"), col("rk"), col("doc_id"), col("w_tok"),
@@ -647,8 +652,9 @@ object SamplingQueries extends QueryPack {
         |      - CAST(len(string_split(text, ' ')) AS BIGINT) AS cum_before
         |  FROM documents)""".stripMargin,
 
-    // integer priorities q = h DIV w, identical derivation; DuckDB //
-    // is integer division for BIGINT operands like Spark's DIV
+    // integer priorities q = (h * 2^20) // w, identical derivation;
+    // DuckDB // is integer division for BIGINT operands like Spark's
+    // DIV, and h * 2^20 < 2^51 fits BIGINT in both engines
     "sample_weighted_topk" ->
       s"""WITH b AS (
          |  SELECT lang, doc_id,
@@ -657,9 +663,9 @@ object SamplingQueries extends QueryPack {
          |    ${graft.ops.TextHash.h31Duck("CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents),
          |r AS (
-         |  SELECT lang, doc_id, w_tok, h // w_tok AS q,
+         |  SELECT lang, doc_id, w_tok, (h * 1048576) // w_tok AS q,
          |    row_number() OVER (PARTITION BY lang
-         |      ORDER BY h // w_tok, doc_id) AS rk
+         |      ORDER BY (h * 1048576) // w_tok, doc_id) AS rk
          |  FROM b)
          |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, w_tok, q
          |FROM r WHERE rk <= 5""".stripMargin,

@@ -48,6 +48,7 @@ object StreamE2EQueries extends QueryPack {
     "stream_e2e_neardup" -> ((s, dir) => runNearDup(s, dir)),
     "stream_e2e_late" -> ((s, dir) => runLate(s, dir)),
     "stream_e2e_late_audit" -> ((s, dir) => runLateAudit(s, dir)),
+    "stream_e2e_meters" -> ((s, dir) => runMeters(s, dir)),
     "stream_e2e_hll" -> ((s, dir) => runHll(s, dir)),
     "stream_e2e_cms" -> ((s, dir) => runCms(s, dir)),
     "stream_e2e_cdc" -> ((s, dir) => runCdc(s, dir)),
@@ -529,6 +530,120 @@ object StreamE2EQueries extends QueryPack {
     (LwwSink.read(s, sinkRoot, "feed", "late")
       .select(col("symbol"), col("w_start"), col("n_ticks"),
         col("sum_vol")), dropped)
+  }
+
+  /** PIPELINE METER AUDIT (round-14, VERDICT r13 task #4): the
+    * PRODUCTION assembly ([[Pipelines.start]], tick mode) run through
+    * a corrupt + late + CHECKPOINT-RESTART scenario, with the
+    * [[graft.streaming.PipelineMeters]] listener's accumulated
+    * (rows, corrupt, dropped_late, on_time) counters as the
+    * oracle-checked OUTPUT. `stream_e2e_late_audit` certifies the
+    * engine's raw watermark meter on a bare windowed query; this row
+    * certifies the deployment-facing meter surface itself — name-keyed
+    * accumulation across a restart, batchId replay dedup, K5 corrupt
+    * quarantine counting — against counts DuckDB recomputes from the
+    * events fixture alone.
+    *
+    * Construction (everything a pure function of the events table):
+    *   - era: the deduped tick base — all on-time;
+    *   - corrupt: ONE volume-less line per deduped PURCHASE row
+    *     (`to_json` drops null fields, so the strict serde contract
+    *     fails each — K5 quarantine, metered `corrupt`);
+    *   - two advancer envelopes (symbol ZZZ, ~100 days ahead) commit
+    *     alone to advance the one-batch-lagging filter watermark —
+    *     see runLateCommon's scaladoc for why one is not enough;
+    *   - incarnation 2, restarted from the checkpoint, receives ONE
+    *     straggler per purchase USER (one row per flatMapGroupsWith-
+    *     State group, so the drop count is exact under either row- or
+    *     group-granular metering), ~100 days behind the recovered
+    *     watermark — every one must be dropped AND metered.
+    * The meter must read rows = era + corrupt + 2 + stragglers,
+    * corrupt = purchase rows, dropped_late = purchase users, on_time
+    * = era + 2; one admitted straggler, one double-counted replay
+    * batch, or one unquarantined corrupt row moves a count and
+    * hash-fails.
+    */
+  private def runMeters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // pinned: four jobs consume it (era spool, corrupt spool,
+    // max-second probe, straggler spool)
+    val base = dedupedTicks(s, dir).localCheckpoint()
+    val work = Files.createTempDirectory("graft_e2e_meters")
+    graft.source.SpoolWriter.deleteAtExit(work)
+    // era files RANGE-partitioned on time and consumed in file-name
+    // (= time) order: with one file per trigger the watermark advances
+    // monotonically and drops NO era row. A round-robin split makes
+    // every file span the whole era, so batch 1 advances the watermark
+    // past most of batches 2-4 (measured: 1935 era rows metered as
+    // dropped) — the same construction rule runLateCommon documents.
+    val spool = graft.source.SpoolWriter.write(
+      tickLines(base.repartitionByRange(4, col("time_s"), col("user_id"))
+        .sortWithinPartitions("time_s", "user_id"),
+        col("value"), stdVolume, stdType), work,
+      repartitionTo = None)
+    val maxSec = base.agg(max(col("time_s"))).head().getLong(0)
+    val nFiles = graft.util.Fs.list(Paths.get(spool))
+      .count(_.getFileName.toString.endsWith(".jsonl"))
+    def moveIn(from: String, firstIdx: Long): Long = {
+      val files = graft.util.Fs.list(Paths.get(from))
+        .filter(_.getFileName.toString.endsWith(".jsonl"))
+        .sortBy(_.getFileName.toString)
+      files.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, Paths.get(spool).resolve(postFile(firstIdx + i)))
+      }
+      firstIdx + files.size
+    }
+    // corrupt lines: era-shaped but volume-less (null volume → the
+    // field is absent from the JSON → strict serde quarantines it)
+    var next = moveIn(graft.source.SpoolWriter.write(
+      tickLines(base.filter(col("event_type") === "purchase"),
+        col("value"), lit(null).cast("int"), stdType),
+      work.resolve("corrupt"), repartitionTo = Some(1)), nFiles)
+    def advancer(t: Long) =
+      s"""{"topic":"feed","frameType":"TICK","payload":""" +
+        s"""{"symbol":"ZZZ","bid":1.0,"price":1.0,"ask":1.0,""" +
+        s""""time":$t,"volume":1,"type":"B"}}"""
+    Files.writeString(Paths.get(spool).resolve(postFile(next)),
+      advancer(maxSec + 100 * 86400) + "\n")
+    Files.writeString(Paths.get(spool).resolve(postFile(next + 1)),
+      advancer(maxSec + 100 * 86400 + 60) + "\n")
+    next += 2
+    // stragglers staged OUTSIDE the spool until incarnation 2
+    val lateSpool = graft.source.SpoolWriter.write(
+      tickLines(base.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("time_s")).as("time_s"), max(col("value")).as("value")),
+        col("value"), (floor(col("value")) * 10 + 7).cast("int"), lit("B")),
+      work.resolve("late"), repartitionTo = Some(1))
+    val sinkRoot = work.resolve("sink").toString
+    val meters = graft.streaming.PipelineMeters.register(s)
+    val savedWm = s.conf.getOption("spark.graft.tick.watermark")
+    s.conf.set("spark.graft.tick.watermark", "1 day")
+    try {
+      def run(): Unit = {
+        val env = s.readStream
+          .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+          .option("path", spool)
+          .option("maxFilesPerTrigger", "1") // advancers commit alone
+          .load()
+        val qs = Pipelines.start(env, "tick", sinkRoot,
+          work.resolve("ckpt").toString)
+        try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(s)
+      }
+      run() // incarnation 1: era + corrupt + both advancers
+      moveIn(lateSpool, next)
+      run() // incarnation 2: stragglers only, from the checkpoint
+      val m = meters(s"graft_tick:$sinkRoot")
+      Seq((m.rows, m.corrupt, m.droppedLate, m.onTime))
+        .toDF("n_rows", "n_corrupt", "n_dropped_late", "n_on_time")
+    } finally {
+      savedWm match {
+        case Some(v) => s.conf.set("spark.graft.tick.watermark", v)
+        case None => s.conf.unset("spark.graft.tick.watermark")
+      }
+      s.streams.removeListener(meters)
+    }
   }
 
   private def runTumbling(s: SparkSession, dir: String): DataFrame = {
@@ -1568,6 +1683,30 @@ object StreamE2EQueries extends QueryPack {
         |SELECT (SELECT COUNT(*) FROM base) AS on_time_rows,
         |  (SELECT COUNT(DISTINCT (user_id, sec // 1800)) FROM base
         |   WHERE event_type = 'purchase') AS dropped_late""".stripMargin,
+
+    // the meter surface's mirror: every count recomputed from the
+    // events table alone — rows = era + one corrupt per purchase row
+    // + 2 advancers + one straggler per purchase user; corrupt =
+    // purchase rows; dropped = purchase users; on_time = era + 2
+    "stream_e2e_meters" ->
+      """WITH base AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_type,
+        |      row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('purchase', 'click'))
+        |  WHERE rn = 1),
+        |n AS (SELECT
+        |    (SELECT COUNT(*) FROM base) AS n_base,
+        |    (SELECT COUNT(*) FROM base
+        |       WHERE event_type = 'purchase') AS n_bad,
+        |    (SELECT COUNT(DISTINCT user_id) FROM base
+        |       WHERE event_type = 'purchase') AS n_drop)
+        |SELECT CAST(n_base + n_bad + n_drop + 2 AS BIGINT) AS n_rows,
+        |  CAST(n_bad AS BIGINT) AS n_corrupt,
+        |  CAST(n_drop AS BIGINT) AS n_dropped_late,
+        |  CAST(n_base + 2 AS BIGINT) AS n_on_time
+        |FROM n""".stripMargin,
 
     "stream_e2e_tumbling" ->
       """WITH base AS (

@@ -44,6 +44,20 @@ final class PipelineMeters extends StreamingQueryListener {
   import PipelineMeters.Meter
 
   private val meters = TrieMap.empty[String, Meter]
+  // Highest batchId already folded into the meter, per query NAME.
+  // After an UNCLEAN shutdown the recovered incarnation re-executes
+  // the last uncommitted micro-batch under the SAME batchId and
+  // reports its progress again; without this guard that replay is
+  // double-counted and on_time diverges from the (idempotent) sink
+  // exactly in the crash-recovery scenario the name-keyed
+  // accumulation exists for (r13 ADVICE). batchIds are monotone per
+  // checkpoint, so "skip batchId ≤ last counted" dedups the replay
+  // while clean restarts (which continue the sequence) keep
+  // accumulating. Caveat, stated honestly: re-running the same name
+  // on a FRESH checkpoint (batchIds restart at 0) against the same
+  // meter instance would be skipped — a meter's lifetime is one
+  // pipeline lifetime; register a fresh one per deployment.
+  private val lastBatch = TrieMap.empty[String, Long]
 
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -55,6 +69,8 @@ final class PipelineMeters extends StreamingQueryListener {
       e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     val name = Option(p.name).getOrElse(return)
+    if (lastBatch.get(name).exists(_ >= p.batchId)) return
+    lastBatch(name) = p.batchId
     val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
     // either pipeline's observe stage (tick or book); absent on
     // queries without one (the tick dead-letter writer)

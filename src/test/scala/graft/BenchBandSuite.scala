@@ -89,6 +89,62 @@ class BenchBandSuite extends AnyFunSuite {
     assert(!Bench.overBand(3.42, Some(1.214), guardSlow))
   }
 
+  test("hfGuardOf io axis: an I/O-slow-but-CPU-quiet host widens the " +
+      "band honestly; a transient I/O wave does not (VERDICT r13 " +
+      "task #1 — the BENCH_r13 committed-artifact shape)") {
+    // the r13 blind spot, synthetically: CPU kernel quiet (0.70 ⇒
+    // cpu_hf 1.0) while fixture I/O runs 3x its pinned reference.
+    // Old guard (CPU-only): 1.0 — an I/O-bound query at 3x its band
+    // pin read as a code regression OR slid under the +0.2s slack
+    // with the artifact claiming a quiet host. New guard: the io
+    // axis widens it to 3.0 and the host_factor_io field discloses
+    // the regime either way.
+    val ioSlow = 3.0 * Bench.RefIoCalibSec
+    assert(Bench.hfGuardOf(0.70) === 1.0,
+      "precondition: the CPU-only guard is blind to the I/O regime")
+    assert(Bench.hfGuardOf(0.70, ioSlow) === 3.0,
+      "uniformly I/O-slow host must widen the band via max(cpu, io)")
+    // a query 2.8x its pin: waved through on the genuinely-slow-I/O
+    // host (proportional), flagged when the io QUIET floor is quiet
+    // (= the slowdown was a transient wave, not the host)
+    assert(!Bench.overBand(2.8, Some(1.0), Bench.hfGuardOf(0.70, ioSlow)))
+    assert(Bench.overBand(2.8, Some(1.0),
+      Bench.hfGuardOf(0.70, Bench.RefIoCalibSec)),
+      "quiet io floor ⇒ a 2.8x value is contamination, not host")
+    // io axis disabled (probe dead, quietIo = 0.0): CPU-only semantics
+    assert(Bench.hfGuardOf(0.70, 0.0) === 1.0)
+    // both axes slow: the worse one governs
+    assert(Bench.hfGuardOf(1.40, ioSlow) === 3.0)
+    assert(Bench.hfGuardOf(2.8, ioSlow) === 4.0)
+  }
+
+  test("retimePass: an I/O-contended recovery skips the pass even " +
+      "when the CPU kernel reads quiet (the r13 wave's exact shape)") {
+    import scala.collection.mutable.LinkedHashMap
+    val noisy = LinkedHashMap("src" -> ((0.9, 0.3, 5, 0.70)))
+    val results = LinkedHashMap("src" -> ((1.0, 0.9)))
+    var calls = 0
+    // CPU recovery 0.71 (quiet) but the io probe reads >2x its run
+    // floor — fixture reads are still starved; a re-time now would
+    // just re-measure the contention. The run's io floor sits AT the
+    // pinned reference (io_hf 1.0) so the band itself is unwidened.
+    val retimed = Bench.retimePass(noisy, LinkedHashMap.empty, results,
+      Map("src" -> 0.3), runQuiet = 0.70, recoveryCalib = 0.71,
+      runQuietIo = Bench.RefIoCalibSec,
+      recoveryIo = 2.5 * Bench.RefIoCalibSec,
+      timeOnce = { _ => calls += 1; Some(0.3) })
+    assert(calls === 0, "no samples may be taken while I/O is contended")
+    assert(retimed.isEmpty)
+    assert(noisy.contains("src"), "noisy flag must stand")
+    // and with the io axis recovered too, the pass runs as before
+    val retimed2 = Bench.retimePass(noisy, LinkedHashMap.empty, results,
+      Map("src" -> 0.3), runQuiet = 0.70, recoveryCalib = 0.71,
+      runQuietIo = Bench.RefIoCalibSec,
+      recoveryIo = 1.1 * Bench.RefIoCalibSec,
+      timeOnce = { _ => calls += 1; Some(0.3) })
+    assert(calls === 1 && retimed2.contains("src") && noisy.isEmpty)
+  }
+
   test("retimePass: a synthetic spiked run re-times its contaminated " +
       "query after recovery and moves it noisy -> retimed") {
     import scala.collection.mutable.LinkedHashMap

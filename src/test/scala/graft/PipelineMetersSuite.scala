@@ -32,6 +32,23 @@ class PipelineMetersSuite extends SparkSpec {
       Files.write(spool.resolve(name),
         lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     val meters = PipelineMeters.register(spark)
+    // captures every real progress event so the end of the test can
+    // re-deliver them — the engine's crash-recovery behavior (the last
+    // uncommitted micro-batch replays under the SAME batchId and
+    // reports progress again) simulated with genuine event objects
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent]
+    val capturer = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        captured.add(e)
+    }
+    spark.streams.addListener(capturer)
     spark.conf.set("spark.graft.tick.watermark", "1 day")
     try {
       // one incarnation of the production assembly: drain, stop
@@ -80,9 +97,21 @@ class PipelineMetersSuite extends SparkSpec {
       val sunk = graft.sink.LwwSink.read(spark, sinkRoot, "feed", "tick")
         .count()
       assert(sunk === m2.onTime, s"sink rows $sunk vs on_time ${m2.onTime}")
+      // UNCLEAN-shutdown replay (r13 ADVICE): after a crash the
+      // recovered query re-executes the last uncommitted micro-batch
+      // under the SAME batchId and its progress is reported AGAIN —
+      // re-deliver every captured real event and assert the meters do
+      // not move (batchId-keyed dedup), where the pre-fix accumulation
+      // would double every counter
+      assert(!captured.isEmpty, "capturer saw no progress events")
+      val snapBefore = meters.snapshot
+      captured.forEach(e => meters.onQueryProgress(e))
+      assert(meters.snapshot === snapBefore,
+        s"replayed batchIds must not re-count: $snapBefore vs ${meters.snapshot}")
     } finally {
       spark.conf.unset("spark.graft.tick.watermark")
       spark.streams.removeListener(meters)
+      spark.streams.removeListener(capturer)
     }
   }
 }

@@ -35,6 +35,35 @@ if d.get("failed") and not force:
     sys.exit("REFUSED: source run has failed queries %s -- their bands "
              "would silently vanish; fix or pass --force"
              % list(d["failed"]))
+import os
+# --merge against a missing tsv degrades to a plain regen (r13 ADVICE:
+# an unhandled FileNotFoundError here is just a worse way to say "there
+# is nothing to merge into").
+if merge and not os.path.exists(out):
+    print("--merge: %s does not exist yet; falling back to full regen"
+          % out)
+    merge = False
+# The human-readable Source line is rewritten from the SOURCE RUN'S OWN
+# totals on every full regen (VERDICT r13 task #2 -- a stale Source
+# header that contradicts NOTES is exactly the archaeology the
+# generated: stamp was meant to kill). In --merge mode the source run
+# only vouches for the ADDED pins, so the prior Source line -- which
+# describes the kept majority -- is preserved and the merge-source run
+# is described on its own line scoped to the added entries.
+prior_source = []
+if merge:
+    prior_source = [l.rstrip("\n") for l in open(out)
+                    if l.startswith("#") and
+                    ("Source:" in l or "merge-source" in l or
+                     "local[32]" in l)]
+if merge and prior_source:
+    source_lines = prior_source
+else:
+    source_lines = [
+        "# Source: full quiet-host bench, sf0.1, local[32],",
+        "# host_factor %.3f, total %.1fs." % (
+            d.get("host_factor", -1), d.get("value", -1)),
+    ]
 lines = [
     # Provenance stamp (VERDICT r12 task #6): Bench emits this line's
     # value plus the tsv's SHA-256 in every artifact as `ref_tsv`, so a
@@ -42,9 +71,8 @@ lines = [
     "# generated: %s" % datetime.datetime.now(
         datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
     "# Pinned per-query steady reference band for Bench's noise detection",
-    "# (VERDICT r10 task #1). Source: full quiet-host bench, sf0.1,",
-    "# local[32], host_factor %.3f, total %.1fs." % (
-        d.get("host_factor", -1), d.get("value", -1)),
+    "# (VERDICT r10 task #1).",
+] + source_lines + [
     "# Regenerate with tools/gen_bench_ref.py <bench.json> when the query",
     "# set or plans materially change. Used only to trigger resampling /",
     "# the `noisy` flag -- never folded into emitted numbers.",
@@ -62,6 +90,11 @@ if merge:
         sys.exit("--merge: no new queries to add; tsv unchanged")
     entries = {**{k: kept[k] for k in kept}, **{k: entries[k] for k in added}}
     lines[0] += " merge:+%d" % len(added)
+    # scope the merge-source run to the pins it actually produced
+    lines.insert(3, "# merge-source (added pins %s only): host_factor "
+                 "%.3f, total %.1fs." % (
+                     ",".join(added), d.get("host_factor", -1),
+                     d.get("value", -1)))
     print("merge: keeping %d pins, adding %s" % (len(kept), added))
 for k in sorted(entries):
     lines.append("%s\t%s" % (k, entries[k]))
