@@ -64,8 +64,22 @@ object HyperBall {
     * so it buys nothing without a session-conf dependency the
     * registered queries must not carry.
     */
-  def apply(adj: DataFrame, rounds: Int): DataFrame = {
+  def apply(adj0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hyperball: rounds $rounds < 1")
+    // Pin the INPUT edge list once (round-14, VERDICT r13 task #3):
+    // the lazy round chain embeds the adjacency subtree in every
+    // round's join plus the node seed, and exchange reuse dedupes the
+    // EXCHANGES inside those copies but not the work above them — an
+    // expensive upstream derivation (the 100× probe's 100-way scaled
+    // union with per-row JSON extraction and two distincts) re-ran
+    // per consumer and was the measured bulk of the probe's 242.5s
+    // jobs_during_build floor, while the DERIVED edge list is only
+    // 600k rows (~10 MB). One materialization pass + E tiny rows
+    // buys every downstream consumer a checkpoint-root scan; the
+    // blocks are released as soon as the output checkpoint below has
+    // materialized (nothing references them after that).
+    val adj = adj0.localCheckpoint()
+    try {
     val nodes = adj.select(col("src").as("node"))
       .unionByName(adj.select(col("dst").as("node")))
       .distinct()
@@ -99,6 +113,8 @@ object HyperBall {
       out += est(r, regs)
     }
     out.reduce(_ unionByName _).localCheckpoint()
+    } finally org.apache.spark.sql.graftbridge.Bridge
+      .releaseLocalCheckpoint(adj)
   }
 
   /** DuckDB mirror as a WITH body over `adjCte(src, dst)`: unrolled
