@@ -199,6 +199,20 @@ class BenchBandSuite extends AnyFunSuite {
       "reported steady is still min over ALL samples")
   }
 
+  test("driftOf: run total over pinned total, banded queries only") {
+    val ref = Map("a" -> 1.0, "b" -> 2.0)
+    // exact match to the pin conditions
+    assert(Bench.driftOf(Seq("a" -> 1.0, "b" -> 2.0), ref) === 1.0)
+    // diffuse 1.2x window: every query a little over, no band breached
+    assert(math.abs(
+      Bench.driftOf(Seq("a" -> 1.2, "b" -> 2.4), ref) - 1.2) < 1e-9)
+    // unbanded queries are excluded from BOTH sides
+    assert(Bench.driftOf(Seq("a" -> 1.0, "new" -> 99.0), ref) === 1.0)
+    // no banded queries ran -> -1 sentinel, never divide-by-zero
+    assert(Bench.driftOf(Seq("new" -> 1.0), ref) === -1.0)
+    assert(Bench.driftOf(Seq.empty, ref) === -1.0)
+  }
+
   test("bench_ref.tsv resource: loads, is large, and all-positive") {
     val ref = Bench.RefSteady
     assert(ref.size > 250, s"band resource too small: ${ref.size}")
