@@ -192,8 +192,14 @@ object Bench {
     * it is computed over banded queries only).
     */
   private[graft] def driftOf(
-      mins: Seq[(String, Double)], ref: Map[String, Double]): Double = {
-    val banded = mins.filter { case (k, _) => ref.contains(k) }
+      mins: Seq[(String, Double)], ref: Map[String, Double],
+      noisy: Set[String] = Set.empty): Double = {
+    // noisy-flagged queries excluded from BOTH sides (round-15, r14
+    // ADVICE), mirroring totalExclNoisy: a run with per-query
+    // contamination must not embed, in its windows-comparability
+    // ratio, the very values the artifact disavows from
+    // total_excl_noisy.
+    val banded = mins.filter { case (k, _) => ref.contains(k) && !noisy(k) }
     val pinSum = banded.map { case (k, _) => ref(k) }.sum
     if (pinSum <= 0.0) -1.0 else banded.map(_._2).sum / pinSum
   }
@@ -322,6 +328,115 @@ object Bench {
         .map(_.stripPrefix("# generated:").trim).getOrElse("")
       (sha, gen)
     } finally in.close()
+  }
+
+  /** Promotion drift threshold (round-15, VERDICT r14 task #2): a run
+    * whose final drift exceeds this is stamped `promotable: false` —
+    * its window diverges too far from the one the bands were pinned
+    * under to serve as the round's official artifact. 1.10 is the
+    * boundary the r14 window hunt applied by hand (committed 1.066;
+    * rejected 158.3s attempt ~1.21).
+    */
+  private[graft] val PromoteDriftThreshold = 1.10
+
+  /** Fixed-size headline trailer (round-15, VERDICT r14 task #1 — the
+    * round's one degraded evidence channel). The full JSON line grew
+    * past the driver's stdout-tail capture window, so BENCH_r14.json
+    * recorded `"parsed": null`: the tail began mid-`noisy` and the
+    * headline total was truncated away. This line is printed LAST,
+    * after the full line, and carries only scalars — BenchBandSuite
+    * pins it under 512 bytes, so however the itemization grows, the
+    * headline always lands inside any sane tail window.
+    */
+  private[graft] def summaryLine(
+      total: Double, totalExcl: Double, drift: Double, promotable: Boolean,
+      hostFactor: Double, hostFactorIo: Double, nQueries: Int, nNoisy: Int,
+      nFailed: Int, refSha: String, sf: String): String = {
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // sf basename + truncated sha keep the line fixed-size; the full
+    // values are on the preceding line and in the bench.json file
+    val sfTail = sf.split('/').filter(_.nonEmpty).lastOption.getOrElse(sf)
+    s"""{"metric":"total_summary","value":${r3(total)},""" +
+      s""""total_excl_noisy":${r3(totalExcl)},"drift":${r3(drift)},""" +
+      s""""promotable":$promotable,""" +
+      s""""promote_threshold":$PromoteDriftThreshold,"unit":"sec",""" +
+      s""""host_factor":${r3(hostFactor)},""" +
+      s""""host_factor_io":${r3(hostFactorIo)},""" +
+      s""""n_queries":$nQueries,"n_noisy":$nNoisy,"n_failed":$nFailed,""" +
+      s""""ref_sha":"${refSha.take(12)}","sf":"${sfTail.take(24)}"}"""
+  }
+
+  /** Drift-gated promotion re-time (round-15, VERDICT r14 task #2).
+    * The per-query 2× band gates NOISE flags and the calib probes gate
+    * host regime; `drift` discloses the diffuse ~1.2× window neither
+    * catches — but until now acting on it was a manual window hunt
+    * (four hand-rejected runs in round 14). This pass automates the
+    * choice: when end-of-run drift exceeds `threshold` and a fresh
+    * quiet-probe check confirms the host has recovered, the top-N
+    * largest drift CONTRIBUTORS (banded, non-noisy queries ordered by
+    * obs − ref excess — the absolute seconds each adds to the
+    * numerator) are re-timed (≤2 samples each, early-stop once within
+    * 5% of the pin); drift is then recomputed and the artifact stamped
+    * `promotable` against the threshold. If the host is still
+    * contended the pass is a no-op (re-timing would re-measure the
+    * contention) and the run is stamped unpromotable as-is. Mutates
+    * `results`/`resampled` exactly like [[retimePass]] (reported
+    * steady = min over ALL samples — the estimand is the uncontended
+    * cost) and returns the `drift_retimed` disclosure map.
+    */
+  private[graft] def driftRetimePass(
+      results: scala.collection.mutable.LinkedHashMap[String, (Double, Double)],
+      resampled: scala.collection.mutable.LinkedHashMap[String, (Double, Int)],
+      refSteady: Map[String, Double],
+      noisy: Set[String],
+      threshold: Double,
+      topN: Int,
+      hostQuiet: Boolean,
+      timeOnce: String => Option[Double])
+      : scala.collection.mutable.LinkedHashMap[String, (Double, Int)] = {
+    val retimed = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Int)] // recovered steady, extra samples
+    def minsNow: Seq[(String, Double)] = results.toSeq
+      .map { case (k, (r1, r2)) => k -> math.min(r1, r2) }
+    val drift0 = driftOf(minsNow, refSteady, noisy)
+    if (drift0 < 0.0 || drift0 <= threshold) return retimed
+    if (!hostQuiet) {
+      System.err.println(
+        f"[bench] DRIFT RETIME SKIPPED: drift $drift0%.3f > $threshold%.2f " +
+          "but host still contended — run stamped unpromotable as-is")
+      return retimed
+    }
+    val contributors = minsNow.collect {
+      case (k, v) if refSteady.contains(k) && !noisy(k) &&
+          v > refSteady(k) => (k, v, v - refSteady(k))
+    }.sortBy(-_._3).take(topN)
+    System.err.println(
+      f"[bench] DRIFT RETIME: drift $drift0%.3f > $threshold%.2f; " +
+        s"re-timing top ${contributors.size} contributors: " +
+        contributors.map { case (k, _, ex) => f"$k%s(+$ex%.2fs)" }
+          .mkString(", "))
+    for ((name, obs, _) <- contributors) {
+      val pin = refSteady(name)
+      var best = obs
+      var taken = 0
+      while (taken < 2 && best > 1.05 * pin) {
+        taken += 1
+        timeOnce(name).foreach(t => best = math.min(best, t))
+      }
+      if (best < obs) {
+        results.get(name).foreach { case (r1, s) =>
+          results(name) = (r1, math.min(s, best))
+        }
+        resampled.get(name) match {
+          case Some((old, n)) => resampled(name) = (math.min(old, best), n + taken)
+          case None => resampled(name) = (best, 2 + taken)
+        }
+      }
+      retimed += name -> ((best, taken))
+      System.err.println(
+        f"[bench] DRIFT RETIMED $name%s $obs%.3f -> $best%.3f (+$taken samples)")
+    }
+    retimed
   }
 
   def main(args: Array[String]): Unit = {
@@ -669,6 +784,40 @@ object Bench {
           None
         }
       })
+    // --- drift-gated promotion (round-15, VERDICT r14 task #2): when
+    // the run's drift exceeds the promotion threshold — a diffuse
+    // window no per-query band catches — re-time the largest drift
+    // contributors after a fresh quiet-probe check, then stamp the
+    // artifact promotable true/false against the recomputed drift. The
+    // probes are sampled ONLY when the pass would actually run (a
+    // quiet run pays nothing extra).
+    val driftPre = driftOf(resultsMut.toSeq.map { case (k, (r1, r2)) =>
+      k -> math.min(r1, r2) }, RefSteady, noisy.keySet.toSet)
+    val driftRetimed =
+      if (driftPre < 0.0 || driftPre <= PromoteDriftThreshold)
+        scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int)]
+      else {
+        val c = try calibOnce(spark) catch { case _: Throwable => Double.MaxValue }
+        val io =
+          if (runQuietIo == 0.0) 0.0
+          else try ioCalibOnce(spark, sfDir)
+            catch { case _: Throwable => Double.MaxValue }
+        val hostQuiet = !isSpike(c, runQuiet) &&
+          (runQuietIo == 0.0 || !isSpike(io, runQuietIo))
+        driftRetimePass(resultsMut, resampled, RefSteady,
+          noisy.keySet.toSet, PromoteDriftThreshold, topN = 10, hostQuiet,
+          timeOnce = name => {
+            val t0 = System.nanoTime()
+            try {
+              runPlan(SparkEntry.queries(name)(spark, sfDir))
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name drift-retime attempt " +
+                s"FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              None
+            }
+          })
+      }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // `queries` keeps the historical min-of-two (steady state);
     // `cold` is run 1 after memo eviction — the un-amortized cost.
@@ -679,7 +828,11 @@ object Bench {
     // the comparable headline (VERDICT r11 task #1): same sum minus
     // the queries this run's own `noisy` map disavows
     val totalExcl = totalExclNoisy(mins, noisy.keySet.toSet)
-    val drift = driftOf(mins, RefSteady)
+    val drift = driftOf(mins, RefSteady, noisy.keySet.toSet)
+    // the promotion stamp: a failed run is never promotable; neither
+    // is one with no banded queries (drift -1 sentinel)
+    val promotable =
+      drift >= 0.0 && drift <= PromoteDriftThreshold && failed.isEmpty
     val unbanded = unbandedOf(resultsMut.keys.toSeq, RefSteady)
     def jmap(rs: Iterable[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -715,10 +868,16 @@ object Bench {
       val rtj = retimed.map { case (k, (obs, n)) =>
         s""""$k":{"obs":${r3(obs)},"n":$n}"""
       }.mkString("{", ",", "}")
+      // drift-gated promotion disclosure: which contributors the pass
+      // re-timed (recovered steady + extra samples), plus the
+      // pre-pass drift so the recovery is auditable in-artifact
+      val drj = driftRetimed.map { case (k, (obs, n)) =>
+        s""""$k":{"obs":${r3(obs)},"n":$n}"""
+      }.mkString("{", ",", "}")
       // band provenance: which bench_ref.tsv this run checked against
       val (tsvSha, tsvGen) = RefTsvMeta
       val refj = s"""{"sha256":"$tsvSha","generated":"$tsvGen"}"""
-      s"""{"metric":"total","value":$tot,"total_excl_noisy":${r3(totalExcl)},"drift":${r3(drift)},"unit":"sec","host_factor":${r3(hostFactor)},"host_factor_io":${r3(hostFactorIo)},"calib":[${r3(calibStart)},${r3(calibEnd)}],"io_calib":[${r3(ioCalibStart)},${r3(ioCalibEnd)}],"calib_segments":$segs,"io_calib_segments":$ioSegs,"run_quiet":${r3(runQuiet)},"run_quiet_io":${r3(runQuietIo)},"suspect_segments":$ssj,"suspect_segments_io":$ssij,"noisy":$nj,"resampled":$rj,"retimed":$rtj,"unbanded":$uj,"ref_tsv":$refj,"queries":${jmap(rs)},"cold":${jmap(cold)},"deliberate":$dj,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$tot,"total_excl_noisy":${r3(totalExcl)},"drift":${r3(drift)},"drift_pre_retime":${r3(driftPre)},"promotable":$promotable,"promote_threshold":$PromoteDriftThreshold,"unit":"sec","host_factor":${r3(hostFactor)},"host_factor_io":${r3(hostFactorIo)},"calib":[${r3(calibStart)},${r3(calibEnd)}],"io_calib":[${r3(ioCalibStart)},${r3(ioCalibEnd)}],"calib_segments":$segs,"io_calib_segments":$ioSegs,"run_quiet":${r3(runQuiet)},"run_quiet_io":${r3(runQuietIo)},"suspect_segments":$ssj,"suspect_segments_io":$ssij,"noisy":$nj,"resampled":$rj,"retimed":$rtj,"drift_retimed":$drj,"unbanded":$uj,"ref_tsv":$refj,"queries":${jmap(rs)},"cold":${jmap(cold)},"deliberate":$dj,"failed":$fj,"sf":"$sfDir"}"""
     }
     val full = render(mins, colds, total)
     // Round 1 post-mortem: the driver parses the bench JSON out of the
@@ -754,11 +913,19 @@ object Bench {
       .getOrElse(1)
     val keptNames = byCost.take(keep).map(_._1).toSet
     // Stop Spark BEFORE printing so the JSON is the child's final
-    // stdout line (shutdown logs go to stderr, and nothing on stdout
-    // follows it). build.sbt routes forked stdout through verbatim.
+    // stdout lines (shutdown logs go to stderr, and nothing on stdout
+    // follows them). build.sbt routes forked stdout through verbatim.
     spark.stop()
     println(render(rounded.filter(r => keptNames(r._1)), materialCold,
       r3(total)))
+    // the fixed-size headline trailer goes LAST (VERDICT r14 task #1):
+    // the driver parses the bench JSON out of a bounded stdout TAIL,
+    // and the full line above already outgrew it once (BENCH_r14
+    // "parsed": null) — this ≤512-byte line always survives
+    println(summaryLine(r3(total), totalExcl, drift, promotable,
+      hostFactor, hostFactorIo, nQueries = mins.size,
+      nNoisy = noisy.size, nFailed = failed.size,
+      refSha = RefTsvMeta._1, sf = sfDir))
     Console.out.flush()
   }
 }

@@ -122,6 +122,17 @@ object StreamBench {
     // hotkeyRun.
     hotkeyAsofRun(spark, work, 10000, "hkawarm")
     val (haTws, haSalted, haRows) = hotkeyAsofRun(spark, work, hkN, "hka")
+
+    // Recovery-latency arm (VERDICT r14 task #5): crash-recovery
+    // CORRECTNESS is oracle-certified (stream_e2e_meters, LwwSinkSuite)
+    // but nothing measured recovery TIME — at 100 TB, state-restore
+    // speed is the SLA that matters after a failover. Measures wall
+    // from restarting the production assembly on an existing
+    // checkpoint (RocksDB state holding `keys` symbols) to the first
+    // COMMITTED batch of new data.
+    val nKeys = sys.env.getOrElse("SPARK_GRAFT_STREAM_KEYS", "20000").toInt
+    val (recKeys, recStateRows, recFirstBatch, recDrain) =
+      recoveryRun(spark, work, nKeys)
     val json =
       f"""{"metric":"stream_rows_per_sec","value":$eps%.1f,"rows":$rows,"sec":$sec%.3f,"cpus":$cpus,""" +
         f""""socket":{"rows_per_sec":${sRows / sSec}%.1f,"rows":$sRows,"sec":$sSec%.3f,"wire_sec":$wireSec%.3f},""" +
@@ -130,12 +141,101 @@ object StreamBench {
         f""""hotkey":{"rows":$hkRows,"tws_sec":$hkTws%.3f,"tws_rows_per_sec":${hkRows / hkTws}%.1f,""" +
         f""""salted_sec":$hkSalted%.3f,"salted_rows_per_sec":${hkRows / hkSalted}%.1f},""" +
         f""""hotkey_asof":{"rows":$haRows,"tws_sec":$haTws%.3f,"tws_rows_per_sec":${haRows / haTws}%.1f,""" +
-        f""""salted_sec":$haSalted%.3f,"salted_rows_per_sec":${haRows / haSalted}%.1f}}"""
+        f""""salted_sec":$haSalted%.3f,"salted_rows_per_sec":${haRows / haSalted}%.1f},""" +
+        f""""recovery":{"keys":$recKeys,"state_rows":$recStateRows,""" +
+        f""""first_batch_sec":$recFirstBatch%.3f,"drain_sec":$recDrain%.3f}}"""
     val outFile = args.headOption.getOrElse("stream_bench.json")
     try Files.writeString(Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     println(json)
     spark.stop()
+  }
+
+  /** Recovery-latency run (round-15, VERDICT r14 task #5): crash/
+    * failover recovery SPEED, the SLA number the suite-certified
+    * recovery correctness never priced. Phase 1 builds state — `nKeys`
+    * symbols × 4 rows each through the production assembly
+    * ([[graft.streaming.Pipelines.start]], transformWithState +
+    * RocksDB per the session conf) — drains and STOPS, leaving the
+    * checkpoint holding per-symbol cumvol state. Phase 2 appends one
+    * small spool file and restarts the assembly on the SAME
+    * checkpoint, measuring
+    *   - first_batch_sec: restart call → the tick query's first
+    *     committed batch with input rows (listener-latched): covers
+    *     offset/commit-log reads, RocksDB state restore, and one
+    *     micro-batch — what a failover actually waits for;
+    *   - drain_sec: restart → all available data processed, both
+    *     queries (tick + dead-letter) stopped.
+    * Returns (keys, state rows from the engine's own last progress,
+    * first_batch_sec, drain_sec).
+    */
+  private def recoveryRun(spark: SparkSession,
+      work: java.nio.file.Path, nKeys: Int): (Long, Long, Double, Double) = {
+    val t0 = 1687176000L
+    val lines = spark.range(nKeys.toLong * 4).select(concat(
+      lit("""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "R"""),
+      (col("id") % nKeys).cast("string"),
+      lit("""", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": """),
+      (lit(t0) + (col("id") / nKeys).cast("long")).cast("string"),
+      lit(""", "volume": """), (col("id") % 50 + 1).cast("string"),
+      lit(""", "type": """"),
+      when(col("id") % 2 === 0, "B").otherwise("S"),
+      lit(""""}}""")).as("value"))
+    val sub = work.resolve("rec_spool")
+    Files.createDirectories(sub)
+    val spool = graft.source.SpoolWriter.write(lines, sub, Some(4))
+    val root = work.resolve("rec").toString
+    def start() = {
+      val env = spark.readStream
+        .format(classOf[graft.source.EnvelopeSourceProvider].getName)
+        .option("path", spool).load()
+      graft.streaming.Pipelines.start(env, "tick", s"$root/sink",
+        s"$root/ckpt")
+    }
+    // phase 1: build + checkpoint the keyed state, stop cleanly
+    val qs1 = start()
+    val stateRows = try {
+      qs1.foreach(_.processAllAvailable())
+      qs1.flatMap(q => Option(q.lastProgress))
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    } finally qs1.foreach(_.stop())
+    // phase 2: one small new file (fresh ticks for 256 existing keys),
+    // restart on the same checkpoint, latch the first committed batch
+    val extra = (0 until 256).map { i =>
+      s"""{"topic": "feed", "frameType": "TICK", "payload": """ +
+        s"""{"symbol": "R${i % nKeys}", "bid": 1.0, "price": 1.1, """ +
+        s""""ask": 1.2, "time": ${t0 + 100 + i}, "volume": 1, """ +
+        s""""type": "B"}}"""
+    }
+    Files.write(Paths.get(spool).resolve("zzz_recovery.jsonl"),
+      extra.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val tickName = s"graft_tick:$root/sink"
+    val firstNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == tickName && e.progress.numInputRows > 0 &&
+            firstNs.compareAndSet(0L, System.nanoTime()))
+          latch.countDown()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val tStart = System.nanoTime()
+      val qs2 = start()
+      try {
+        qs2.foreach(_.processAllAvailable())
+        // the listener bus is async: the commit we drained for may not
+        // have reached the latch yet
+        latch.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      } finally qs2.foreach(_.stop())
+      val drainSec = (System.nanoTime() - tStart) / 1e9
+      val firstSec =
+        if (firstNs.get() == 0L) -1.0 else (firstNs.get() - tStart) / 1e9
+      (nKeys.toLong, stateRows, firstSec, drainSec)
+    } finally spark.streams.removeListener(listener)
   }
 
   /** Near-dup ingest run: doc envelopes (every 10th doc repeats one of

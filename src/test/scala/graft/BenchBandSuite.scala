@@ -213,6 +213,97 @@ class BenchBandSuite extends AnyFunSuite {
     assert(Bench.driftOf(Seq.empty, ref) === -1.0)
   }
 
+  test("driftOf: noisy-flagged queries excluded from both sides " +
+      "(round-15, r14 ADVICE — drift must not embed disavowed values)") {
+    val ref = Map("a" -> 1.0, "b" -> 2.0)
+    // b flagged noisy at 6.0: the old drift read (1.0+6.0)/3.0 = 2.33
+    // while total_excl_noisy disavowed the 6.0 — now drift mirrors it
+    assert(Bench.driftOf(Seq("a" -> 1.0, "b" -> 6.0), ref, Set("b")) === 1.0)
+    // every banded query noisy -> -1 sentinel
+    assert(Bench.driftOf(Seq("a" -> 1.0), ref, Set("a")) === -1.0)
+  }
+
+  test("summaryLine: fixed-size headline trailer stays under 512 bytes " +
+      "with worst-case field widths (VERDICT r14 task #1)") {
+    val line = Bench.summaryLine(
+      total = 99999.999, totalExcl = 99999.999, drift = 99.999,
+      promotable = false, hostFactor = 99.999, hostFactorIo = 99.999,
+      nQueries = 99999, nNoisy = 99999, nFailed = 99999,
+      refSha = "a" * 64, sf = "/very/long/fixture/path/" + "x" * 200)
+    assert(line.length < 512, s"summary line too long: ${line.length}")
+    assert(line.startsWith("""{"metric":"total_summary","value":"""))
+    for (f <- Seq("total_excl_noisy", "drift", "promotable",
+        "promote_threshold", "host_factor", "host_factor_io",
+        "n_queries", "n_noisy", "n_failed", "ref_sha", "sf"))
+      assert(line.contains("\"" + f + "\":"), s"summary missing $f")
+    // single line, no raw newline can split the tail capture
+    assert(!line.contains("\n"))
+  }
+
+  test("driftRetimePass: over-threshold drift re-times the top " +
+      "contributors and recovers a promotable run (VERDICT r14 task #2)") {
+    import scala.collection.mutable.LinkedHashMap
+    val ref = Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0)
+    // diffuse window: every query a little over, none band-breached —
+    // drift (1.1+3.1+1.05)/4.0 = 1.3125 > 1.10 with `noisy` empty
+    val results = LinkedHashMap(
+      "a" -> ((1.1, 1.1)), "b" -> ((3.1, 3.1)), "c" -> ((1.05, 1.05)))
+    val resampled = LinkedHashMap.empty[String, (Double, Int)]
+    var calls = Seq.empty[String]
+    val retimed = Bench.driftRetimePass(results, resampled, ref,
+      noisy = Set.empty, threshold = 1.10, topN = 2, hostQuiet = true,
+      timeOnce = { n => calls :+= n; Some(ref(n)) })
+    // contributors by excess: b (+1.1) then a (+0.1); topN=2 excludes c.
+    // A clean sample at the pin early-stops each after ONE attempt.
+    assert(calls === Seq("b", "a"))
+    assert(retimed.keys.toSeq === Seq("b", "a"))
+    assert(results("b") === ((3.1, 2.0)) && results("a") === ((1.1, 1.0)))
+    assert(results("c") === ((1.05, 1.05)), "below-topN query untouched")
+    assert(resampled("b") === ((2.0, 3)) && resampled("a") === ((1.0, 3)),
+      "full disclosure: min over all samples + total sample count")
+    val mins = results.toSeq.map { case (k, (r1, r2)) => k -> math.min(r1, r2) }
+    assert(Bench.driftOf(mins, ref) <= 1.10, "recomputed drift promotable")
+  }
+
+  test("driftRetimePass: contended host skips the pass; a noisy query " +
+      "never counts as a drift contributor") {
+    import scala.collection.mutable.LinkedHashMap
+    val ref = Map("a" -> 1.0, "b" -> 2.0)
+    val results = LinkedHashMap("a" -> ((1.5, 1.5)), "b" -> ((3.0, 3.0)))
+    var calls = 0
+    // host still contended: no samples, empty disclosure, caller stamps
+    // unpromotable from the unchanged drift
+    val r1 = Bench.driftRetimePass(results, LinkedHashMap.empty, ref,
+      Set.empty, 1.10, 10, hostQuiet = false,
+      timeOnce = { _ => calls += 1; Some(0.1) })
+    assert(calls === 0 && r1.isEmpty)
+    assert(results("a") === ((1.5, 1.5)) && results("b") === ((3.0, 3.0)))
+    // b noisy: excluded from drift (a alone reads 1.5 > 1.10) AND from
+    // the contributor list — only a is re-timed
+    var calls2 = Seq.empty[String]
+    val r2 = Bench.driftRetimePass(results, LinkedHashMap.empty, ref,
+      Set("b"), 1.10, 10, hostQuiet = true,
+      timeOnce = { n => calls2 :+= n; Some(1.0) })
+    assert(calls2 === Seq("a") && r2.keys.toSeq === Seq("a"))
+  }
+
+  test("driftRetimePass: at-or-under-threshold drift is a no-op " +
+      "(a quiet run pays nothing)") {
+    import scala.collection.mutable.LinkedHashMap
+    val ref = Map("a" -> 1.0)
+    val results = LinkedHashMap("a" -> ((1.05, 1.05)))
+    var calls = 0
+    val r = Bench.driftRetimePass(results, LinkedHashMap.empty, ref,
+      Set.empty, 1.10, 10, hostQuiet = true,
+      timeOnce = { _ => calls += 1; Some(0.1) })
+    assert(calls === 0 && r.isEmpty)
+    // -1 sentinel (nothing banded) is also a no-op, never "over"
+    val r2 = Bench.driftRetimePass(LinkedHashMap("z" -> ((9.0, 9.0))),
+      LinkedHashMap.empty, ref, Set.empty, 1.10, 10, hostQuiet = true,
+      timeOnce = { _ => calls += 1; Some(0.1) })
+    assert(calls === 0 && r2.isEmpty)
+  }
+
   test("bench_ref.tsv resource: loads, is large, and all-positive") {
     val ref = Bench.RefSteady
     assert(ref.size > 250, s"band resource too small: ${ref.size}")

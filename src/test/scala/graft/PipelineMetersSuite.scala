@@ -102,12 +102,40 @@ class PipelineMetersSuite extends SparkSpec {
       // under the SAME batchId and its progress is reported AGAIN —
       // re-deliver every captured real event and assert the meters do
       // not move (batchId-keyed dedup), where the pre-fix accumulation
-      // would double every counter
+      // would double every counter. The replayed events carry their
+      // original runIds with batchIds ≤ the folded high-water — the
+      // round-15 era detection must NOT mistake any of them for a new
+      // era (only the batchId-0 event has the fresh-era batch number,
+      // and it arrives under an already-seen runId).
       assert(!captured.isEmpty, "capturer saw no progress events")
       val snapBefore = meters.snapshot
       captured.forEach(e => meters.onQueryProgress(e))
       assert(meters.snapshot === snapBefore,
         s"replayed batchIds must not re-count: $snapBefore vs ${meters.snapshot}")
+      // FRESH-CHECKPOINT era (round-15, VERDICT r14 task #4): the same
+      // name rerun from scratch — checkpoint deleted, batchIds restart
+      // at 0 under a NEW runId while the folded high-water is > 0.
+      // The carried r14 footgun silently skipped every batch of such a
+      // rerun; the era-aware guard must instead accumulate the whole
+      // second pass (all 4 spool files reprocess: same era rows, same
+      // corrupt row, and the two stragglers drop again once the
+      // advancers rebuild the watermark).
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => Files.delete(q))
+      rmTree(work.resolve("ckpt"))
+      run()
+      val m3 = meters(s"graft_tick:$sinkRoot")
+      assert(m3.rows === 2L * m2.rows,
+        s"fresh-checkpoint era must re-accumulate, not skip: $m3 vs $m2")
+      assert(m3.corrupt === 2L, s"corrupt counts both eras: $m3")
+      assert(m3.droppedLate === 4L, s"dropped_late counts both eras: $m3")
+      assert(m3.onTime === 2L * m2.onTime, s"on_time derivation: $m3")
+      // the sink is unchanged: era 2 upserts the same keys (idempotent
+      // replay is the sink's own contract, LwwSinkSuite)
+      assert(graft.sink.LwwSink.read(spark, sinkRoot, "feed", "tick")
+        .count() === sunk)
     } finally {
       spark.conf.unset("spark.graft.tick.watermark")
       spark.streams.removeListener(meters)

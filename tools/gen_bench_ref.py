@@ -52,10 +52,15 @@ if merge and not os.path.exists(out):
 # is described on its own line scoped to the added entries.
 prior_source = []
 if merge:
+    # 'host_factor' is in the marker set (r14 ADVICE): the full-regen
+    # format writes Source as TWO lines and the continuation line
+    # ('# host_factor 1.015, total 130.9s.') matched none of the
+    # original markers, so the first merge dropped the kept pins'
+    # host_factor/total and left a dangling 'Source: ...,' line.
     prior_source = [l.rstrip("\n") for l in open(out)
                     if l.startswith("#") and
                     ("Source:" in l or "merge-source" in l or
-                     "local[32]" in l)]
+                     "local[32]" in l or "host_factor" in l)]
 if merge and prior_source:
     source_lines = prior_source
 else:
