@@ -708,7 +708,7 @@ object ScaleProbe {
       val t0 = 1687176000L
       val work = Files.createTempDirectory("graft_probe_e2e")
       graft.source.SpoolWriter.deleteAtExit(work)
-      val lines = spark.range(n).select(concat(
+      val lines = spark.range(n).select(col("id"), concat(
         lit("""{"topic": "feed", "frameType": "TICK", "payload": {"symbol": "S"""),
         (col("id") % 200).cast("string"),
         lit("""", "bid": 1.0, "price": 1.1, "ask": 1.2, "time": """),
@@ -724,7 +724,19 @@ object ScaleProbe {
         lit(""""}}""")).as("value"))
       val spoolDir = work.resolve("spool")
       Files.createDirectories(spoolDir)
-      val spool = graft.source.SpoolWriter.write(lines, spoolDir, Some(4 * c))
+      // era files RANGE-partitioned on id (= event time) and consumed
+      // in file-name order, the runMeters construction rule: a
+      // round-robin split makes every file span the whole era, so the
+      // watermark advances past most of batches 2..2c and meters ~87%
+      // of the 10× era as dropped (measured on the first smoke run:
+      // on_time 23,639 of ~198k) — the probe would be timing mass
+      // DROPPING, not the assembly. Stragglers keep their planted −100d
+      // times inside their id-ordered file, so they (and only they)
+      // drop once the stream is past its first watermark commit.
+      val spool = graft.source.SpoolWriter.write(
+        lines.repartitionByRange(4 * c, col("id"))
+          .sortWithinPartitions("id").select("value"),
+        spoolDir, repartitionTo = None)
       val sinkRoot = work.resolve("sink").toString
       val meters = graft.streaming.PipelineMeters.register(spark)
       val saved = Seq("spark.graft.tick.watermark", "spark.graft.cumvol.tws",

@@ -238,10 +238,19 @@ class BenchBandSuite extends AnyFunSuite {
       assert(line.contains("\"" + f + "\":"), s"summary missing $f")
     // single line, no raw newline can split the tail capture
     assert(!line.contains("\n"))
+    // the emission contract: the trailer is the LAST stdout line (the
+    // driver reads a bounded tail — last-printed is what survives),
+    // and stdoutTail's live guard rejects an over-budget trailer
+    val tail = Bench.stdoutTail("{...full capped line...}", line)
+    assert(tail.last === line && tail.size === 2)
+    intercept[IllegalArgumentException] {
+      Bench.stdoutTail("{}", "x" * 512)
+    }
   }
 
-  test("driftRetimePass: over-threshold drift re-times the top " +
-      "contributors and recovers a promotable run (VERDICT r14 task #2)") {
+  test("driftRetimePass: over-threshold drift re-times contributors " +
+      "largest-excess first and STOPS once promotable (VERDICT r14 " +
+      "task #2)") {
     import scala.collection.mutable.LinkedHashMap
     val ref = Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0)
     // diffuse window: every query a little over, none band-breached —
@@ -251,18 +260,40 @@ class BenchBandSuite extends AnyFunSuite {
     val resampled = LinkedHashMap.empty[String, (Double, Int)]
     var calls = Seq.empty[String]
     val retimed = Bench.driftRetimePass(results, resampled, ref,
-      noisy = Set.empty, threshold = 1.10, topN = 2, hostQuiet = true,
+      noisy = Set.empty, threshold = 1.10, sampleBudget = 60,
+      hostQuiet = true,
       timeOnce = { n => calls :+= n; Some(ref(n)) })
-    // contributors by excess: b (+1.1) then a (+0.1); topN=2 excludes c.
-    // A clean sample at the pin early-stops each after ONE attempt.
-    assert(calls === Seq("b", "a"))
-    assert(retimed.keys.toSeq === Seq("b", "a"))
-    assert(results("b") === ((3.1, 2.0)) && results("a") === ((1.1, 1.0)))
-    assert(results("c") === ((1.05, 1.05)), "below-topN query untouched")
-    assert(resampled("b") === ((2.0, 3)) && resampled("a") === ((1.0, 3)),
+    // largest excess first: b (+1.1). A clean sample at the pin
+    // early-stops it after ONE attempt, and the recovered drift
+    // (1.1+2.0+1.05)/4.0 = 1.0375 ≤ 1.10 stops the whole pass — a and
+    // c are never touched (spend only what promotion needs).
+    assert(calls === Seq("b"))
+    assert(retimed.keys.toSeq === Seq("b"))
+    assert(results("b") === ((3.1, 2.0)))
+    assert(results("a") === ((1.1, 1.1)) && results("c") === ((1.05, 1.05)),
+      "once promotable, remaining contributors are untouched")
+    assert(resampled("b") === ((2.0, 3)),
       "full disclosure: min over all samples + total sample count")
     val mins = results.toSeq.map { case (k, (r1, r2)) => k -> math.min(r1, r2) }
     assert(Bench.driftOf(mins, ref) <= 1.10, "recomputed drift promotable")
+  }
+
+  test("driftRetimePass: the sample budget bounds a recovery that " +
+      "never converges (still-inflated samples)") {
+    import scala.collection.mutable.LinkedHashMap
+    val ref = Map("a" -> 1.0, "b" -> 2.0)
+    val results = LinkedHashMap("a" -> ((1.5, 1.5)), "b" -> ((3.0, 3.0)))
+    var calls = 0
+    // every re-time sample comes back as bad as the original: 2
+    // attempts per contributor × 2 contributors would be 4, but the
+    // budget of 3 must cut the pass off
+    val r = Bench.driftRetimePass(results, LinkedHashMap.empty, ref,
+      Set.empty, 1.10, sampleBudget = 3, hostQuiet = true,
+      timeOnce = { _ => calls += 1; Some(9.9) })
+    assert(calls === 3, s"budget must cap samples, took $calls")
+    assert(r.keys.toSeq === Seq("b", "a"))
+    assert(results("a") === ((1.5, 1.5)) && results("b") === ((3.0, 3.0)),
+      "worse samples never replace the reported steady")
   }
 
   test("driftRetimePass: contended host skips the pass; a noisy query " +
@@ -274,7 +305,7 @@ class BenchBandSuite extends AnyFunSuite {
     // host still contended: no samples, empty disclosure, caller stamps
     // unpromotable from the unchanged drift
     val r1 = Bench.driftRetimePass(results, LinkedHashMap.empty, ref,
-      Set.empty, 1.10, 10, hostQuiet = false,
+      Set.empty, 1.10, 60, hostQuiet = false,
       timeOnce = { _ => calls += 1; Some(0.1) })
     assert(calls === 0 && r1.isEmpty)
     assert(results("a") === ((1.5, 1.5)) && results("b") === ((3.0, 3.0)))
@@ -282,7 +313,7 @@ class BenchBandSuite extends AnyFunSuite {
     // the contributor list — only a is re-timed
     var calls2 = Seq.empty[String]
     val r2 = Bench.driftRetimePass(results, LinkedHashMap.empty, ref,
-      Set("b"), 1.10, 10, hostQuiet = true,
+      Set("b"), 1.10, 60, hostQuiet = true,
       timeOnce = { n => calls2 :+= n; Some(1.0) })
     assert(calls2 === Seq("a") && r2.keys.toSeq === Seq("a"))
   }
@@ -294,12 +325,12 @@ class BenchBandSuite extends AnyFunSuite {
     val results = LinkedHashMap("a" -> ((1.05, 1.05)))
     var calls = 0
     val r = Bench.driftRetimePass(results, LinkedHashMap.empty, ref,
-      Set.empty, 1.10, 10, hostQuiet = true,
+      Set.empty, 1.10, 60, hostQuiet = true,
       timeOnce = { _ => calls += 1; Some(0.1) })
     assert(calls === 0 && r.isEmpty)
     // -1 sentinel (nothing banded) is also a no-op, never "over"
     val r2 = Bench.driftRetimePass(LinkedHashMap("z" -> ((9.0, 9.0))),
-      LinkedHashMap.empty, ref, Set.empty, 1.10, 10, hostQuiet = true,
+      LinkedHashMap.empty, ref, Set.empty, 1.10, 60, hostQuiet = true,
       timeOnce = { _ => calls += 1; Some(0.1) })
     assert(calls === 0 && r2.isEmpty)
   }
