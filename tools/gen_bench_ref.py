@@ -35,6 +35,16 @@ if d.get("failed") and not force:
     sys.exit("REFUSED: source run has failed queries %s -- their bands "
              "would silently vanish; fix or pass --force"
              % list(d["failed"]))
+# Round-15: the bench now stamps each run promotable against its drift
+# (run total / CURRENT pinned total). A stamped-false source ran in a
+# diffuse window the per-query noise defenses could not localize --
+# pinning from it would bake that window into every band at once, the
+# whole-file version of the per-query contamination refused above.
+# (Absent field = pre-r15 artifact, no check.)
+if d.get("promotable") is False and not force:
+    sys.exit("REFUSED: source run is stamped promotable:false (drift "
+             "%s > threshold %s) -- regenerate from a promotable run, "
+             "or pass --force" % (d.get("drift"), d.get("promote_threshold")))
 import os
 # --merge against a missing tsv degrades to a plain regen (r13 ADVICE:
 # an unhandled FileNotFoundError here is just a worse way to say "there
