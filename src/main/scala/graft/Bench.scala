@@ -366,19 +366,17 @@ object Bench {
       s""""ref_sha":"${refSha.take(12)}","sf":"${sfTail.take(24)}"}"""
   }
 
-  /** The bench's final stdout block (round-15): the capped full line
-    * first, the fixed-size summary trailer LAST — order is the
-    * contract (the driver reads a bounded stdout TAIL, so whatever is
-    * printed last is what always survives). The require is a live
-    * guard on the trailer's budget: a field added to [[summaryLine]]
-    * that pushes it past 512 bytes fails the bench loudly instead of
-    * silently re-opening the BENCH_r14 truncation hole.
+  /** Live guard on the trailer's budget: a field added to
+    * [[summaryLine]] that pushes it past 512 bytes fails the bench
+    * loudly instead of silently re-opening the BENCH_r14 truncation
+    * hole. Applied in main AFTER the capped full line has already been
+    * printed, so a guard failure can never erase the working channel —
+    * only the (broken-by-definition) trailer is lost.
     */
-  private[graft] def stdoutTail(
-      cappedLine: String, summary: String): Seq[String] = {
+  private[graft] def trailerGuard(summary: String): String = {
     require(summary.length < 512,
       s"summary trailer must stay tail-safe (<512B): ${summary.length}")
-    Seq(cappedLine, summary)
+    summary
   }
 
   /** Drift-gated promotion re-time (round-15, VERDICT r14 task #2).
@@ -429,9 +427,13 @@ object Bench {
           "but host still contended — run stamped unpromotable as-is")
       return retimed
     }
+    // only queries a re-time could actually improve (> the 5% early-
+    // stop margin over their pin): a 1-5%-over query would enter the
+    // disclosure map with taken=0, claiming a re-time that never took
+    // a sample
     val contributors = minsNow.collect {
       case (k, v) if refSteady.contains(k) && !noisy(k) &&
-          v > refSteady(k) => (k, v, v - refSteady(k))
+          v > 1.05 * refSteady(k) => (k, v, v - refSteady(k))
     }.sortBy(-_._3)
     System.err.println(
       f"[bench] DRIFT RETIME: drift $drift0%.3f > $threshold%.2f; " +
@@ -936,26 +938,36 @@ object Bench {
       .map { case (k, (r1, r2)) => (k, r1, r1 - r2) }
       .filter(_._3 >= 0.5).sortBy(-_._3).take(12)
       .map { case (k, r1, _) => k -> r3(r1) }
+    val summary = summaryLine(r3(total), totalExcl, drift, promotable,
+      hostFactor, hostFactorIo, nQueries = mins.size,
+      nNoisy = noisy.size, nFailed = failed.size,
+      refSha = RefTsvMeta._1, sf = sfDir)
+    // BOTH final lines must fit the ~2000-char stdout tail together:
+    // the itemized line's budget is the historical 1800-char cap MINUS
+    // the trailer it now shares the window with (capped at 1800 alone,
+    // a near-cap line + ~260B trailer would overflow the window and
+    // head-truncate the itemized line — the trailer would survive, but
+    // the itemized channel would regress to the BENCH_r14 state).
+    val lineBudget = 1800 - summary.length - 1
     val byCost = rounded.sortBy(-_._2)
     val keep = Iterator.range(byCost.size, 0, -1)
-      .find(n => render(byCost.take(n), materialCold, r3(total)).length <= 1800)
+      .find(n =>
+        render(byCost.take(n), materialCold, r3(total)).length <= lineBudget)
       .getOrElse(1)
     val keptNames = byCost.take(keep).map(_._1).toSet
     // Stop Spark BEFORE printing so the JSON is the child's final
     // stdout lines (shutdown logs go to stderr, and nothing on stdout
     // follows them). build.sbt routes forked stdout through verbatim.
     spark.stop()
+    println(render(rounded.filter(r => keptNames(r._1)), materialCold,
+      r3(total)))
     // the fixed-size headline trailer goes LAST (VERDICT r14 task #1):
-    // the driver parses the bench JSON out of a bounded stdout TAIL,
-    // and the full line already outgrew it once (BENCH_r14
-    // "parsed": null) — the <512B trailer always survives
-    stdoutTail(
-      render(rounded.filter(r => keptNames(r._1)), materialCold, r3(total)),
-      summaryLine(r3(total), totalExcl, drift, promotable,
-        hostFactor, hostFactorIo, nQueries = mins.size,
-        nNoisy = noisy.size, nFailed = failed.size,
-        refSha = RefTsvMeta._1, sf = sfDir)
-    ).foreach(println)
+    // the driver parses the bench JSON out of the bounded tail, and
+    // the full line already outgrew it once (BENCH_r14 "parsed":
+    // null) — the <512B trailer always survives. Guarded AFTER the
+    // capped line is out, so an over-budget trailer fails loudly
+    // without erasing the working channel.
+    println(trailerGuard(summary))
     Console.out.flush()
   }
 }

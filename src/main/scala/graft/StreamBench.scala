@@ -225,13 +225,14 @@ object StreamBench {
     try {
       val tStart = System.nanoTime()
       val qs2 = start()
-      try {
-        qs2.foreach(_.processAllAvailable())
-        // the listener bus is async: the commit we drained for may not
-        // have reached the latch yet
-        latch.await(60, java.util.concurrent.TimeUnit.SECONDS)
-      } finally qs2.foreach(_.stop())
+      try qs2.foreach(_.processAllAvailable())
+      finally qs2.foreach(_.stop())
       val drainSec = (System.nanoTime() - tStart) / 1e9
+      // the listener bus is async: the commit we drained for may not
+      // have reached the latch yet. Awaited OUTSIDE the timed region —
+      // a dropped listener event must surface as first_batch_sec = -1,
+      // never as 60 silent seconds folded into drain_sec
+      latch.await(60, java.util.concurrent.TimeUnit.SECONDS)
       val firstSec =
         if (firstNs.get() == 0L) -1.0 else (firstNs.get() - tStart) / 1e9
       (nKeys.toLong, stateRows, firstSec, drainSec)

@@ -238,13 +238,12 @@ class BenchBandSuite extends AnyFunSuite {
       assert(line.contains("\"" + f + "\":"), s"summary missing $f")
     // single line, no raw newline can split the tail capture
     assert(!line.contains("\n"))
-    // the emission contract: the trailer is the LAST stdout line (the
-    // driver reads a bounded tail — last-printed is what survives),
-    // and stdoutTail's live guard rejects an over-budget trailer
-    val tail = Bench.stdoutTail("{...full capped line...}", line)
-    assert(tail.last === line && tail.size === 2)
+    // the live guard main applies before printing the trailer (AFTER
+    // the capped line is already out): in-budget passes through
+    // verbatim, over-budget fails loudly
+    assert(Bench.trailerGuard(line) === line)
     intercept[IllegalArgumentException] {
-      Bench.stdoutTail("{}", "x" * 512)
+      Bench.trailerGuard("x" * 512)
     }
   }
 
