@@ -943,12 +943,17 @@ object Bench {
       nNoisy = noisy.size, nFailed = failed.size,
       refSha = RefTsvMeta._1, sf = sfDir)
     // BOTH final lines must fit the ~2000-char stdout tail together:
-    // the itemized line's budget is the historical 1800-char cap MINUS
-    // the trailer it now shares the window with (capped at 1800 alone,
-    // a near-cap line + ~260B trailer would overflow the window and
+    // the itemized line's budget is the window MINUS the trailer it
+    // now shares it with (capped at the historical 1800 alone, a
+    // near-cap line + ~260B trailer would overflow the window and
     // head-truncate the itemized line — the trailer would survive, but
     // the itemized channel would regress to the BENCH_r14 state).
-    val lineBudget = 1800 - summary.length - 1
+    // 1950 leaves margin under the nominal 2000. Residual, accepted: a
+    // run whose disclosure maps (noisy/resampled/drift_retimed) alone
+    // exceed the budget keeps 1 itemized query (the getOrElse floor)
+    // and may still overflow — the trailer, printed last, survives
+    // regardless, and the file artifact always carries everything.
+    val lineBudget = 1950 - summary.length - 2
     val byCost = rounded.sortBy(-_._2)
     val keep = Iterator.range(byCost.size, 0, -1)
       .find(n =>
