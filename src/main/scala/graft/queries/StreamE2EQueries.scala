@@ -400,24 +400,44 @@ object StreamE2EQueries extends QueryPack {
     * GraphQueries pinned-memo pattern; the sink parquet behind the
     * window frame lives for the session (deleteAtExit).
     *
-    * Timing/staleness caveats (r12 ADVICE): (1) a second in-session
+    * Timing/staleness caveat (r12 ADVICE): a second in-session
     * invocation reads the memoized sink parquet, not a fresh pipeline
     * run — irrelevant to Bench, which excludes the whole `stream_*`
     * prefix from timing (`Bench.scala` filters it; StreamBench times
     * the streaming paths with its own fresh-session discipline), but
     * any future harness that re-times stream rows in-session must
-    * evict first. (2) The memo keys on (session, dir) only: an
-    * in-place fixture refresh mid-session would serve stale results.
-    * No supported flow refreshes fixtures inside a session (Verify and
-    * Bench each read an immutable sfDir for their lifetime); if one is
-    * ever added, key this memo on the fixture's mtime too.
+    * evict first. The companion caveat (memo keyed on (session, dir)
+    * only, so an in-place fixture refresh mid-session served stale
+    * results) is CLOSED in round 15: [[lateKey]] folds the events
+    * fixture's newest mtime into the key, so a refreshed fixture
+    * misses the memo and re-runs the pipeline.
     */
   private val lateMemo =
     new graft.util.SessionCache[(DataFrame, Long)](4, _ => ())
 
+  /** Memo key for [[lateShared]], carrying the events fixture's newest
+    * mtime (the fixture runLateCommon's era derives from): a refreshed
+    * fixture changes the stamp and the stale entry ages out of the
+    * 4-slot cache. A missing/unreadable fixture stamps 0 — the
+    * subsequent read fails loudly on its own; the key must never be
+    * the thing that throws first.
+    */
+  private[graft] def lateKey(dir: String): String = {
+    val p = Paths.get(dir, "events.parquet")
+    val stamp =
+      try {
+        val self = Files.getLastModifiedTime(p).toMillis
+        if (Files.isDirectory(p))
+          graft.util.Fs.list(p).foldLeft(self)((m, f) =>
+            math.max(m, Files.getLastModifiedTime(f).toMillis))
+        else self
+      } catch { case _: Throwable => 0L }
+    s"late/$dir@$stamp"
+  }
+
   private def lateShared(
       s: SparkSession, dir: String): (DataFrame, Long) =
-    lateMemo.getOrElseUpdate(s, s"late/$dir")(runLateCommon(s, dir))
+    lateMemo.getOrElseUpdate(s, lateKey(dir))(runLateCommon(s, dir))
 
   /** WATERMARK DROP-COUNT AUDIT (round-12, VERDICT r11 task #6,
     * 21st streaming oracle row): `stream_e2e_late` certifies that the
