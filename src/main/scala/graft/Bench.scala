@@ -99,7 +99,7 @@ object Bench {
     * calibration exists to factor out), the median of 3 brackets
     * within ~10%.
     */
-  private def calibOnce(spark: SparkSession): Double = {
+  private[graft] def calibOnce(spark: SparkSession): Double = {
     import org.apache.spark.sql.expressions.Window
     val t0 = System.nanoTime()
     spark.range(4000000L)
@@ -112,7 +112,7 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def calibrate(spark: SparkSession): Double =
+  private[graft] def calibrate(spark: SparkSession): Double =
     Seq(calibOnce(spark), calibOnce(spark), calibOnce(spark)).sorted.apply(1)
 
   /** Fixture-I/O calibration probe (round-14, VERDICT r13 task #1):
@@ -469,6 +469,30 @@ object Bench {
     retimed
   }
 
+  /** End-state classification for the drift-gated promotion pass
+    * (round-16, VERDICT r15 task #4). When [[driftRetimePass]] ends
+    * with drift still over threshold, the r15 artifact could not say
+    * WHY: "budget ran out on a quiet host" (the recovery was honest
+    * but the window's inflation was too diffuse for 60 samples) and
+    * "host re-contended mid-pass" (the re-time samples were themselves
+    * re-measuring contention) read identically. One fresh end-probe
+    * distinguishes them:
+    *   - "promoted": recomputed drift at or under threshold;
+    *   - "host_recontended": still over AND the end probe spikes
+    *     against the run's quiet floor — the pass's samples are
+    *     suspect, a later quiet re-run is the fix;
+    *   - "retime_exhausted": still over on a quiet host — the budget
+    *     (or the contributor list) genuinely ran out; more samples,
+    *     not a quieter window, would be the fix.
+    * The not-run cases ("not_needed", "skipped_contended") are
+    * stamped by the caller, which knows whether the pass fired.
+    */
+  private[graft] def retimeEndStatus(
+      driftPost: Double, threshold: Double, hostQuietAtEnd: Boolean): String =
+    if (driftPost >= 0.0 && driftPost <= threshold) "promoted"
+    else if (!hostQuietAtEnd) "host_recontended"
+    else "retime_exhausted"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -823,6 +847,9 @@ object Bench {
     // quiet run pays nothing extra).
     val driftPre = driftOf(resultsMut.toSeq.map { case (k, (r1, r2)) =>
       k -> math.min(r1, r2) }, RefSteady, noisy.keySet.toSet)
+    // end-state disclosure (round-16, VERDICT r15 task #4): WHY a run
+    // that fired the pass still ended unpromotable — see retimeEndStatus
+    var driftRetimeStatus = "not_needed"
     val driftRetimed =
       if (driftPre < 0.0 || driftPre <= PromoteDriftThreshold)
         scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int)]
@@ -834,7 +861,7 @@ object Bench {
             catch { case _: Throwable => Double.MaxValue }
         val hostQuiet = !isSpike(c, runQuiet) &&
           (runQuietIo == 0.0 || !isSpike(io, runQuietIo))
-        driftRetimePass(resultsMut, resampled, RefSteady,
+        val m = driftRetimePass(resultsMut, resampled, RefSteady,
           noisy.keySet.toSet, PromoteDriftThreshold, sampleBudget = 60,
           hostQuiet,
           timeOnce = name => {
@@ -848,6 +875,31 @@ object Bench {
               None
             }
           })
+        driftRetimeStatus =
+          if (!hostQuiet) "skipped_contended"
+          else {
+            val driftPost = driftOf(resultsMut.toSeq.map {
+              case (k, (r1, r2)) => k -> math.min(r1, r2)
+            }, RefSteady, noisy.keySet.toSet)
+            if (driftPost >= 0.0 && driftPost <= PromoteDriftThreshold)
+              retimeEndStatus(driftPost, PromoteDriftThreshold,
+                hostQuietAtEnd = true)
+            else {
+              // the probes are sampled ONLY on the ambiguous ending
+              // (still over threshold): one fresh CPU + I/O pair
+              // decides re-contended vs genuinely exhausted
+              val c2 = try calibOnce(spark)
+                catch { case _: Throwable => Double.MaxValue }
+              val io2 =
+                if (runQuietIo == 0.0) 0.0
+                else try ioCalibOnce(spark, sfDir)
+                  catch { case _: Throwable => Double.MaxValue }
+              val quietEnd = !isSpike(c2, runQuiet) &&
+                (runQuietIo == 0.0 || !isSpike(io2, runQuietIo))
+              retimeEndStatus(driftPost, PromoteDriftThreshold, quietEnd)
+            }
+          }
+        m
       }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     // `queries` keeps the historical min-of-two (steady state);
@@ -908,7 +960,7 @@ object Bench {
       // band provenance: which bench_ref.tsv this run checked against
       val (tsvSha, tsvGen) = RefTsvMeta
       val refj = s"""{"sha256":"$tsvSha","generated":"$tsvGen"}"""
-      s"""{"metric":"total","value":$tot,"total_excl_noisy":${r3(totalExcl)},"drift":${r3(drift)},"drift_pre_retime":${r3(driftPre)},"promotable":$promotable,"promote_threshold":$PromoteDriftThreshold,"unit":"sec","host_factor":${r3(hostFactor)},"host_factor_io":${r3(hostFactorIo)},"calib":[${r3(calibStart)},${r3(calibEnd)}],"io_calib":[${r3(ioCalibStart)},${r3(ioCalibEnd)}],"calib_segments":$segs,"io_calib_segments":$ioSegs,"run_quiet":${r3(runQuiet)},"run_quiet_io":${r3(runQuietIo)},"suspect_segments":$ssj,"suspect_segments_io":$ssij,"noisy":$nj,"resampled":$rj,"retimed":$rtj,"drift_retimed":$drj,"unbanded":$uj,"ref_tsv":$refj,"queries":${jmap(rs)},"cold":${jmap(cold)},"deliberate":$dj,"failed":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$tot,"total_excl_noisy":${r3(totalExcl)},"drift":${r3(drift)},"drift_pre_retime":${r3(driftPre)},"drift_retime_status":"$driftRetimeStatus","promotable":$promotable,"promote_threshold":$PromoteDriftThreshold,"unit":"sec","host_factor":${r3(hostFactor)},"host_factor_io":${r3(hostFactorIo)},"calib":[${r3(calibStart)},${r3(calibEnd)}],"io_calib":[${r3(ioCalibStart)},${r3(ioCalibEnd)}],"calib_segments":$segs,"io_calib_segments":$ioSegs,"run_quiet":${r3(runQuiet)},"run_quiet_io":${r3(runQuietIo)},"suspect_segments":$ssj,"suspect_segments_io":$ssij,"noisy":$nj,"resampled":$rj,"retimed":$rtj,"drift_retimed":$drj,"unbanded":$uj,"ref_tsv":$refj,"queries":${jmap(rs)},"cold":${jmap(cold)},"deliberate":$dj,"failed":$fj,"sf":"$sfDir"}"""
     }
     val full = render(mins, colds, total)
     // Round 1 post-mortem: the driver parses the bench JSON out of the

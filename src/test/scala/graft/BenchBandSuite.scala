@@ -334,6 +334,26 @@ class BenchBandSuite extends AnyFunSuite {
     assert(calls === 0 && r2.isEmpty)
   }
 
+  test("retimeEndStatus: budget exhaustion vs mid-pass re-contention " +
+      "are distinguished in-artifact (VERDICT r15 task #4)") {
+    // recovered: at or under threshold ⇒ promoted, regardless of probe
+    assert(Bench.retimeEndStatus(1.08, 1.10, hostQuietAtEnd = true)
+      === "promoted")
+    assert(Bench.retimeEndStatus(1.10, 1.10, hostQuietAtEnd = false)
+      === "promoted")
+    // still over on a QUIET host: the budget (or contributor list)
+    // genuinely ran out — more samples would be the fix
+    assert(Bench.retimeEndStatus(1.15, 1.10, hostQuietAtEnd = true)
+      === "retime_exhausted")
+    // still over with the end probe spiking: the pass's own samples
+    // were re-measuring contention — a quieter window is the fix
+    assert(Bench.retimeEndStatus(1.15, 1.10, hostQuietAtEnd = false)
+      === "host_recontended")
+    // the -1 no-bands sentinel is never "promoted"
+    assert(Bench.retimeEndStatus(-1.0, 1.10, hostQuietAtEnd = true)
+      === "retime_exhausted")
+  }
+
   test("bench_ref.tsv resource: loads, is large, and all-positive") {
     val ref = Bench.RefSteady
     assert(ref.size > 250, s"band resource too small: ${ref.size}")
