@@ -953,12 +953,30 @@ object ScaleProbe {
     // ratio and made job-flat arms like vec_centroids read as flags.
     // An arm that ever scales its input differently must emit its own
     // factor instead of inheriting `copies`.
+    // Standing per-arm adjudications, machine-readable IN-ARTIFACT
+    // (round-16, VERDICT r15 tasks #2/#3: graph_triangles' output-bound
+    // status lived only in round-12 NOTES prose, so a reader of the
+    // probe JSON alone — and the r15 cross-coverage sentence — misread
+    // its adj_in as a both-runs regression). tools/cross_cover.py
+    // reads these tags and carves the arms out of its elevated-in-both
+    // verdict; keep in sync with its BUILTIN_STANDING fallback map.
+    //   deliberate:  two_hop_exact is the exact grounding arm for
+    //     two_hop_sketch's recall — its exact-distinct shuffle cost at
+    //     10x is the point, the sketch is the scale path;
+    //   output_bound: graph_triangles' duplicated-corpus output grows
+    //     ~1000x for 10x input (260k → ~319M triangles), so adj_in is
+    //     structurally elevated and the honest metric is the
+    //     per-output adj_ratio (reads ~0.1: per-row work got CHEAPER).
+    val armTags: Map[String, String] = Map(
+      "two_hop_exact" -> "\"deliberate\":true",
+      "graph_triangles" -> "\"output_bound\":true")
     def armJson(n: String, t1: Double, r1: Long, t10: Double, r10: Long,
         ratio: Double, j1: Double, j10: Double): String = {
       val adj = ratio * (r1.max(1L).toDouble / r10.max(1L).toDouble)
       val adjIn = ratio / copies
       val (f1, f10) = (math.max(0.0, t1 - j1), math.max(0.0, t10 - j10))
-      f"""{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f,"adj_in":$adjIn%.3f,"job_1x":$j1%.2f,"floor_1x":$f1%.2f,"job_10x":$j10%.2f,"floor_10x":$f10%.2f}"""
+      val tag = armTags.get(n).map("," + _).getOrElse("")
+      f"""{"sec_1x":$t1%.2f,"rows_1x":$r1,"sec_10x":$t10%.2f,"rows_10x":$r10,"ratio":$ratio%.2f,"adj_ratio":$adj%.3f,"adj_in":$adjIn%.3f,"job_1x":$j1%.2f,"floor_1x":$f1%.2f,"job_10x":$j10%.2f,"floor_10x":$f10%.2f$tag}"""
     }
     val rendered = results.map { case (n, t1, r1, t10, r10, ratio, j1, j10) =>
       n -> armJson(n, t1, r1, t10, r10, ratio, j1, j10)
