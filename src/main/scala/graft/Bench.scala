@@ -587,7 +587,11 @@ object Bench {
     // SPARK_GRAFT_EXPLAIN=1: dump each selected query's final (AQE-
     // resolved where possible) formatted plan to stderr AFTER executing
     // it once — the artifact for scan-count / exchange-reuse audits.
+    // SPARK_GRAFT_EXPLAIN_FORMAT selects the explain mode for the dump
+    // (e.g. "formatted" for the numbered-operator plans/r16 artifacts);
+    // unset keeps the historical executedPlan.toString rendering.
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_ == "1")
+    val explainFmt = sys.env.get("SPARK_GRAFT_EXPLAIN_FORMAT")
     if (explain) selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -597,7 +601,11 @@ object Bench {
         // AQE-finalized one that actually ran.
         df.queryExecution.toRdd.count()
         System.err.println(s"==== $name ====")
-        System.err.println(df.queryExecution.executedPlan.toString)
+        System.err.println(explainFmt match {
+          case Some(m) => df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString(m))
+          case None => df.queryExecution.executedPlan.toString
+        })
       } catch { case e: Throwable =>
         System.err.println(s"==== $name ==== EXPLAIN FAILED: ${e.getMessage}")
       }

@@ -126,12 +126,27 @@ object GraphQueries extends QueryPack {
     pinned.getOrElseUpdate(s, s"labels/$dir")(
       GraphIter.labelProp(coAdjPinned(s, dir), Rounds).localCheckpoint())
 
+  /** Pinned directed bipartite edge list (round-16 optimization): the
+    * [[edges]] subtree — events scan + per-row JSON `$.k` extraction +
+    * two distinct rollups — was re-derived inside EVERY consumer
+    * invocation (graph_pagerank, graph_ppr, graph_sssp_weighted,
+    * harmonicPivots, plus the pinned builders below), and the unrolled
+    * iterative consumers reference it several times per plan
+    * (graph_sssp_weighted's final plan carried 6 FileScans of events
+    * before this pin). Same memo discipline and bench-semantics
+    * consequence as [[coEdgesPinned]]; deterministic input, so pinning
+    * cannot change any row set.
+    */
+  private def edgesPinned(s: SparkSession, dir: String): DataFrame =
+    pinned.getOrElseUpdate(s, s"edges/$dir")(
+      edges(s, dir).localCheckpoint())
+
   /** Symmetrized bipartite adjacency for BFS — distinct projection
     * family from the co-engagement graph, same pin discipline.
     */
   private def bipAdjPinned(s: SparkSession, dir: String): DataFrame =
     pinned.getOrElseUpdate(s, s"bipAdj/$dir") {
-      val e = edges(s, dir)
+      val e = edgesPinned(s, dir)
       e.select(col("src"), col("dst"))
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
@@ -236,7 +251,7 @@ object GraphQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
-      PageRank(edges(s, dir), Iters)
+      PageRank(edgesPinned(s, dir), Iters)
         .select(col("node"), col("r"))),
 
     // Personalized PageRank from the user-0..4 seed set (the BFS
@@ -246,7 +261,7 @@ object GraphQueries extends QueryPack {
     // mirror unroll as graph_pagerank (one generator per variant, both
     // in [[graft.ops.PageRank]]).
     "graph_ppr" -> ((s, dir) => {
-      val e = edges(s, dir)
+      val e = edgesPinned(s, dir)
       val seeds = e.select(col("src").as("node")).distinct()
         .filter(col("node") < 5)
       PageRank.personalized(e, Iters, seeds)
@@ -848,7 +863,7 @@ object GraphQueries extends QueryPack {
     // path — the graph_hits pattern
     "graph_betweenness" -> ((s, dir) =>
       pinned.getOrElseUpdate(s, s"betweenness/$dir")(
-        graft.ops.Betweenness(edges(s, dir), BcPivots, BcDepth))),
+        graft.ops.Betweenness(edgesPinned(s, dir), BcPivots, BcDepth))),
 
     // Weighted single-source shortest paths — bounded Bellman-Ford
     // (SsspRounds min-plus relaxation rounds, the weighted sibling of
@@ -864,7 +879,7 @@ object GraphQueries extends QueryPack {
     // fixpoint detection on the summed distances, which only
     // decrease).
     "graph_sssp_weighted" -> ((s, dir) => {
-      val adjW = edges(s, dir).select(col("src"), col("dst"),
+      val adjW = edgesPinned(s, dir).select(col("src"), col("dst"),
         (lit(1L) + pmod(col("src") + col("dst"), lit(7L))).as("w"))
       val seeds = adjW.select(col("src").as("node")).distinct()
         .filter(col("node") < 5)
@@ -916,7 +931,7 @@ object GraphQueries extends QueryPack {
     * below; the oracle unrolls the identical rounds.
     */
   private def harmonicPivots(s: SparkSession, dir: String): DataFrame = {
-    val adj = edges(s, dir)
+    val adj = edgesPinned(s, dir)
     val seeds = adj.select(col("src")).distinct()
       .orderBy(col("src")).limit(BcPivots)
       .select(col("src").as("p"), col("src").as("node"))
@@ -939,7 +954,7 @@ object GraphQueries extends QueryPack {
     */
   private def hyperballPinned(s: SparkSession, dir: String): DataFrame =
     pinned.getOrElseUpdate(s, s"hyperball/$dir")(
-      graft.ops.HyperBall(edges(s, dir), HbRounds))
+      graft.ops.HyperBall(edgesPinned(s, dir), HbRounds))
 
   /** graph_hyperball_nf ball radius (unrolled in the oracle). */
   private val HbRounds = 3

@@ -356,10 +356,15 @@ object MultimodalQueries extends QueryPack {
         .withColumn("ksum", expr(PhashSumSql))
         .withColumn("phash", expr(PhashBitsSql))
         .select("media_id", "phash")
+      // both sides of the band self-join consume this frame — unpinned,
+      // the md5 digest + 16-tap panel + bit-pack pipeline ran once per
+      // side (round-16; the dedup_incremental parity-split lesson).
+      // ~4 int rows per doc, so the checkpoint is tiny.
       val bands = hashed.select(col("media_id"), col("phash"),
         posexplode(array((0 until 4).map(j =>
           expr(s"(phash DIV ${1 << (4 * j)}) % 16")): _*)))
         .toDF("media_id", "phash", "band", "bv")
+        .localCheckpoint()
       val cand = bands
         .join(bands.toDF("media_b", "phash_b", "band", "bv"),
           Seq("band", "bv"))

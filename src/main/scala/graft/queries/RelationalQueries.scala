@@ -1066,10 +1066,21 @@ object RelationalQueries extends QueryPack {
     * then bounds the quadratic expansion itself.
     */
   def basketRules(li: DataFrame): DataFrame = {
+    // The basket substrate has THREE consumers below (pair expansion,
+    // item supports, the n_orders scalar). Unpinned, AQE reused only
+    // the shuffle: the collect_set final aggregation re-ran per
+    // consumer and the n_orders branch re-scanned lineitem with its
+    // own exchange (round-16 plan audit). One localCheckpoint
+    // materializes the basket build once; at cluster scale this is the
+    // standard substrate materialization before a multi-consumer
+    // fan-out (reliable-storage checkpoint), same trade as the pinned
+    // graph projections. Result rows unchanged — the consumers read
+    // the identical frame.
     val baskets = li
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok")
       .agg(sort_array(collect_set(col("pk"))).as("arr"))
+      .localCheckpoint()
     val pairs = baskets
       .filter(size(col("arr")) <= 32)
       .select(explode(expr(

@@ -418,8 +418,10 @@ object SamplingQueries extends QueryPack {
         val slot = pmod(TextHash.h31(c.cast("string")), lit(100))
         when(slot < 80, "train").when(slot < 90, "valid").otherwise("test")
       }
-      graft.ops.MinHashLSH.candidatePairs(
-          Tables(s, dir, "documents"), "doc_id", "text")
+      // shared pinned pair substrate (round-16): same frame the dedup
+      // family reads — a leakage audit runs off the pipeline's pair
+      // artifact, not a private rebuild
+      DedupQueries.candPairsPinned(s, dir)
         .withColumn("sa", splitOf(col("doc_a")))
         .withColumn("sb", splitOf(col("doc_b")))
         .select(least(col("sa"), col("sb")).as("split_lo"),

@@ -403,7 +403,11 @@ object SimilarityQueries extends QueryPack {
       // Superseded pins release as soon as the next eager checkpoint
       // has materialized (the GraphQueries release discipline) — only
       // the final selected pin outlives the builder.
-      val poolV = queries("ann_brute_topk")(s, dir)
+      // Round-16: the brute slate comes from the SAME pinned exact-arm
+      // memo the eval queries read (brutePinned) instead of a private
+      // re-scoring pass — MMR reranks the retrieval stage's output, it
+      // does not own a second retrieval.
+      val poolV = brutePinned(s, dir)
         .select(col("q_id"), col("n_id"), col("cos").as("rel"))
         .join(broadcast(vecs), Seq("n_id"))
         .localCheckpoint()

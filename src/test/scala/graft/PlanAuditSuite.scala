@@ -264,7 +264,11 @@ class PlanAuditSuite extends SparkSpec {
     // one shuffle into (band,sig) buckets + one for the final distinct —
     // crucially NOT 2x signature computation (no self-join of the
     // expensive pipeline)
-    val p = executed(q("dedup_minhash_pairs"))
+    // round-16: the registered query reads the pinned pair memo, so
+    // the audit drives the BUILDER the memo fill runs — the pipeline
+    // whose shape matters at 100 TB is the build, not the memo read
+    val p = executed(graft.ops.MinHashLSH.candidatePairs(
+      Tables(spark, sf, "documents"), "doc_id", "text"))
     val scans = flatten(p).filter(_.nodeName.contains("Scan parquet"))
     assert(scans.size === 1,
       s"documents must be scanned exactly once, got ${scans.size}")
@@ -303,7 +307,10 @@ class PlanAuditSuite extends SparkSpec {
     // reuse — this pins it: if a plan change ever breaks exchange
     // canonicalization between the sizes and pairs branches, the
     // tokenize/hash/shuffle pipeline would silently run twice
-    val p = executed(q("dedup_ngram_jaccard"))
+    // round-16: audit the builder behind the pinned memo (see the
+    // minhash audit above)
+    val p = executed(graft.ops.JaccardPairs(
+      Tables(spark, sf, "documents"), "doc_id", "text"))
     val scans = flatten(p).filter(_.nodeName.contains("Scan parquet"))
     assert(scans.size === 1,
       s"documents must be scanned exactly once, got ${scans.size}")
@@ -638,7 +645,10 @@ class PlanAuditSuite extends SparkSpec {
   test("dedup_prefix_filter: no exchange carries the raw text column") {
     // gram hashes + doc ids + the aggregated gram ARRAYS shuffle; the
     // text itself never leaves the scan projection
-    val p = executed(q("dedup_prefix_filter"))
+    // round-16: audit the builder behind the pinned memo (see the
+    // minhash audit above)
+    val p = executed(graft.ops.PrefixFilterJoin(
+      Tables(spark, sf, "documents"), "doc_id", "text"))
     val exchanges = flatten(p).collect {
       case e: org.apache.spark.sql.execution.exchange.Exchange =>
         e.child.output.map(_.name)
